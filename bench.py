@@ -1,0 +1,75 @@
+"""BENCH harness (driver contract): headline SURVEY §2 queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Timing protocol mirrors BASELINE.md: per query, one untimed warm-up run
+(JVM/code paths warm, parquet footers cached), then the timed run. Session
+startup (~5 s) is excluded, as in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+if REPO_DIR not in sys.path:
+    sys.path.insert(0, REPO_DIR)
+
+from eviction_lab_etl_spark import registry
+from eviction_lab_etl_spark.session import build_session
+
+# The seven BASELINE.md headline operators (SURVEY §6).
+HEADLINE = [
+    "agg_sum_groupby",
+    "join_broadcast_dims",
+    "window_rank_topk",
+    "reshape_pivot_wide",
+    "stream_session",
+    "text_tokenize_topn",
+    "sim_knn_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(match.group(1).rstrip(".")) if match else None
+
+    registry.load_all_operators()
+    spark = build_session(
+        app_name="elspark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        fn(spark, sf_dir).collect()  # warm-up: plan + JIT + IO cache
+        start = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_warm_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,19 @@
+"""Operator inventory (SURVEY.md §2 groups A–J, L).
+
+Importing this package registers every operator into
+``eviction_lab_etl_spark.registry`` via the ``@query`` decorator.
+"""
+
+from eviction_lab_etl_spark.operators import (  # noqa: F401
+    aggregates,
+    dedup_text,
+    filters,
+    joins,
+    reshape,
+    scalars,
+    scans,
+    setops,
+    sorts,
+    udfs,
+    windows,
+)

@@ -1,0 +1,256 @@
+"""Group D — aggregations (SURVEY §2.D).
+
+Models the reference's statistics builds: per-(geography, year) sums and rates
+(R4/R7), population-weighted means (R10), state→national rollups (R7), and the
+low-flag conditional aggregates of the published data dictionary (R5/R6).
+
+Determinism: every money aggregate is an exact DECIMAL sum cast to double only
+after aggregation (§2.0 rule 1) — identical under any partitioning, so Spark's
+partial (map-side) aggregation stays enabled and the plans remain the default
+two-phase hash aggregates Catalyst picks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.functions.determinism import (
+    CHARGE_SQL,
+    big,
+    cents,
+    dec,
+    sum_exact_long,
+    to_dbl,
+)
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load, register_views
+
+# DuckDB-side JSON int extraction (Spark side uses get_json_object).
+_JSON_K = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+
+
+@query(
+    "agg_sum_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+           CAST(sum({CHARGE_SQL}) AS DOUBLE) AS sum_charge,
+           count(*) AS cnt
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_sum_groupby(spark, sf_dir):
+    """Flagship: TPC-H Q1-style grouped sums (the reference's core stats build,
+    R4/R7). Partial+final hash aggregation.
+
+    Fast exact path: all money inputs are verified 2-dp, so per-row arithmetic
+    runs in scaled-integer (cents / micro-units) **long** arithmetic inside
+    whole-stage codegen — Spark's per-row Decimal operations cost ~5× more
+    (measured 1.4s → 0.35s on the sf0.1 scan). The exact long partials are
+    reassembled into DECIMAL only at group boundaries (sum_exact_long: exact,
+    associative, overflow-safe at 100 TB group sizes), then descaled exactly
+    and cast to double. Values are bit-identical to the all-decimal oracle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    charge_micro = (cents("l_extendedprice") * (100 - cents("l_discount")) * (100 + cents("l_tax")))
+    descale = lambda s, f: (s * F.lit(f).cast("decimal(7,6)")).cast("double")  # noqa: E731
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        # quantities are whole-valued: a plain bigint sum is exact and fastest
+        F.sum(F.col("l_quantity").cast("bigint")).cast("double").alias("sum_qty"),
+        descale(sum_exact_long(cents("l_extendedprice")), 0.01).alias("sum_price"),
+        descale(sum_exact_long(charge_micro), 0.000001).alias("sum_charge"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query(
+    "agg_weighted_mean",
+    oracle=f"""
+    SELECT event_type,
+           CAST(sum(CAST(value AS DECIMAL(18,6)) * {_JSON_K}) AS DOUBLE)
+             / CAST(sum({_JSON_K}) AS DOUBLE) AS wavg,
+           CAST(sum(CAST(value AS DECIMAL(18,6)) * {_JSON_K}) AS DOUBLE) AS num,
+           CAST(sum({_JSON_K}) AS BIGINT) AS den
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_weighted_mean(spark, sf_dir):
+    """Population-weighted mean (crosswalk/demographics weighting, R4/R10):
+    exact decimal numerator, bigint denominator, ratio derived from exact
+    values — bit-identical across engines."""
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    num = F.sum(dec("value") * k)
+    den = F.sum(k)
+    return events.groupBy("event_type").agg(
+        (to_dbl(num) / to_dbl(den)).alias("wavg"),
+        to_dbl(num).alias("num"),
+        big(den).alias("den"),
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT n_name,
+           count(DISTINCT c_mktsegment) AS n_seg,
+           count(*) AS n_cust
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_multi_distinct(spark, sf_dir):
+    """Distinct + plain aggregates in one pass (export QA counts, R7)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count_distinct("c_mktsegment").alias("n_seg"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS r,
+           coalesce(n_name, 'ALL') AS n,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           count(*) AS cnt
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """Hierarchical rollup: the reference's state→national aggregation (R7)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    joined = customer.join(nation, customer.c_nationkey == nation.n_nationkey).join(
+        region, nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            to_dbl(F.sum(dec("c_acctbal"))).alias("total"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("r"),
+            F.coalesce("n_name", F.lit("ALL")).alias("n"),
+            "total",
+            "cnt",
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    """Cube over two categorical dimensions (cross-tab exports, R7)."""
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "cnt",
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets (per-level export slices, R7)."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (WHERE event_type = 'purchase')
+                AS DOUBLE) AS spend_purchase
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_conditional(spark, sf_dir):
+    """Conditional aggregates (low-flag style coding, R5/R6). NULL spend for
+    users with no purchases — preserved on both sides."""
+    events = load(spark, sf_dir, "events")
+    is_purchase = F.col("event_type") == "purchase"
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_if(is_purchase).alias("n_purchase"),
+        to_dbl(F.sum(F.when(is_purchase, dec("value")))).alias("spend_purchase"),
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT p_type,
+           min(p_retailprice) AS min_price,
+           max(p_retailprice) AS max_price,
+           count(*) AS cnt
+    FROM part
+    GROUP BY p_type
+    """,
+)
+def agg_stats(spark, sf_dir):
+    """Min/max/count profile (QA validation stats, R4/R12). Min/max of doubles
+    select existing values — exact by construction."""
+    part = load(spark, sf_dir, "part")
+    return part.groupBy("p_type").agg(
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL++ differs from DuckDB's sketch by design
+def agg_approx_distinct(spark, sf_dir):
+    """Approximate distinct count (HyperLogLog++): the 100 TB path for
+    cardinality estimation where exact count(distinct) would shuffle everything."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts")
+    )

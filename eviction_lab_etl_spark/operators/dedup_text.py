@@ -1,0 +1,294 @@
+"""Group J — dedup / similarity / text analysis (SURVEY §2.J).
+
+The LLM-training-data-pipeline extension mandated by BASELINE.json: exact and
+near dedup, similarity search over token sets and embeddings, and corpus text
+statistics — each expressed as a scalable DataFrame composition:
+
+- exact dedup: hash-groupBy (one shuffle on the digest — the only exact plan
+  that works at 100 TB; the digest is 16 bytes regardless of document size);
+- Jaccard near-dup: token inverted-index self-join (shuffle on token, not doc
+  pairs — never materializes the O(n²) pair space for non-overlapping docs);
+- MinHash LSH banding via pyspark.ml for the approximate scale path;
+- cosine kNN: broadcast the probe set, fold dot products JVM-side with
+  F.aggregate/zip_with — no Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.functions.determinism import big
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_uniq,
+           count(*) - count(DISTINCT md5(text)) AS n_dupe_rows
+    FROM documents
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact-duplicate profile via content digest (X/R12)."""
+    docs = load(spark, sf_dir, "documents").withColumn("h", F.md5("text"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("h").alias("n_uniq"),
+        (F.count(F.lit(1)) - F.count_distinct("h")).alias("n_dupe_rows"),
+    )
+
+
+@query(
+    "dedup_keep_first",
+    oracle="""
+    SELECT md5(text) AS h, min(doc_id) AS keep, count(*) AS grp_size
+    FROM documents
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+)
+def dedup_keep_first(spark, sf_dir):
+    """Canonical-document election per digest group (keep lowest doc_id) —
+    the standard exact-dedup keep rule (X)."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("grp_size"))
+        .filter(F.col("grp_size") > 1)
+    )
+
+
+@query(
+    "sim_jaccard_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents WHERE doc_id < 200
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pr AS (
+        SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS inter
+        FROM tok t1 JOIN tok t2 ON t1.w = t2.w AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a, b, inter, (sa.n + sb.n - inter) AS uni
+    FROM pr
+    JOIN sz sa ON sa.doc_id = a
+    JOIN sz sb ON sb.doc_id = b
+    WHERE 10 * inter >= 6 * (sa.n + sb.n - inter)
+    """,
+)
+def sim_jaccard_pairs(spark, sf_dir):
+    """Near-duplicate pairs by token-set Jaccard ≥ 0.6 (X), via an inverted
+    index self-join. The ≥0.6 test uses integer cross-multiplication —
+    no floats anywhere (§2.0 rule 1). Bounded to doc_id<200 per SURVEY
+    (tiny fixture vocabulary makes the token join quadratic-ish)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    t1 = tok.alias("t1")
+    t2 = tok.alias("t2")
+    pairs = (
+        t1.join(
+            t2,
+            (F.col("t1.w") == F.col("t2.w")) & (F.col("t1.doc_id") < F.col("t2.doc_id")),
+        )
+        .groupBy(F.col("t1.doc_id").alias("a"), F.col("t2.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        pairs.join(F.broadcast(sa), F.col("a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("b") == F.col("sb.doc_id"))
+        .withColumn("uni", F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+        .filter(10 * F.col("inter") >= 6 * F.col("uni"))
+    )
+    return out.select("a", "b", "inter", "uni")
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double fold of a·b (§2.0 rule 6): both engines
+    reduce arrays in array order, giving bit-identical IEEE results."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity via sequential double folds (library function)."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+@query(
+    "sim_knn_cosine",
+    oracle="""
+    WITH p AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+    s AS (
+        SELECT p.vec_id AS vid, e.vec_id AS nbr,
+               list_cosine_similarity(p.embedding, e.embedding) AS sim
+        FROM p, embeddings e
+        WHERE e.vec_id <> p.vec_id
+    )
+    SELECT vid, nbr, row_number() OVER (PARTITION BY vid ORDER BY sim DESC, nbr) AS rk
+    FROM s
+    QUALIFY rk <= 3
+    """,
+)
+def sim_knn_cosine(spark, sf_dir):
+    """Brute-force cosine top-k (X): the exact ANN baseline. Probes are
+    broadcast; the corpus streams once; ranking emits integer ids only
+    (raw float scores are never hashed — §2.0 rule 6)."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = F.broadcast(
+        emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("vid"), F.col("embedding").alias("pvec")
+        )
+    )
+    scored = (
+        probes.join(emb, F.col("vec_id") != F.col("vid"))
+        .select(
+            "vid",
+            F.col("vec_id").alias("nbr"),
+            cosine(F.col("pvec"), F.col("embedding")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("nbr"))
+    return (
+        scored.withColumn("rk", big(F.row_number().over(w)))
+        .filter(F.col("rk") <= 3)
+        .select("vid", "nbr", "rk")
+    )
+
+
+@query("sim_ann_lsh")  # rows-only: MinHash permutations are engine-specific
+def sim_ann_lsh(spark, sf_dir) -> DataFrame:
+    """Approximate near-dup join via MinHash LSH banding (X) — the scale path
+    that replaces the exact token self-join at 100 TB. Token sets are hashed
+    into sparse binary vectors; approxSimilarityJoin buckets by banded MinHash
+    signatures so only candidate pairs are compared."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    )
+    tf = HashingTF(inputCol="toks", outputCol="features", numFeatures=1 << 18, binary=True)
+    feat = tf.transform(docs)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feat)
+    joined = model.approxSimilarityJoin(feat, feat, 0.4, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("a"),
+            F.col("datasetB.doc_id").alias("b"),
+        )
+    )
+
+
+@query(
+    "text_tokenize_topn",
+    oracle="""
+    SELECT w AS token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents WHERE lang = 'en')
+    GROUP BY w
+    ORDER BY cnt DESC, token
+    LIMIT 10
+    """,
+)
+def text_tokenize_topn(spark, sf_dir):
+    """Top-10 tokens in the English slice (X): explode → count → ordered top-k
+    with token tiebreak (§2.0 rule 3)."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(10)
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+    WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents WHERE lang = 'en'),
+    b AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS bigram
+        FROM ws
+    )
+    SELECT bigram, count(*) AS cnt
+    FROM b
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 10
+    """,
+)
+def text_ngrams(spark, sf_dir):
+    """Top-10 bigrams in the English slice (X), built JVM-side with
+    transform(sequence(...)) — no Python UDF in the hot path."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    w = F.split("text", " ")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(10)
+    )
+
+
+@query(
+    "text_lang_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(n_chars) AS min_chars,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_lang_stats(spark, sf_dir):
+    """Per-language corpus profile (X)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        big(F.sum("n_chars")).alias("sum_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@query(
+    "text_length_hist",
+    oracle="""
+    SELECT (n_chars // 50) * 50 AS bucket, count(*) AS cnt
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_length_hist(spark, sf_dir):
+    """Document-length histogram on 50-char buckets (X) — pure integer
+    arithmetic, no float banding."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(
+        F.expr("(n_chars div 50) * 50").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))

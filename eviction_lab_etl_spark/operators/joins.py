@@ -1,0 +1,253 @@
+"""Group C — joins (SURVEY §2.C).
+
+Models the reference's merge steps: the geography hierarchy chain
+(place→county→state→parent-location, R5/R9), the (GEOID, year) composite-key
+eviction⋈demographics merge (R5), the 2000→2010 crosswalk weighted apportionment
+(R10), and QA existence checks (R12). Plus the streaming-extension as-of join.
+
+Scale notes (100 TB): dimension joins are explicitly ``F.broadcast`` (no shuffle
+of the fact side); the as-of join is a single shuffle on user_id (union-tag +
+ordered window), which beats a per-row range join at any scale; the weighted
+allocation reuses one hash partitioning (window + join both keyed on orderkey).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.functions.determinism import big, dec
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT c_custkey, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast_dims(spark, sf_dir):
+    """Dimension chain join (place → parent-location resolution, R5/R9).
+
+    Both dims are broadcast: the fact table never shuffles — the only sane plan
+    for a 100 TB fact ⋈ KB-sized dims.
+    """
+    customer = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+
+
+@query(
+    "join_multikey_derived",
+    oracle="""
+    SELECT year(o_orderdate) AS yr, count(*) AS cnt
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+               AND year(l_shipdate) = year(o_orderdate)
+    GROUP BY 1
+    """,
+)
+def join_multikey_derived(spark, sf_dir):
+    """Composite-key join on a derived column ((GEOID, year) merge analog, R5)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    joined = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (F.year(li.l_shipdate) == F.year(orders.o_orderdate)),
+    )
+    return joined.groupBy(big(F.year("o_orderdate")).alias("yr")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+@query(
+    "join_left_null",
+    oracle="""
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """,
+)
+def join_left_null(spark, sf_dir):
+    """Left join preserving no-match rows (geographies with no eviction data, R5)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+    """,
+)
+def join_semi(spark, sf_dir):
+    """Existence filter as LEFT SEMI join (rankings population cutoff / QA, R8/R12)."""
+    customer = load(spark, sf_dir, "customer")
+    orders95 = load(spark, sf_dir, "orders").filter(F.year("o_orderdate") == 1995)
+    return customer.join(
+        orders95, customer.c_custkey == orders95.o_custkey, "left_semi"
+    ).select("c_custkey")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    """Anti join: customers with no orders at all (validation diffing, R12)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_event_id, s.event_id AS signup_event_id
+    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join: each purchase ↔ most recent signup of the same user at or
+    before it (streaming/crosswalk extension, S/R10; SURVEY §4.2 item 1).
+
+    Spark has no native ASOF JOIN; this is the scale-correct composition:
+    union-tag both sides, one shuffle on user_id, and carry the latest signup
+    forward with last(ignorenulls) over a time-ordered window. O(n log n) per
+    user, no range-join explosion, AQE-splittable if a user is skewed.
+    """
+    events = load(spark, sf_dir, "events")
+    cols = ["user_id", "ts", "event_id"]
+    signups = events.filter(F.col("event_type") == "signup").select(*cols)
+    purchases = events.filter(F.col("event_type") == "purchase").select(*cols)
+    tagged = signups.withColumn("is_signup", F.lit(1)).unionByName(
+        purchases.withColumn("is_signup", F.lit(0))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "sig",
+        F.last(F.when(F.col("is_signup") == 1, F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return carried.filter((F.col("is_signup") == 0) & F.col("sig").isNotNull()).select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("sig").alias("signup_event_id"),
+    )
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+    SELECT o.o_orderkey, count(l.l_orderkey) AS n_90d
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate BETWEEN o.o_orderdate AND o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def join_range_interval(spark, sf_dir):
+    """Equi join + range predicate: lineitems shipped within 90 days of the
+    order date (R5). The equi key keeps this a hash join; the range predicate
+    is a post-join filter, not a cross product."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate <= orders.o_orderdate + F.expr("INTERVAL 90 DAY"))
+    )
+    return (
+        orders.join(li, cond, "left")
+        .groupBy("o_orderkey")
+        .agg(F.count("l_orderkey").alias("n_90d"))
+    )
+
+
+@query(
+    "join_weighted_alloc",
+    oracle="""
+    SELECT l.l_orderkey AS o_orderkey, l.l_linenumber,
+           o.o_totalprice * l.l_extendedprice / l.tot AS alloc
+    FROM (SELECT l_orderkey, l_linenumber, l_extendedprice,
+                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                      OVER (PARTITION BY l_orderkey) AS DOUBLE) AS tot
+          FROM lineitem) l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def join_weighted_alloc(spark, sf_dir):
+    """Crosswalk weighted apportionment (R10): allocate each order's total
+    price across its lineitems proportionally to extended price.
+
+    The denominator is an exact decimal window sum cast to double (§2.0 rule 1),
+    so the per-row double expression is bit-identical in both engines. SURVEY
+    specifies round(...,6); we emit the raw quotient instead — double round()
+    algorithms differ across engines at representation boundaries, while the
+    unrounded quotient is IEEE-deterministic.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    w = Window.partitionBy("l_orderkey")
+    li_tot = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.sum(dec("l_extendedprice")).over(w).cast("double").alias("tot"),
+    )
+    joined = li_tot.join(orders, li_tot.l_orderkey == orders.o_orderkey)
+    return joined.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        (F.col("o_totalprice") * F.col("l_extendedprice") / F.col("tot")).alias("alloc"),
+    )
+
+
+@query(
+    "join_cross_small",
+    oracle="""
+    SELECT r_name, status
+    FROM region
+    CROSS JOIN (SELECT DISTINCT o_orderstatus AS status FROM orders)
+    """,
+)
+def join_cross_small(spark, sf_dir):
+    """Small cross join: the level×year template matrix the reference's Make DAG
+    enumerates (R1/R6)."""
+    region = load(spark, sf_dir, "region").select("r_name")
+    status = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderstatus").alias("status"))
+        .distinct()
+    )
+    return region.crossJoin(F.broadcast(status))

@@ -1,0 +1,203 @@
+"""Group H — scalar functions (SURVEY §2.H).
+
+The reference's row-wise transforms: GEOID zero-padding and parent-location
+label construction (R5/R9), regex extraction for the search index (R9),
+year/quarter date parts (R4/R5), CASE bucketing for map legends (R6), and the
+JSON/array surface of the LLM extension (X).
+
+§2.0 rule 5 blacklist respected: no round() on floats, no dayofweek, no initcap.
+Int-returning scalars are widened to bigint (DuckDB's length()/year() return
+BIGINT where Spark returns INT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.functions.determinism import big, dec, to_dbl
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
+
+
+@query(
+    "scalar_string_fmt",
+    oracle="""
+    SELECT lpad(CAST(n_nationkey AS VARCHAR), 5, '0') AS geoid,
+           concat_ws(', ', n_name, r_name) AS label,
+           upper(n_name) AS up,
+           substr(n_name, 1, 3) AS pfx,
+           length(n_name) AS len,
+           replace(n_name, ' ', '_') AS rep
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def scalar_string_fmt(spark, sf_dir):
+    """GEOID-style string formatting (R5/R9: zero-padded keys, 'name, parent'
+    labels for the location search index)."""
+    nation = load(spark, sf_dir, "nation")
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    return nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        F.lpad(F.col("n_nationkey").cast("string"), 5, "0").alias("geoid"),
+        F.concat_ws(", ", "n_name", "r_name").alias("label"),
+        F.upper("n_name").alias("up"),
+        F.substring("n_name", 1, 3).alias("pfx"),
+        big(F.length("n_name")).alias("len"),
+        F.replace(F.col("n_name"), F.lit(" "), F.lit("_")).alias("rep"),
+    )
+
+
+@query(
+    "scalar_regexp",
+    oracle="""
+    SELECT c_custkey,
+           CAST(regexp_extract(c_name, '([0-9]+)', 1) AS BIGINT) AS ck
+    FROM customer
+    """,
+)
+def scalar_regexp(spark, sf_dir):
+    """Regex key extraction (R9): names are 'Customer#000000042' → 42."""
+    customer = load(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)", 1).cast("bigint").alias("ck"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           quarter(o_orderdate) AS qtr,
+           month(o_orderdate) AS mon,
+           day(o_orderdate) AS d,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS mstart,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS dd
+    FROM orders
+    """,
+)
+def scalar_datetime(spark, sf_dir):
+    """Date-part extraction (R4/R5 year keys). dayofweek deliberately excluded:
+    Spark numbers Sunday=1, DuckDB Sunday=0 (§2.0 rule 5)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        big(F.year("o_orderdate")).alias("yr"),
+        big(F.quarter("o_orderdate")).alias("qtr"),
+        big(F.month("o_orderdate")).alias("mon"),
+        big(F.dayofmonth("o_orderdate")).alias("d"),
+        F.to_date(F.date_trunc("month", F.col("o_orderdate"))).alias("mstart"),
+        big(F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))).alias("dd"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT o_orderkey,
+           abs(o_orderkey) % 7 AS m7,
+           CAST(floor(o_totalprice) AS BIGINT) AS fl,
+           CAST(ceil(o_totalprice) AS BIGINT) AS ce,
+           o_custkey * o_custkey AS sq
+    FROM orders
+    """,
+)
+def scalar_math(spark, sf_dir):
+    """Arithmetic scalar surface (R4). floor/ceil are cast to bigint on both
+    sides (DuckDB returns DOUBLE, Spark BIGINT)."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.pmod(F.abs(F.col("o_orderkey")), F.lit(7)).alias("m7"),
+        F.floor("o_totalprice").cast("bigint").alias("fl"),
+        F.ceil("o_totalprice").cast("bigint").alias("ce"),
+        (F.col("o_custkey") * F.col("o_custkey")).alias("sq"),
+    )
+
+
+@query(
+    "scalar_case_bucket",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 1000 THEN 'low'
+                WHEN o_totalprice < 5000 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS cnt
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def scalar_case_bucket(spark, sf_dir):
+    """CASE banding — the map legend bucket assignment (R6)."""
+    orders = load(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 1000, "low")
+        .when(F.col("o_totalprice") < 5000, "mid")
+        .otherwise("high")
+    )
+    return orders.groupBy(band.alias("band")).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@query(
+    "scalar_array_ops",
+    oracle="""
+    SELECT doc_id,
+           len(w) AS n,
+           list_contains(w, 'spark') AS has_spark,
+           len(list_distinct(w)) AS n_uniq,
+           array_to_string(list_slice(w, 1, 5), ' ') AS head5
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    """,
+)
+def scalar_array_ops(spark, sf_dir):
+    """Array surface over tokenized text (X): size / contains / distinct / slice."""
+    docs = load(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        big(F.size("w")).alias("n"),
+        F.array_contains("w", "spark").alias("has_spark"),
+        big(F.size(F.array_distinct("w"))).alias("n_uniq"),
+        F.concat_ws(" ", F.slice("w", 1, 5)).alias("head5"),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_json(spark, sf_dir):
+    """JSON path extraction + integer aggregate (S/X). DuckDB's sum(BIGINT)
+    yields HUGEINT → terminal bigint cast on the oracle side (§2.0 rule 2)."""
+    events = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(big(F.sum(k)).alias("sum_k"))
+
+
+@query(
+    "scalar_conditional_null",
+    oracle="""
+    SELECT c_custkey,
+           CAST(coalesce(spend_dec, CAST(-1 AS DECIMAL(18,6))) AS DOUBLE) AS spend0
+    FROM customer
+    LEFT JOIN (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend_dec
+               FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey) s
+      ON o_custkey = c_custkey
+    """,
+)
+def scalar_conditional_null(spark, sf_dir):
+    """COALESCE to the reference's -1 sentinel (R5 re-encoding on export)."""
+    customer = load(spark, sf_dir, "customer")
+    spend97 = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1997)
+        .groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("spend_dec"))
+    )
+    return customer.join(spend97, customer.c_custkey == spend97.o_custkey, "left").select(
+        "c_custkey",
+        to_dbl(F.coalesce(F.col("spend_dec"), F.lit(-1).cast("decimal(18,6)"))).alias("spend0"),
+    )

@@ -1,0 +1,111 @@
+"""Group A — scans / sources / sinks (SURVEY §2.A).
+
+Models the reference's file-based source/sink layer (per-level CSV build targets
+and per-state export partitioning, ref tags R4–R7 ⚠unverified) as parquet/CSV/JSON
+DataFrame IO. Predicate and column pushdown reach the parquet scan via Catalyst —
+``scan_filter_prune`` exists specifically to exercise that (its physical plan shows
+PushedFilters + a 3-column ReadSchema).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
+
+# Sink scratch space: per-process unique root so repeated runs never collide.
+_IO_ROOT = os.path.join(tempfile.gettempdir(), f"elspark_io_{os.getpid()}")
+
+
+def _sink_path(name: str) -> str:
+    return os.path.join(_IO_ROOT, name)
+
+
+@query(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey AS okey, l_linenumber AS line,
+           l_quantity AS qty, l_extendedprice AS price
+    FROM lineitem
+    """,
+)
+def scan_project(spark, sf_dir):
+    """Projection + rename at scan (ref: tile-CSV column abbreviation, R4/R6).
+
+    Column pruning pushes the 4-column ReadSchema into the parquet scan.
+    """
+    return load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line"),
+        F.col("l_quantity").alias("qty"),
+        F.col("l_extendedprice").alias("price"),
+    )
+
+
+@query(
+    "scan_filter_prune",
+    oracle="""
+    SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_orderdate
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+)
+def scan_filter_prune(spark, sf_dir):
+    """Predicate + column pushdown to the parquet scan (R4).
+
+    The filter compares the raw timestamp column (pushable); only the output
+    projects it to a date.
+    """
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.to_date("o_orderdate").alias("o_orderdate"),
+        )
+    )
+
+
+@query("io_csv_roundtrip")  # rows-only: sink+source behavior, no SQL oracle
+def io_csv_roundtrip(spark, sf_dir):
+    """CSV sink → schema-explicit CSV source round-trip (the reference's IR is
+    CSV-on-disk between every Make stage, R4–R7)."""
+    path = _sink_path("nation_csv")
+    load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
+    schema = StructType(
+        [
+            StructField("n_nationkey", IntegerType()),
+            StructField("n_name", StringType()),
+            StructField("n_regionkey", IntegerType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+@query("io_json_lines")  # rows-only
+def io_json_lines(spark, sf_dir):
+    """JSON-lines sink/source round-trip (search-index JSON export analog, R9)."""
+    path = _sink_path("events_json")
+    events = load(spark, sf_dir, "events").select("event_id", "event_type")
+    events.write.mode("overwrite").json(path)
+    return spark.read.json(path).select("event_id", "event_type")
+
+
+@query("io_partitioned_write")  # rows-only
+def io_partitioned_write(spark, sf_dir):
+    """Partitioned parquet sink + partition-pruned read (per-state export analog, R7).
+
+    At 100 TB this is the layout contract: facts land partitioned by a
+    date-derived key so every downstream year-filter prunes at the source.
+    """
+    path = _sink_path("orders_by_yr")
+    orders = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    orders.write.mode("overwrite").partitionBy("yr").parquet(path)
+    # Partition pruning: yr=1997 resolves to one directory, not a full scan.
+    return spark.read.parquet(path).filter(F.col("yr") == 1997).select("o_orderkey", "yr")

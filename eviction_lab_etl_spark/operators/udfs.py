@@ -1,0 +1,144 @@
+"""Group L — UDF / UDAF / UDTF surface (SURVEY §2.L).
+
+The reference's per-row/per-group pandas transforms (R4/R6/R9) re-expressed on
+Spark's Python-execution tiers, slowest to fastest:
+
+- row-at-a-time Python UDF (`udf_py_scalar`) — demonstrated once, deliberately;
+- Arrow-vectorized pandas UDF (`udf_pandas_scalar`, `udf_pandas_agg`) — the
+  10-100× faster default when Python is genuinely needed;
+- grouped-map applyInPandas (`udf_grouped_map`) — whole-group pandas frames;
+- Python UDTF (`udtf_explode_pos`) — table-valued expansion.
+
+Everything else in this engine stays JVM-side; these exist because the
+*capability surface* must exist (custom per-group logic the built-ins can't
+express), not because these particular examples need Python.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
+
+
+@query(
+    "udf_py_scalar",
+    oracle="""
+    SELECT c_custkey, printf('C-%05d', c_custkey) AS tag
+    FROM customer
+    """,
+)
+def udf_py_scalar(spark, sf_dir):
+    """Row-at-a-time Python UDF (R6/R9 label formatting). Kept as the one
+    deliberate example of the slow tier — every row crosses the JVM↔Python
+    boundary individually."""
+    fmt = F.udf(lambda k: f"C-{k:05d}", "string")
+    customer = load(spark, sf_dir, "customer")
+    return customer.select("c_custkey", fmt("c_custkey").alias("tag"))
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT doc_id, (n_chars // 10) * 10 AS bucket
+    FROM documents
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """Arrow-vectorized scalar pandas UDF (X): whole columns move as Arrow
+    batches; the Python work is one vectorized numpy expression."""
+
+    @pandas_udf("long")
+    def bucket10(n: pd.Series) -> pd.Series:
+        return (n // 10) * 10
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", bucket10("n_chars").alias("bucket"))
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    SELECT event_type, event_id,
+           row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS seq
+    FROM events
+    """,
+)
+def udf_grouped_map(spark, sf_dir):
+    """Grouped-map applyInPandas (R4/X): each event_type group arrives as one
+    pandas frame; we emit a per-group sequence number. This is the surface for
+    per-group logic Spark built-ins can't express (the example is verifiable
+    against a window-function oracle on purpose)."""
+
+    def seq_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        pdf["seq"] = range(1, len(pdf) + 1)
+        return pdf[["event_type", "event_id", "seq"]]
+
+    events = load(spark, sf_dir, "events").select("event_type", "event_id", "ts")
+    return events.groupBy("event_type").applyInPandas(
+        seq_group, schema="event_type string, event_id long, seq long"
+    )
+
+
+@query(
+    "udf_pandas_agg",
+    oracle="""
+    SELECT event_type, CAST(sum(user_id) AS BIGINT) AS s
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udf_pandas_agg(spark, sf_dir):
+    """Custom UDAF as a GROUPED_AGG pandas UDF (X) — integer-exact, so safe to
+    hash (float UDAFs would need the decimal discipline instead)."""
+
+    @pandas_udf("long")
+    def sum_users(u: pd.Series) -> int:
+        return int(u.sum())
+
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(sum_users("user_id").alias("s"))
+
+
+@query(
+    "udtf_explode_pos",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def udtf_explode_pos(spark, sf_dir):
+    """Python UDTF (PySpark ≥3.5): tokenize with 1-based positions. The DuckDB
+    oracle zips two parallel unnests (DuckDB 1.0 lacks WITH ORDINALITY).
+    Falls back to the semantically-identical JVM posexplode if UDTF
+    registration is unavailable in the running session."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    try:
+        from pyspark.sql.functions import udtf
+
+        @udtf(returnType="pos bigint, word string")
+        class TokenizeWithPos:
+            def eval(self, text: str):
+                for i, word in enumerate(text.split(" ")):
+                    yield i + 1, word
+
+        spark.udtf.register("tokenize_with_pos", TokenizeWithPos)
+        docs.createOrReplaceTempView("udtf_docs_head")
+        return spark.sql(
+            """
+            SELECT d.doc_id, t.pos, t.word
+            FROM udtf_docs_head d, LATERAL tokenize_with_pos(d.text) t
+            """
+        )
+    except Exception:
+        # JVM fallback: posexplode is the built-in equivalent (0-based → +1).
+        return docs.select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("p", "word")
+        ).select("doc_id", (F.col("p") + 1).cast("bigint").alias("pos"), "word")

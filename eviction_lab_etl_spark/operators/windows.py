@@ -1,0 +1,206 @@
+"""Group E — window functions (SURVEY §2.E).
+
+Models the reference's rankings tool (top-k places by eviction rate, R8),
+year-over-year deltas, choropleth quantile breaks (map legend cutpoints), and
+the moving/running aggregates of the streaming extension (S).
+
+Determinism: every ordered window carries a unique-key tiebreak (§2.0 rule 3);
+rank-ish outputs are widened to bigint to match DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.functions.determinism import big, dec, to_dbl
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
+
+_EPOCH = "1970-01-01"
+
+
+def _spend_per_customer(spark, sf_dir):
+    """sum(decimal(o_totalprice)) per customer — shared by ranking queries."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("spend_dec"))
+
+
+@query(
+    "window_rank_topk",
+    oracle="""
+    SELECT n_name, c_custkey, CAST(spend_dec AS DOUBLE) AS spend, rk
+    FROM (
+        SELECT n_name, c_custkey, spend_dec,
+               row_number() OVER (PARTITION BY n_name
+                                  ORDER BY spend_dec DESC, c_custkey) AS rk
+        FROM (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend_dec
+              FROM orders GROUP BY o_custkey) s
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    )
+    WHERE rk <= 3
+    """,
+)
+def window_rank_topk(spark, sf_dir):
+    """The rankings tool (R8): top-3 customers by spend per nation.
+
+    Pre-aggregates to one row per customer *before* the window — at 100 TB the
+    window sees |customers| rows, not |orders|.
+    """
+    spend = _spend_per_customer(spark, sf_dir)
+    customer = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    ranked = (
+        spend.join(customer, spend.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .withColumn(
+            "rk",
+            big(
+                F.row_number().over(
+                    Window.partitionBy("n_name").orderBy(
+                        F.col("spend_dec").desc(), F.col("c_custkey")
+                    )
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= 3).select(
+        "n_name", "c_custkey", to_dbl(F.col("spend_dec")).alias("spend"), "rk"
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT p_brand, p_partkey,
+           rank() OVER w AS rk,
+           dense_rank() OVER w AS drk
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+)
+def window_rank_dense(spark, sf_dir):
+    """rank vs dense_rank per brand (R8)."""
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        big(F.rank().over(w)).alias("rk"),
+        big(F.dense_rank().over(w)).alias("drk"),
+    )
+
+
+@query(
+    "window_lag_delta",
+    oracle="""
+    SELECT yr, cnt, cnt - lag(cnt) OVER (ORDER BY yr) AS delta
+    FROM (SELECT year(o_orderdate) AS yr, count(*) AS cnt FROM orders GROUP BY 1)
+    """,
+)
+def window_lag_delta(spark, sf_dir):
+    """Year-over-year delta (R8: the map's YoY eviction change)."""
+    orders = load(spark, sf_dir, "orders")
+    per_year = orders.groupBy(big(F.year("o_orderdate")).alias("yr")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_year.withColumn(
+        "delta", F.col("cnt") - F.lag("cnt").over(Window.orderBy("yr"))
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT od, cnt,
+           sum(cnt) OVER (ORDER BY od ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS movsum7
+    FROM (SELECT CAST(ts AS DATE) AS od, count(*) AS cnt FROM events GROUP BY 1)
+    """,
+)
+def window_moving_avg(spark, sf_dir):
+    """7-day moving sum of daily event counts (S) — integer sums, exact."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("od")).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("od").rowsBetween(-6, 0)
+    return daily.withColumn("movsum7", F.sum("cnt").over(w))
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderpriority, od, cnt,
+           sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY od
+                          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS run30
+    FROM (SELECT o_orderpriority,
+                 date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS od,
+                 count(*) AS cnt
+          FROM orders GROUP BY 1, 2)
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame over integer epoch-days: 30-day running order count per
+    priority (S). RANGE (value-based), not ROWS — days with no orders still
+    age out of the frame."""
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        big(F.datediff(F.to_date("o_orderdate"), F.lit(_EPOCH).cast("date"))).alias("od"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("o_orderpriority").orderBy("od").rangeBetween(-29, 0)
+    return daily.withColumn("run30", F.sum("cnt").over(w))
+
+
+@query(
+    "window_ntile",
+    oracle="""
+    SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
+    FROM customer
+    """,
+)
+def window_ntile(spark, sf_dir):
+    """Quartile assignment — the choropleth quantile-break analog (R8)."""
+    customer = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return customer.select("c_custkey", big(F.ntile(4).over(w)).alias("q"))
+
+
+@query(
+    "window_percentile",
+    oracle="""
+    SELECT n_name, quantile_cont(c_acctbal, 0.5) AS med
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def window_percentile(spark, sf_dir):
+    """Exact interpolating median per nation (R8 legend statistics). Inputs are
+    2-dp doubles, so the even-count midpoint (a+b)/2 is engine-deterministic."""
+    customer = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.median("c_acctbal").alias("med"))
+    )
+
+
+@query(
+    "window_cume",
+    oracle="""
+    SELECT s_suppkey,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def window_cume(spark, sf_dir):
+    """percent_rank / cume_dist (R8) — exact small-integer ratios."""
+    supplier = load(spark, sf_dir, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return supplier.select(
+        "s_suppkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

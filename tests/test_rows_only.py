@@ -1,0 +1,84 @@
+"""Rows-only operators (SURVEY §2 check=rows): run + sanity cardinality checks,
+including batch≡stream equivalence where semantics allow (SURVEY §5.2 item 5)."""
+
+from __future__ import annotations
+
+from eviction_lab_etl_spark.registry import QUERIES
+
+
+def test_io_csv_roundtrip(spark, sf_dir):
+    df = QUERIES["io_csv_roundtrip"](spark, sf_dir)
+    assert df.count() == 25
+    assert set(df.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+
+
+def test_io_json_lines(spark, sf_dir):
+    df = QUERIES["io_json_lines"](spark, sf_dir)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert df.count() == events.count()
+
+
+def test_io_partitioned_write(spark, sf_dir):
+    df = QUERIES["io_partitioned_write"](spark, sf_dir)
+    rows = df.collect()
+    assert rows and all(r["yr"] == 1997 for r in rows)
+
+
+def test_agg_approx_distinct(spark, sf_dir):
+    df = QUERIES["agg_approx_distinct"](spark, sf_dir)
+    rows = {r["l_returnflag"]: r["approx_parts"] for r in df.collect()}
+    assert set(rows) == {"A", "N", "R"} and all(v > 0 for v in rows.values())
+
+
+def test_sim_ann_lsh_precision_and_recall(spark, ddb, sf_dir):
+    """approxSimilarityJoin exact-verifies candidate pairs, so precision vs the
+    exact ≥0.6-Jaccard set must be 1.0; banding recall is probabilistic —
+    require ≥0.9 (8 hash tables give ~0.96 on the fixture)."""
+    from eviction_lab_etl_spark.registry import ORACLES
+
+    lsh_pairs = {
+        (r["a"], r["b"]) for r in QUERIES["sim_ann_lsh"](spark, sf_dir).collect()
+    }
+    exact = ddb.sql(ORACLES["sim_jaccard_pairs"]).fetchall()
+    exact_pairs = {(r[0], r[1]) for r in exact}
+    assert lsh_pairs <= exact_pairs, "LSH returned a pair below the 0.6 threshold"
+    if exact_pairs:
+        recall = len(lsh_pairs & exact_pairs) / len(exact_pairs)
+        assert recall >= 0.9, f"LSH recall too low: {recall:.3f}"
+
+
+def test_stream_watermark_late_matches_batch(spark, ddb, sf_dir):
+    """Append-mode watermarked windows: every *finalized* window matches the
+    batch aggregate; windows still open at end-of-stream (those ending after
+    watermark = max(ts) - 1h, i.e. the last day) are correctly withheld."""
+    stream_rows = {
+        (r["wstart"], r["cnt"])
+        for r in QUERIES["stream_watermark_late"](spark, sf_dir).collect()
+    }
+    batch = ddb.sql(
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS wstart, count(*) AS cnt "
+        "FROM events GROUP BY 1"
+    ).fetchall()
+    batch_rows = {(r[0], r[1]) for r in batch}
+    max_day = max(r[0] for r in batch)
+    assert stream_rows <= batch_rows
+    withheld = {r[0] for r in batch_rows - stream_rows}
+    assert withheld == {max_day}, f"unexpected withheld windows: {withheld}"
+
+
+def test_stream_dedup_watermark(spark, ddb, sf_dir):
+    df = QUERIES["stream_dedup_watermark"](spark, sf_dir)
+    n_distinct = ddb.sql("SELECT count(DISTINCT event_id) FROM events").fetchone()[0]
+    assert df.count() == n_distinct
+
+
+def test_stream_foreachbatch_upsert(spark, ddb, sf_dir):
+    rows = {
+        (r["od"], r["cnt"])
+        for r in QUERIES["stream_foreachbatch_upsert"](spark, sf_dir).collect()
+    }
+    batch = ddb.sql(
+        "SELECT CAST(date_trunc('day', ts) AS DATE) AS od, count(*) AS cnt "
+        "FROM events GROUP BY 1"
+    ).fetchall()
+    assert rows == {(r[0], r[1]) for r in batch}
