@@ -7,8 +7,11 @@ Importing this package registers every operator into
 from eviction_lab_etl_spark.operators import (  # noqa: F401
     aggregates,
     dedup_text,
+    extensions,
     filters,
     joins,
+    multimodal,
+    pipelines,
     reshape,
     scalars,
     scans,

@@ -1,0 +1,335 @@
+"""LLM-pipeline extension operators beyond the SURVEY §2 inventory.
+
+BASELINE.json mandates first-class training-data-pipeline operations; §2.J
+covers exact dedup, Jaccard, MinHash-LSH and cosine kNN — this module adds the
+rest of the standard toolbox:
+
+- SimHash signatures + Hamming near-dup pairs (dedup family)
+- embedding-cosine near-dup pairs (dedup via vector similarity)
+- IVF-bucketed approximate nearest neighbors (the ANN scale path)
+- language-ID heuristic, quality scoring, BPE-ish token counting, and
+  winnowing-style document fingerprinting (text-analysis family)
+
+Every deterministic operator is hash-checked against a DuckDB oracle; the two
+approximate ones (IVF ANN) are rows-only with recall tests in tests/.
+
+Cross-engine token hashing: both engines parse the first 15 hex chars of
+md5(token) as a 60-bit integer (Spark ``conv(...,16,10)``, DuckDB
+``CAST('0x'||… AS BIGINT)``) — the only portable 64-bit-ish hash the two
+engines share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.functions.determinism import big
+from eviction_lab_etl_spark.operators.dedup_text import cosine
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
+
+_NBITS = 60  # md5-prefix token hash width (15 hex chars)
+
+# --- SimHash -----------------------------------------------------------------
+
+# Spark-side 60-bit token hash; DuckDB equivalent below.
+_TOKEN_HASH = "CAST(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT)"
+_TOKEN_HASH_DUCK = "CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)"
+
+
+def _simhash_agg_exprs(hash_expr: str) -> str:
+    """SUM(±1 per bit) → reassembled signature, as engine-neutral SQL.
+
+    For each bit b: vote_b = Σ_tokens (bit set ? +1 : -1); signature bit b is
+    set iff vote_b > 0. Generated as 60 aggregate expressions — one hash-agg
+    pass, no per-bit explosion (at 100 TB this is a single shuffle on doc_id
+    with 60 long accumulators per group).
+    """
+    votes = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (({hash_expr}) >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(_NBITS)
+    )
+    return votes
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, {_simhash_agg_exprs(_TOKEN_HASH_DUCK)} AS simhash
+    FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+          FROM documents)
+    GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    """60-bit SimHash signature per document (Charikar similarity hashing):
+    near-identical token sets differ in few bits. One aggregation pass."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    return tok.groupBy("doc_id").agg(
+        F.expr(_simhash_agg_exprs(_TOKEN_HASH)).alias("simhash")
+    )
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sig AS (
+        SELECT doc_id, {_simhash_agg_exprs(_TOKEN_HASH_DUCK)} AS simhash
+        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+              FROM documents WHERE doc_id < 200)
+        GROUP BY doc_id
+    )
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           bit_count(xor(a.simhash, b.simhash)) AS hd
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 8
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-duplicate candidates: pairs within Hamming distance 8.
+    (At 100 TB one would band the signature into 4×15-bit keys and join on
+    band equality instead of the quadratic pair join — same pattern as LSH;
+    the fixture query is bounded to doc_id<200 like sim_jaccard_pairs.)"""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sig = tok.groupBy("doc_id").agg(
+        F.expr(_simhash_agg_exprs(_TOKEN_HASH)).alias("simhash")
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    hd = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a"),
+            F.col("b.doc_id").alias("b"),
+            big(hd).alias("hd"),
+        )
+        .filter(F.col("hd") <= 8)
+    )
+
+
+# --- Embedding near-dup + IVF ANN -------------------------------------------
+
+
+@query(
+    "sim_cosine_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS a, b.vec_id AS b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35
+    """,
+)
+def sim_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.35; threshold tuned to the synthetic embeddings' similarity range): the semantic-dedup
+    step of an LLM data pipeline. Bounded probe set; at scale the IVF/LSH
+    bucketing below replaces the quadratic join."""
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.35)
+        .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"))
+    )
+
+
+@query("ann_ivf")  # rows-only: recall measured in tests, not oracle-checked
+def ann_ivf(spark, sf_dir):
+    """IVF-style approximate nearest neighbors: coarse-quantize every vector to
+    its nearest centroid bucket, then search only within the probe's bucket.
+
+    Centroid set = the first 8 vectors (deterministic stand-in for a k-means
+    codebook — the assignment/search plumbing is identical). At 100 TB: the
+    centroid table broadcasts, bucket assignment is a map-only pass, and the
+    candidate join shuffles on bucket id instead of exploding n×n pairs.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim").desc(), F.col("cid")
+    )
+    assigned = (
+        emb.join(centroids)
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            cosine(F.col("embedding"), F.col("cvec")).alias("sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cid").alias("bucket"))
+    )
+    probes = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("pvec"),
+        F.col("bucket").alias("pbucket"),
+    )
+    cands = probes.join(
+        assigned,
+        (F.col("bucket") == F.col("pbucket")) & (F.col("vec_id") != F.col("vid")),
+    )
+    w_rank = Window.partitionBy("vid").orderBy(F.col("sim").desc(), F.col("nbr"))
+    return (
+        cands.select(
+            "vid",
+            F.col("vec_id").alias("nbr"),
+            cosine(F.col("pvec"), F.col("embedding")).alias("sim"),
+        )
+        .withColumn("rk", big(F.row_number().over(w_rank)))
+        .filter(F.col("rk") <= 3)
+        .select("vid", "nbr", "rk")
+    )
+
+
+# --- Text analysis -----------------------------------------------------------
+
+_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    score AS (
+        SELECT doc_id, length(w) % 5 AS bucket, count(*) AS cnt
+        FROM t GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT doc_id, bucket,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, bucket) AS rn
+        FROM score
+    )
+    SELECT doc_id,
+           (['{"','".join(_LANGS)}'])[bucket + 1] AS pred_lang
+    FROM best WHERE rn = 1
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Deterministic language-ID heuristic: score token-feature buckets per
+    document and argmax (with tiebreak). A production langid replaces the
+    feature (token-length % 5) with char-n-gram profile scores — the
+    aggregate/argmax plan is identical. (The fixture's five langs share one
+    vocabulary, so the *label mapping* here is synthetic by construction;
+    the operator contract — deterministic per-doc argmax — is the point.)"""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    score = tok.groupBy(
+        "doc_id", (F.length("w") % 5).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("bucket"))
+    langs = F.array(*[F.lit(lang) for lang in _LANGS])
+    return (
+        score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", F.element_at(langs, F.col("bucket") + 1).alias("pred_lang")
+        )
+    )
+
+
+_STOPWORDS = ["a", "the", "of", "and", "in", "to"]
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           len(w) AS n_tok,
+           len(list_distinct(w)) AS n_uniq,
+           CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS sum_tok_len,
+           len(list_filter(w, x -> list_contains({_STOPWORDS}, x))) AS n_stop,
+           (len(w) >= 20 AND 10 * len(list_distinct(w)) >= 3 * len(w)) AS is_quality
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Document quality scoring: token counts, type/token ratio, stopword
+    count, and a boolean quality gate — all integer-exact (the float ratios a
+    consumer derives are left to them, §2.0 rule 1)."""
+    docs = load(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_tok = F.size("w")
+    n_uniq = F.size(F.array_distinct("w"))
+    return docs.select(
+        "doc_id",
+        big(n_tok).alias("n_tok"),
+        big(n_uniq).alias("n_uniq"),
+        big(
+            F.aggregate(
+                F.transform("w", F.length), F.lit(0), lambda acc, x: acc + x
+            )
+        ).alias("sum_tok_len"),
+        big(F.size(F.filter("w", lambda x: F.array_contains(stop, x)))).alias("n_stop"),
+        ((n_tok >= 20) & (10 * n_uniq >= 3 * n_tok)).alias("is_quality"),
+    )
+
+
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws,
+           len(regexp_extract_all(text, '{_BPE_RE}')) AS n_re
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting two ways: whitespace and a BPE-ish regex segmentation
+    (letters / digits / single punctuation) — the pre-tokenizer count an LLM
+    pipeline budgets by."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        big(F.size(F.split("text", " "))).alias("n_ws"),
+        big(F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))).alias("n_re"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           list_aggregate(
+               list_transform(range(1, len(w) - 1),
+                              i -> md5(w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])),
+               'min') AS fp
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Winnowing-style document fingerprint: minimum digest over 3-token
+    shingles (one MinHash function). Docs sharing long runs of text collide
+    on fp — a rolling-hash dedup key computable in one map pass."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 2),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at(w, i),
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+            )
+        ),
+    )
+    return docs.select("doc_id", F.array_min(shingle_hashes).alias("fp"))

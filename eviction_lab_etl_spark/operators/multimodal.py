@@ -1,0 +1,108 @@
+"""Multimodal column plumbing (BASELINE.json extension).
+
+Pattern: media are opaque ``binary`` columns with a typed metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages so the heavy bytes never cross a row-at-a-time
+boundary. The actual codecs (PIL/ffmpeg/librosa) are not in this container,
+so the decode body is a clearly-marked deterministic stub behind
+``decode_media``; everything Spark-side — binary schema, batch iteration,
+UDF signature, partition behavior — is real and tested.
+
+At 100 TB: binary payloads dominate partition size, so sources should set
+``spark.sql.files.maxPartitionBytes`` low and never project the binary column
+except into the mapInPandas stage (column pruning keeps metadata-only queries
+free of the bytes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.functions.determinism import big
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
+
+_FEATURE_DIM = 4
+
+
+def decode_media(payload: bytes, media_type: str) -> list[float]:
+    """Decode a media payload into a feature vector.
+
+    STUB: real image/audio decoding needs PIL/librosa/ffmpeg, which this
+    container does not ship. The deterministic fake — first 4 bytes scaled to
+    [0,1] — preserves the exact data shape a real extractor would emit, so the
+    surrounding Spark plumbing is fully exercised. Replace the body (not the
+    signature) to go real.
+    """
+    if media_type not in ("fake/bytes",):
+        raise NotImplementedError(
+            f"real decoder for {media_type!r} requires media libs absent here"
+        )
+    head = payload[:_FEATURE_DIM].ljust(_FEATURE_DIM, b"\0")
+    return [b / 255.0 for b in head]
+
+
+def media_frame(spark, sf_dir: str) -> DataFrame:
+    """The documents table viewed as a media table: payload bytes + typed
+    metadata (the ingest shape for any multimodal source)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("fake/bytes").alias("media_type"),
+            F.col("n_chars").cast("bigint").alias("n_bytes"),
+            ((F.col("n_chars") % 30) + 1).cast("bigint").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+@query("multimodal_decode")  # rows-only: exercises the Arrow mapInPandas path
+def multimodal_decode(spark, sf_dir):
+    """Arrow-batched feature extraction over binary payloads via mapInPandas:
+    each batch arrives as a pandas frame, features come back as
+    array<float> — the exact shape of a real image/audio embedding stage."""
+    media = media_frame(spark, sf_dir)
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            features = [
+                decode_media(payload, meta["media_type"])
+                for payload, meta in zip(pdf["payload"], pdf["meta"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                    "feature": features,
+                }
+            )
+
+    return media.mapInPandas(
+        extract, schema="doc_id long, n_bytes long, feature array<float>"
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           unnest(range(0, (n_chars % 30) + 1, 5)) AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling: every 5th frame index from each payload's frame
+    count (metadata-driven — the binary column is never touched, so column
+    pruning keeps the scan cheap). Hash-checked integer expansion."""
+    media = media_frame(spark, sf_dir)
+    return media.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(5))
+        ).alias("idx"),
+    ).select("doc_id", F.col("idx").cast("bigint").alias("frame_idx"))

@@ -1,0 +1,153 @@
+"""Reference-parity pipelines (SURVEY §3.1): the reference's three headline
+Make flows, each as ONE declarative composition of §2 operators.
+
+These are the 'a user of the reference could switch' queries: where the
+reference chains pandas scripts through CSV files on disk (process boundary at
+every arrow), each flow here is a single Catalyst-optimized plan — the
+intermediate 'files' are just subplans that never materialize.
+
+Geography mapping per FIXTURES.md: customer→nation→region plays
+place→state→national; year(o_orderdate) plays the data year.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.functions.determinism import big, dec, to_dbl
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
+
+_YEARS = [1995, 1996, 1997, 1998]
+
+
+@query(
+    "pipeline_tile_wide",
+    oracle="""
+    SELECT c_custkey AS geoid,
+           {cols}
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey
+    """.format(
+        cols=",\n           ".join(
+            f"CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,6))) "
+            f"FILTER (WHERE year(o_orderdate) = {y}), 0) AS DOUBLE) AS e_{y - 1900}, "
+            f"count(*) FILTER (WHERE year(o_orderdate) = {y}) AS n_{y - 1900}"
+            for y in _YEARS
+        )
+    ),
+)
+def pipeline_tile_wide(spark, sf_dir):
+    """R6 tile-data build: the long stats table pivoted to one wide row per
+    geography with year-suffixed abbreviated columns (`e_95`…`n_98`) — the
+    exact shape tile-join consumes. One scan, one pivot aggregation; the
+    reference does read_csv → merge → pivot → to_csv across three processes."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    joined = customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+    aggs = []
+    for y in _YEARS:
+        in_year = F.col("yr") == y
+        aggs.append(
+            to_dbl(
+                F.coalesce(
+                    F.sum(F.when(in_year, dec("o_totalprice"))), F.lit(0).cast("decimal(18,6)")
+                )
+            ).alias(f"e_{y - 1900}")
+        )
+        aggs.append(F.count_if(in_year).alias(f"n_{y - 1900}"))
+    return joined.groupBy(F.col("c_custkey").alias("geoid")).agg(*aggs)
+
+
+@query(
+    "pipeline_rankings",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS spend_dec,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT r_name, c_custkey, CAST(spend_dec AS DOUBLE) AS spend, rk
+    FROM (
+        SELECT r_name, c_custkey, spend_dec,
+               row_number() OVER (PARTITION BY r_name
+                                  ORDER BY spend_dec DESC, c_custkey) AS rk
+        FROM spend
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE n_orders >= 5
+    )
+    WHERE rk <= 3
+    """,
+)
+def pipeline_rankings(spark, sf_dir):
+    """R8 rankings build: top-3 customers per region by total spend, with a
+    minimum-activity cutoff (the reference's population cutoff). Pre-aggregated
+    before the window; dims broadcast."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).alias("spend_dec"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    customer = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    ranked = (
+        spend.filter(F.col("n_orders") >= 5)
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn(
+            "rk",
+            big(
+                F.row_number().over(
+                    Window.partitionBy("r_name").orderBy(
+                        F.col("spend_dec").desc(), F.col("c_custkey")
+                    )
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+    return ranked.select(
+        "r_name", "c_custkey", to_dbl(F.col("spend_dec")).alias("spend"), "rk"
+    )
+
+
+@query(
+    "pipeline_search_index",
+    oracle="""
+    SELECT lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS geoid,
+           c_name AS name,
+           concat_ws(', ', n_name, r_name) AS parent,
+           count(o_orderkey) AS activity
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def pipeline_search_index(spark, sf_dir):
+    """R9 search-index build: one autocomplete record per place — zero-padded
+    GEOID, display name, 'parent, grandparent' label, and an activity weight
+    (the reference uses population; centroids are out of v1 scope per SURVEY
+    §7.5)."""
+    customer = load(spark, sf_dir, "customer")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    region = F.broadcast(load(spark, sf_dir, "region"))
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy(
+            F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("geoid"),
+            F.col("c_name").alias("name"),
+            F.concat_ws(", ", "n_name", "r_name").alias("parent"),
+        )
+        .agg(F.count("o_orderkey").alias("activity"))
+    )
