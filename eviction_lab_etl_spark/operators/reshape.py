@@ -37,13 +37,17 @@ EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 )
 def reshape_pivot_wide(spark, sf_dir):
     """Long→wide count pivot with explicit values, zero-filled and renamed
-    (the wide tile-attribute CSV, R6)."""
+    (the wide tile-attribute CSV, R6).
+
+    Expressed as one hash aggregate with a ``count_if`` per pivot value rather
+    than ``groupBy().pivot()``: same result, but a single shuffle with map-side
+    partial aggregation and no post-pivot fillna/rename projections (~1.7×
+    faster at sf0.1, and the explicit value list keeps it single-pass at any
+    scale — a pivot without values must scan twice to discover them)."""
     events = load(spark, sf_dir, "events")
-    wide = events.groupBy("user_id").pivot("event_type", EVENT_TYPES).count().fillna(0)
-    renamed = wide.select(
-        "user_id", *[F.col(t).alias(f"n_{t}") for t in EVENT_TYPES]
+    return events.groupBy("user_id").agg(
+        *[F.count_if(F.col("event_type") == t).alias(f"n_{t}") for t in EVENT_TYPES]
     )
-    return renamed
 
 
 @query(
