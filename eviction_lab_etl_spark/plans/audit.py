@@ -16,20 +16,39 @@ import re
 from pyspark.sql import DataFrame
 
 
-def audit_plan(df: DataFrame) -> dict:
-    """Extract scale-relevant facts from a DataFrame's formatted physical plan."""
+def audit_plan(df: DataFrame, execute: bool = False) -> dict:
+    """Extract scale-relevant facts from a DataFrame's formatted physical plan.
+
+    Under AQE the pre-execution plan is provisional (``isFinalPlan=false``) and
+    carries no codegen annotations; pass ``execute=True`` to run the query first
+    so the audit sees the final adaptive plan with ``[codegen id : N]`` marks.
+    """
+    if execute:
+        df.collect()
     plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), "formatted"
     )
+    # "formatted" output lists every node twice (tree + details section):
+    # count only numbered tree nodes "(N) OperatorName" so counts are exact.
+    tree_nodes = re.findall(r"^\s*[:+\-* ]*\((\d+)\) ([A-Za-z]+)", plan, re.M)
+    ops = [op for _, op in tree_nodes]
     return {
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
         "read_schema": re.findall(r"ReadSchema: ([^\n]*)", plan),
-        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
-        "sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
-        "shuffles": len(re.findall(r"Exchange ", plan)),
-        "codegen_stages": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))),
-        "python_rows": len(re.findall(r"BatchEvalPython", plan)),
-        "arrow_python": len(re.findall(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas", plan)),
+        "broadcast_joins": ops.count("BroadcastHashJoin"),
+        # Non-equi broadcast joins (e.g. the kNN probe × corpus product) plan
+        # as BroadcastNestedLoopJoin — still the small-side-broadcast strategy.
+        "broadcast_nl_joins": ops.count("BroadcastNestedLoopJoin"),
+        "sortmerge_joins": ops.count("SortMergeJoin"),
+        "shuffles": ops.count("Exchange"),
+        "codegen_stages": len(set(re.findall(r"\[codegen id : (\d+)\]", plan))),
+        "python_rows": ops.count("BatchEvalPython"),
+        # Spark 4.x Arrow-boundary node names: ArrowEvalPython (pandas scalar),
+        # ArrowAggregatePython (grouped-agg), FlatMapGroupsInPandas /
+        # ArrowGroupedMapPython (applyInPandas), MapInPandas / PythonMapInArrow.
+        "arrow_python": sum(
+            1 for o in ops if ("Arrow" in o or "Pandas" in o) and o != "BatchEvalPython"
+        ),
         "plan": plan,
     }
 

@@ -1,0 +1,106 @@
+"""Physical-plan regression tests (SURVEY §4): every scale property we rely on
+— pushdown, pruning, broadcast join selection, JVM-side expressions — is
+asserted against the formatted plan, so a refactor that silently de-optimizes
+a query (drops a pushed filter, widens a scan, un-broadcasts a dim join,
+drags a fold into Python) fails CI before it ships to a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from eviction_lab_etl_spark import registry
+from eviction_lab_etl_spark.plans.audit import audit_plan
+
+
+def plan_of(spark, sf_dir, name):
+    return audit_plan(registry.QUERIES[name](spark, sf_dir))
+
+
+def test_filter_and_columns_pushed_to_scan(spark, sf_dir):
+    info = plan_of(spark, sf_dir, "scan_filter_prune")
+    # The date predicate must reach the parquet reader, not run post-scan.
+    assert any("o_orderdate" in p for p in info["pushed_filters"]), info["pushed_filters"]
+    # Column pruning: the scan reads exactly the 3 projected columns.
+    assert info["read_schema"], "no ReadSchema in plan"
+    schema = info["read_schema"][0]
+    assert "o_orderkey" in schema and "o_custkey" in schema and "o_orderdate" in schema
+    assert "o_totalprice" not in schema and "o_comment" not in schema
+
+
+def test_scan_project_prunes_unused_columns(spark, sf_dir):
+    info = plan_of(spark, sf_dir, "scan_project")
+    schema = info["read_schema"][0]
+    # 16-column lineitem scanned for exactly the 4 projected source columns.
+    for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"):
+        assert col in schema, f"{col} missing from ReadSchema"
+    assert "l_comment" not in schema and "l_shipdate" not in schema
+
+
+@pytest.mark.parametrize(
+    "name,min_bcast",
+    [
+        ("join_broadcast_dims", 2),  # nation + region must broadcast
+        ("pipeline_rankings", 2),
+        ("pipeline_search_index", 2),
+        ("sim_knn_cosine", 1),  # probe set broadcasts; corpus streams once
+    ],
+)
+def test_dim_joins_broadcast(spark, sf_dir, name, min_bcast):
+    info = plan_of(spark, sf_dir, name)
+    info["broadcast_joins"] += info["broadcast_nl_joins"]
+    assert info["broadcast_joins"] >= min_bcast, (
+        f"{name}: expected >= {min_bcast} broadcast joins, plan has "
+        f"{info['broadcast_joins']} (sort-merge: {info['sortmerge_joins']})"
+    )
+
+
+def test_single_shuffle_aggregations(spark, sf_dir):
+    # Partial+final hash aggregation: exactly one exchange, no more.
+    for name in ("agg_sum_groupby", "reshape_pivot_wide", "text_lang_stats"):
+        info = plan_of(spark, sf_dir, name)
+        assert info["shuffles"] == 1, f"{name}: {info['shuffles']} shuffles"
+
+
+def test_flagship_query_is_whole_stage_codegen(spark, sf_dir):
+    # Codegen ids only exist on the final adaptive plan → execute first.
+    info = audit_plan(registry.QUERIES["agg_sum_groupby"](spark, sf_dir), execute=True)
+    assert info["codegen_stages"] >= 1, "flagship aggregate not codegen'd"
+    assert "isFinalPlan=true" in info["plan"]
+
+
+def test_no_python_in_jvm_hot_paths(spark, sf_dir):
+    # These must stay whole-stage-codegen'd JVM expressions end to end.
+    for name in (
+        "agg_sum_groupby",
+        "sim_knn_cosine",
+        "window_rank_topk",
+        "text_ngrams",
+        "stream_session",
+        "join_asof",
+        "text_fingerprint",
+    ):
+        info = plan_of(spark, sf_dir, name)
+        assert info["python_rows"] == 0, f"{name} fell back to row-at-a-time Python"
+        assert info["arrow_python"] == 0, f"{name} unexpectedly crosses into Python"
+
+
+def test_python_surface_uses_declared_boundary(spark, sf_dir):
+    # The UDF-surface operators should cross into Python exactly as declared:
+    # row-UDF for udf_py_scalar, Arrow for the pandas/mapInPandas family.
+    assert plan_of(spark, sf_dir, "udf_py_scalar")["python_rows"] == 1
+    for name in ("udf_pandas_scalar", "udf_grouped_map", "udf_pandas_agg"):
+        info = plan_of(spark, sf_dir, name)
+        assert info["arrow_python"] >= 1, f"{name} not on the Arrow path"
+        assert info["python_rows"] == 0, f"{name} degraded to pickled rows"
+
+
+def test_events_scan_prunes_payload_columns(spark, sf_dir):
+    # reshape_pivot_wide touches only (user_id, event_type): the ts/props/value
+    # columns must be pruned from the parquet scan despite the loader's
+    # ts-normalization projection.
+    info = plan_of(spark, sf_dir, "reshape_pivot_wide")
+    schema = info["read_schema"][0]
+    assert "user_id" in schema and "event_type" in schema
+    assert "props" not in schema, "events scan reads unused JSON payload"
+    assert "value" not in schema

@@ -1,0 +1,136 @@
+"""Property-based tests (SURVEY §5.2 item 4) over small generated frames:
+engine-algebra invariants that must hold for ANY input, independent of the
+fixture data — filter ⊆ input, left-join row conservation, rollup grand total,
+pivot row sums, unpivot∘pivot identity, as-of join bounds.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+KEYS = st.integers(min_value=0, max_value=5)
+VALS = st.integers(min_value=-1000, max_value=1000)
+CATS = st.sampled_from(["a", "b", "c"])
+
+rows_strategy = st.lists(st.tuples(KEYS, CATS, VALS), min_size=0, max_size=30)
+
+SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def make_df(spark, rows):
+    return spark.createDataFrame(rows, "k long, cat string, v long")
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_filter_is_subset_and_partition(spark, rows):
+    df = make_df(spark, rows)
+    pred = F.col("v") > 0
+    kept = df.filter(pred).count()
+    dropped = df.filter(~pred).count()
+    assert kept + dropped == len(rows)
+    assert all(r.v > 0 for r in df.filter(pred).collect())
+
+
+@given(rows=rows_strategy, right=st.lists(st.tuples(KEYS, VALS), max_size=10))
+@SETTINGS
+def test_left_join_conserves_left_rows(spark, rows, right):
+    left = make_df(spark, rows)
+    rdf = spark.createDataFrame(right, "k long, w long").dropDuplicates(["k"])
+    joined = left.join(rdf, "k", "left")
+    # unique right keys → exactly one output row per left row
+    assert joined.count() == len(rows)
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_rollup_grand_total_equals_plain_total(spark, rows):
+    df = make_df(spark, rows)
+    rolled = df.rollup("k", "cat").agg(F.sum("v").alias("s")).collect()
+    grand = [r.s for r in rolled if r.k is None and r.cat is None]
+    plain = df.agg(F.sum("v")).collect()[0][0]
+    assert len(grand) == 1 or not rows
+    if rows:
+        assert grand[0] == plain
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_pivot_row_sums_equal_group_counts(spark, rows):
+    df = make_df(spark, rows)
+    wide = df.groupBy("k").agg(
+        *[F.count_if(F.col("cat") == c).alias(f"n_{c}") for c in ("a", "b", "c")]
+    )
+    for r in wide.collect():
+        expect = sum(1 for k, c, v in rows if k == r.k)
+        assert r.n_a + r.n_b + r.n_c == expect
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_unpivot_pivot_identity(spark, rows):
+    df = make_df(spark, rows).groupBy("k").agg(
+        F.sum(F.when(F.col("cat") == "a", F.col("v")).otherwise(0)).alias("va"),
+        F.sum(F.when(F.col("cat") == "b", F.col("v")).otherwise(0)).alias("vb"),
+    )
+    long = df.unpivot(ids=["k"], values=["va", "vb"], variableColumnName="m", valueColumnName="val")
+    assert long.count() == df.count() * 2
+    back = long.groupBy("k").agg(
+        F.sum(F.when(F.col("m") == "va", F.col("val"))).alias("va"),
+        F.sum(F.when(F.col("m") == "vb", F.col("val"))).alias("vb"),
+    )
+    orig = {r.k: (r.va, r.vb) for r in df.collect()}
+    assert {r.k: (r.va, r.vb) for r in back.collect()} == orig
+
+
+@given(rows=rows_strategy)
+@SETTINGS
+def test_decimal_sum_invariant_under_repartition(spark, rows):
+    # §2.0 rule 1 in miniature: exact decimal sums are partitioning-invariant.
+    df = make_df(spark, rows).withColumn("d", F.col("v").cast("decimal(38,6)"))
+    one = df.coalesce(1).agg(F.sum("d")).collect()[0][0]
+    many = df.repartition(7).agg(F.sum("d")).collect()[0][0]
+    assert one == many
+    if rows:
+        assert one == Decimal(sum(v for _, _, v in rows))
+
+
+@given(
+    left=st.lists(st.tuples(KEYS, st.integers(0, 100)), max_size=15),
+    right=st.lists(st.tuples(KEYS, st.integers(0, 100)), max_size=15),
+)
+@SETTINGS
+def test_asof_join_picks_latest_not_after(spark, left, right):
+    """The as-of pattern (union-tag + last(ignorenulls) window) must pick, for
+    every left row, the greatest right ts ≤ left ts within the key group."""
+    ldf = spark.createDataFrame(left, "k long, ts long").withColumn("side", F.lit("L"))
+    rdf = spark.createDataFrame(right, "k long, ts long").withColumn("side", F.lit("R"))
+    unioned = ldf.unionByName(rdf).withColumn(
+        "r_ts", F.when(F.col("side") == "R", F.col("ts"))
+    )
+    # Order (ts, side DESC) so an R row at the same ts sorts before the L row
+    # and is therefore visible to it (ties count as "not after").
+    w = (
+        Window.partitionBy("k")
+        .orderBy(F.col("ts"), F.col("side").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        unioned.withColumn("asof", F.last("r_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == "L")
+        .select("k", "ts", "asof")
+        .collect()
+    )
+    for row in matched:
+        candidates = [rts for rk, rts in right if rk == row.k and rts <= row.ts]
+        assert row.asof == (max(candidates) if candidates else None)
