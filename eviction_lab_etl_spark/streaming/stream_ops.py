@@ -88,6 +88,57 @@ def stream_dedup_watermark(spark, sf_dir):
     return session.table(table)
 
 
+@query("stream_stateful_counter")  # rows-only: custom state machine, no SQL oracle
+def stream_stateful_counter(spark, sf_dir):
+    """Custom stateful streaming operator via ``applyInPandasWithState``: a
+    per-user running profile (event count + cumulative value) maintained in
+    explicit GroupState across micro-batches — the escape hatch for operators
+    Spark's built-in stateful set (window/session/dedup) cannot express.
+
+    State is one (count, total) pair per user: bounded memory per key,
+    shuffle-partitioned by user_id — the same layout a 1000-executor job
+    needs. With an availableNow full replay the emitted final states equal the
+    batch groupBy, which tests/test_rows_only.py asserts."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [cnt], "total_value": [total]}
+        )
+
+    stream = _events_stream(spark, sf_dir)
+    counted = (
+        stream.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="cnt long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    session, table = _run_to_memory(counted, "update")
+    # One state row per user per micro-batch update: keep the final snapshot
+    # (max n_events) per user for a deterministic result surface.
+    snap = session.table(table)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        snap.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 @query("stream_foreachbatch_upsert")  # rows-only
 def stream_foreachbatch_upsert(spark, sf_dir):
     """Incremental rebuild via foreachBatch (R1 analog): each micro-batch

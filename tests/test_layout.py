@@ -1,0 +1,95 @@
+"""Tests for the physical-layout library (plans/layout.py): each strategy must
+prove its plan-level claim, not just return correct rows."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.plans.audit import audit_plan
+from eviction_lab_etl_spark.plans.layout import (
+    bucketed_write,
+    salted_join,
+    write_range_partitioned,
+)
+from eviction_lab_etl_spark.sources.loader import load
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force shuffle-based join strategies so layout effects are observable."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir, no_broadcast):
+    with tempfile.TemporaryDirectory() as tmp:
+        orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        bucketed_write(orders, "t_orders_b", "o_orderkey", 4, f"{tmp}/o")
+        bucketed_write(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "t_lineitem_b",
+            "o_orderkey",
+            4,
+            f"{tmp}/l",
+        )
+        try:
+            joined = spark.table("t_orders_b").join(spark.table("t_lineitem_b"), "o_orderkey")
+            info = audit_plan(joined)
+            assert info["shuffles"] == 0, f"bucketed join shuffled:\n{info['plan']}"
+            assert info["sortmerge_joins"] == 1
+            # and it still computes the right thing
+            expect = li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+            assert joined.count() == expect
+        finally:
+            spark.sql("DROP TABLE IF EXISTS t_orders_b")
+            spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+@pytest.mark.parametrize("how", ["inner", "left"])
+def test_salted_join_equals_plain_join(spark, sf_dir, no_broadcast, how):
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_linenumber", "l_quantity"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    salted = salted_join(li, orders, "k", n_salts=5, how=how)
+    plain = li.join(orders, "k", how)
+    assert salted.columns == plain.columns
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_rejects_unsupported_how(spark, sf_dir):
+    df = load(spark, sf_dir, "region")
+    with pytest.raises(ValueError):
+        salted_join(df, df, "r_regionkey", how="full")
+
+
+def test_range_partitioned_write_prunes_files(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as tmp:
+        orders = load(spark, sf_dir, "orders")
+        write_range_partitioned(orders, f"{tmp}/o", "o_orderkey", 8)
+        back = spark.read.parquet(f"{tmp}/o")
+        assert back.count() == orders.count()
+        # A tight key-range predicate must read fewer files than the total:
+        # every file holds a contiguous o_orderkey range, so footer min/max
+        # stats exclude the rest. numFiles appears in the scan's metrics via
+        # the input file list — check with input_file_name distinct counts.
+        total_files = back.select(F.input_file_name()).distinct().count()
+        hit = orders.agg(F.min("o_orderkey")).collect()[0][0]
+        touched_files = (
+            back.filter(F.col("o_orderkey") == hit)
+            .select(F.input_file_name())
+            .distinct()
+            .count()
+        )
+        assert total_files >= 8
+        assert touched_files <= 2

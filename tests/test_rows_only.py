@@ -82,3 +82,21 @@ def test_stream_foreachbatch_upsert(spark, ddb, sf_dir):
         "FROM events GROUP BY 1"
     ).fetchall()
     assert rows == {(r[0], r[1]) for r in batch}
+
+
+def test_stream_stateful_counter_matches_batch(spark, ddb, sf_dir):
+    """Final GroupState snapshots after a full availableNow replay must equal
+    the batch per-user profile (count is exact; total is a float running sum,
+    so compare within 1e-6 relative)."""
+    rows = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in QUERIES["stream_stateful_counter"](spark, sf_dir).collect()
+    }
+    batch = ddb.sql(
+        "SELECT user_id, count(*), sum(value) FROM events GROUP BY user_id"
+    ).fetchall()
+    assert set(rows) == {r[0] for r in batch}
+    for uid, cnt, total in batch:
+        got_cnt, got_total = rows[uid]
+        assert got_cnt == cnt
+        assert abs(got_total - total) <= 1e-6 * max(1.0, abs(total))
