@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from eviction_lab_etl_spark.functions.determinism import big
 from eviction_lab_etl_spark.operators.dedup_text import cosine
 from eviction_lab_etl_spark.registry import query
-from eviction_lab_etl_spark.sources.loader import load
+from eviction_lab_etl_spark.sources.loader import load, spread
 
 _NBITS = 60  # md5-prefix token hash width (15 hex chars)
 
@@ -66,7 +66,7 @@ def _simhash_agg_exprs(hash_expr: str) -> str:
 def dedup_simhash(spark, sf_dir):
     """60-bit SimHash signature per document (Charikar similarity hashing):
     near-identical token sets differ in few bits. One aggregation pass."""
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
@@ -113,6 +113,70 @@ def dedup_simhash_pairs(spark, sf_dir):
             big(hd).alias("hd"),
         )
         .filter(F.col("hd") <= 8)
+    )
+
+
+@query(
+    "sim_ngram_jaccard",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               unnest(list_distinct(
+                   list_transform(range(1, length(text) - 1),
+                                  i -> substr(text, i, 3)))) AS s
+        FROM documents WHERE doc_id < 100
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+    pr AS (
+        SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS inter
+        FROM g g1 JOIN g g2 ON g1.s = g2.s AND g1.doc_id < g2.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a, b, inter, (sa.n + sb.n - inter) AS uni
+    FROM pr
+    JOIN sz sa ON sa.doc_id = a
+    JOIN sz sb ON sb.doc_id = b
+    WHERE 4 * inter >= 3 * (sa.n + sb.n - inter)
+    """,
+)
+def sim_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard near-dup pairs (≥0.75, integer-crossmultiplied —
+    no floats, §2.0 rule 1) via the same inverted-index self-join as the token
+    variant: shuffle on shingle, never on the O(n²) pair space. Char n-grams
+    catch near-dups that word tokenization misses (whitespace/punctuation
+    edits). Bounded to doc_id<100 — common trigrams make the index join dense
+    on the fixture's shared vocabulary."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, char_length(text) - 2),"
+                    " i -> substring(text, i, 3))"
+                )
+            )
+        ).alias("s"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    g1 = grams.alias("g1")
+    g2 = grams.alias("g2")
+    pairs = (
+        g1.join(
+            g2,
+            (F.col("g1.s") == F.col("g2.s")) & (F.col("g1.doc_id") < F.col("g2.doc_id")),
+        )
+        .groupBy(F.col("g1.doc_id").alias("a"), F.col("g2.doc_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        pairs.join(F.broadcast(sa), F.col("a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("b") == F.col("sb.doc_id"))
+        .withColumn("uni", F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+        .filter(4 * F.col("inter") >= 3 * F.col("uni"))
+        .select("a", "b", "inter", "uni")
     )
 
 
@@ -318,8 +382,12 @@ def text_token_count(spark, sf_dir):
 def text_fingerprint(spark, sf_dir):
     """Winnowing-style document fingerprint: minimum digest over 3-token
     shingles (one MinHash function). Docs sharing long runs of text collide
-    on fp — a rolling-hash dedup key computable in one map pass."""
-    docs = load(spark, sf_dir, "documents")
+    on fp — a rolling-hash dedup key computable in one map pass.
+
+    The scan is spread to full parallelism first: ~300 shingle digests per
+    row are CPU-bound, and the fixture parquet arrives as one row group
+    (5.4x at sf0.1)."""
+    docs = spread(load(spark, sf_dir, "documents"))
     w = F.split("text", " ")
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), F.size(w) - 2),

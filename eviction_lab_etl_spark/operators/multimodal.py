@@ -87,6 +87,32 @@ def multimodal_decode(spark, sf_dir):
     )
 
 
+@query("multimodal_resize")  # rows-only: binary-transform plumbing
+def multimodal_resize(spark, sf_dir):
+    """Media resize stage: an Arrow-batched transform that rewrites the binary
+    payload and its metadata in one pass (the shape of an image-resize or
+    audio-resample step). The stub 'resize' truncates the payload to 64 bytes;
+    a real codec swaps only the per-row body. Metadata (n_bytes) is recomputed
+    from the actual output payload, as a real stage must."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [bytes(p[:64]) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": resized,
+                    "n_bytes": [len(p) for p in resized],
+                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                }
+            )
+
+    media = media_frame(spark, sf_dir)
+    return media.mapInPandas(
+        resize, schema="doc_id long, payload binary, n_bytes long, media_type string"
+    )
+
+
 @query(
     "multimodal_frame_sample",
     oracle="""

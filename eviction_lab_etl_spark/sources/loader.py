@@ -45,6 +45,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a under-partitioned frame out to the cluster's parallelism.
+
+    Compute-heavy per-row operators (per-token hashing, shingle digests) are
+    CPU-bound, so a small source file that arrives as 1-2 parquet row groups
+    would pin the whole stage to 1-2 cores. The round-robin shuffle here is
+    cheap relative to the compute it parallelizes — and deliberately
+    conditional: a large input already split by the scan passes through
+    untouched (repartitioning 100 TB to ``defaultParallelism`` would be an
+    enormous pointless shuffle)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
 
