@@ -138,30 +138,25 @@ def join_asof(spark, sf_dir):
     """As-of join: each purchase ↔ most recent signup of the same user at or
     before it (streaming/crosswalk extension, S/R10; SURVEY §4.2 item 1).
 
-    Spark has no native ASOF JOIN; this is the scale-correct composition:
-    union-tag both sides, one shuffle on user_id, and carry the latest signup
-    forward with last(ignorenulls) over a time-ordered window. O(n log n) per
-    user, no range-join explosion, AQE-splittable if a user is skewed.
-    """
+    Built on the library primitive ``functions.asof.asof_join`` (union-tag +
+    one shuffle on user_id + last-ignorenulls window): O(n log n) per user, no
+    range-join explosion, and exact-timestamp ties are correctly visible
+    (right rows sort before left rows at equal ts, matching ASOF ``>=``)."""
+    from eviction_lab_etl_spark.functions.asof import asof_join
+
     events = load(spark, sf_dir, "events")
-    cols = ["user_id", "ts", "event_id"]
-    signups = events.filter(F.col("event_type") == "signup").select(*cols)
-    purchases = events.filter(F.col("event_type") == "purchase").select(*cols)
-    tagged = signups.withColumn("is_signup", F.lit(1)).unionByName(
-        purchases.withColumn("is_signup", F.lit(0))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_event_id")
     )
-    carried = tagged.withColumn(
-        "sig",
-        F.last(F.when(F.col("is_signup") == 1, F.col("event_id")), ignorenulls=True).over(w),
+    matched = asof_join(
+        purchases, signups, by="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["signup_event_id"],
     )
-    return carried.filter((F.col("is_signup") == 0) & F.col("sig").isNotNull()).select(
-        F.col("event_id").alias("purchase_event_id"),
-        F.col("sig").alias("signup_event_id"),
+    return matched.filter(F.col("signup_event_id").isNotNull()).select(
+        F.col("event_id").alias("purchase_event_id"), "signup_event_id"
     )
 
 

@@ -1,0 +1,71 @@
+"""Unit tests for the library primitives: asof_join tie semantics and the
+sentinel-null ingest recode."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.functions.asof import asof_join
+from eviction_lab_etl_spark.sources.sentinel import recode_sentinels
+
+
+def test_asof_join_basic_and_exact_tie(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3"), (3, 7, "p4")],
+        "k long, ts long, pid string",
+    )
+    right = spark.createDataFrame(
+        # k=1: rows at ts 10 (exact tie with p1) and 15; k=2: only ts 6 (after p3)
+        [(1, 10, "s_tie"), (1, 15, "s15"), (2, 6, "s_late")],
+        "k long, ts long, sid string",
+    )
+    out = {
+        r.pid: r.sid
+        for r in asof_join(
+            left, right, by="k", left_ts="ts", right_ts="ts", payload_cols=["sid"]
+        ).collect()
+    }
+    assert out == {
+        "p1": "s_tie",  # exact-timestamp right row IS visible (>= semantics)
+        "p2": "s15",  # latest of the two candidates
+        "p3": None,  # right row exists but is after the left ts
+        "p4": None,  # no right rows in group
+    }
+
+
+def test_asof_join_tiebreak_between_right_rows(spark):
+    left = spark.createDataFrame([(1, 10, "p")], "k long, ts long, pid string")
+    right = spark.createDataFrame(
+        [(1, 5, 100), (1, 5, 200)], "k long, ts long, sid long"
+    )
+    [row] = asof_join(
+        left, right, by="k", left_ts="ts", right_ts="ts", payload_cols=["sid"]
+    ).collect()
+    assert row.sid == 200  # equal right_ts resolves to greatest tiebreak
+
+
+def test_recode_sentinels_numeric_and_blank(spark):
+    df = spark.createDataFrame(
+        [(1, -1.0, "x"), (2, 3.5, ""), (3, -1.0, "  "), (4, 0.0, "y"), (5, None, None)],
+        "id long, rate double, name string",
+    )
+    out = recode_sentinels(df, ["rate", "name"]).orderBy("id").collect()
+    assert [r.rate for r in out] == [None, 3.5, None, 0.0, None]
+    assert [r.rate_was_coded for r in out] == [True, False, True, False, False]
+    assert [r.name for r in out] == ["x", None, None, "y", None]
+    assert [r.name_was_coded for r in out] == [False, True, True, False, False]
+
+
+def test_recode_sentinels_fuses_into_scan(spark, sf_dir, tmp_path):
+    """The recode is a projection: applying it adds no shuffle and no extra
+    stage — same Exchange count as the raw aggregate."""
+    from eviction_lab_etl_spark.plans.audit import audit_plan
+    from eviction_lab_etl_spark.sources.loader import load
+
+    li = load(spark, sf_dir, "lineitem")
+    recoded = recode_sentinels(li, ["l_discount"], numeric_sentinel=0.0)
+    agg = recoded.groupBy("l_returnflag").agg(
+        F.count("l_discount").alias("n_real"),
+        F.count_if(F.col("l_discount_was_coded")).alias("n_coded"),
+    )
+    assert audit_plan(agg)["shuffles"] == 1

@@ -111,26 +111,19 @@ def test_decimal_sum_invariant_under_repartition(spark, rows):
 )
 @SETTINGS
 def test_asof_join_picks_latest_not_after(spark, left, right):
-    """The as-of pattern (union-tag + last(ignorenulls) window) must pick, for
-    every left row, the greatest right ts ≤ left ts within the key group."""
-    ldf = spark.createDataFrame(left, "k long, ts long").withColumn("side", F.lit("L"))
-    rdf = spark.createDataFrame(right, "k long, ts long").withColumn("side", F.lit("R"))
-    unioned = ldf.unionByName(rdf).withColumn(
-        "r_ts", F.when(F.col("side") == "R", F.col("ts"))
+    """functions.asof.asof_join must attach, to every left row, the greatest
+    right ts ≤ left ts within the key group (None when no candidate) — checked
+    against a brute-force python oracle, exact-ts ties included."""
+    from eviction_lab_etl_spark.functions.asof import asof_join
+
+    ldf = spark.createDataFrame(left, "k long, ts long")
+    rdf = spark.createDataFrame(right, "k long, ts long").select(
+        "k", "ts", F.col("ts").alias("r_ts")
     )
-    # Order (ts, side DESC) so an R row at the same ts sorts before the L row
-    # and is therefore visible to it (ties count as "not after").
-    w = (
-        Window.partitionBy("k")
-        .orderBy(F.col("ts"), F.col("side").desc())
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    matched = (
-        unioned.withColumn("asof", F.last("r_ts", ignorenulls=True).over(w))
-        .filter(F.col("side") == "L")
-        .select("k", "ts", "asof")
-        .collect()
-    )
+    matched = asof_join(
+        ldf, rdf, by="k", left_ts="ts", right_ts="ts", payload_cols=["r_ts"]
+    ).collect()
+    assert len(matched) == len(left)
     for row in matched:
         candidates = [rts for rk, rts in right if rk == row.k and rts <= row.ts]
-        assert row.asof == (max(candidates) if candidates else None)
+        assert row.r_ts == (max(candidates) if candidates else None)
