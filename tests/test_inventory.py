@@ -1,0 +1,72 @@
+"""Inventory regression: the full SURVEY §2 operator contract must stay
+registered — a refactor that drops or renames a declared query is a silent
+coverage loss the oracle suite can't see (it only tests what IS registered)."""
+
+from __future__ import annotations
+
+from eviction_lab_etl_spark.registry import CHECKS, ORACLES, QUERIES
+
+SURVEY_S2 = """
+scan_project scan_filter_prune io_csv_roundtrip io_json_lines io_partitioned_write
+filter_compound filter_null_sentinel project_computed
+join_broadcast_dims join_multikey_derived join_left_null join_semi join_anti
+join_asof join_range_interval join_weighted_alloc join_cross_small
+agg_sum_groupby agg_weighted_mean agg_multi_distinct agg_rollup agg_cube
+agg_grouping_sets agg_conditional agg_stats agg_approx_distinct
+window_rank_topk window_rank_dense window_lag_delta window_moving_avg
+window_range_frame window_ntile window_percentile window_cume
+sort_multi_topk sort_nulls
+setop_union_all setop_union_dedup setop_except setop_intersect
+scalar_string_fmt scalar_regexp scalar_datetime scalar_math scalar_case_bucket
+scalar_array_ops scalar_json scalar_conditional_null
+reshape_pivot_wide reshape_pivot_agg reshape_unpivot_long
+dedup_exact dedup_keep_first sim_jaccard_pairs sim_knn_cosine sim_ann_lsh
+text_tokenize_topn text_ngrams text_lang_stats text_length_hist
+stream_tumbling stream_sliding stream_session stream_watermark_late
+stream_dedup_watermark stream_foreachbatch_upsert
+udf_py_scalar udf_pandas_scalar udf_grouped_map udf_pandas_agg udtf_explode_pos
+""".split()
+
+# SURVEY §2 marks exactly these as check=rows (no SQL-expressible oracle).
+S2_ROWS_ONLY = {
+    "io_csv_roundtrip", "io_json_lines", "io_partitioned_write",
+    "agg_approx_distinct", "sim_ann_lsh",
+    "stream_watermark_late", "stream_dedup_watermark", "stream_foreachbatch_upsert",
+}
+
+EXTENSIONS = {
+    "dedup_simhash", "dedup_simhash_pairs", "sim_ngram_jaccard",
+    "sim_cosine_neardup", "ann_ivf",
+    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
+    "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
+    "pipeline_tile_wide", "pipeline_rankings", "pipeline_search_index",
+    "stream_stateful_counter",
+}
+
+
+def test_survey_s2_fully_registered():
+    missing = [n for n in SURVEY_S2 if n not in QUERIES]
+    assert not missing, f"SURVEY §2 operators dropped from registry: {missing}"
+    assert len(SURVEY_S2) == 71
+
+
+def test_s2_hash_queries_have_oracles():
+    no_oracle = [
+        n for n in SURVEY_S2 if n not in S2_ROWS_ONLY and n not in ORACLES
+    ]
+    assert not no_oracle, f"hash-checked §2 operators missing oracles: {no_oracle}"
+    for n in S2_ROWS_ONLY:
+        assert CHECKS[n] == "rows"
+
+
+def test_extensions_registered():
+    missing = sorted(EXTENSIONS - set(QUERIES))
+    assert not missing, f"extension operators dropped: {missing}"
+
+
+def test_no_unexpected_registrations():
+    unexpected = sorted(set(QUERIES) - set(SURVEY_S2) - EXTENSIONS)
+    assert not unexpected, (
+        f"new queries {unexpected} — add them to EXTENSIONS here so the "
+        "inventory test keeps guarding them"
+    )
