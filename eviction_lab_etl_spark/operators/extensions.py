@@ -212,35 +212,40 @@ def ann_ivf(spark, sf_dir):
     its nearest centroid bucket, then search only within the probe's bucket.
 
     Centroid set = the first 8 vectors (deterministic stand-in for a k-means
-    codebook — the assignment/search plumbing is identical). At 100 TB: the
-    centroid table broadcasts, bucket assignment is a map-only pass, and the
-    candidate join shuffles on bucket id instead of exploding n×n pairs.
+    codebook — the assignment/search plumbing is identical). The codebook is
+    collected to the driver and inlined as literals — exactly how a real IVF
+    deploys (codebooks are KBs; training data is TBs) — so bucket assignment
+    is a pure map over the scan: zero shuffles until the candidate join. Ties
+    resolve to the lowest centroid id (array_position finds the first max).
+    Plan: scan → map(assign) → broadcast probe join → one window shuffle.
     """
     emb = load(spark, sf_dir, "embeddings")
-    centroids = F.broadcast(
-        emb.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    codebook = (
+        emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    sims = F.array(
+        *[
+            cosine(
+                F.col("embedding"),
+                F.array(*[F.lit(float(x)) for x in row.embedding]),
+            )
+            for row in codebook
+        ]
+    )
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        (F.array_position(sims, F.array_max(sims)) - 1).alias("bucket"),
+    )
+    probes = F.broadcast(
+        assigned.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").alias("pvec"),
+            F.col("bucket").alias("pbucket"),
         )
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("sim").desc(), F.col("cid")
-    )
-    assigned = (
-        emb.join(centroids)
-        .select(
-            "vec_id",
-            "embedding",
-            "cid",
-            cosine(F.col("embedding"), F.col("cvec")).alias("sim"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cid").alias("bucket"))
-    )
-    probes = assigned.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("vid"),
-        F.col("embedding").alias("pvec"),
-        F.col("bucket").alias("pbucket"),
     )
     cands = probes.join(
         assigned,

@@ -100,3 +100,23 @@ def test_stream_stateful_counter_matches_batch(spark, ddb, sf_dir):
         got_cnt, got_total = rows[uid]
         assert got_cnt == cnt
         assert abs(got_total - total) <= 1e-6 * max(1.0, abs(total))
+
+
+def test_ann_ivf_structure(spark, sf_dir):
+    """IVF ANN: 10 probes x top-3 in-bucket neighbors, ranks 1..3 per probe,
+    never self as neighbor."""
+    rows = QUERIES["ann_ivf"](spark, sf_dir).collect()
+    by_probe = {}
+    for r in rows:
+        assert r.nbr != r.vid
+        by_probe.setdefault(r.vid, []).append(r.rk)
+    assert set(by_probe) == set(range(10))
+    for ranks in by_probe.values():
+        assert sorted(ranks) == [1, 2, 3]
+
+
+def test_multimodal_resize(spark, sf_dir):
+    rows = QUERIES["multimodal_resize"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == docs.count()
+    assert all(r.n_bytes == len(r.payload) <= 64 for r in rows)
