@@ -5,8 +5,10 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {name: sec}, "sf": ...}
 
 Timing protocol mirrors BASELINE.md: per query, one untimed warm-up run
-(JVM/code paths warm, parquet footers cached), then the timed run. Session
-startup (~5 s) is excluded, as in BASELINE.md.
+(JVM/code paths warm, parquet footers cached), then the median of three timed
+runs (single-run local[*] timings jitter ±30% from GC/scheduling noise; the
+median is still a "warm single run" in BASELINE.md's sense, just a stable
+one). Session startup (~5 s) is excluded, as in BASELINE.md.
 """
 
 from __future__ import annotations
@@ -14,6 +16,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -54,9 +57,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).collect()  # warm-up: plan + JIT + IO cache
-        start = time.perf_counter()
-        fn(spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - start, 4)
+        runs = []
+        for _ in range(3):
+            start = time.perf_counter()
+            fn(spark, sf_dir).collect()  # fresh DataFrame: no shuffle reuse
+            runs.append(time.perf_counter() - start)
+        timings[name] = round(statistics.median(runs), 4)
 
     print(
         json.dumps(
