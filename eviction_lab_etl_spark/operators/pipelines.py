@@ -151,3 +151,83 @@ def pipeline_search_index(spark, sf_dir):
         )
         .agg(F.count("o_orderkey").alias("activity"))
     )
+
+
+_DICT_ROWS = [
+    ("geoid", "bigint", "geography key (customer key plays GEOID)"),
+    *[
+        (f"e_{y - 1900}", "double", f"total spend in {y} (exact decimal sum, cast)")
+        for y in _YEARS
+    ],
+    *[(f"n_{y - 1900}", "bigint", f"order count in {y}") for y in _YEARS],
+]
+
+
+@query(
+    "pipeline_data_dictionary",
+    oracle="SELECT * FROM (VALUES {}) AS t(col_name, col_type, description)".format(
+        ", ".join(f"('{c}', '{t}', '{d}')" for c, t, d in _DICT_ROWS)
+    ),
+)
+def pipeline_data_dictionary(spark, sf_dir):
+    """R7 data-dictionary export: one row per column of the wide tile export,
+    derived from the ACTUAL DataFrame schema (not a hardcoded list), so schema
+    drift in pipeline_tile_wide breaks this query's hash — the dictionary can
+    never silently disagree with the data, which is exactly the QA failure
+    mode of a hand-maintained DATA_DICTIONARY file."""
+    wide = pipeline_tile_wide(spark, sf_dir)
+    desc = {c: d for c, _, d in _DICT_ROWS}
+    rows = [(f.name, f.dataType.simpleString(), desc[f.name]) for f in wide.schema.fields]
+    return spark.createDataFrame(
+        rows, "col_name string, col_type string, description string"
+    )
+
+
+@query(
+    "pipeline_validate",
+    oracle="""
+    WITH wide AS (
+        SELECT c_custkey AS geoid,
+               {cols}
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    SELECT
+        (SELECT count(*) FROM wide) AS n_rows_wide,
+        (SELECT count(*) FROM customer) AS n_cust,
+        (SELECT CAST(sum({nsum}) AS BIGINT) FROM wide) AS orders_wide,
+        (SELECT count(*) FROM orders
+          WHERE year(o_orderdate) BETWEEN 1995 AND 1998) AS orders_long
+    """.format(
+        cols=", ".join(
+            f"count(*) FILTER (WHERE year(o_orderdate) = {y}) AS n_{y - 1900}"
+            for y in _YEARS
+        ),
+        nsum=" + ".join(f"n_{y - 1900}" for y in _YEARS),
+    ),
+)
+def pipeline_validate(spark, sf_dir):
+    """R12 output QA: cross-check the wide tile export against the long
+    source — row count equals the geography count, and the wide per-year
+    order counts re-total to the long count of in-range orders. All-integer
+    (§2.0 rule 1); a pivot bug (dropped rows, double-counted year slice)
+    breaks the hash. The reference runs this as a separate validation script
+    over CSVs; here it is one plan over the same subframes."""
+    wide = pipeline_tile_wide(spark, sf_dir)
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    n_expr = sum((F.col(f"n_{y - 1900}") for y in _YEARS[1:]), F.col(f"n_{_YEARS[0] - 1900}"))
+    wide_tot = wide.agg(
+        F.count(F.lit(1)).alias("n_rows_wide"),
+        big(F.sum(n_expr)).alias("orders_wide"),
+    )
+    long_tot = orders.filter(F.year("o_orderdate").between(1995, 1998)).agg(
+        F.count(F.lit(1)).alias("orders_long")
+    )
+    cust_tot = customer.agg(F.count(F.lit(1)).alias("n_cust"))
+    return (
+        wide_tot.crossJoin(cust_tot)
+        .crossJoin(long_tot)
+        .select("n_rows_wide", "n_cust", "orders_wide", "orders_long")
+    )

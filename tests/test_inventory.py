@@ -40,6 +40,7 @@ EXTENSIONS = {
     "text_langid", "text_quality", "text_token_count", "text_fingerprint",
     "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
     "pipeline_tile_wide", "pipeline_rankings", "pipeline_search_index",
+    "pipeline_data_dictionary", "pipeline_validate",
     "stream_stateful_counter",
 }
 
