@@ -120,3 +120,45 @@ def test_multimodal_resize(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     assert len(rows) == docs.count()
     assert all(r.n_bytes == len(r.payload) <= 64 for r in rows)
+
+
+def test_streaming_session_window_equals_batch(spark, sf_dir):
+    """session_window through a REAL readStream (watermark + availableNow
+    replay) must equal the batch stream_session result — the batch≡stream
+    guarantee SURVEY §5.2 item 5 requires for gap sessions."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.streaming.stream_ops import (
+        _events_stream,
+        _run_to_memory,
+    )
+
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+    session, table = _run_to_memory(agg, "append")
+    streamed = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in session.table(table).collect()
+    }
+    batch = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in QUERIES["stream_session"](spark, sf_dir).collect()
+    }
+    # Append mode withholds sessions not yet closed by the watermark at
+    # end-of-stream; everything emitted must match batch, and the tail must be
+    # small and at the stream's end.
+    assert streamed <= batch
+    withheld = batch - streamed
+    assert len(withheld) < max(10, len(batch) // 100)
+    if withheld:
+        max_emitted = max(e for _, e, _ in streamed)
+        assert all(e >= max_emitted - 3_600_000_000 for _, e, _ in withheld)
