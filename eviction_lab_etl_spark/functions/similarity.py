@@ -1,0 +1,89 @@
+"""Set-similarity join with prefix filtering (SURVEY §4.2 item 2).
+
+The naive inverted-index Jaccard join (operator ``sim_jaccard_pairs``) indexes
+EVERY token, so a token shared by f documents contributes f² candidate pairs —
+ruinous for common tokens at corpus scale. Prefix filtering (PPJoin family,
+Xiao et al., WWW'08 — public algorithm) prunes exactly:
+
+    order all tokens by global rarity; if Jaccard(A,B) ≥ t, then the
+    ⌈|A| − t·|A|⌉ + 1 rarest tokens of A and likewise of B must share at
+    least one token.
+
+So only each document's short *prefix* of rarest tokens is indexed — the
+frequent tokens that explode the candidate space are precisely the ones the
+prefix excludes — and the exact Jaccard test runs only on surviving candidate
+pairs. Every step is a shuffle on token or doc-id; the O(n²) pair space is
+never materialized.
+
+The threshold is a rational (num, den) and all comparisons are integer
+cross-multiplications: no floats anywhere (§2.0 rule 1), so results are
+engine- and partitioning-deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def jaccard_pairs_prefix(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "w",
+    threshold: tuple[int, int] = (6, 10),
+) -> DataFrame:
+    """All pairs (a < b) with Jaccard(tokens_a, tokens_b) ≥ num/den.
+
+    ``tokens``: one row per (document, DISTINCT token). Output columns:
+    ``a, b, inter, uni`` (ints; the ratio is left to the consumer).
+    Identical result set to the naive all-token index join.
+    """
+    num, den = threshold
+    tok = tokens.select(F.col(id_col).alias("id"), F.col(token_col).alias("w"))
+
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+
+    # Rank each doc's tokens by global rarity; keep the prefix
+    # |A| - ceil(t*|A|) + 1 (integer ceil: (num*n + den - 1) div den).
+    rarity = Window.partitionBy("id").orderBy("freq", "w")
+    prefix = (
+        tok.join(freq, "w")
+        .withColumn("rnk", F.row_number().over(rarity))
+        .join(sizes, "id")
+        .filter(
+            F.col("rnk")
+            <= F.col("n") - F.expr(f"(({num} * n + {den} - 1) div {den})") + 1
+        )
+        .select("id", "w")
+    )
+
+    cand = (
+        prefix.alias("p1")
+        .join(
+            prefix.alias("p2"),
+            (F.col("p1.w") == F.col("p2.w")) & (F.col("p1.id") < F.col("p2.id")),
+        )
+        .select(F.col("p1.id").alias("a"), F.col("p2.id").alias("b"))
+        .distinct()
+    )
+
+    inter = (
+        cand.join(tok.alias("t1"), F.col("a") == F.col("t1.id"))
+        .join(
+            tok.alias("t2"),
+            (F.col("b") == F.col("t2.id")) & (F.col("t1.w") == F.col("t2.w")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("a") == F.col("sa.id"))
+        .join(sb, F.col("b") == F.col("sb.id"))
+        .withColumn("uni", F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+        .filter(den * F.col("inter") >= num * F.col("uni"))
+        .select("a", "b", "inter", "uni")
+    )

@@ -69,3 +69,50 @@ def test_recode_sentinels_fuses_into_scan(spark, sf_dir, tmp_path):
         F.count_if(F.col("l_discount_was_coded")).alias("n_coded"),
     )
     assert audit_plan(agg)["shuffles"] == 1
+
+
+def test_jaccard_prefix_filter_equals_naive(spark, sf_dir):
+    """Prefix filtering is an exact optimization: identical pair set to the
+    naive all-token inverted-index join (the sim_jaccard_pairs operator)."""
+    from eviction_lab_etl_spark.functions.similarity import jaccard_pairs_prefix
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tokens = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    fast = {
+        (r.a, r.b, r.inter, r.uni)
+        for r in jaccard_pairs_prefix(tokens, threshold=(6, 10)).collect()
+    }
+    naive = {
+        (r.a, r.b, r.inter, r.uni)
+        for r in QUERIES["sim_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    assert fast == naive
+
+
+def test_jaccard_prefix_actually_prunes(spark, sf_dir):
+    """The prefix index must be strictly smaller than the full token index —
+    otherwise the 'optimization' indexes everything."""
+    from eviction_lab_etl_spark.functions.similarity import jaccard_pairs_prefix  # noqa: F401
+    from eviction_lab_etl_spark.sources.loader import load
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    rarity = Window.partitionBy("id").orderBy("freq", "w")
+    prefix_rows = (
+        tok.join(freq, "w")
+        .withColumn("rnk", F.row_number().over(rarity))
+        .join(sizes, "id")
+        .filter(F.col("rnk") <= F.col("n") - F.expr("((6 * n + 9) div 10)") + 1)
+        .count()
+    )
+    assert prefix_rows < tok.count() * 0.6
