@@ -15,6 +15,10 @@ Config rationale (SURVEY.md §1.2/§4):
 
 from __future__ import annotations
 
+import os
+import tempfile
+import zipfile
+
 from pyspark.sql import SparkSession
 
 # Confs that are runtime-settable (SQL confs): applied defensively even to
@@ -29,7 +33,47 @@ RUNTIME_CONFS: dict[str, str] = {
     # this is the engine's incremental-rebuild primitive (the Make-mtime analog,
     # SURVEY §4.1) used by streaming foreachBatch upserts.
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # local[*] defaults to task.maxFailures=1, so one transient Python-worker
+    # crash (observed ~1/100 mapInPandas stages under full-suite load) fails
+    # the whole job; retry like a real cluster does. Static conf: effective in
+    # sessions we build, silently skipped on driver-provided ones.
+    "spark.task.maxFailures": "4",
+    # Dump the worker's Python stack on segfault/OOM kill instead of a bare
+    # "worker exited unexpectedly" — costs nothing, makes crashes attributable.
+    "spark.python.worker.faulthandler.enabled": "true",
 }
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to Python workers via addPyFile (idempotent).
+
+    Python UDF closures reference module-level helpers, which cloudpickle
+    serializes BY REFERENCE — the worker must be able to import
+    ``eviction_lab_etl_spark``. Workers inherit the driver's cwd, not its
+    sys.path, so a driver launched from any other directory gets
+    ModuleNotFoundError inside mapInPandas/UDF stages. Shipping the package
+    zip is the same move a real cluster deployment makes (--py-files)."""
+    sc = spark.sparkContext
+    if getattr(sc, "_elspark_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"elspark_pkg_{os.getpid()}_{id(sc)}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _, files in os.walk(pkg_dir):
+                for fname in files:
+                    if fname.endswith(".py"):
+                        full = os.path.join(dirpath, fname)
+                        z.write(full, os.path.relpath(full, root))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        # e.g. a stopped context mid-teardown; the next configure() retries.
+        return
+    sc._elspark_pkg_shipped = True  # type: ignore[attr-defined]
 
 
 def configure(spark: SparkSession) -> SparkSession:
@@ -41,6 +85,7 @@ def configure(spark: SparkSession) -> SparkSession:
             # Non-settable in this session (e.g. static conf already fixed) —
             # the build_session path sets it at construction time instead.
             pass
+    _ship_package(spark)
     return spark
 
 
