@@ -162,3 +162,42 @@ def stream_foreachbatch_upsert(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+@query("stream_stream_join")  # rows-only: stream-stream state semantics
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join: each purchase joined to signups of the
+    same user within the preceding hour — both sides unbounded streams.
+
+    This is the stateful shape watermarks exist for: each side buffers rows in
+    state only until the other side's watermark passes the interval bound,
+    giving bounded state on unbounded input (without the interval condition +
+    watermarks, Spark rejects the join as requiring infinite state). Batch
+    analog checked in tests: the same join as a plain batch range join."""
+    stream = _events_stream(spark, sf_dir)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    signups = (
+        stream.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+            F.col("event_id").alias("signup_event_id"),
+        )
+        .withWatermark("s_ts", "1 hour")
+    )
+    joined = purchases.join(
+        signups,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_event_id", "signup_event_id")
+    session, table = _run_to_memory(joined, "append")
+    return session.table(table)

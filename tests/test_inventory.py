@@ -41,7 +41,7 @@ EXTENSIONS = {
     "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
     "pipeline_tile_wide", "pipeline_rankings", "pipeline_search_index",
     "pipeline_data_dictionary", "pipeline_validate",
-    "stream_stateful_counter",
+    "stream_stateful_counter", "stream_stream_join",
 }
 
 

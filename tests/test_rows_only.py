@@ -162,3 +162,22 @@ def test_streaming_session_window_equals_batch(spark, sf_dir):
     if withheld:
         max_emitted = max(e for _, e, _ in streamed)
         assert all(e >= max_emitted - 3_600_000_000 for _, e, _ in withheld)
+
+
+def test_stream_stream_join_equals_batch_range_join(spark, ddb, sf_dir):
+    """The streaming interval join over a full availableNow replay must emit
+    exactly the batch range-join pairs."""
+    streamed = {
+        (r.purchase_event_id, r.signup_event_id)
+        for r in QUERIES["stream_stream_join"](spark, sf_dir).collect()
+    }
+    batch = ddb.sql(
+        """
+        SELECT p.event_id, s.event_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id
+         AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
+        """
+    ).fetchall()
+    assert streamed == set(map(tuple, batch))
