@@ -116,3 +116,56 @@ def test_jaccard_prefix_actually_prunes(spark, sf_dir):
         .count()
     )
     assert prefix_rows < tok.count() * 0.6
+
+
+def _doc_tokens(spark, sf_dir):
+    from eviction_lab_etl_spark.sources.loader import load
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+
+
+def test_minhash_lsh_pairs_subset_and_recall(spark, sf_dir):
+    """LSH-verified pairs must be a subset of the exact >=0.6-Jaccard set
+    (verification is exact), with recall >= 0.95 (theory: ~0.9996 at b=32,
+    r=3, s=0.6)."""
+    from eviction_lab_etl_spark.functions.minhash import minhash_near_dup_pairs
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    lsh = {
+        (r.a, r.b, r.inter, r.uni)
+        for r in minhash_near_dup_pairs(_doc_tokens(spark, sf_dir)).collect()
+    }
+    exact = {
+        (r.a, r.b, r.inter, r.uni)
+        for r in QUERIES["sim_jaccard_pairs"](spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+    if exact:
+        assert len(lsh) / len(exact) >= 0.95
+
+
+def test_minhash_banding_prunes_far_pairs(spark):
+    """On a corpus with disjoint documents plus a few exact duplicates, the
+    candidate set must contain every duplicate pair and nearly none of the
+    ~5000 zero-Jaccard pairs. (The parquet fixture can't test pruning: its
+    docs share one tiny vocabulary, so almost every pair IS similar.)"""
+    from eviction_lab_etl_spark.functions.minhash import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, f"t{i}_{j}") for i in range(100) for j in range(20)]
+    rows += [(100 + i, f"t{i}_{j}") for i in range(5) for j in range(20)]  # dups
+    tok = spark.createDataFrame(rows, "id long, w string")
+    cand = {
+        (r.a, r.b)
+        for r in lsh_candidate_pairs(minhash_signatures(tok)).collect()
+    }
+    dup_pairs = {(i, 100 + i) for i in range(5)}
+    assert dup_pairs <= cand  # identical docs always collide
+    false_candidates = cand - dup_pairs
+    assert len(false_candidates) <= 20, f"banding passed {len(false_candidates)} far pairs"
