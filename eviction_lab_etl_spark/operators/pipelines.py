@@ -231,3 +231,51 @@ def pipeline_validate(spark, sf_dir):
         .crossJoin(long_tot)
         .select("n_rows_wide", "n_cust", "orders_wide", "orders_long")
     )
+
+
+@query("pipeline_corpus_clean")  # rows-only: MinHash banding is not SQL-expressible
+def pipeline_corpus_clean(spark, sf_dir):
+    """The LLM-training-data cleaning flow, end to end as ONE composition:
+    exact dedup (md5 keep-first) → MinHash-LSH near-dedup (exact-verified
+    ≥0.6 Jaccard, keep the lower doc_id of each pair) → quality gate
+    (≥20 tokens, type/token ratio ≥ 0.3). Emits one row per surviving doc
+    with the applied decisions — the manifest a curation run ships.
+
+    Fully deterministic (hash family is seeded xxhash64, thresholds are
+    integer rationals), so the manifest is reproducible run to run. Each
+    stage is a shuffle on digest / band-bucket / doc_id — no O(n²) stage
+    anywhere; the quadratic-looking near-dup step is the banded candidate
+    join of functions/minhash.py."""
+    from eviction_lab_etl_spark.functions.minhash import minhash_near_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+
+    # 1. exact dedup: keep the lowest doc_id per content digest
+    keep_exact = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    survivors = docs.join(keep_exact, "doc_id").select("doc_id", "text", "lang")
+
+    # 2. near-dedup: drop the higher doc_id of every verified >=0.6 pair
+    tokens = survivors.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    near_pairs = minhash_near_dup_pairs(
+        tokens, id_col="doc_id", token_col="w", threshold=(6, 10)
+    )
+    drop_near = near_pairs.select(F.col("b").alias("doc_id")).distinct()
+    survivors = survivors.join(drop_near, "doc_id", "left_anti")
+
+    # 3. quality gate: length + type/token ratio (integer arithmetic only)
+    w = F.split("text", " ")
+    survivors = (
+        survivors.withColumn("n_tok", F.size(w))
+        .withColumn("n_uniq", F.size(F.array_distinct(w)))
+        .filter((F.col("n_tok") >= 20) & (10 * F.col("n_uniq") >= 3 * F.col("n_tok")))
+    )
+    return survivors.select(
+        "doc_id",
+        "lang",
+        big(F.col("n_tok")).alias("n_tok"),
+        big(F.col("n_uniq")).alias("n_uniq"),
+    )

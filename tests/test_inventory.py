@@ -40,7 +40,7 @@ EXTENSIONS = {
     "text_langid", "text_quality", "text_token_count", "text_fingerprint",
     "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
     "pipeline_tile_wide", "pipeline_rankings", "pipeline_search_index",
-    "pipeline_data_dictionary", "pipeline_validate",
+    "pipeline_data_dictionary", "pipeline_validate", "pipeline_corpus_clean",
     "stream_stateful_counter", "stream_stream_join",
 }
 

