@@ -2,31 +2,24 @@
 produce identical values under different shuffle partitionings — catches float
 aggregation-order violations of §2.0 rule 1 before the oracle does.
 
-A representative cross-group sample keeps runtime sane; the full oracle diff
-already pins exact values at the default partitioning.
+This runs the FULL hash inventory, not a sample: the external driver executes
+queries under ITS OWN shuffle-partition setting, so a partitioning-sensitive
+result that happens to match DuckDB at the test partitioning would still fail
+the driver's check. ~2 runs per query at sf0.001 keeps this fast.
 """
 
 from __future__ import annotations
 
 import pytest
 
-from eviction_lab_etl_spark.registry import QUERIES
+from eviction_lab_etl_spark.registry import ORACLES, QUERIES
 
 from tests.compare import canon_spark
 
-SAMPLE = [
-    "agg_sum_groupby",       # decimal partial aggregation
-    "join_weighted_alloc",   # window sum + per-row float expression
-    "window_rank_topk",      # ordered window with tiebreak
-    "sort_multi_topk",       # global top-k selection
-    "sim_knn_cosine",        # float-ordered ranking
-    "stream_session",        # session assignment
-    "agg_weighted_mean",     # decimal/int ratio
-    "reshape_pivot_agg",     # pivoted decimal sums
-]
+HASH_QUERIES = sorted(name for name in QUERIES if name in ORACLES)
 
 
-@pytest.mark.parametrize("name", SAMPLE)
+@pytest.mark.parametrize("name", HASH_QUERIES)
 def test_double_run_identical(spark, sf_dir, name):
     results = []
     for partitions in ("1", "13"):
