@@ -13,6 +13,7 @@ from eviction_lab_etl_spark.operators import (  # noqa: F401
     multimodal,
     pipelines,
     reshape,
+    sampling,
     scalars,
     scans,
     setops,

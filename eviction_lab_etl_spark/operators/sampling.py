@@ -1,0 +1,120 @@
+"""Sampling / dataset splits / mergeable sketches (training-data extension).
+
+Four operations every large-scale training-data pipeline needs beyond SURVEY
+§2's J group, each expressed so the 100 TB plan is the same plan as the local
+one:
+
+- **Content-hash split** (`split_content_hash`): train/valid/test assignment by
+  a digest of the *content*, not the row id — duplicated documents land in the
+  same fold (no train/test leakage through dups), the assignment is stable
+  across reruns and engines, and no shuffle beyond the final tiny aggregate.
+- **Stratified sampling** (`sample_stratified`): per-stratum Bernoulli sampling
+  (`df.sampleBy`) — a map-only pass; the 100 TB form is identical because no
+  coordination is needed beyond the seed.
+- **Approximate quantiles** (`agg_approx_quantile`): single-pass mergeable
+  quantile sketch (`percentile_approx`) — the scale substitute for exact
+  medians when the group is billions of rows.
+- **Partitioned HLL sketch + merge** (`sketch_hll_partitioned`): the
+  two-phase sketch pattern — build small per-slice HLL sketches, union them to
+  coarser slices. At 100 TB this is how cardinality dashboards are maintained
+  incrementally: sketches are tiny, associative, and re-mergeable, so per-day
+  partial sketches roll up to any coarser grain without rescanning the facts.
+
+The reference's analog is R7/R12 export QA statistics; the sampling/split ops
+are the X extension (BASELINE.json) — no reference file citation possible
+(mount empty, SURVEY §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
+
+LANGS = ["en", "es", "de", "fr", "zh"]
+
+
+@query(
+    "split_content_hash",
+    oracle="""
+    SELECT CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+                WHEN substr(md5(text), 1, 1) < 'e' THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           sum(n_chars)::bigint AS sum_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def split_content_hash(spark, sf_dir):
+    """Deterministic 75/12.5/12.5 train/valid/test split by content digest.
+
+    The fold is the first hex nibble of md5(text): '0'..'b' → train (12/16),
+    'c'..'d' → valid, 'e'..'f' → test. Hashing *content* (not doc_id) keeps
+    exact duplicates in one fold — the split that prevents eval leakage.
+    ASCII-lexical nibble comparison is engine-identical, so this is
+    hash-checkable (§2.0): no RNG, no engine sampling quirks.
+    """
+    docs = load(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5("text"), 1, 1)
+    split = (
+        F.when(nibble < "c", "train").when(nibble < "e", "valid").otherwise("test")
+    )
+    return (
+        docs.groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+@query("sample_stratified")  # rows-only: Bernoulli sampling is engine-specific RNG
+def sample_stratified(spark, sf_dir):
+    """Per-language 20% stratified sample → per-stratum sample counts.
+
+    `sampleBy` is a map-only Bernoulli filter (seeded per partition) — the
+    exact shape a 100 TB corpus subsample runs: no shuffle until the final
+    tiny count. RNG streams differ across engines by design → rows-only;
+    the test pins the per-stratum fraction and run-to-run determinism.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sample = docs.sampleBy("lang", fractions={l: 0.2 for l in LANGS}, seed=42)
+    return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sample"))
+
+
+@query("agg_approx_quantile")  # rows-only: sketch quantiles are approximate by design
+def agg_approx_quantile(spark, sf_dir):
+    """Per event_type p50/p95 of `value` via the mergeable quantile sketch
+    (`percentile_approx`, accuracy 10 000). The 100 TB substitute for exact
+    `median` (SURVEY §2 `window_percentile`): one pass, partial sketches merge
+    associatively — no global sort, no whole-group materialization.
+    """
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 10000).alias("p50"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95"),
+    )
+
+
+@query("sketch_hll_partitioned")  # rows-only: HLL estimates are approximate
+def sketch_hll_partitioned(spark, sf_dir):
+    """Two-phase mergeable-sketch cardinality: per-(returnflag, linestatus)
+    partial HLL sketches over l_partkey, then `hll_union_agg` up to
+    per-returnflag estimates.
+
+    This is the incremental-rollup pattern for 100 TB: the fact scan happens
+    once at the finest slice; every coarser grain is a union of 1.5 KB
+    sketches. Contrast `agg_approx_distinct` (one-shot HLL) — here the sketch
+    itself is the stored intermediate, proving re-mergeability.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    partial = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_partkey").alias("sketch")
+    )
+    return (
+        partial.groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_parts"))
+        .select("l_returnflag", "approx_parts")
+    )

@@ -42,6 +42,8 @@ EXTENSIONS = {
     "pipeline_tile_wide", "pipeline_rankings", "pipeline_search_index",
     "pipeline_data_dictionary", "pipeline_validate", "pipeline_corpus_clean",
     "stream_stateful_counter", "stream_stream_join",
+    "split_content_hash", "sample_stratified",
+    "agg_approx_quantile", "sketch_hll_partitioned",
 }
 
 

@@ -47,6 +47,49 @@ def test_sim_ann_lsh_precision_and_recall(spark, ddb, sf_dir):
         assert recall >= 0.9, f"LSH recall too low: {recall:.3f}"
 
 
+def test_sample_stratified_fractions_and_determinism(spark, ddb, sf_dir):
+    """20% Bernoulli per stratum: every language sampled at a plausible rate,
+    and the seeded sample is identical across runs (retry idempotence — a
+    failed 100 TB stage re-executes with the same seed)."""
+    run1 = {r["lang"]: r["n_sample"] for r in QUERIES["sample_stratified"](spark, sf_dir).collect()}
+    totals = dict(ddb.sql("SELECT lang, count(*) FROM documents GROUP BY lang").fetchall())
+    for lang, total in totals.items():
+        frac = run1.get(lang, 0) / total
+        assert 0.05 <= frac <= 0.40, f"{lang}: sampled {frac:.2%} of {total}"
+    run2 = {r["lang"]: r["n_sample"] for r in QUERIES["sample_stratified"](spark, sf_dir).collect()}
+    assert run1 == run2
+
+
+def test_agg_approx_quantile_close_to_exact(spark, ddb, sf_dir):
+    rows = {r["event_type"]: (r["p50"], r["p95"]) for r in QUERIES["agg_approx_quantile"](spark, sf_dir).collect()}
+    exact = ddb.sql(
+        "SELECT event_type, quantile_cont(value, 0.5), quantile_cont(value, 0.95) "
+        "FROM events GROUP BY event_type"
+    ).fetchall()
+    assert set(rows) == {r[0] for r in exact}
+    for etype, p50, p95 in exact:
+        got50, got95 = rows[etype]
+        # percentile_approx returns an order statistic; quantile_cont
+        # interpolates — on small groups adjacent order stats differ at the
+        # tail, so pin to 10% of the exact value, not sketch error alone.
+        assert abs(got50 - p50) <= 0.10 * max(1.0, abs(p50))
+        assert abs(got95 - p95) <= 0.10 * max(1.0, abs(p95))
+
+
+def test_sketch_hll_partitioned_close_to_exact(spark, ddb, sf_dir):
+    """Merged per-slice sketches must estimate within HLL error (~2% at
+    lgK=12; allow 5%) of the exact per-returnflag distinct count."""
+    rows = {r["l_returnflag"]: r["approx_parts"] for r in QUERIES["sketch_hll_partitioned"](spark, sf_dir).collect()}
+    exact = dict(
+        ddb.sql(
+            "SELECT l_returnflag, count(DISTINCT l_partkey) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(rows) == set(exact)
+    for flag, n in exact.items():
+        assert abs(rows[flag] - n) <= max(2, 0.05 * n), (flag, rows[flag], n)
+
+
 def test_stream_watermark_late_matches_batch(spark, ddb, sf_dir):
     """Append-mode watermarked windows: every *finalized* window matches the
     batch aggregate; windows still open at end-of-stream (those ending after
