@@ -104,6 +104,14 @@ def build_session(
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
         builder = builder.master(master)
+    # local[N] runs the driver AND all N executor threads in one JVM, whose
+    # default heap is 1 GiB — 32 concurrent vectorized parquet scans OOM there
+    # long before the data is "big" (observed at 10× sf0.1). Size the single
+    # JVM like the sum of the executors it stands in for. Static conf: only
+    # effective when this call actually launches the JVM.
+    builder = builder.config(
+        "spark.driver.memory", os.environ.get("ELSPARK_DRIVER_MEMORY", "8g")
+    )
     for key, value in RUNTIME_CONFS.items():
         builder = builder.config(key, value)
     if shuffle_partitions is not None:

@@ -1,0 +1,139 @@
+"""Scale-stress harness: prove the §2 plans hold when the data grows.
+
+local[32] correctness runs never pressure the physical plan — sf0.1 fits in a
+couple of row groups and every shuffle is trivially small. This tool
+synthesizes an N×-multiplied copy of sf0.1 (fact keys offset per copy so key
+cardinality — customers, orders, users, documents — scales with the rows,
+exactly how real growth looks) and times the headline operators at 1×, 10×,
+30×. Near-linear wall-clock growth + unchanged plan shape is the evidence that
+the same plans survive a 1000-executor 100 TB deployment: nothing in them is
+driver-bound, collect-bound, or quadratic in an unbounded input.
+
+Usage:
+    python tools/scale_stress.py [mult ...]     # default: 1 10 30
+
+Writes scaled data under .scratch/ (gitignored) and prints one JSON line per
+multiplier; `tools/gen_scale_md.py`-style summary goes to SCALE.md by hand.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark import registry
+from eviction_lab_etl_spark.session import build_session
+from eviction_lab_etl_spark.sources.loader import TABLES, load
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+# Per-table key columns that must grow with the copies so joins stay 1:N and
+# group-by cardinality scales (a 30× stress where every copy reuses the same
+# keys would measure a skew pathology instead of growth).
+OFFSET = 100_000_000
+KEYS: dict[str, list[str]] = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    # region/nation/part/supplier replicate verbatim (dims stay dims).
+}
+
+# Headline operators whose inputs actually scale (bounded ops like
+# sim_jaccard_pairs cap their input by doc_id and would measure a constant).
+STRESS = [
+    "agg_sum_groupby",
+    "join_broadcast_dims",
+    "window_rank_topk",
+    "join_weighted_alloc",
+    "reshape_pivot_wide",
+    "stream_session",
+    "text_tokenize_topn",
+    "dedup_exact",
+    "split_content_hash",
+    "sim_knn_cosine",
+]
+
+
+def scaled_dir(mult: int) -> str:
+    return os.path.join(SCRATCH, f"stress_x{mult}")
+
+
+def build_scaled(spark, mult: int) -> str:
+    dst = scaled_dir(mult)
+    marker = os.path.join(dst, "_COMPLETE")
+    if os.path.exists(marker):
+        return dst
+    for t in TABLES:
+        df = load(spark, SRC, t)
+        if t in KEYS and mult > 1:
+            df = df.select(
+                "*",
+                F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__copy"),
+            )
+            for k in KEYS[t]:
+                # long arithmetic: copy*OFFSET overflows int32 at copy >= 22
+                df = df.withColumn(
+                    k, F.col(k) + F.col("__copy").cast("long") * F.lit(OFFSET)
+                )
+            df = df.drop("__copy")
+        df.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
+    open(marker, "w").close()
+    return dst
+
+
+def main() -> None:
+    mults = [int(a) for a in sys.argv[1:]] or [1, 10, 30]
+    registry.load_all_operators()
+    spark = build_session(
+        app_name="elspark-scale-stress", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for mult in mults:
+        sf_dir = build_scaled(spark, mult)
+        timings: dict[str, float] = {}
+        for name in STRESS:
+            fn = registry.QUERIES[name]
+
+            # noop sink: executes the full plan distributed, materializes
+            # nothing on the driver. collect() would measure single-threaded
+            # driver deserialization of multi-million-row results (and OOM it)
+            # — exactly what a 100 TB job never does.
+            def run() -> None:
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+            run()  # warm-up
+            runs = []
+            for _ in range(3):
+                start = time.perf_counter()
+                run()
+                runs.append(time.perf_counter() - start)
+            timings[name] = round(statistics.median(runs), 4)
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_stress",
+                    "mult": mult,
+                    "value": round(sum(timings.values()), 4),
+                    "unit": "sec",
+                    "queries": timings,
+                    "base_sf": SRC,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
