@@ -6,6 +6,7 @@ Importing this package registers every operator into
 
 from eviction_lab_etl_spark.operators import (  # noqa: F401
     aggregates,
+    complex,
     dedup_text,
     extensions,
     filters,

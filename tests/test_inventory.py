@@ -44,6 +44,8 @@ EXTENSIONS = {
     "stream_stateful_counter", "stream_stream_join",
     "split_content_hash", "sample_stratified",
     "agg_approx_quantile", "sketch_hll_partitioned",
+    "complex_shipping_priority", "complex_region_revenue",
+    "complex_returned_revenue",
 }
 
 
