@@ -88,6 +88,19 @@ def io_csv_roundtrip(spark, sf_dir):
     return spark.read.schema(schema).option("header", True).csv(path)
 
 
+@query("io_orc_roundtrip")  # rows-only: sink+source behavior, no SQL oracle
+def io_orc_roundtrip(spark, sf_dir):
+    """ORC sink/source round-trip — the second columnar format a lakehouse
+    deployment encounters (Hive-era tables); schema and values must survive
+    unchanged, including decimals-as-doubles and timestamps."""
+    path = _sink_path("orders_orc")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    orders.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
 @query("io_json_lines")  # rows-only
 def io_json_lines(spark, sf_dir):
     """JSON-lines sink/source round-trip (search-index JSON export analog, R9)."""

@@ -18,6 +18,17 @@ def test_io_json_lines(spark, sf_dir):
     assert df.count() == events.count()
 
 
+def test_io_orc_roundtrip(spark, ddb, sf_dir):
+    df = QUERIES["io_orc_roundtrip"](spark, sf_dir)
+    n = ddb.sql("SELECT count(*) FROM orders").fetchone()[0]
+    assert df.count() == n
+    assert dict(df.dtypes) == {
+        "o_orderkey": "bigint",
+        "o_totalprice": "double",
+        "o_orderstatus": "string",
+    }
+
+
 def test_io_partitioned_write(spark, sf_dir):
     df = QUERIES["io_partitioned_write"](spark, sf_dir)
     rows = df.collect()
