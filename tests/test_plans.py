@@ -62,6 +62,23 @@ def test_single_shuffle_aggregations(spark, sf_dir):
         assert info["shuffles"] == 1, f"{name}: {info['shuffles']} shuffles"
 
 
+def test_complex_join_trees_stay_single_shuffle(spark, sf_dir):
+    # Multi-join analytical queries: every dim side broadcasts, the fact scan
+    # shuffles exactly once (for the aggregation); top-k is TakeOrdered, not a
+    # global sort-exchange.
+    for name, min_bcast in (
+        ("complex_shipping_priority", 2),
+        ("complex_region_revenue", 3),
+        ("complex_returned_revenue", 3),
+    ):
+        info = plan_of(spark, sf_dir, name)
+        bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+        assert bcast >= min_bcast, f"{name}: only {bcast} broadcast joins"
+        assert info["shuffles"] <= 1, f"{name}: {info['shuffles']} shuffles"
+        # Filters on the fact reach the scan despite the join tree above them.
+        assert info["pushed_filters"], f"{name}: nothing pushed to the scan"
+
+
 def test_flagship_query_is_whole_stage_codegen(spark, sf_dir):
     # Codegen ids only exist on the final adaptive plan → execute first.
     info = audit_plan(registry.QUERIES["agg_sum_groupby"](spark, sf_dir), execute=True)
