@@ -88,6 +88,34 @@ def io_csv_roundtrip(spark, sf_dir):
     return spark.read.schema(schema).option("header", True).csv(path)
 
 
+@query("io_bucketed_join")  # rows-only: sink layout + exchange-free join proof
+def io_bucketed_join(spark, sf_dir):
+    """Bucketed-table co-located join (the 100 TB ingest contract): orders and
+    lineitem both hash-bucketed on orderkey at write time, so the later join
+    needs NO exchange on either side — the shuffle is paid once at ingest, not
+    per query. The plan property (0 Exchanges) is asserted in
+    tests/test_layout.py; this entry makes the layout lever driver-visible.
+    Returns per-orderstatus lineitem counts from the bucket-joined tables."""
+    from eviction_lab_etl_spark.plans.layout import bucketed_write
+
+    n = 8
+    bucketed_write(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+        "elspark_orders_b", "o_orderkey", n, _sink_path("orders_bucketed"),
+    )
+    bucketed_write(
+        load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity"),
+        "elspark_lineitem_b", "l_orderkey", n, _sink_path("lineitem_bucketed"),
+    )
+    orders_b = spark.table("elspark_orders_b")
+    li_b = spark.table("elspark_lineitem_b")
+    return (
+        li_b.join(orders_b, li_b.l_orderkey == orders_b.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
 @query("io_orc_roundtrip")  # rows-only: sink+source behavior, no SQL oracle
 def io_orc_roundtrip(spark, sf_dir):
     """ORC sink/source round-trip — the second columnar format a lakehouse

@@ -45,7 +45,7 @@ EXTENSIONS = {
     "split_content_hash", "sample_stratified",
     "agg_approx_quantile", "sketch_hll_partitioned",
     "complex_shipping_priority", "complex_region_revenue",
-    "complex_returned_revenue", "io_orc_roundtrip",
+    "complex_returned_revenue", "io_orc_roundtrip", "io_bucketed_join",
 }
 
 

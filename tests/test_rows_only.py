@@ -18,6 +18,17 @@ def test_io_json_lines(spark, sf_dir):
     assert df.count() == events.count()
 
 
+def test_io_bucketed_join(spark, ddb, sf_dir):
+    rows = {r["o_orderstatus"]: r["n_lines"] for r in QUERIES["io_bucketed_join"](spark, sf_dir).collect()}
+    exact = dict(
+        ddb.sql(
+            "SELECT o_orderstatus, count(*) FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey GROUP BY 1"
+        ).fetchall()
+    )
+    assert rows == exact
+
+
 def test_io_orc_roundtrip(spark, ddb, sf_dir):
     df = QUERIES["io_orc_roundtrip"](spark, sf_dir)
     n = ddb.sql("SELECT count(*) FROM orders").fetchone()[0]

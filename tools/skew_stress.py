@@ -1,0 +1,128 @@
+"""Skew-stress: measure the two hot-key strategies on pathologically skewed data.
+
+Scale claim under test (README "Designed for 100 TB", SCALE.md): when one join
+key dominates, AQE's skew-join split keeps the plain sort-merge join bounded,
+and `plans/layout.salted_join` is the explicit form for keys you know about.
+This experiment builds a fact table where ONE user owns half of all rows
+(mult× sf0.1 events, copies ≥ half reassigned to user 0 — the "viral
+document" shape), joins it to a per-user dimension, and times:
+
+  1. plain sort-merge join, AQE skew-split ON (the default engine path)
+  2. plain sort-merge join, AQE skew-split OFF (what a naive engine does)
+  3. salted_join (explicit 16-way fan-out of every key)
+
+Broadcast is disabled throughout — at 100 TB neither side of a fact↔fact join
+broadcasts, and letting the 8 MB dim broadcast here would measure nothing.
+
+Usage: python tools/skew_stress.py [mult]     # default 20 → 2M fact rows
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.plans.layout import salted_join
+from eviction_lab_etl_spark.session import build_session
+from eviction_lab_etl_spark.sources.loader import load
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def build_skewed(spark, mult: int, hot_tenths: int = 9) -> str:
+    dst = os.path.join(SCRATCH, f"skew_x{mult}_h{hot_tenths}")
+    marker = os.path.join(dst, "_COMPLETE")
+    if os.path.exists(marker):
+        return dst
+    ev = load(spark, SRC, "events").select("event_id", "user_id", "value")
+    fact = ev.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__copy")
+    )
+    # Copies above the cutoff all collapse onto user 0: one key owns
+    # hot_tenths/10 of all rows (default 90% — a straggler that cannot hide
+    # behind the parallel portion of the job).
+    cutoff = mult * (10 - hot_tenths) // 10
+    fact = fact.withColumn(
+        "user_id",
+        F.when(F.col("__copy") >= cutoff, F.lit(0)).otherwise(
+            F.col("user_id") + F.col("__copy").cast("long") * F.lit(1_000_000)
+        ),
+    ).drop("__copy")
+    fact.write.mode("overwrite").parquet(os.path.join(dst, "fact.parquet"))
+    dim = (
+        fact.select("user_id").distinct()
+        .withColumn("segment", F.pmod(F.col("user_id"), F.lit(7)))
+    )
+    dim.write.mode("overwrite").parquet(os.path.join(dst, "dim.parquet"))
+    open(marker, "w").close()
+    return dst
+
+
+def timed(spark, dst, skew_on: bool, salted: bool) -> float:
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
+    # Defaults only split partitions > 256 MB; the synthesized hot partition
+    # sits just under that. Lower the trigger so the experiment actually
+    # exercises the split (a real deployment tunes these to executor memory).
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32MB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
+
+    def run() -> None:
+        fact = spark.read.parquet(os.path.join(dst, "fact.parquet"))
+        dim = spark.read.parquet(os.path.join(dst, "dim.parquet"))
+        if salted:
+            joined = salted_join(fact, dim, "user_id", n_salts=16)
+        else:
+            joined = fact.join(dim, "user_id")
+        out = joined.groupBy("segment").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")
+        )
+        out.write.format("noop").mode("overwrite").save()
+
+    run()  # warm-up
+    runs = []
+    for _ in range(3):
+        start = time.perf_counter()
+        run()
+        runs.append(time.perf_counter() - start)
+    return round(statistics.median(runs), 4)
+
+
+def main() -> None:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    spark = build_session(
+        app_name="elspark-skew-stress", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # Force the fact↔dim join onto the shuffle path (the 100 TB shape).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    dst = build_skewed(spark, mult)
+    results = {
+        "smj_aqe_skew_on": timed(spark, dst, skew_on=True, salted=False),
+        "smj_aqe_skew_off": timed(spark, dst, skew_on=False, salted=False),
+        "salted_16": timed(spark, dst, skew_on=False, salted=True),
+    }
+    print(
+        json.dumps(
+            {
+                "metric": "skew_stress",
+                "mult": mult,
+                "unit": "sec",
+                "strategies": results,
+                "base_sf": SRC,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
