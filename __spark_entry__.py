@@ -29,6 +29,37 @@ registry.load_all_operators()
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _FLAGSHIP = "agg_sum_groupby"
 
+# Queries the round-1 driver already hash/rows-checked (CORRECTNESS_r01.json).
+# The driver's correctness pass covers a budget-bounded prefix of this dict, so
+# names NOT yet covered are yielded first: each round extends the verified set
+# instead of re-verifying the same prefix. (Local tests re-verify everything
+# every run — tests/test_oracle_diff.py — so nothing regresses silently.)
+_VERIFIED_PRIOR_ROUNDS: tuple[str, ...] = (
+    "agg_sum_groupby", "agg_weighted_mean", "agg_multi_distinct", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_conditional", "agg_stats",
+    "agg_approx_distinct", "complex_shipping_priority", "complex_region_revenue",
+    "complex_returned_revenue", "dedup_exact", "dedup_keep_first",
+    "sim_jaccard_pairs", "sim_knn_cosine", "sim_ann_lsh", "text_tokenize_topn",
+    "text_ngrams", "text_lang_stats", "text_length_hist", "dedup_simhash",
+    "dedup_simhash_pairs", "sim_ngram_jaccard", "sim_cosine_neardup", "ann_ivf",
+    "text_langid", "text_quality", "text_token_count", "text_fingerprint",
+    "filter_compound", "filter_null_sentinel", "project_computed",
+    "join_broadcast_dims", "join_multikey_derived", "join_left_null",
+    "join_semi", "join_anti", "join_asof", "join_range_interval",
+    "join_weighted_alloc", "join_cross_small", "multimodal_decode",
+    "multimodal_resize", "multimodal_frame_sample", "pipeline_tile_wide",
+    "pipeline_rankings", "pipeline_search_index", "pipeline_data_dictionary",
+    "pipeline_validate",
+)
+
+
+def _ordered(names: list[str]) -> list[str]:
+    """Driver-facing order: never-yet-verified queries first (registry order),
+    then the already-verified prefix from prior rounds."""
+    prior = [n for n in _VERIFIED_PRIOR_ROUNDS if n in names]
+    fresh = [n for n in names if n not in _VERIFIED_PRIOR_ROUNDS]
+    return fresh + prior
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SURVEY §7.1) on sf0.001; driver checks rows>0."""
@@ -37,9 +68,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    return {name: registry.QUERIES[name] for name in _ordered(list(registry.QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-dialect oracle SQL for every hash-checked operator."""
-    return dict(registry.ORACLES)
+    return {name: registry.ORACLES[name] for name in _ordered(list(registry.ORACLES))}
