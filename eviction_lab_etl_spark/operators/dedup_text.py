@@ -45,18 +45,30 @@ def dedup_exact(spark, sf_dir):
 @query(
     "dedup_keep_first",
     oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
+    )
     SELECT md5(text) AS h, min(doc_id) AS keep, count(*) AS grp_size
-    FROM documents
+    FROM corpus
     GROUP BY md5(text)
     HAVING count(*) > 1
     """,
 )
 def dedup_keep_first(spark, sf_dir):
     """Canonical-document election per digest group (keep lowest doc_id) —
-    the standard exact-dedup keep rule (X)."""
-    docs = load(spark, sf_dir, "documents")
+    the standard exact-dedup keep rule (X). The fixture corpus has no exact
+    duplicates at small SF (a 0-row hash match verifies nothing), so the
+    query unions in a re-keyed copy of doc_id<25: the election then has 25
+    real groups to decide, and min/count behavior is value-checked."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    dupes = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(dupes)
     return (
-        docs.groupBy(F.md5("text").alias("h"))
+        corpus.groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("grp_size"))
         .filter(F.col("grp_size") > 1)
     )

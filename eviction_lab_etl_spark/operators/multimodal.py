@@ -61,11 +61,24 @@ def media_frame(spark, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_decode")  # rows-only: exercises the Arrow mapInPandas path
+@query(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(n_chars AS BIGINT) AS n_bytes,
+           CAST(4 AS BIGINT) AS dim,
+           upper(rpad(substring(hex(encode(text)), 1, 8), 8, '0')) AS feature_hex
+    FROM documents
+    """,
+)
 def multimodal_decode(spark, sf_dir):
     """Arrow-batched feature extraction over binary payloads via mapInPandas:
-    each batch arrives as a pandas frame, features come back as
-    array<float> — the exact shape of a real image/audio embedding stage."""
+    each batch arrives as a pandas frame and the stub decoder produces the
+    float feature vector — the exact shape of a real image/audio embedding
+    stage. The emitted columns are the vector's *dimension* plus a hex digest
+    of the decoded source bytes rather than the raw array<float>: floats are
+    never hashed (§2.0 rule 1) and the digest gives the oracle a byte-exact,
+    engine-neutral value check of what was decoded."""
     media = media_frame(spark, sf_dir)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -78,12 +91,16 @@ def multimodal_decode(spark, sf_dir):
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                    "feature": features,
+                    "dim": [len(f) for f in features],
+                    "feature_hex": [
+                        p[:_FEATURE_DIM].ljust(_FEATURE_DIM, b"\0").hex().upper()
+                        for p in pdf["payload"]
+                    ],
                 }
             )
 
     return media.mapInPandas(
-        extract, schema="doc_id long, n_bytes long, feature array<float>"
+        extract, schema="doc_id long, n_bytes long, dim long, feature_hex string"
     )
 
 
