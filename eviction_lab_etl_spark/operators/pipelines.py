@@ -233,6 +233,47 @@ def pipeline_validate(spark, sf_dir):
     )
 
 
+@query(
+    "pipeline_corpus_manifest",
+    oracle="""
+    WITH keep AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    survivors AS (
+        SELECT d.doc_id, d.lang, string_split(d.text, ' ') AS w
+        FROM documents d JOIN keep USING (doc_id)
+    )
+    SELECT doc_id, lang,
+           len(w) AS n_tok,
+           len(list_distinct(w)) AS n_uniq
+    FROM survivors
+    WHERE len(w) >= 20 AND 10 * len(list_distinct(w)) >= 3 * len(w)
+    """,
+)
+def pipeline_corpus_manifest(spark, sf_dir):
+    """The hash-checkable core of the corpus-clean flow: exact dedup
+    (md5 keep-first) → quality gate, i.e. pipeline_corpus_clean minus the
+    MinHash-LSH stage (xxhash64 has no DuckDB equivalent, so the LSH stage
+    is rows-only by design). This query value-checks the manifest columns
+    and the two deterministic stages end to end; the full pipeline's extra
+    drop set is exactly the LSH near-dup stage."""
+    docs = load(spark, sf_dir, "documents")
+    keep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(keep, "doc_id").select("doc_id", "text", "lang")
+    w = F.split("text", " ")
+    survivors = (
+        survivors.withColumn("n_tok", F.size(w))
+        .withColumn("n_uniq", F.size(F.array_distinct(w)))
+        .filter((F.col("n_tok") >= 20) & (10 * F.col("n_uniq") >= 3 * F.col("n_tok")))
+    )
+    return survivors.select(
+        "doc_id",
+        "lang",
+        big(F.col("n_tok")).alias("n_tok"),
+        big(F.col("n_uniq")).alias("n_uniq"),
+    )
+
+
 @query("pipeline_corpus_clean")  # rows-only: MinHash banding is not SQL-expressible
 def pipeline_corpus_clean(spark, sf_dir):
     """The LLM-training-data cleaning flow, end to end as ONE composition:

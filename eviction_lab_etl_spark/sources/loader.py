@@ -14,6 +14,8 @@ corrupts the final microsecond digit (observed off-by-1µs vs DuckDB).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,16 +47,26 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread(df: DataFrame) -> DataFrame:
+def spread(df: DataFrame, min_bytes: int = 256 << 10) -> DataFrame:
     """Fan a under-partitioned frame out to the cluster's parallelism.
 
     Compute-heavy per-row operators (per-token hashing, shingle digests) are
     CPU-bound, so a small source file that arrives as 1-2 parquet row groups
     would pin the whole stage to 1-2 cores. The round-robin shuffle here is
     cheap relative to the compute it parallelizes — and deliberately
-    conditional: a large input already split by the scan passes through
-    untouched (repartitioning 100 TB to ``defaultParallelism`` would be an
-    enormous pointless shuffle)."""
+    conditional in both directions: below ``min_bytes`` of source data the
+    compute is trivial and the repartition would cost more wall-clock than it
+    buys (the sf0.01 oracle fixtures are all under the floor), while a large
+    input already split by the scan passes through untouched (repartitioning
+    100 TB to ``defaultParallelism`` would be an enormous pointless shuffle)."""
+    try:
+        total = sum(
+            os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles()
+        )
+    except OSError:
+        total = None
+    if total is not None and total < min_bytes:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

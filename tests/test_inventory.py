@@ -41,6 +41,7 @@ EXTENSIONS = {
     "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
     "pipeline_tile_wide", "pipeline_rankings", "pipeline_search_index",
     "pipeline_data_dictionary", "pipeline_validate", "pipeline_corpus_clean",
+    "pipeline_corpus_manifest",
     "stream_stateful_counter", "stream_stream_join",
     "split_content_hash", "sample_stratified",
     "agg_approx_quantile", "sketch_hll_partitioned",

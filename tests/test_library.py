@@ -169,3 +169,76 @@ def test_minhash_banding_prunes_far_pairs(spark):
     assert dup_pairs <= cand  # identical docs always collide
     false_candidates = cand - dup_pairs
     assert len(false_candidates) <= 20, f"banding passed {len(false_candidates)} far pairs"
+
+
+def test_srp_banded_neardup_subset_and_recall(spark, sf_dir):
+    """SRP-banded near-dup pairs must be a subset of the exact all-pairs
+    cos>=0.9 set (verification is exact), with recall >= 0.9 — on the
+    fixture's planted twins the measured recall is 1.0 (theory: per-pair
+    ~0.9999 at b=8, r=8, cos~0.97)."""
+    from eviction_lab_etl_spark.operators.dedup_text import cosine
+    from eviction_lab_etl_spark.operators.extensions import (
+        _NEARDUP_COS,
+        _TWIN_NUDGE,
+    )
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    banded = {(r.a, r.b) for r in QUERIES["sim_cosine_neardup"](spark, sf_dir).collect()}
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") + F.lit(_TWIN_NUDGE)).otherwise(
+                x.cast("double")
+            ),
+        ).alias("v"),
+    )
+    corpus = base.unionByName(twins)
+    a, b = corpus.alias("a"), corpus.alias("b")
+    exact = {
+        (r.a, r.b)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cosine(F.col("a.v"), F.col("b.v")) >= _NEARDUP_COS)
+        .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"))
+        .collect()
+    }
+    assert banded <= exact
+    assert exact, "fixture must contain planted twins"
+    assert len(banded) / len(exact) >= 0.9
+
+
+def test_srp_banding_prunes_candidates(spark, sf_dir):
+    """The SRP candidate set must be a small fraction of the O(n^2) pair
+    space — otherwise the banding is not pruning anything."""
+    from eviction_lab_etl_spark.functions.srp import srp_candidate_pairs, srp_planes
+    from eviction_lab_etl_spark.sources.loader import load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    n = emb.count()
+    planes = srp_planes(64, 64)
+    n_cand = srp_candidate_pairs(emb, planes, bands=8, rows=8, id_col="id").count()
+    assert n_cand <= 0.25 * n * (n - 1) / 2, (
+        f"{n_cand} candidates out of {n * (n - 1) // 2} pairs — no pruning"
+    )
+
+
+def test_ivf_multiprobe_recall_vs_exact_knn(spark, sf_dir):
+    """Multi-probe IVF (nprobe=2) must recover >= 0.75 of the exact cosine
+    top-3 neighbor set (nprobe=1 caps recall at bucket boundaries; the
+    fixture codebook is 8 arbitrary centroids, so perfect recall is not
+    expected — the assertion pins the multi-probe gain floor)."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    ivf = {(r.vid, r.nbr) for r in QUERIES["ann_ivf"](spark, sf_dir).collect()}
+    exact = {(r.vid, r.nbr) for r in QUERIES["sim_knn_cosine"](spark, sf_dir).collect()}
+    assert exact
+    assert len(ivf & exact) / len(exact) >= 0.75
