@@ -27,7 +27,8 @@ if REPO_DIR not in sys.path:
 from eviction_lab_etl_spark import registry
 from eviction_lab_etl_spark.session import build_session
 
-# The seven BASELINE.md headline operators (SURVEY §6).
+# The seven BASELINE.md headline operators (SURVEY §6). "value" sums exactly
+# these, so the total stays comparable to BASELINE.md and to prior rounds.
 HEADLINE = [
     "agg_sum_groupby",
     "join_broadcast_dims",
@@ -36,6 +37,15 @@ HEADLINE = [
     "stream_session",
     "text_tokenize_topn",
     "sim_knn_cosine",
+]
+
+# LLM-data-pipeline headliners (the engine's most distinctive code): timed and
+# reported in "queries" for round-over-round tracking, but NOT folded into
+# "value" — BASELINE.md has no counterpart numbers for them, so adding them to
+# the total would corrupt the baseline ratio.
+LLM_HEADLINE = [
+    "dedup_simhash_pairs",
+    "pipeline_corpus_manifest",
 ]
 
 
@@ -54,7 +64,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in HEADLINE + LLM_HEADLINE:
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).collect()  # warm-up: plan + JIT + IO cache
         runs = []
@@ -68,9 +78,10 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "headline_queries_warm_total",
-                "value": round(sum(timings.values()), 4),
+                "value": round(sum(timings[n] for n in HEADLINE), 4),
                 "unit": "sec",
                 "queries": timings,
+                "llm_queries": LLM_HEADLINE,
                 "sf": sf,
             }
         )

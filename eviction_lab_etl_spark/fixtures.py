@@ -1,0 +1,104 @@
+"""Planted-fixture corpora for non-vacuous correctness checks.
+
+The small-SF fixture data is too clean for several operators to decide
+anything: there are no exact-duplicate documents, no customers without
+orders, and no embedding near-twins (max pairwise cosine ~0.46). A hash
+match over those operators' raw output is vacuous — both engines return the
+empty set and the check verifies nothing.
+
+These helpers build AUGMENTED INPUT datasets — the real table UNION'd with a
+small deterministic planted set — in BOTH engines (a Spark DataFrame here and
+the matching DuckDB SQL text the oracle embeds), so a registered query can
+run the REAL operator over an input where the decision actually fires.
+
+This is the fixture layer, deliberately separate from the operators: the
+operator functions (``dedup_text.keep_first``, the anti join,
+``extensions.cosine_neardup_pairs``) keep production semantics and can be
+called on raw data (that is what bench.py times); only the correctness
+binding reads the planted corpus. Keep each SQL string and its DataFrame
+twin in lockstep — the oracle hash check depends on them being row-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.sources.loader import load
+
+# --- documents with planted exact duplicates (dedup_keep_first) --------------
+
+# Re-key doc_id<25 copies far above the organic id range: 25 real duplicate
+# groups whose canonical member is always the original (lower doc_id).
+DOCUMENTS_WITH_DUPS_SQL = """
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 25
+"""
+
+
+def documents_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(planted)
+
+
+# --- customers with planted no-order rows (join_anti) ------------------------
+
+# Keys re-based to +9,000,000: orders reference organic custkeys only (15k at
+# sf0.1), so the planted rows are guaranteed order-less at every tested SF and
+# the anti join has >=25 real rows to decide.
+CUSTOMERS_WITH_ORPHANS_SQL = """
+        SELECT c_custkey FROM customer
+        UNION ALL
+        SELECT c_custkey + 9000000 AS c_custkey FROM customer WHERE c_custkey <= 25
+"""
+
+
+def customers_with_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    planted = cust.filter(F.col("c_custkey") <= 25).select(
+        (F.col("c_custkey") + 9000000).alias("c_custkey")
+    )
+    return cust.unionByName(planted)
+
+
+# --- embeddings with planted near-twins (sim_cosine_neardup) -----------------
+
+# vec_id<50 re-keyed +100000 with the first component nudged +0.25
+# (cos ~0.97 to the original). The nudge and the float->double casts are
+# exact in both engines, so the planted corpus is bit-identical on the
+# oracle side.
+TWIN_NUDGE = 0.25
+
+
+def embeddings_with_twins_sql(emb_dim: int) -> str:
+    return f"""
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id < 300
+        UNION ALL
+        SELECT vec_id + 100000 AS vec_id,
+               list_transform(range(1, {emb_dim + 1}), j -> CASE WHEN j = 1
+                   THEN CAST(embedding[1] AS DOUBLE) + {TWIN_NUDGE}
+                   ELSE CAST(embedding[j] AS DOUBLE) END) AS v
+        FROM embeddings WHERE vec_id < 50
+"""
+
+
+def embeddings_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 300).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    twins = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: F.when(i == 0, x.cast("double") + F.lit(TWIN_NUDGE)).otherwise(
+                x.cast("double")
+            ),
+        ).alias("v"),
+    )
+    return base.unionByName(twins)

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from eviction_lab_etl_spark import fixtures
 from eviction_lab_etl_spark.functions.determinism import big
 from eviction_lab_etl_spark.registry import query
 from eviction_lab_etl_spark.sources.loader import load
@@ -42,14 +43,22 @@ def dedup_exact(spark, sf_dir):
     )
 
 
+def keep_first(corpus: DataFrame) -> DataFrame:
+    """Canonical-document election per content digest (keep lowest doc_id) —
+    the standard exact-dedup keep rule (X), as a pure operator over any
+    (doc_id, text) corpus. One shuffle on the 16-byte digest, the only exact
+    plan that works at 100 TB."""
+    return (
+        corpus.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("grp_size"))
+        .filter(F.col("grp_size") > 1)
+    )
+
+
 @query(
     "dedup_keep_first",
-    oracle="""
-    WITH corpus AS (
-        SELECT doc_id, text FROM documents
-        UNION ALL
-        SELECT doc_id + 100000, text FROM documents WHERE doc_id < 25
-    )
+    oracle=f"""
+    WITH corpus AS ({fixtures.DOCUMENTS_WITH_DUPS_SQL})
     SELECT md5(text) AS h, min(doc_id) AS keep, count(*) AS grp_size
     FROM corpus
     GROUP BY md5(text)
@@ -57,21 +66,13 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def dedup_keep_first(spark, sf_dir):
-    """Canonical-document election per digest group (keep lowest doc_id) —
-    the standard exact-dedup keep rule (X). The fixture corpus has no exact
-    duplicates at small SF (a 0-row hash match verifies nothing), so the
-    query unions in a re-keyed copy of doc_id<25: the election then has 25
-    real groups to decide, and min/count behavior is value-checked."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    dupes = docs.filter(F.col("doc_id") < 25).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
-    )
-    corpus = docs.unionByName(dupes)
-    return (
-        corpus.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("grp_size"))
-        .filter(F.col("grp_size") > 1)
-    )
+    """Correctness binding for ``keep_first``: the raw fixture corpus has no
+    exact duplicates at small SF (a 0-row hash match verifies nothing), so
+    this runs the real operator over the FIXTURE-LAYER planted corpus
+    (fixtures.documents_with_dups — 25 deterministic duplicate groups). The
+    planting lives in fixtures.py, not here: the operator itself keeps
+    production dedup semantics."""
+    return keep_first(fixtures.documents_with_dups(spark, sf_dir))
 
 
 @query(

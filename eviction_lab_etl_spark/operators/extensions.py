@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from eviction_lab_etl_spark import fixtures
 from eviction_lab_etl_spark.functions.determinism import big
 from eviction_lab_etl_spark.operators.dedup_text import cosine
 from eviction_lab_etl_spark.registry import query
@@ -225,31 +226,31 @@ from eviction_lab_etl_spark.functions.srp import (  # noqa: E402
 _SRP_BANDS, _SRP_ROWS, _EMB_DIM = 8, 8, 64
 _SRP_PLANES = srp_planes(_SRP_BANDS * _SRP_ROWS, _EMB_DIM)
 _NEARDUP_COS = 0.9
-# Fixture embeddings are near-random (max pairwise cos ≈ 0.46 — no organic
-# near-dups), so the query plants twins: vec_id<50 re-keyed +100000 with the
-# first component nudged +0.25 (cos ≈ 0.97 to the original). The nudge and
-# the float→double casts are exact in both engines, so the planted corpus is
-# bit-identical on the oracle side.
-_TWIN_NUDGE = 0.25
 
 _SRP_DOTS, _SRP_KEYS, _SRP_BAND_CASE = srp_oracle_cte(
     _SRP_PLANES, _SRP_BANDS, _SRP_ROWS, _EMB_DIM
 )
 
 
+def cosine_neardup_pairs(corpus) -> "DataFrame":
+    """Embedding-cosine near-duplicate pairs (cos >= 0.9) over any
+    (vec_id, v: array<double>) corpus — the semantic-dedup step of an LLM
+    data pipeline, as a pure operator: SRP-LSH banding (functions/srp.py)
+    instead of an all-pairs join; candidates shuffle on (band, key), then
+    only candidates pay the exact cosine verification."""
+    cand = srp_candidate_pairs(
+        corpus, _SRP_PLANES, _SRP_BANDS, _SRP_ROWS, id_col="vec_id", vec_col="v"
+    )
+    return (
+        cand.filter(cosine(F.col("va"), F.col("vb")) >= _NEARDUP_COS)
+        .select("a", "b")
+    )
+
+
 @query(
     "sim_cosine_neardup",
     oracle=f"""
-    WITH corpus AS (
-        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        FROM embeddings WHERE vec_id < 300
-        UNION ALL
-        SELECT vec_id + 100000,
-               list_transform(range(1, {_EMB_DIM + 1}), j -> CASE WHEN j = 1
-                   THEN CAST(embedding[1] AS DOUBLE) + {_TWIN_NUDGE}
-                   ELSE CAST(embedding[j] AS DOUBLE) END)
-        FROM embeddings WHERE vec_id < 50
-    ),
+    WITH corpus AS ({fixtures.embeddings_with_twins_sql(_EMB_DIM)}),
     e AS (SELECT vec_id, v,
                  list_transform(v, x -> CAST(floor(x * {QUANT}) AS BIGINT)) AS q
           FROM corpus),
@@ -269,37 +270,20 @@ _SRP_DOTS, _SRP_KEYS, _SRP_BAND_CASE = srp_oracle_cte(
     """,
 )
 def sim_cosine_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.9) — the semantic-dedup
-    step of an LLM data pipeline — via signed-random-projection LSH banding
-    (functions/srp.py) instead of an all-pairs join: candidates shuffle on
-    (band, key), then only candidates pay the exact cosine verification.
-    The ORACLE computes the identical banded candidate set (same ±1 planes
-    inlined as literals, same integer-quantized sign bits), so the hash check
-    pins both the verify arithmetic AND the banding — at any recall, at any
-    scale. Measured on the fixture: recall 1.0 vs the exact join, 26× fewer
-    pairs scored. Floats are banded only after exact power-of-two
-    quantization (see srp.py for why raw float dots are not portable)."""
-    emb = load(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("vec_id") < 300).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    twins = emb.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: F.when(i == 0, x.cast("double") + F.lit(_TWIN_NUDGE)).otherwise(
-                x.cast("double")
-            ),
-        ).alias("v"),
-    )
-    corpus = base.unionByName(twins)
-    cand = srp_candidate_pairs(
-        corpus, _SRP_PLANES, _SRP_BANDS, _SRP_ROWS, id_col="vec_id", vec_col="v"
-    )
-    return (
-        cand.filter(cosine(F.col("va"), F.col("vb")) >= _NEARDUP_COS)
-        .select("a", "b")
-    )
+    """Correctness binding for ``cosine_neardup_pairs``. The ORACLE computes
+    the identical banded candidate set (same ±1 planes inlined as literals,
+    same integer-quantized sign bits), so the hash check pins both the verify
+    arithmetic AND the banding — at any recall, at any scale. Measured on the
+    fixture: recall 1.0 vs the exact join, 26× fewer pairs scored. Floats are
+    banded only after exact power-of-two quantization (see srp.py for why raw
+    float dots are not portable).
+
+    Fixture embeddings are near-random (max pairwise cos ≈ 0.46 — no organic
+    near-dups), so the input is the FIXTURE-LAYER planted corpus
+    (fixtures.embeddings_with_twins: vec_id<50 re-keyed twins at cos ≈ 0.97).
+    The planting lives in fixtures.py; the operator keeps production
+    semantics."""
+    return cosine_neardup_pairs(fixtures.embeddings_with_twins(spark, sf_dir))
 
 
 @query("ann_ivf")  # rows-only: recall measured in tests, not oracle-checked

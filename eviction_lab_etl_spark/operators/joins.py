@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from eviction_lab_etl_spark import fixtures
 from eviction_lab_etl_spark.functions.determinism import big, dec
 from eviction_lab_etl_spark.registry import query
 from eviction_lab_etl_spark.sources.loader import load
@@ -110,15 +111,22 @@ def join_semi(spark, sf_dir):
 
 @query(
     "join_anti",
-    oracle="""
+    oracle=f"""
+    WITH cust AS ({fixtures.CUSTOMERS_WITH_ORPHANS_SQL})
     SELECT c_custkey
-    FROM customer
+    FROM cust
     WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
     """,
 )
 def join_anti(spark, sf_dir):
-    """Anti join: customers with no orders at all (validation diffing, R12)."""
-    customer = load(spark, sf_dir, "customer")
+    """Anti join: customers with no orders at all (validation diffing, R12).
+
+    At sf0.01 every organic customer has orders, so the raw anti join is
+    empty in both engines and a hash match verifies nothing. The input is
+    therefore the FIXTURE-LAYER corpus (fixtures.customers_with_orphans —
+    25 planted keys guaranteed order-less), so the join decides >=25 real
+    rows; the anti-join operator itself is unchanged."""
+    customer = fixtures.customers_with_orphans(spark, sf_dir)
     orders = load(spark, sf_dir, "orders")
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"

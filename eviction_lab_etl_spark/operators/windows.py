@@ -114,7 +114,8 @@ def window_lag_delta(spark, sf_dir):
     "window_moving_avg",
     oracle="""
     SELECT od, cnt,
-           sum(cnt) OVER (ORDER BY od ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS movsum7
+           CAST(sum(cnt) OVER (ORDER BY od ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS movsum7
     FROM (SELECT CAST(ts AS DATE) AS od, count(*) AS cnt FROM events GROUP BY 1)
     """,
 )
@@ -130,8 +131,9 @@ def window_moving_avg(spark, sf_dir):
     "window_range_frame",
     oracle="""
     SELECT o_orderpriority, od, cnt,
-           sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY od
-                          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS run30
+           CAST(sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY od
+                               RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS run30
     FROM (SELECT o_orderpriority,
                  date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS od,
                  count(*) AS cnt

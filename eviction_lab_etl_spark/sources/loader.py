@@ -60,12 +60,14 @@ def spread(df: DataFrame, min_bytes: int = 256 << 10) -> DataFrame:
     input already split by the scan passes through untouched (repartitioning
     100 TB to ``defaultParallelism`` would be an enormous pointless shuffle)."""
     try:
-        total = sum(
-            os.path.getsize(f.removeprefix("file:")) for f in df.inputFiles()
-        )
+        files = df.inputFiles()
+        total = sum(os.path.getsize(f.removeprefix("file:")) for f in files)
     except OSError:
-        total = None
-    if total is not None and total < min_bytes:
+        files, total = [], None
+    # Only take the tiny-input early-return when the size is actually known:
+    # an in-memory / derived frame reports no input files (total 0), which is
+    # "size unknown", not "tiny" — those fall through to the parallelism check.
+    if files and total is not None and total < min_bytes:
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

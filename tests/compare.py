@@ -1,9 +1,18 @@
 """Canonicalized result comparison — a stricter local replica of the driver's
 row-count + schema + order-insensitive value-hash check (SURVEY §5.2 item 1).
 
-Stricter on purpose: floats must match bit-for-bit (repr-equal), not just
-hash-equal after some normalization we can't see. If this passes, any
-reasonable driver normalization passes too.
+Two complementary checks, because "stricter" has two axes:
+
+1. Value strictness (``canon_spark``/``canon_duck``): floats must match
+   bit-for-bit (repr-equal), not just hash-equal after some normalization we
+   can't see.
+2. Pandas-path strictness (``assert_pandas_kinds_agree``): the DRIVER
+   canonicalizes both sides via pandas (Spark ``toPandas`` / DuckDB
+   ``.df()``). ``fetchall()`` narrows a DuckDB HUGEINT back to a Python int
+   (equal to Spark's), but ``.df()`` widens it to float64 (``364.0`` vs
+   ``364``) — a driver hash mismatch invisible to check 1. Round 2 failed
+   two window queries on exactly this axis, so the local suite now walks the
+   pandas path too.
 """
 
 from __future__ import annotations
@@ -49,6 +58,29 @@ def canon_duck(con, sql: str) -> tuple[list[str], list[tuple]]:
     return sorted(names), sorted(rows, key=repr)
 
 
+def assert_pandas_kinds_agree(spark_df, con, oracle: str, name: str) -> None:
+    """Replicate the driver's pandas canonicalization axis: fail when the two
+    engines disagree on integer-vs-float dtype kind for the same column.
+
+    The classic trigger is an uncast integer ``sum(...)`` in the oracle:
+    DuckDB widens sum(BIGINT) to HUGEINT, whose pandas conversion is float64,
+    while Spark keeps int64 — values then render ``364.0`` vs ``364`` and the
+    driver's value-hash mismatches even though fetchall() compares equal.
+    Columns where BOTH sides widen (e.g. nullable ints → float64 + NaN on
+    both) are fine — only a one-sided int/float split fails.
+    """
+    s_kinds = {c: d.kind for c, d in spark_df.toPandas().dtypes.items()}
+    o_kinds = {c: d.kind for c, d in con.sql(oracle).df().dtypes.items()}
+    for col in sorted(set(s_kinds) & set(o_kinds)):
+        pair = {s_kinds[col], o_kinds[col]}
+        if "f" in pair and pair & {"i", "u"}:
+            raise AssertionError(
+                f"{name}.{col}: pandas dtype kind mismatch spark={s_kinds[col]} "
+                f"oracle={o_kinds[col]} — one-sided integer→float widening "
+                f"(uncast HUGEINT sum?) hash-mismatches in the driver"
+            )
+
+
 def assert_equivalent(spark_df, con, oracle: str, name: str) -> None:
     s_cols, s_rows = canon_spark(spark_df)
     o_cols, o_rows = canon_duck(con, oracle)
@@ -61,3 +93,4 @@ def assert_equivalent(spark_df, con, oracle: str, name: str) -> None:
             (i, s, o) for i, (s, o) in enumerate(zip(s_rows, o_rows)) if s != o
         ][:5]
         raise AssertionError(f"{name}: value mismatch, first diffs: {diffs}")
+    assert_pandas_kinds_agree(spark_df, con, oracle, name)

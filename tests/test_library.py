@@ -176,30 +176,14 @@ def test_srp_banded_neardup_subset_and_recall(spark, sf_dir):
     cos>=0.9 set (verification is exact), with recall >= 0.9 — on the
     fixture's planted twins the measured recall is 1.0 (theory: per-pair
     ~0.9999 at b=8, r=8, cos~0.97)."""
+    from eviction_lab_etl_spark import fixtures
     from eviction_lab_etl_spark.operators.dedup_text import cosine
-    from eviction_lab_etl_spark.operators.extensions import (
-        _NEARDUP_COS,
-        _TWIN_NUDGE,
-    )
+    from eviction_lab_etl_spark.operators.extensions import _NEARDUP_COS
     from eviction_lab_etl_spark.registry import QUERIES
-    from eviction_lab_etl_spark.sources.loader import load
 
     banded = {(r.a, r.b) for r in QUERIES["sim_cosine_neardup"](spark, sf_dir).collect()}
 
-    emb = load(spark, sf_dir, "embeddings")
-    base = emb.filter(F.col("vec_id") < 300).select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    )
-    twins = emb.filter(F.col("vec_id") < 50).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.transform(
-            "embedding",
-            lambda x, i: F.when(i == 0, x.cast("double") + F.lit(_TWIN_NUDGE)).otherwise(
-                x.cast("double")
-            ),
-        ).alias("v"),
-    )
-    corpus = base.unionByName(twins)
+    corpus = fixtures.embeddings_with_twins(spark, sf_dir)
     a, b = corpus.alias("a"), corpus.alias("b")
     exact = {
         (r.a, r.b)

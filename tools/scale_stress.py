@@ -62,7 +62,44 @@ STRESS = [
     "dedup_exact",
     "split_content_hash",
     "sim_knn_cosine",
+    "sim_cosine_neardup_full",
 ]
+
+
+def _neardup_full_corpus(spark, sf_dir):
+    """The PURE banded near-dup operator over the FULL (scaled) embeddings
+    table — not the registered correctness binding, whose vec_id<300 bound
+    would measure a constant under scaling. This is the measurement that puts
+    a number on the banded plan's candidate pruning as n grows."""
+    from eviction_lab_etl_spark.operators.extensions import cosine_neardup_pairs
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return cosine_neardup_pairs(emb)
+
+
+EXTRA_QUERIES = {"sim_cosine_neardup_full": _neardup_full_corpus}
+
+
+def measure_srp_pruning(spark, sf_dir) -> dict[str, int]:
+    """Candidate pairs the SRP banding actually scores vs the O(n²) pair
+    space it avoided — the pruning-factor evidence at each multiplier."""
+    from eviction_lab_etl_spark.functions.srp import srp_candidate_pairs
+    from eviction_lab_etl_spark.operators.extensions import (
+        _SRP_BANDS,
+        _SRP_PLANES,
+        _SRP_ROWS,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n = emb.count()
+    cand = srp_candidate_pairs(
+        emb, _SRP_PLANES, _SRP_BANDS, _SRP_ROWS, id_col="vec_id", vec_col="v"
+    ).count()
+    return {"n_vectors": n, "cand_pairs": cand, "all_pairs": n * (n - 1) // 2}
 
 
 def scaled_dir(mult: int) -> str:
@@ -104,7 +141,7 @@ def main() -> None:
         sf_dir = build_scaled(spark, mult)
         timings: dict[str, float] = {}
         for name in STRESS:
-            fn = registry.QUERIES[name]
+            fn = EXTRA_QUERIES.get(name) or registry.QUERIES[name]
 
             # noop sink: executes the full plan distributed, materializes
             # nothing on the driver. collect() would measure single-threaded
@@ -128,6 +165,7 @@ def main() -> None:
                     "value": round(sum(timings.values()), 4),
                     "unit": "sec",
                     "queries": timings,
+                    "srp_pruning": measure_srp_pruning(spark, sf_dir),
                     "base_sf": SRC,
                 }
             ),
