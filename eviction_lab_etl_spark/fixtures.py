@@ -65,6 +65,52 @@ def customers_with_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.unionByName(planted)
 
 
+# --- documents wrapped in synthetic markup / PII (text-cleaning operators) ---
+
+# The fixture corpus is plain text; the cleaning operators need dirty input.
+# Markup and PII are synthesized deterministically from doc_id so both engines
+# construct the identical raw corpus and the cleaning transform is what the
+# hash check actually decides.
+DOCUMENTS_WITH_MARKUP_SQL = """
+        SELECT doc_id, '<p class="d">' || text || '</p> <br/>' AS raw
+        FROM documents
+"""
+
+
+def documents_with_markup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<p class="d">'), F.col("text"), F.lit("</p> <br/>")
+        ).alias("raw"),
+    )
+
+
+DOCUMENTS_WITH_PII_SQL = """
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+               '@mail.example or call 555-' ||
+               lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' AS raw
+        FROM documents
+"""
+
+
+def documents_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" now"),
+        ).alias("raw"),
+    )
+
+
 # --- embeddings with planted near-twins (sim_cosine_neardup) -----------------
 
 # vec_id<50 re-keyed +100000 with the first component nudged +0.25

@@ -99,32 +99,41 @@ def srp_candidate_pairs(
     vec_col: str = "v",
 ) -> DataFrame:
     """Distinct candidate pairs (a < b, plus both vectors) sharing ≥1 band
-    bucket. Shuffles on (band, key) — never on the O(n²) pair space."""
+    bucket. Shuffles on (band, key) — never on the O(n²) pair space.
+
+    The banding stages are deliberately NARROW: buckets carry only
+    (id, band, key) and the pair dedup runs over bare (a, b) ids — 16-byte
+    rows — with the vectors joined back afterwards from the signature frame.
+    Carrying the vectors through the band explode would replicate every
+    vector ``bands``× into the (band, key) shuffle, and carrying them through
+    the DISTINCT would shuffle ~1 KB per candidate where 16 bytes suffice
+    (the gap widens with dimension and candidate count — SCALE.md records
+    the measured growth). The vector rejoin costs two id-keyed hash joins
+    proportional to n, not to candidates — the classic dedup-narrow /
+    rejoin-wide shape."""
     sig = vectors.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         srp_dots(vec_col, planes).alias("dots"),
     )
     buckets = sig.select(
-        "id", "v", F.explode(srp_band_entries("dots", bands, rows)).alias("e")
-    ).select("id", "v", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
+        "id", F.explode(srp_band_entries("dots", bands, rows)).alias("e")
+    ).select("id", F.col("e.band").alias("band"), F.col("e.key").alias("key"))
     b1 = buckets.alias("b1")
     b2 = buckets.alias("b2")
-    return (
+    cand = (
         b1.join(
             b2,
             (F.col("b1.band") == F.col("b2.band"))
             & (F.col("b1.key") == F.col("b2.key"))
             & (F.col("b1.id") < F.col("b2.id")),
         )
-        .select(
-            F.col("b1.id").alias("a"),
-            F.col("b2.id").alias("b"),
-            F.col("b1.v").alias("va"),
-            F.col("b2.v").alias("vb"),
-        )
+        .select(F.col("b1.id").alias("a"), F.col("b2.id").alias("b"))
         .distinct()
     )
+    va = sig.select(F.col("id").alias("a"), F.col("v").alias("va"))
+    vb = sig.select(F.col("id").alias("b"), F.col("v").alias("vb"))
+    return cand.join(va, "a").join(vb, "b")
 
 
 def srp_oracle_cte(

@@ -6,6 +6,8 @@ Importing this package registers every operator into
 
 from eviction_lab_etl_spark.operators import (  # noqa: F401
     aggregates,
+    cleaning,
+    clustering,
     complex,
     dedup_text,
     extensions,
@@ -19,6 +21,7 @@ from eviction_lab_etl_spark.operators import (  # noqa: F401
     scans,
     setops,
     sorts,
+    training,
     udfs,
     windows,
 )

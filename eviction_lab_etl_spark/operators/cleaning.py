@@ -1,0 +1,88 @@
+"""LLM-corpus text-cleaning operators: HTML stripping and PII masking.
+
+Two staples of a training-data pipeline's normalization stage, expressed as
+pure map-only transforms (JVM-side regexp — no Python, no shuffle: at 100 TB
+these run at scan speed and pipeline into whatever follows). The regex
+subset used ( character classes, ``+``/``{n}`` quantifiers ) behaves
+identically in Java regex (Spark) and RE2 (DuckDB), which is what makes the
+transforms hash-checkable cross-engine.
+
+The fixture corpus is plain text, so the correctness bindings read the
+fixture-layer synthesized dirty corpora (fixtures.documents_with_markup /
+documents_with_pii); the operators themselves take any (doc_id, raw) frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark import fixtures
+from eviction_lab_etl_spark.functions.determinism import big
+from eviction_lab_etl_spark.registry import query
+
+_TAG_RE = "<[^>]*>"
+_EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
+_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def strip_html(df: DataFrame, col: str = "raw") -> DataFrame:
+    """Pure operator: drop markup tags, collapse runs of whitespace, trim."""
+    clean = F.trim(
+        F.regexp_replace(F.regexp_replace(F.col(col), _TAG_RE, " "), " +", " ")
+    )
+    return df.select("doc_id", clean.alias("clean"))
+
+
+def mask_pii(df: DataFrame, col: str = "raw") -> DataFrame:
+    """Pure operator: replace email/phone literals with typed mask tokens and
+    count the redactions (the audit trail a compliance pass needs)."""
+    masked = F.regexp_replace(
+        F.regexp_replace(F.col(col), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return df.select(
+        "doc_id",
+        masked.alias("masked"),
+        big(F.size(F.regexp_extract_all(col, F.lit(_EMAIL_RE), F.lit(0)))).alias(
+            "n_emails"
+        ),
+        big(F.size(F.regexp_extract_all(col, F.lit(_PHONE_RE), F.lit(0)))).alias(
+            "n_phones"
+        ),
+    )
+
+
+@query(
+    "text_clean_html",
+    oracle=f"""
+    WITH raw AS ({fixtures.DOCUMENTS_WITH_MARKUP_SQL})
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(raw, '{_TAG_RE}', ' ', 'g'),
+                               ' +', ' ', 'g')) AS clean
+    FROM raw
+    """,
+)
+def text_clean_html(spark, sf_dir):
+    """Correctness binding for ``strip_html`` over the fixture-layer markup
+    corpus (every doc wrapped in deterministic tags, so the strip actually
+    fires on every row and the hash pins tag removal + whitespace collapse)."""
+    return strip_html(fixtures.documents_with_markup(spark, sf_dir))
+
+
+@query(
+    "text_pii_mask",
+    oracle=f"""
+    WITH raw AS ({fixtures.DOCUMENTS_WITH_PII_SQL})
+    SELECT doc_id,
+           regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS masked,
+           len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phones
+    FROM raw
+    """,
+)
+def text_pii_mask(spark, sf_dir):
+    """Correctness binding for ``mask_pii`` over the fixture-layer PII corpus
+    (every doc carries a deterministic planted email + phone, so each row has
+    >=1 redaction of each kind and the counts are value-checked)."""
+    return mask_pii(fixtures.documents_with_pii(spark, sf_dir))

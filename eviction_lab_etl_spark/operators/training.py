@@ -1,0 +1,302 @@
+"""Training-set assembly operators (LLM-pipeline extension, X).
+
+Five operations that sit between a cleaned corpus and a training run — the
+stage after dedup/quality (operators/{dedup_text,extensions,cleaning}.py) and
+before sharded export. Each is expressed so the sf0.01 plan IS the 100 TB
+plan:
+
+- **Benchmark contamination** (`contam_ngram_overlap`): n-gram overlap between
+  the training corpus and an eval set. The eval side is always tiny relative
+  to the corpus, so its distinct-n-gram set broadcasts and the check is a
+  map-side semi-probe per training n-gram — no shuffle of the corpus.
+- **Sequence packing** (`pack_concat_chunks`): concat-then-chunk packing of
+  documents into fixed token-budget training sequences via a windowed
+  cumulative sum. Partitioned by `lang` on purpose: a GLOBAL packing order
+  would serialize into one window partition at 100 TB; per-shard packing
+  (shard = lang here; content-hash shard in production) keeps every partition
+  independent, which is also what training wants (shards are shuffled anyway).
+- **Sliding-window chunking** (`chunk_sliding`): overlapping token windows per
+  document (size 32, stride 16) built JVM-side from `sequence`/`slice` — one
+  narrow map stage, no Python, no shuffle.
+- **Mixture resampling** (`resample_by_lang`): integer temperature-style
+  upsampling of under-represented languages (repeat factor = capped ceil of
+  max_count/count). The factor table is |langs| rows → broadcast; the
+  replication is a map-side `explode(sequence(...))`. Integer factors keep it
+  hash-checkable (float temperature weights are engine-divergent, §2.0 rule 1).
+- **Repetition removal** (`text_dedup_repeats`): drop repeated tokens within a
+  document keeping first occurrence — the token-level analog of the
+  paragraph/line dedup every crawl pipeline runs. Map-only
+  (`array_distinct`), order-preserving on both engines (oracle pins it via
+  min-position + ordered string_agg).
+
+Reference analog: R7/R12 export QA; the training-assembly ops are the X
+extension mandated by BASELINE.json (reference mount empty — SURVEY §0).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.functions.determinism import big
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
+
+# Contamination n-gram order. 5 on a ~40-word vocabulary gives a discriminative
+# gram space (40^5) the way 13-grams do on real text; 3-grams would saturate.
+_N = 5
+# Packing token budget / chunk window / chunk stride.
+_BUDGET = 256
+_W = 32
+_S = 16
+
+
+@query(
+    "contam_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(l[i : i + {_N - 1}], ' ') AS gram
+        FROM (SELECT doc_id, l,
+                     unnest(range(1, greatest(len(l) - {_N - 1}, 0) + 1)) AS i
+              FROM toks)
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit
+    FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def contam_ngram_overlap(spark, sf_dir):
+    """Per-training-document eval contamination: how many of its distinct
+    5-grams appear anywhere in the eval set (docs with doc_id % 97 == 0 — a
+    deterministic stand-in for a held-out benchmark). The eval gram set is
+    ~1% of the corpus and broadcasts; the corpus side never shuffles on the
+    gram key, only hash-aggregates per (doc_id, gram) for the distinct."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(w) >= _N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - (_N - 1)),
+                        lambda i: F.array_join(F.slice(w, i, _N), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(
+            F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            big(F.sum(F.coalesce(F.col("hit"), F.lit(0)))).alias("n_hit"),
+        )
+    )
+
+
+@query(
+    "pack_concat_chunks",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    cum AS (
+        SELECT lang, doc_id, n_tok,
+               COALESCE(sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS before
+        FROM toks
+    )
+    SELECT lang,
+           CAST(before // {_BUDGET} AS BIGINT) AS seq_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM cum
+    GROUP BY lang, before // {_BUDGET}
+    """,
+)
+def pack_concat_chunks(spark, sf_dir):
+    """Concat-then-chunk sequence packing: within each lang shard, documents
+    in doc_id order are laid end to end and cut into {_BUDGET}-token training
+    sequences; each document is assigned to the sequence its first token
+    falls in. One partitioned window cumsum + one hash agg — the per-shard
+    independence is what makes the same plan hold at 100 TB (a global packing
+    order would funnel the window into a single partition)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = toks.withColumn(
+        "before", F.coalesce(F.sum("n_tok").over(win), F.lit(0))
+    )
+    return (
+        cum.groupBy(
+            "lang", (F.col("before") / _BUDGET).cast("long").alias("seq_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            big(F.sum("n_tok")).alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+@query(
+    "chunk_sliding",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           k AS chunk_id,
+           array_to_string(l[k * {_S} + 1 : k * {_S} + {_W}], ' ') AS chunk,
+           least({_W}, n - k * {_S}) AS n_tok
+    FROM (SELECT doc_id, l, n,
+                 unnest(range(0, (greatest(n - {_W}, 0) + {_S} - 1) // {_S} + 1))
+                     AS k
+          FROM toks)
+    """,
+)
+def chunk_sliding(spark, sf_dir):
+    """Overlapping token windows per document (size {_W}, stride {_S}) — the
+    context-window chunking step before embedding or tokenization. Chunk k
+    starts at token k*{_S}+1; the last chunk is the first one whose window
+    reaches the end of the document (so every token is covered and no chunk
+    is pure padding). Narrow map stage: sequence/slice/array_join all inside
+    whole-stage codegen, no shuffle at any scale."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    docs2 = docs.select("doc_id", w.alias("l"), n.alias("n"))
+    # Integer floor-div mirrors the oracle's // maths: last chunk index is
+    # ceil(max(n - W, 0) / S) = (max(n - W, 0) + S - 1) div S.
+    kmax = F.expr(f"(greatest(n - {_W}, 0) + {_S - 1}) div {_S}")
+    return (
+        docs2.select(
+            "doc_id",
+            "l",
+            "n",
+            F.explode(F.sequence(F.lit(0), kmax)).alias("k"),
+        )
+        .select(
+            "doc_id",
+            big("k").alias("chunk_id"),
+            F.array_join(
+                F.slice("l", F.col("k").cast("int") * _S + 1, _W), " "
+            ).alias("chunk"),
+            big(F.least(F.lit(_W), F.col("n") - F.col("k") * _S)).alias("n_tok"),
+        )
+    )
+
+
+@query(
+    "resample_by_lang",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang
+    ),
+    factors AS (
+        SELECT lang, n,
+               least(4, (SELECT max(n) FROM counts) // n +
+                        CASE WHEN (SELECT max(n) FROM counts) % n = 0
+                             THEN 0 ELSE 1 END) AS f
+        FROM counts
+    )
+    SELECT d.doc_id, d.lang, CAST(c AS BIGINT) AS copy_idx
+    FROM documents d
+    JOIN factors USING (lang),
+         unnest(range(1, f + 1)) AS r(c)
+    """,
+)
+def resample_by_lang(spark, sf_dir):
+    """Mixture rebalancing: upsample under-represented languages by an
+    integer repeat factor ceil(max_lang_count / lang_count), capped at 4 —
+    the integer form of temperature sampling (float weights would violate
+    §2.0 rule 1). The factor table is |langs| rows and broadcasts; the
+    replication itself is a map-side explode, so the corpus never shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    max_n = counts.agg(F.max("n").alias("m"))
+    factors = counts.crossJoin(F.broadcast(max_n)).select(
+        "lang",
+        # Integer ceil-div (m div n rounded up), capped — exact on both sides.
+        F.expr(
+            "least(4, (m div n) + CASE WHEN m % n = 0 THEN 0 ELSE 1 END)"
+        ).alias("f"),
+    )
+    return (
+        docs.join(F.broadcast(factors), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1), F.col("f"))).alias("copy_idx"),
+        )
+        .withColumn("copy_idx", big("copy_idx"))
+    )
+
+
+@query(
+    "text_dedup_repeats",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, w, min(p) AS p
+        FROM (SELECT doc_id,
+                     unnest(string_split(text, ' ')) AS w,
+                     unnest(range(1, len(string_split(text, ' ')) + 1)) AS p
+              FROM documents)
+        GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           string_agg(w, ' ' ORDER BY p) AS clean,
+           count(*) AS n_unique
+    FROM pos
+    GROUP BY doc_id
+    """,
+)
+def text_dedup_repeats(spark, sf_dir):
+    """Intra-document repetition removal: keep each token's first occurrence,
+    preserving order — the token-scale analog of the line/paragraph dedup a
+    crawl pipeline runs per page. `array_distinct` preserves first-occurrence
+    order and runs map-only; the oracle pins the order-preservation contract
+    via min-position + ordered string_agg."""
+    docs = load(spark, sf_dir, "documents")
+    uniq = F.array_distinct(F.split("text", " "))
+    return docs.select(
+        "doc_id",
+        F.array_join(uniq, " ").alias("clean"),
+        big(F.size(uniq)).alias("n_unique"),
+    )

@@ -47,6 +47,9 @@ EXTENSIONS = {
     "agg_approx_quantile", "sketch_hll_partitioned",
     "complex_shipping_priority", "complex_region_revenue",
     "complex_returned_revenue", "io_orc_roundtrip", "io_bucketed_join",
+    "text_clean_html", "text_pii_mask", "dedup_cluster_cc",
+    "contam_ngram_overlap", "pack_concat_chunks", "chunk_sliding",
+    "resample_by_lang", "text_dedup_repeats",
 }
 
 

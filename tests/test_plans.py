@@ -121,3 +121,40 @@ def test_events_scan_prunes_payload_columns(spark, sf_dir):
     assert "user_id" in schema and "event_type" in schema
     assert "props" not in schema, "events scan reads unused JSON payload"
     assert "value" not in schema
+
+
+def test_cleaning_and_chunking_are_pure_map_stages(spark, sf_dir):
+    # HTML strip / PII mask / sliding chunks / intra-doc dedup are normalize-
+    # stage transforms: at 100 TB they must run at scan speed — zero shuffles,
+    # zero Python, everything inside whole-stage codegen.
+    for name in (
+        "text_clean_html",
+        "text_pii_mask",
+        "chunk_sliding",
+        "text_dedup_repeats",
+    ):
+        info = plan_of(spark, sf_dir, name)
+        assert info["shuffles"] == 0, f"{name}: {info['shuffles']} shuffles"
+        assert info["python_rows"] == 0, f"{name} fell back to Python rows"
+        assert info["arrow_python"] == 0, f"{name} crosses into Python"
+
+
+def test_training_small_sides_broadcast(spark, sf_dir):
+    # Contamination: the eval-set gram list is the small side — must broadcast
+    # (the corpus side never shuffles on the gram key).
+    info = plan_of(spark, sf_dir, "contam_ngram_overlap")
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 1, f"contam: eval grams not broadcast ({bcast})"
+    # Resampling: the |langs|-row factor table broadcasts twice (max join +
+    # factor join); the corpus is replicated map-side, never shuffled.
+    info = plan_of(spark, sf_dir, "resample_by_lang")
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 2, f"resample: factors not broadcast ({bcast})"
+
+
+def test_pack_sequences_reuses_window_partitioning(spark, sf_dir):
+    # The lang-partitioned window cumsum shuffles once on lang; the following
+    # (lang, seq_id) aggregation must REUSE that partitioning (hash(lang)
+    # satisfies ClusteredDistribution(lang, seq_id)) — one shuffle total.
+    info = plan_of(spark, sf_dir, "pack_concat_chunks")
+    assert info["shuffles"] == 1, f"pack: {info['shuffles']} shuffles"
