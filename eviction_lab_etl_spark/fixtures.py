@@ -111,6 +111,59 @@ def documents_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- nation polygons as WKT (geometry-lite operators) ------------------------
+
+# The fixture tables carry no geometry; the reference's geo stage (census
+# shapes → simplified polygons → centroid "label points") needs one. Each
+# nation gets a deterministic integer-coordinate octagon on a 5×5 grid of
+# 20×20 cells: center ((k%5)*20+10, (k//5)*20+10), radius scale 1+(k%2), and
+# an asymmetry bump -(k%3) on the west vertex so the area centroid is NOT the
+# center (the shoelace computation has something to decide). All-integer
+# coordinates keep every downstream computation exact (§2.0 rule 1). Keep the
+# SQL text and the DataFrame twin in lockstep vertex by vertex.
+_OCT_DX = (4, 3, 0, -3, -4, -3, 0, 3)
+_OCT_DY = (0, 3, 4, 3, 0, -3, -4, -3)
+
+
+def _vertex_sql(i: int) -> str:
+    bump = " - (n_nationkey % 3)" if i == 4 else ""
+    dx, dy = _OCT_DX[i], _OCT_DY[i]
+    return (
+        f"CAST((n_nationkey % 5) * 20 + 10 + (1 + n_nationkey % 2) * {dx}{bump} AS VARCHAR)"
+        f" || ' ' || "
+        f"CAST((n_nationkey // 5) * 20 + 10 + (1 + n_nationkey % 2) * {dy} AS VARCHAR)"
+    )
+
+
+NATION_POLYGONS_SQL = (
+    "        SELECT n_nationkey, 'POLYGON ((' || "
+    + " || ', ' || ".join(_vertex_sql(i) for i in list(range(8)) + [0])
+    + " || '))' AS wkt FROM nation"
+)
+
+
+def nation_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation")
+
+    def vx(i: int):
+        bump = (F.col("n_nationkey") % 3) if i == 4 else F.lit(0)
+        s = 1 + F.col("n_nationkey") % 2
+        x = (F.col("n_nationkey") % 5) * 20 + 10 + s * _OCT_DX[i] - bump
+        y = (F.col("n_nationkey") - F.col("n_nationkey") % 5) / 5
+        y = y.cast("long") * 20 + 10 + s * _OCT_DY[i]
+        return F.concat(x.cast("string"), F.lit(" "), y.cast("string"))
+
+    parts = []
+    for i in list(range(8)) + [0]:
+        if parts:
+            parts.append(F.lit(", "))
+        parts.append(vx(i))
+    return nat.select(
+        "n_nationkey",
+        F.concat(F.lit("POLYGON (("), *parts, F.lit("))")).alias("wkt"),
+    )
+
+
 # --- embeddings with planted near-twins (sim_cosine_neardup) -----------------
 
 # vec_id<50 re-keyed +100000 with the first component nudged +0.25

@@ -12,6 +12,8 @@ from eviction_lab_etl_spark.operators import (  # noqa: F401
     dedup_text,
     extensions,
     filters,
+    geo,
+    incremental,
     joins,
     multimodal,
     pipelines,

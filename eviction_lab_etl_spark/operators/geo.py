@@ -1,0 +1,186 @@
+"""Geometry-lite operators: WKT centroids/bboxes and point→region assignment.
+
+The reference's geo stage (R2/R9) fetches census polygons, simplifies them,
+and derives centroid "label points" that the search index and map labels
+consume; its core spatial computation is "which geography does this entity
+belong to". SURVEY §7.4 rule 7 keeps real geometry libraries out of scope and
+models shapes as WKT string columns — these operators implement exactly that
+slice, Spark-first:
+
+- **`geo_centroid_bbox`**: parse a WKT polygon ring and compute the shoelace
+  area and area-centroid plus the bounding box — entirely with JVM
+  higher-order array functions over integer coordinates, so the result is
+  exact and hash-checkable (§2.0 rule 1: no float geometry). The centroid is
+  emitted as exact integer numerators + denominator (cx = cx_num/den); a
+  float consumer divides at the edge.
+- **`geo_point_in_region`**: assign points to regions via the grid-cell
+  index pattern — regions are bucketed by the cell their bbox center falls
+  in, the |regions|-row cell index broadcasts, and each point probes with
+  integer-div arithmetic. This is how a spatial join actually scales: the
+  point side never shuffles, the region index is the small side. (With
+  multi-cell regions the index gets one row per overlapped cell plus an
+  exact post-filter — same plan shape.)
+
+Both read the fixture-layer WKT corpus (fixtures.nation_polygons — the test
+tables carry no geometry); the parsing/shoelace/bucketing logic takes any
+(key, wkt) frame. Map-only except the final tiny aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark import fixtures
+from eviction_lab_etl_spark.functions.determinism import big
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
+
+# Grid-cell size for the point→region index (fixture polygons are planted on
+# a 5×5 grid of 20×20 cells, one nation per cell).
+_CELL = 20
+
+
+def _ring_coords(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
+    """Parse 'POLYGON ((x y, ..., x y))' into bigint coordinate arrays
+    ``xs``/``ys`` (closing vertex included). Pure map stage."""
+    body = F.regexp_replace(F.col(wkt_col), r"POLYGON \(\(|\)\)", "")
+    pts = F.split(body, ", ")
+    return df.withColumn(
+        "xs",
+        F.transform(pts, lambda p: F.element_at(F.split(p, " "), 1).cast("long")),
+    ).withColumn(
+        "ys",
+        F.transform(pts, lambda p: F.element_at(F.split(p, " "), 2).cast("long")),
+    )
+
+
+def _shoelace_sum(term) -> Column:
+    """Sum term(i) over ring edges i = 1..len-1, as a bigint fold."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size("xs") - 1),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + term(i),
+    )
+
+
+def centroid_bbox(polys: DataFrame, key: str = "n_nationkey") -> DataFrame:
+    """Exact shoelace area (×2), area-centroid numerators (denominator
+    3×area2), and bbox for each WKT polygon. Integer in, integer out."""
+    x = lambda i: F.element_at("xs", i)  # noqa: E731
+    y = lambda i: F.element_at("ys", i)  # noqa: E731
+    cross = lambda i: x(i) * y(i + 1) - x(i + 1) * y(i)  # noqa: E731
+    ring = _ring_coords(polys)
+    return ring.select(
+        key,
+        _shoelace_sum(cross).alias("a2"),
+        _shoelace_sum(lambda i: (x(i) + x(i + 1)) * cross(i)).alias("cx_num"),
+        _shoelace_sum(lambda i: (y(i) + y(i + 1)) * cross(i)).alias("cy_num"),
+        (_shoelace_sum(cross) * 3).alias("den"),
+        big(F.array_min(F.slice("xs", 1, F.size("xs") - 1))).alias("minx"),
+        big(F.array_min(F.slice("ys", 1, F.size("ys") - 1))).alias("miny"),
+        big(F.array_max(F.slice("xs", 1, F.size("xs") - 1))).alias("maxx"),
+        big(F.array_max(F.slice("ys", 1, F.size("ys") - 1))).alias("maxy"),
+    )
+
+
+_ORACLE_RING = f"""
+    poly AS ({fixtures.NATION_POLYGONS_SQL}),
+    ring AS (
+        SELECT n_nationkey,
+               list_transform(
+                   string_split(replace(replace(wkt, 'POLYGON ((', ''), '))', ''), ', '),
+                   p -> CAST(string_split(p, ' ')[1] AS BIGINT)) AS xs,
+               list_transform(
+                   string_split(replace(replace(wkt, 'POLYGON ((', ''), '))', ''), ', '),
+                   p -> CAST(string_split(p, ' ')[2] AS BIGINT)) AS ys
+        FROM poly
+    )
+"""
+
+
+@query(
+    "geo_centroid_bbox",
+    oracle=f"""
+    WITH {_ORACLE_RING},
+    edges AS (
+        SELECT n_nationkey, xs, ys, unnest(range(1, len(xs))) AS i FROM ring
+    )
+    SELECT n_nationkey,
+           CAST(sum(xs[i]*ys[i+1] - xs[i+1]*ys[i]) AS BIGINT) AS a2,
+           CAST(sum((xs[i]+xs[i+1]) * (xs[i]*ys[i+1] - xs[i+1]*ys[i])) AS BIGINT)
+               AS cx_num,
+           CAST(sum((ys[i]+ys[i+1]) * (xs[i]*ys[i+1] - xs[i+1]*ys[i])) AS BIGINT)
+               AS cy_num,
+           CAST(sum(xs[i]*ys[i+1] - xs[i+1]*ys[i]) * 3 AS BIGINT) AS den,
+           list_aggregate(xs[1:8], 'min') AS minx,
+           list_aggregate(ys[1:8], 'min') AS miny,
+           list_aggregate(xs[1:8], 'max') AS maxx,
+           list_aggregate(ys[1:8], 'max') AS maxy
+    FROM edges
+    GROUP BY n_nationkey, xs, ys
+    """,
+)
+def geo_centroid_bbox(spark, sf_dir):
+    """Label-point derivation over the fixture WKT polygons: shoelace area,
+    exact rational centroid, bbox — the reference's centers/label-point build
+    re-expressed as JVM array folds (no UDF, no geometry lib, map-only)."""
+    return centroid_bbox(fixtures.nation_polygons(spark, sf_dir))
+
+
+@query(
+    "geo_point_in_region",
+    oracle=f"""
+    WITH {_ORACLE_RING},
+    cells AS (
+        SELECT n_nationkey,
+               ((list_aggregate(xs[1:8], 'min') + list_aggregate(xs[1:8], 'max')) // 2)
+                   // {_CELL} AS gx,
+               ((list_aggregate(ys[1:8], 'min') + list_aggregate(ys[1:8], 'max')) // 2)
+                   // {_CELL} AS gy
+        FROM ring
+    ),
+    pts AS (
+        SELECT c_custkey,
+               (c_custkey * 7919) % 100 AS px,
+               (c_custkey * 104729) % 100 AS py
+        FROM customer
+    )
+    SELECT n_nationkey,
+           count(*) AS n_points,
+           min(c_custkey) AS min_cust,
+           max(c_custkey) AS max_cust
+    FROM pts JOIN cells ON px // {_CELL} = gx AND py // {_CELL} = gy
+    GROUP BY n_nationkey
+    """,
+)
+def geo_point_in_region(spark, sf_dir):
+    """Point→geography assignment via the grid-cell index: region bboxes
+    (from the parsed WKT) are bucketed to their center cell, the 25-row cell
+    index broadcasts, and customer points (deterministic integer coords
+    derived from c_custkey) probe map-side — the point side never shuffles
+    except for the final per-region count."""
+    polys = centroid_bbox(fixtures.nation_polygons(spark, sf_dir))
+    cells = polys.select(
+        "n_nationkey",
+        F.expr(f"((minx + maxx) div 2) div {_CELL}").alias("gx"),
+        F.expr(f"((miny + maxy) div 2) div {_CELL}").alias("gy"),
+    )
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 100).alias("px"),
+        ((F.col("c_custkey") * 104729) % 100).alias("py"),
+    )
+    return (
+        pts.join(
+            F.broadcast(cells),
+            (F.expr(f"px div {_CELL}") == F.col("gx"))
+            & (F.expr(f"py div {_CELL}") == F.col("gy")),
+        )
+        .groupBy("n_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("c_custkey").alias("min_cust"),
+            F.max("c_custkey").alias("max_cust"),
+        )
+    )

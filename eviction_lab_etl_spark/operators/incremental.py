@@ -1,0 +1,107 @@
+"""Incremental-rebuild support: partition-level change detection by digest.
+
+The reference's build is GNU-Make-incremental (R1): a target is rebuilt only
+when an input's mtime changed. The warehouse-native analog is CONTENT-level:
+maintain a tiny per-partition manifest (row count + an order-independent
+content digest), diff it against the previous build's manifest, and rebuild
+only the partitions whose digest moved. At 100 TB this is the difference
+between rescanning everything nightly and touching three partitions:
+
+- The digest is an integer SUM of per-row hashes — commutative and
+  associative, so it partial-aggregates map-side, merges across executors in
+  any order, and (unlike min/max digests) changes when any row is added,
+  removed, or modified.
+- The manifest is |partitions| rows. The diff join is trivially broadcast.
+- The same digest definition doubles as an output-QA check (R12): recompute
+  on the rebuilt partition and compare.
+
+`incr_partition_refresh` demonstrates the full loop on the orders table
+partitioned by year: "previous" is the corpus minus a deterministic slice of
+order keys (o_orderkey % 101 = 0 — the rows that "arrived" since the last
+build), "current" is the full table; the diff flags exactly the year
+partitions that received arrivals, with both engines agreeing on every
+digest bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.functions.determinism import big
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
+
+
+def row_digest(*cols: str):
+    """Order-independent-summable per-row digest: the first 8 md5 hex digits
+    of the '|'-joined key columns, as a bigint (< 2^32, so a partition of
+    billions of rows sums well inside bigint range). Engine-portable: md5 and
+    hex→int conversion agree between Spark (`conv`) and DuckDB (`'0x'||`)."""
+    joined = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    return F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("long")
+
+
+def partition_manifest(df: DataFrame, part_col, *key_cols: str) -> DataFrame:
+    """(partition, n_rows, digest) — the tiny table an incremental build
+    stores per run. One partial-aggregated pass, output size |partitions|."""
+    return df.groupBy(part_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_digest(*key_cols)).alias("digest"),
+    )
+
+
+_DIGEST_SQL = "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+
+@query(
+    "incr_partition_refresh",
+    oracle=f"""
+    WITH cur AS (
+        SELECT year(o_orderdate) AS od_year,
+               count(*) AS n_cur,
+               CAST(sum({_DIGEST_SQL}) AS BIGINT) AS digest_cur
+        FROM orders GROUP BY 1
+    ),
+    prev AS (
+        SELECT year(o_orderdate) AS od_year,
+               count(*) AS n_prev,
+               CAST(sum({_DIGEST_SQL}) AS BIGINT) AS digest_prev
+        FROM orders WHERE o_orderkey % 101 <> 0 GROUP BY 1
+    )
+    SELECT c.od_year, n_prev, n_cur, digest_prev, digest_cur,
+           digest_prev IS DISTINCT FROM digest_cur AS changed
+    FROM cur c LEFT JOIN prev p ON c.od_year = p.od_year
+    """,
+)
+def incr_partition_refresh(spark, sf_dir):
+    """Manifest diff over orders partitioned by year: which year partitions
+    must be rebuilt because rows arrived (o_orderkey % 101 = 0 simulates the
+    new arrivals missing from the previous build). Two partial-aggregated
+    manifest scans + a broadcast diff join over |years| rows — never a
+    row-level comparison between builds."""
+    orders = load(spark, sf_dir, "orders")
+    part = F.year("o_orderdate").alias("od_year")
+    cur = partition_manifest(orders, part, "o_orderkey", "o_custkey").select(
+        "od_year",
+        F.col("n_rows").alias("n_cur"),
+        F.col("digest").alias("digest_cur"),
+    )
+    prev = partition_manifest(
+        orders.filter(F.col("o_orderkey") % 101 != 0),
+        part,
+        "o_orderkey",
+        "o_custkey",
+    ).select(
+        "od_year",
+        F.col("n_rows").alias("n_prev"),
+        F.col("digest").alias("digest_prev"),
+    )
+    return cur.join(F.broadcast(prev), "od_year", "left").select(
+        "od_year",
+        "n_prev",
+        "n_cur",
+        "digest_prev",
+        "digest_cur",
+        (~F.col("digest_prev").eqNullSafe(F.col("digest_cur"))).alias("changed"),
+    )

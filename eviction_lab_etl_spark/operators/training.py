@@ -79,14 +79,16 @@ def contam_ngram_overlap(spark, sf_dir):
     """Per-training-document eval contamination: how many of its distinct
     5-grams appear anywhere in the eval set (docs with doc_id % 97 == 0 — a
     deterministic stand-in for a held-out benchmark). The eval gram set is
-    ~1% of the corpus and broadcasts; the corpus side never shuffles on the
-    gram key, only hash-aggregates per (doc_id, gram) for the distinct."""
+    ~1% of the corpus and broadcasts; the per-doc distinct runs MAP-SIDE
+    (``array_distinct`` inside the row, not a corpus-wide (doc_id, gram)
+    DISTINCT exchange), so the only corpus shuffle is the final per-doc
+    aggregation."""
     docs = load(spark, sf_dir, "documents")
     w = F.split("text", " ")
-    grams = (
-        docs.select(
-            "doc_id",
-            F.explode(
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.when(
                     F.size(w) >= _N,
                     F.transform(
@@ -94,9 +96,8 @@ def contam_ngram_overlap(spark, sf_dir):
                         lambda i: F.array_join(F.slice(w, i, _N), " "),
                     ),
                 ).otherwise(F.array().cast("array<string>"))
-            ).alias("gram"),
-        )
-        .distinct()
+            )
+        ).alias("gram"),
     )
     bench = (
         grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()

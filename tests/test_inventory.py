@@ -50,6 +50,7 @@ EXTENSIONS = {
     "text_clean_html", "text_pii_mask", "dedup_cluster_cc",
     "contam_ngram_overlap", "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "text_dedup_repeats",
+    "geo_centroid_bbox", "geo_point_in_region", "incr_partition_refresh",
 }
 
 

@@ -145,6 +145,9 @@ def test_training_small_sides_broadcast(spark, sf_dir):
     info = plan_of(spark, sf_dir, "contam_ngram_overlap")
     bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
     assert bcast >= 1, f"contam: eval grams not broadcast ({bcast})"
+    # Per-doc gram distinct is map-side (array_distinct): the only shuffles
+    # are the tiny eval-set DISTINCT and the final per-doc aggregation.
+    assert info["shuffles"] <= 2, f"contam: {info['shuffles']} shuffles"
     # Resampling: the |langs|-row factor table broadcasts twice (max join +
     # factor join); the corpus is replicated map-side, never shuffled.
     info = plan_of(spark, sf_dir, "resample_by_lang")
@@ -158,3 +161,23 @@ def test_pack_sequences_reuses_window_partitioning(spark, sf_dir):
     # satisfies ClusteredDistribution(lang, seq_id)) — one shuffle total.
     info = plan_of(spark, sf_dir, "pack_concat_chunks")
     assert info["shuffles"] == 1, f"pack: {info['shuffles']} shuffles"
+
+
+def test_geo_and_incremental_plan_shapes(spark, sf_dir):
+    # Centroid/bbox: pure map stage over the WKT parse — JVM array folds,
+    # zero shuffles, zero Python.
+    info = plan_of(spark, sf_dir, "geo_centroid_bbox")
+    assert info["shuffles"] == 0, f"centroid: {info['shuffles']} shuffles"
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0
+    # Point→region: the 25-row cell index broadcasts; the point side only
+    # shuffles for the final per-region count.
+    info = plan_of(spark, sf_dir, "geo_point_in_region")
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 1, f"point_in_region: cell index not broadcast ({bcast})"
+    assert info["shuffles"] <= 1, f"point_in_region: {info['shuffles']} shuffles"
+    # Manifest diff: two partial-aggregated scans + a broadcast join over
+    # |years| rows — the manifests are tiny, the diff must not sort-merge.
+    info = plan_of(spark, sf_dir, "incr_partition_refresh")
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 1, f"manifest diff not broadcast ({bcast})"
+    assert info["sortmerge_joins"] == 0
