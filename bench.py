@@ -46,6 +46,9 @@ HEADLINE = [
 LLM_HEADLINE = [
     "dedup_simhash_pairs",
     "pipeline_corpus_manifest",
+    # Full-corpus scan (no doc_id bound): the training-assembly family's
+    # round-over-round scale signal.
+    "contam_ngram_overlap",
 ]
 
 

@@ -127,3 +127,118 @@ def test_asof_join_picks_latest_not_after(spark, left, right):
     for row in matched:
         candidates = [rts for rk, rts in right if rk == row.k and rts <= row.ts]
         assert row.r_ts == (max(candidates) if candidates else None)
+
+
+# --- round-3 pure operators: CC, shoelace centroid, chunk coverage -----------
+
+EDGES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=12),
+        st.integers(min_value=0, max_value=12),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(edges=EDGES)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from eviction_lab_etl_spark.operators.clustering import connected_components
+
+    # Reference: plain union-find over the same edges.
+    parent: dict[int, int] = {}
+
+    def find(v):
+        parent.setdefault(v, v)
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    # find() path: after all unions the root IS the min label of the
+    # component because union always points the larger root at the smaller.
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.v: r.lbl for r in connected_components(df).collect()}
+    assert got == want
+
+
+POLY_OFFSETS = st.lists(
+    st.tuples(
+        st.integers(min_value=-9, max_value=9),
+        st.integers(min_value=-9, max_value=9),
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+
+@given(offs=POLY_OFFSETS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_centroid_bbox_matches_python_shoelace(spark, offs):
+    from eviction_lab_etl_spark.operators.geo import centroid_bbox
+
+    # Deduplicate consecutive identical vertices, need >= 3 distinct.
+    pts = [(30 + dx, 30 + dy) for dx, dy in offs]
+    if len(set(pts)) < 3:
+        pts = [(30, 30), (40, 30), (40, 40)]
+    ring = pts + [pts[0]]
+    wkt = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+    a2 = sum(
+        ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+        for i in range(len(ring) - 1)
+    )
+    cx = sum(
+        (ring[i][0] + ring[i + 1][0])
+        * (ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1])
+        for i in range(len(ring) - 1)
+    )
+    df = spark.createDataFrame([(1, wkt)], "k long, wkt string")
+    row = centroid_bbox(df, key="k").collect()[0]
+    assert row.a2 == a2 and row.cx_num == cx and row.den == 3 * a2
+    assert row.minx == min(x for x, _ in pts) and row.maxy == max(y for _, y in pts)
+
+
+@given(n_tok=st.integers(min_value=1, max_value=120))
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_chunk_sliding_covers_every_token_once_per_window(spark, n_tok):
+    # Invariants for W=32, S=16 chunking: chunks tile the doc (first starts
+    # at token 1, consecutive starts differ by S), the last chunk reaches the
+    # end, and every chunk is non-empty with <= W tokens.
+    from eviction_lab_etl_spark.operators import training
+
+    text = " ".join(f"t{i}" for i in range(n_tok))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    import os
+    tmp = "/tmp/chunk_prop_docs"
+    df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+    out = sorted(
+        (r.chunk_id, r.n_tok, r.chunk)
+        for r in training.chunk_sliding(spark, tmp).collect()
+    )
+    W, S = 32, 16
+    assert out[0][0] == 0
+    assert [c for c, _, _ in out] == list(range(len(out)))
+    for cid, ntok, chunk in out:
+        assert 1 <= ntok <= W
+        assert len(chunk.split(" ")) == min(W, n_tok - cid * S)
+    # Last chunk reaches the document end.
+    last_id, last_n, _ = out[-1]
+    assert last_id * S + last_n == n_tok

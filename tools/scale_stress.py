@@ -63,6 +63,12 @@ STRESS = [
     "split_content_hash",
     "sim_knn_cosine",
     "sim_cosine_neardup_full",
+    # Training-set assembly + geo + incremental (round 3): inputs all scale.
+    "contam_ngram_overlap",
+    "pack_concat_chunks",
+    "chunk_sliding",
+    "incr_partition_refresh",
+    "geo_point_in_region",
 ]
 
 
