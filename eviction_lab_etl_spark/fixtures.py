@@ -111,6 +111,26 @@ def documents_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dup-augmented AND markup-wrapped corpus (pipeline_training_set) ---------
+
+# The end-to-end training pipeline needs an input where BOTH the cleaning
+# stage and the dedup stage have real decisions: the dup-planted corpus
+# wrapped in deterministic markup.
+DOCUMENTS_DIRTY_SQL = f"""
+        SELECT doc_id, '<p class="d">' || text || '</p> <br/>' AS raw
+        FROM ({DOCUMENTS_WITH_DUPS_SQL})
+"""
+
+
+def documents_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return documents_with_dups(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit('<p class="d">'), F.col("text"), F.lit("</p> <br/>")
+        ).alias("raw"),
+    )
+
+
 # --- nation polygons as WKT (geometry-lite operators) ------------------------
 
 # The fixture tables carry no geometry; the reference's geo stage (census

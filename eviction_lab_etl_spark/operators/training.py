@@ -37,6 +37,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from eviction_lab_etl_spark import fixtures
 from eviction_lab_etl_spark.functions.determinism import big
 from eviction_lab_etl_spark.registry import query
 from eviction_lab_etl_spark.sources.loader import load
@@ -300,4 +301,120 @@ def text_dedup_repeats(spark, sf_dir):
         "doc_id",
         F.array_join(uniq, " ").alias("clean"),
         big(F.size(uniq)).alias("n_unique"),
+    )
+
+
+@query(
+    "pipeline_training_set",
+    oracle=f"""
+    WITH dirty AS ({{dirty}}),
+    clean AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(raw, '<[^>]*>', ' ', 'g'),
+                                   ' +', ' ', 'g')) AS clean
+        FROM dirty
+    ),
+    keep AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(clean)),
+    surv AS (
+        SELECT c.doc_id, string_split(c.clean, ' ') AS w
+        FROM clean c JOIN keep USING (doc_id)
+    ),
+    qual AS (
+        SELECT doc_id, len(w) AS n_tok FROM surv
+        WHERE len(w) >= 20 AND 10 * len(list_distinct(w)) >= 3 * len(w)
+    ),
+    langed AS (
+        SELECT q.doc_id, d.lang, q.n_tok
+        FROM qual q JOIN documents d USING (doc_id)
+    ),
+    counts AS (SELECT lang, count(*) AS n FROM langed GROUP BY lang),
+    factors AS (
+        SELECT lang, least(3, (SELECT max(n) FROM counts) // n +
+                              CASE WHEN (SELECT max(n) FROM counts) % n = 0
+                                   THEN 0 ELSE 1 END) AS f
+        FROM counts
+    ),
+    rep AS (
+        SELECT l.doc_id, l.lang, l.n_tok, c AS copy_idx
+        FROM langed l JOIN factors USING (lang), unnest(range(1, f + 1)) AS r(c)
+    ),
+    cum AS (
+        SELECT lang, doc_id, copy_idx, n_tok,
+               COALESCE(sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id, copy_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS before
+        FROM rep
+    )
+    SELECT lang,
+           CAST(before // 512 AS BIGINT) AS seq_id,
+           count(*) AS n_items,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           max(doc_id) AS last_doc
+    FROM cum
+    GROUP BY lang, before // 512
+    """.format(dirty=fixtures.DOCUMENTS_DIRTY_SQL),
+)
+def pipeline_training_set(spark, sf_dir):
+    """The training-data assembly flow END TO END as one declarative plan:
+    HTML strip → exact dedup (md5 keep-first: the 25 planted dup copies are
+    dropped, originals survive) → quality gate (length + type/token ratio,
+    integer arithmetic) → per-lang mixture resampling (capped integer ceil
+    factors) → concat-then-chunk packing into 512-token sequences. Output is
+    the packing manifest per (lang, seq_id) — what a curation run hands the
+    trainer.
+
+    Every stage keeps the scale shape of its standalone operator: the clean
+    and gate stages are map-only, dedup shuffles 16-byte digests, the factor
+    table broadcasts, and the pack window is per-lang partitioned. Zero
+    sort-merge joins, no O(n²) stage, nothing materialized between stages —
+    the only data-scale shuffles are the digest agg, the per-lang stats, and
+    the pack window (the rest are broadcast-side exchanges over tiny aggs)."""
+    from eviction_lab_etl_spark.operators.cleaning import strip_html
+
+    docs = load(spark, sf_dir, "documents")
+    cleaned = strip_html(fixtures.documents_dirty(spark, sf_dir))
+    keep = cleaned.groupBy(F.md5("clean").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = cleaned.join(keep, "doc_id")
+    w = F.split("clean", " ")
+    qual = (
+        surv.withColumn("n_tok", F.size(w))
+        .withColumn("n_uniq", F.size(F.array_distinct(w)))
+        .filter((F.col("n_tok") >= 20) & (10 * F.col("n_uniq") >= 3 * F.col("n_tok")))
+        .select("doc_id", "n_tok")
+    )
+    langed = qual.join(docs.select("doc_id", "lang"), "doc_id")
+    counts = langed.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    max_n = counts.agg(F.max("n").alias("m"))
+    factors = counts.crossJoin(F.broadcast(max_n)).select(
+        "lang",
+        F.expr(
+            "least(3, (m div n) + CASE WHEN m % n = 0 THEN 0 ELSE 1 END)"
+        ).alias("f"),
+    )
+    rep = langed.join(F.broadcast(factors), "lang").select(
+        "doc_id",
+        "lang",
+        "n_tok",
+        F.explode(F.sequence(F.lit(1), F.col("f"))).alias("copy_idx"),
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id", "copy_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = rep.withColumn("before", F.coalesce(F.sum("n_tok").over(win), F.lit(0)))
+    return (
+        cum.groupBy("lang", (F.col("before") / 512).cast("long").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            big(F.sum("n_tok")).alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
     )

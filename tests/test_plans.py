@@ -181,3 +181,11 @@ def test_geo_and_incremental_plan_shapes(spark, sf_dir):
     bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
     assert bcast >= 1, f"manifest diff not broadcast ({bcast})"
     assert info["sortmerge_joins"] == 0
+
+
+def test_training_pipeline_no_sortmerge_no_python(spark, sf_dir):
+    # The composed clean→dedup→gate→resample→pack flow must stay broadcast/
+    # hash-agg shaped end to end: no sort-merge join, no Python boundary.
+    info = plan_of(spark, sf_dir, "pipeline_training_set")
+    assert info["sortmerge_joins"] == 0, "training pipeline fell to SMJ"
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0
