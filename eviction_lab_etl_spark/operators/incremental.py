@@ -105,3 +105,108 @@ def incr_partition_refresh(spark, sf_dir):
         "digest_cur",
         (~F.col("digest_prev").eqNullSafe(F.col("digest_cur"))).alias("changed"),
     )
+
+
+_MERGE_DIGEST_SQL = (
+    "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' "
+    "|| o_orderpriority), 1, 8)) AS BIGINT)"
+)
+
+
+@query(
+    "incr_merge_upsert",
+    oracle=f"""
+    WITH changes AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 103 = 0 THEN 'D' ELSE 'U' END AS op,
+               '9-UPDATED' AS new_prio
+        FROM orders WHERE o_orderkey % 101 = 0 OR o_orderkey % 103 = 0
+        UNION ALL
+        SELECT o_orderkey + 200000000 AS o_orderkey, 'I' AS op,
+               '9-INSERTED' AS new_prio
+        FROM orders WHERE o_orderkey % 107 = 0
+    ),
+    inserts AS (
+        SELECT year(o_orderdate) AS od_year,
+               c.o_orderkey, c.new_prio AS o_orderpriority
+        FROM orders o JOIN changes c
+          ON c.o_orderkey = o.o_orderkey + 200000000 AND c.op = 'I'
+    ),
+    merged AS (
+        SELECT year(o.o_orderdate) AS od_year,
+               o.o_orderkey,
+               CASE WHEN c.op = 'U' THEN c.new_prio
+                    ELSE o.o_orderpriority END AS o_orderpriority
+        FROM orders o LEFT JOIN changes c ON c.o_orderkey = o.o_orderkey
+        WHERE c.op IS NULL OR c.op <> 'D'
+        UNION ALL
+        SELECT od_year, o_orderkey, o_orderpriority FROM inserts
+    )
+    SELECT od_year,
+           count(*) AS n_rows,
+           CAST(sum({_MERGE_DIGEST_SQL}) AS BIGINT) AS digest
+    FROM merged
+    GROUP BY od_year
+    """,
+)
+def incr_merge_upsert(spark, sf_dir):
+    """Batch MERGE semantics without a table format: apply a change batch
+    (updates, deletes, inserts — synthesized deterministically from order
+    keys: %101 update orderpriority, %103 delete, %107 insert re-keyed
+    +200M) onto the orders snapshot via one key-partitioned left join plus
+    an insert union, then emit the per-year manifest (count + summable
+    digest) proving every op landed. At 100 TB this joins only the
+    partitions the manifest diff (incr_partition_refresh) flagged — change
+    batches are small, so the join side broadcasts and the snapshot
+    rewrite is copy-on-write per touched partition."""
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+    changes = (
+        base.filter((F.col("o_orderkey") % 101 == 0) | (F.col("o_orderkey") % 103 == 0))
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 103 == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.lit("9-UPDATED").alias("new_prio"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 107 == 0).select(
+                (F.col("o_orderkey") + 200000000).alias("o_orderkey"),
+                F.lit("I").alias("op"),
+                F.lit("9-INSERTED").alias("new_prio"),
+            )
+        )
+    )
+    ch = F.broadcast(changes)
+    merged = (
+        base.join(ch, "o_orderkey", "left")
+        .filter(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            F.year("o_orderdate").alias("od_year"),
+            "o_orderkey",
+            F.when(F.col("op") == "U", F.col("new_prio"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("o_orderpriority"),
+        )
+    )
+    inserts = base.join(
+        ch.filter(F.col("op") == "I").select(
+            (F.col("o_orderkey") - 200000000).alias("o_orderkey"),
+            F.col("o_orderkey").alias("ins_key"),
+            "new_prio",
+        ),
+        "o_orderkey",
+    ).select(
+        F.year("o_orderdate").alias("od_year"),
+        F.col("ins_key").alias("o_orderkey"),
+        F.col("new_prio").alias("o_orderpriority"),
+    )
+    return (
+        merged.unionByName(inserts)
+        .groupBy("od_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            big(F.sum(row_digest("o_orderkey", "o_orderpriority"))).alias("digest"),
+        )
+    )

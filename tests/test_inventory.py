@@ -51,6 +51,7 @@ EXTENSIONS = {
     "contam_ngram_overlap", "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "text_dedup_repeats",
     "geo_centroid_bbox", "geo_point_in_region", "incr_partition_refresh",
+    "incr_merge_upsert",
     "pipeline_training_set",
 }
 

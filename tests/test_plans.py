@@ -189,3 +189,12 @@ def test_training_pipeline_no_sortmerge_no_python(spark, sf_dir):
     info = plan_of(spark, sf_dir, "pipeline_training_set")
     assert info["sortmerge_joins"] == 0, "training pipeline fell to SMJ"
     assert info["python_rows"] == 0 and info["arrow_python"] == 0
+
+
+def test_merge_upsert_change_batch_broadcasts(spark, sf_dir):
+    # MERGE: the change batch is the small side and must broadcast; the
+    # snapshot never sort-merges and shuffles only for the manifest agg.
+    info = plan_of(spark, sf_dir, "incr_merge_upsert")
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 2, f"merge: change batch not broadcast ({bcast})"
+    assert info["sortmerge_joins"] == 0, "merge fell to sort-merge"
