@@ -143,7 +143,7 @@ def contam_ngram_overlap(spark, sf_dir):
 )
 def pack_concat_chunks(spark, sf_dir):
     """Concat-then-chunk sequence packing: within each lang shard, documents
-    in doc_id order are laid end to end and cut into {_BUDGET}-token training
+    in doc_id order are laid end to end and cut into 256-token training
     sequences; each document is assigned to the sequence its first token
     falls in. One partitioned window cumsum + one hash agg — the per-shard
     independence is what makes the same plan hold at 100 TB (a global packing
@@ -194,9 +194,9 @@ def pack_concat_chunks(spark, sf_dir):
     """,
 )
 def chunk_sliding(spark, sf_dir):
-    """Overlapping token windows per document (size {_W}, stride {_S}) — the
+    """Overlapping token windows per document (size 32, stride 16) — the
     context-window chunking step before embedding or tokenization. Chunk k
-    starts at token k*{_S}+1; the last chunk is the first one whose window
+    starts at token k*16+1; the last chunk is the first one whose window
     reaches the end of the document (so every token is covered and no chunk
     is pure padding). Narrow map stage: sequence/slice/array_join all inside
     whole-stage codegen, no shuffle at any scale."""
