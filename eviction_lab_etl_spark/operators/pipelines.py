@@ -320,3 +320,71 @@ def pipeline_corpus_clean(spark, sf_dir):
         big(F.col("n_tok")).alias("n_tok"),
         big(F.col("n_uniq")).alias("n_uniq"),
     )
+
+
+@query(
+    "search_prefix_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT p_partkey, p_retailprice,
+               unnest(string_split(p_name, ' ')) AS w
+        FROM part
+    ),
+    expl AS (
+        SELECT p_partkey, p_retailprice,
+               unnest(list_distinct([substr(w,1,2), substr(w,1,3), substr(w,1,4)]))
+                   AS prefix
+        FROM tok
+    ),
+    pref AS (SELECT DISTINCT p_partkey, p_retailprice, prefix FROM expl),
+    ranked AS (
+        SELECT prefix, p_partkey,
+               row_number() OVER (
+                   PARTITION BY prefix
+                   ORDER BY CAST(p_retailprice AS DECIMAL(12,2)) DESC, p_partkey
+               ) AS rnk
+        FROM pref
+    )
+    SELECT prefix, CAST(rnk AS BIGINT) AS rnk, p_partkey
+    FROM ranked WHERE rnk <= 3
+    """,
+)
+def search_prefix_topk(spark, sf_dir):
+    """R9 autocomplete index build: for every 2-4 character prefix of every
+    name token, the top-3 entries by weight (retail price as the activity
+    proxy, decimal-ordered per §2.0 rule 1, partkey tiebreak per rule 3) —
+    the precomputed structure a typeahead search serves directly. The
+    prefix explode is a map stage (≤3 rows per token); the per-prefix top-k
+    is one window shuffle on the prefix key. At 100 TB the hot common
+    prefixes skew that shuffle: the production form pre-aggregates a
+    partial top-k per (prefix, input-split) before the global window —
+    same plan shape with a combiner, which AQE skew-split approximates
+    automatically here."""
+    part = load(spark, sf_dir, "part")
+    from pyspark.sql import Window
+
+    tok = part.select(
+        "p_partkey",
+        "p_retailprice",
+        F.explode(F.split("p_name", " ")).alias("w"),
+    )
+    pref = tok.select(
+        "p_partkey",
+        "p_retailprice",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(2), F.lit(4)),
+                    lambda i: F.substring(F.col("w"), F.lit(1), i),
+                )
+            )
+        ).alias("prefix"),
+    ).distinct()
+    win = Window.partitionBy("prefix").orderBy(
+        F.col("p_retailprice").cast("decimal(12,2)").desc(), F.col("p_partkey")
+    )
+    return (
+        pref.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select("prefix", big("rnk").alias("rnk"), "p_partkey")
+    )
