@@ -45,6 +45,8 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "sim_ngram_jaccard",     # rewritten post-r01 (threshold de-vacuated)
     "join_anti",             # r1 hash-match was vacuous (0 rows at sf0.01)
     "sim_cosine_neardup",    # planted twins moved to fixture layer this round
+    "dedup_simhash_pairs",   # banded rewrite (df93fe9) post-dates its r1 row
+    "ann_ivf",               # nprobe=2 multi-probe (df93fe9) post-dates its r1 row
 )
 
 
