@@ -49,6 +49,8 @@ LLM_HEADLINE = [
     # Full-corpus scan (no doc_id bound): the training-assembly family's
     # round-over-round scale signal.
     "contam_ngram_overlap",
+    # The composed clean→dedup→gate→resample→pack flow as one plan.
+    "pipeline_training_set",
 ]
 
 
