@@ -36,6 +36,13 @@ _FLAGSHIP = "agg_sum_groupby"
 # are yielded FIRST so the driver's budget-bounded prefix re-checks exactly
 # the code most likely to have regressed — the prior "verified" status
 # attaches to deleted code and must not count.
+#
+# The queue SELF-RETIRES: a name leaves it (and rejoins the verified pool)
+# once an artifact from a round NEWER than _QUEUE_AS_OF verifies it, so a
+# stale queue can never burn a later round's budget re-checking green rows.
+# Bump _QUEUE_AS_OF to the highest CORRECTNESS_r*.json round present whenever
+# the queue is edited.
+_QUEUE_AS_OF = 2
 _RECHECK_QUEUE: tuple[str, ...] = (
     "window_moving_avg",     # oracle cast fixed this round (HUGEINT widening)
     "window_range_frame",    # oracle cast fixed this round (HUGEINT widening)
@@ -50,9 +57,10 @@ _RECHECK_QUEUE: tuple[str, ...] = (
 )
 
 
-def _verified_in_artifacts() -> set[str]:
-    """Names non-vacuously verified by a prior driver round, derived from the
-    CORRECTNESS_r*.json artifacts themselves (not a hand-maintained list).
+def _verified_in_artifacts(min_round: int = 0) -> set[str]:
+    """Names non-vacuously verified by a prior driver round (only artifacts
+    from rounds > ``min_round``), derived from the CORRECTNESS_r*.json
+    artifacts themselves (not a hand-maintained list).
 
     Verified = the driver produced a row where either the value-hash matched
     (hash_match true) or the query is rows-only by SURVEY design
@@ -61,6 +69,12 @@ def _verified_in_artifacts() -> set[str]:
     """
     names: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        try:
+            round_no = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+        except ValueError:
+            round_no = 0
+        if round_no <= min_round:
+            continue
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -77,15 +91,17 @@ def _verified_in_artifacts() -> set[str]:
 
 
 def _ordered(names: list[str]) -> list[str]:
-    """Driver-facing order: (1) the explicit re-check queue (changed or
-    vacuously-verified queries), (2) queries never verified by any driver
-    round, (3) the already-verified remainder. The driver's correctness pass
-    covers a budget-bounded prefix of this dict, so each round's budget goes
-    to the queries whose status is least trustworthy. (Local tests re-verify
+    """Driver-facing order: (1) the re-check queue (changed or vacuously-
+    verified queries), minus entries a round newer than _QUEUE_AS_OF already
+    re-verified, (2) queries never verified by any driver round, (3) the
+    already-verified remainder. The driver's correctness pass covers a
+    budget-bounded prefix of this dict, so each round's budget goes to the
+    queries whose status is least trustworthy. (Local tests re-verify
     everything every run — tests/test_oracle_diff.py.)"""
-    verified = _verified_in_artifacts() - set(_RECHECK_QUEUE)
-    queue = [n for n in _RECHECK_QUEUE if n in names]
-    fresh = [n for n in names if n not in verified and n not in _RECHECK_QUEUE]
+    retired = _verified_in_artifacts(min_round=_QUEUE_AS_OF)
+    queue = [n for n in _RECHECK_QUEUE if n in names and n not in retired]
+    verified = _verified_in_artifacts() - set(queue)
+    fresh = [n for n in names if n not in verified and n not in queue]
     prior = [n for n in names if n in verified]
     return queue + fresh + prior
 
