@@ -22,6 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from eviction_lab_etl_spark import fixtures
 from eviction_lab_etl_spark.functions.determinism import big
 from eviction_lab_etl_spark.registry import query
 from eviction_lab_etl_spark.sources.loader import load
@@ -149,3 +150,30 @@ def multimodal_frame_sample(spark, sf_dir):
             F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(5))
         ).alias("idx"),
     ).select("doc_id", F.col("idx").cast("bigint").alias("frame_idx"))
+
+
+@query(
+    "multimodal_dedup",
+    oracle=f"""
+    WITH media AS ({fixtures.DOCUMENTS_WITH_DUPS_SQL})
+    SELECT md5(text) AS h, min(doc_id) AS keep, count(*) AS grp_size
+    FROM media
+    GROUP BY md5(text)
+    HAVING count(*) > 1
+    """,
+)
+def multimodal_dedup(spark, sf_dir):
+    """Media-asset dedup: canonical-copy election per BINARY payload digest
+    (identical re-crawled images/audio collapse to one stored asset). Spark's
+    md5 hashes the raw bytes — the oracle hashes the same bytes as UTF-8 text
+    because the fixture payload is encode(text). The shuffle carries 16-byte
+    digests, never the payloads (at 100 TB the binary column feeds the digest
+    map-side and is pruned from everything downstream); input is the
+    dup-planted fixture corpus so the election decides 25 real groups."""
+    docs = fixtures.documents_with_dups(spark, sf_dir)
+    media = docs.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return (
+        media.groupBy(F.md5("payload").alias("h"))
+        .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("grp_size"))
+        .filter(F.col("grp_size") > 1)
+    )

@@ -52,7 +52,7 @@ EXTENSIONS = {
     "resample_by_lang", "text_dedup_repeats",
     "geo_centroid_bbox", "geo_point_in_region", "incr_partition_refresh",
     "incr_merge_upsert",
-    "pipeline_training_set", "search_prefix_topk",
+    "pipeline_training_set", "search_prefix_topk", "multimodal_dedup",
 }
 
 
