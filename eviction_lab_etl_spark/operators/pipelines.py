@@ -353,13 +353,27 @@ def search_prefix_topk(spark, sf_dir):
     """R9 autocomplete index build: for every 2-4 character prefix of every
     name token, the top-3 entries by weight (retail price as the activity
     proxy, decimal-ordered per §2.0 rule 1, partkey tiebreak per rule 3) —
-    the precomputed structure a typeahead search serves directly. The
-    prefix explode is a map stage (≤3 rows per token); the per-prefix top-k
-    is one window shuffle on the prefix key. At 100 TB the hot common
-    prefixes skew that shuffle: the production form pre-aggregates a
-    partial top-k per (prefix, input-split) before the global window —
-    same plan shape with a combiner, which AQE skew-split approximates
-    automatically here."""
+    the precomputed structure a typeahead search serves directly.
+
+    Skew safety — two-phase top-k via Spark's rank-limit pushdown. A naive
+    window over a skewed prefix key would serialize hot 2-char prefixes into
+    single partitions, and AQE does NOT help (its skew optimization splits
+    JOIN partitions, not window exchanges). What does make this plan
+    skew-safe is the ``InferWindowGroupLimit`` optimizer rule (SPARK-37099,
+    Spark >= 3.5): a ``rank <= k`` filter over a ``row_number`` window plans
+    as ``WindowGroupLimit(Partial)`` BELOW the exchange — each map task keeps
+    only its local top-3 per prefix with bounded state — then
+    ``WindowGroupLimit(Final)`` + ``Window`` above it. The exchange therefore
+    carries at most 3 rows per (prefix, map partition), so the hottest
+    prefix's reducer sees <= 3 x P candidate rows regardless of how many
+    billions of parts share that prefix. That is exactly the
+    partial-top-k-per-input-partition combiner, applied by Catalyst with
+    zero extra shuffle (an explicit ``groupBy(prefix,
+    spark_partition_id())`` pre-aggregation would add one).
+    tests/test_plans.py::test_search_prefix_topk_partial_before_exchange
+    pins the Partial node below the final exchange so a refactor that
+    breaks rank-limit inference (e.g. switching to a non-rank function or
+    filtering after a second window) fails CI."""
     part = load(spark, sf_dir, "part")
     from pyspark.sql import Window
 

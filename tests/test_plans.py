@@ -191,6 +191,33 @@ def test_training_pipeline_no_sortmerge_no_python(spark, sf_dir):
     assert info["python_rows"] == 0 and info["arrow_python"] == 0
 
 
+def test_search_prefix_topk_partial_before_exchange(spark, sf_dir):
+    # The autocomplete top-k must keep Spark's rank-limit combiner: a
+    # WindowGroupLimit in Partial mode BELOW the prefix exchange (each map
+    # task emits <= 3 rows per prefix) and Final mode above it, so a hot
+    # prefix's window partition sees <= 3 x P candidates, never the raw
+    # corpus. AQE cannot provide this (it splits join partitions only) —
+    # losing the Partial node reintroduces the serialized skewed window.
+    import re
+
+    info = plan_of(spark, sf_dir, "search_prefix_topk")
+    plan = info["plan"]
+    nodes = re.findall(r"^\s*[:+\-* ]*\((\d+)\) ([A-Za-z]+)", plan, re.M)
+    limit_ids = [int(n) for n, op in nodes if op == "WindowGroupLimit"]
+    assert len(limit_ids) == 2, f"expected Partial+Final WindowGroupLimit: {nodes}"
+    exchange_ids = [
+        int(n) for n, op in nodes if op == "Exchange" and int(n) > min(limit_ids)
+    ]
+    assert exchange_ids, "no exchange between partial and final rank limit"
+    # Partial below the window exchange, Final above it.
+    assert min(limit_ids) < min(exchange_ids) < max(limit_ids)
+    # Mode annotations confirm which side is the map-side combiner.
+    partial_detail = plan[plan.find(f"({min(limit_ids)}) WindowGroupLimit"):]
+    assert "Partial" in partial_detail.split("\n\n")[0]
+    final_detail = plan[plan.find(f"({max(limit_ids)}) WindowGroupLimit"):]
+    assert "Final" in final_detail.split("\n\n")[0]
+
+
 def test_merge_upsert_change_batch_broadcasts(spark, sf_dir):
     # MERGE: the change batch is the small side and must broadcast; the
     # snapshot never sort-merges and shuffles only for the manifest agg.
