@@ -28,18 +28,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from eviction_lab_etl_spark.functions.determinism import big
 from eviction_lab_etl_spark.registry import query
 from eviction_lab_etl_spark.sources.loader import load
 
 
 def row_digest(*cols: str):
     """Order-independent-summable per-row digest: the first 8 md5 hex digits
-    of the '|'-joined key columns, as a bigint (< 2^32, so a partition of
-    billions of rows sums well inside bigint range). Engine-portable: md5 and
-    hex→int conversion agree between Spark (`conv`) and DuckDB (`'0x'||`)."""
+    of the '|'-joined key columns, as a bigint (< 2^32; `digest_sum` masks
+    the aggregate modulo 2^63 so any partition size is safe). Engine-portable:
+    md5 and hex→int conversion agree between Spark (`conv`) and DuckDB
+    (`'0x'||`)."""
     joined = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
     return F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("long")
+
+
+def digest_sum(rd):
+    """Overflow-proof digest aggregation: sum the 32-bit row digests in a
+    decimal(38,0) accumulator (headroom for ~10^28 rows per partition) and
+    reduce modulo 2^63. A plain bigint sum wraps silently past ~2^31 rows
+    per partition (and errors under ANSI mode) while DuckDB's HUGEINT sum
+    CAST to BIGINT errors — the engines would diverge exactly when the
+    digest matters. The oracle applies the same % 2^63 to its HUGEINT sum,
+    so both sides agree bit-for-bit at any scale."""
+    total = F.sum(rd.cast("decimal(38,0)"))
+    # 2^63 won't fit a JVM long literal — parse it as a SQL decimal literal.
+    return (total % F.expr("9223372036854775808BD")).cast("long")
 
 
 def partition_manifest(df: DataFrame, part_col, *key_cols: str) -> DataFrame:
@@ -47,7 +60,7 @@ def partition_manifest(df: DataFrame, part_col, *key_cols: str) -> DataFrame:
     stores per run. One partial-aggregated pass, output size |partitions|."""
     return df.groupBy(part_col).agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(row_digest(*key_cols)).alias("digest"),
+        digest_sum(row_digest(*key_cols)).alias("digest"),
     )
 
 
@@ -60,13 +73,15 @@ _DIGEST_SQL = "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || '|' || CA
     WITH cur AS (
         SELECT year(o_orderdate) AS od_year,
                count(*) AS n_cur,
-               CAST(sum({_DIGEST_SQL}) AS BIGINT) AS digest_cur
+               CAST(sum({_DIGEST_SQL}) % 9223372036854775808 AS BIGINT)
+                   AS digest_cur
         FROM orders GROUP BY 1
     ),
     prev AS (
         SELECT year(o_orderdate) AS od_year,
                count(*) AS n_prev,
-               CAST(sum({_DIGEST_SQL}) AS BIGINT) AS digest_prev
+               CAST(sum({_DIGEST_SQL}) % 9223372036854775808 AS BIGINT)
+                   AS digest_prev
         FROM orders WHERE o_orderkey % 101 <> 0 GROUP BY 1
     )
     SELECT c.od_year, n_prev, n_cur, digest_prev, digest_cur,
@@ -144,7 +159,8 @@ _MERGE_DIGEST_SQL = (
     )
     SELECT od_year,
            count(*) AS n_rows,
-           CAST(sum({_MERGE_DIGEST_SQL}) AS BIGINT) AS digest
+           CAST(sum({_MERGE_DIGEST_SQL}) % 9223372036854775808 AS BIGINT)
+               AS digest
     FROM merged
     GROUP BY od_year
     """,
@@ -207,6 +223,6 @@ def incr_merge_upsert(spark, sf_dir):
         .groupBy("od_year")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            big(F.sum(row_digest("o_orderkey", "o_orderpriority"))).alias("digest"),
+            digest_sum(row_digest("o_orderkey", "o_orderpriority")).alias("digest"),
         )
     )

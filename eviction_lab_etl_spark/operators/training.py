@@ -164,7 +164,10 @@ def pack_concat_chunks(spark, sf_dir):
     )
     return (
         cum.groupBy(
-            "lang", (F.col("before") / _BUDGET).cast("long").alias("seq_id")
+            # Integer division matches the oracle's // for ANY budget; the
+            # float (before / N).cast(long) form is exact only for
+            # power-of-two budgets below 2^53.
+            "lang", F.expr(f"before div {_BUDGET}").alias("seq_id")
         )
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -410,7 +413,7 @@ def pipeline_training_set(spark, sf_dir):
     )
     cum = rep.withColumn("before", F.coalesce(F.sum("n_tok").over(win), F.lit(0)))
     return (
-        cum.groupBy("lang", (F.col("before") / 512).cast("long").alias("seq_id"))
+        cum.groupBy("lang", F.expr("before div 512").alias("seq_id"))
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             big(F.sum("n_tok")).alias("n_tokens"),

@@ -242,3 +242,23 @@ def test_chunk_sliding_covers_every_token_once_per_window(spark, n_tok):
     # Last chunk reaches the document end.
     last_id, last_n, _ = out[-1]
     assert last_id * S + last_n == n_tok
+
+
+def test_digest_sum_survives_int64_overflow(spark):
+    # Four 2^62 digests: a plain bigint sum wraps (or errors under ANSI);
+    # the decimal-accumulated mod-2^63 digest must return the same value
+    # DuckDB computes with HUGEINT % 2^63 — here exactly 0.
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.operators.incremental import digest_sum
+
+    vals = [(2**62,), (2**62,), (2**62,), (2**62,)]
+    df = spark.createDataFrame(vals, "d long")
+    got = df.agg(digest_sum(F.col("d")).alias("x")).collect()[0].x
+    want = duckdb.sql(
+        "SELECT CAST(sum(d) % 9223372036854775808 AS BIGINT) "
+        "FROM (VALUES (4611686018427387904), (4611686018427387904), "
+        "(4611686018427387904), (4611686018427387904)) t(d)"
+    ).fetchone()[0]
+    assert got == want == 0
