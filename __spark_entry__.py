@@ -42,39 +42,31 @@ _FLAGSHIP = "agg_sum_groupby"
 # stale queue can never burn a later round's budget re-checking green rows.
 # Bump _QUEUE_AS_OF to the highest CORRECTNESS_r*.json round present whenever
 # the queue is edited.
-_QUEUE_AS_OF = 2
+_QUEUE_AS_OF = 3
 _RECHECK_QUEUE: tuple[str, ...] = (
-    "window_moving_avg",     # oracle cast fixed this round (HUGEINT widening)
-    "window_range_frame",    # oracle cast fixed this round (HUGEINT widening)
-    "stream_stream_join",    # the one query never driver-verified
-    "multimodal_decode",     # rewritten post-r01 (hash-checkable digest)
-    "dedup_keep_first",      # rewritten post-r01 (de-vacuated) + this round
-    "sim_ngram_jaccard",     # rewritten post-r01 (threshold de-vacuated)
-    "join_anti",             # r1 hash-match was vacuous (0 rows at sf0.01)
-    "sim_cosine_neardup",    # planted twins moved to fixture layer this round
-    "dedup_simhash_pairs",   # banded rewrite (df93fe9) post-dates its r1 row
-    "ann_ivf",               # nprobe=2 multi-probe (df93fe9) post-dates its r1 row
+    "dedup_cluster_cc",       # large/small-star contraction rewrite this round
+    "search_prefix_topk",     # rank-limit combiner pinned this round (plan audit)
+    "incr_partition_refresh", # digest aggregation masked mod 2^63 this round
+    "incr_merge_upsert",      # digest aggregation masked mod 2^63 this round
+    "pack_concat_chunks",     # seq_id float-div -> integer div this round
+    "pipeline_training_set",  # seq_id float-div -> integer div this round
+    "ann_ivf",                # codebook now trained k-means centroids this round
 )
 
 
-def _verified_in_artifacts(min_round: int = 0) -> set[str]:
-    """Names non-vacuously verified by a prior driver round (only artifacts
-    from rounds > ``min_round``), derived from the CORRECTNESS_r*.json
-    artifacts themselves (not a hand-maintained list).
-
-    Verified = the driver produced a row where either the value-hash matched
-    (hash_match true) or the query is rows-only by SURVEY design
-    (err == "no_oracle") — AND the Spark side returned >0 rows, so a
-    hash-match over the empty set never counts.
-    """
-    names: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+def _artifact_status() -> dict[str, tuple[int, bool]]:
+    """Per query name: (newest driver round that recorded it, whether THAT
+    newest record verifies it). Latest-round-wins: a newer hash-fail or
+    error DEMOTES every older green, so a regressed query re-enters the
+    early re-check pool without anyone hand-editing the queue. Verified =
+    value-hash matched over >0 Spark rows (a match over the empty set
+    proves nothing) or rows-only by SURVEY design (err == "no_oracle")."""
+    status: dict[str, tuple[int, bool]] = {}
+    for path in glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")):
         try:
             round_no = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
         except ValueError:
             round_no = 0
-        if round_no <= min_round:
-            continue
         try:
             with open(path) as fh:
                 data = json.load(fh)
@@ -83,26 +75,38 @@ def _verified_in_artifacts(min_round: int = 0) -> set[str]:
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
-            if (rec.get("spark_rows") or 0) <= 0:
-                continue
-            if rec.get("hash_match") is True or rec.get("err") == "no_oracle":
-                names.add(name)
-    return names
+            ok = (rec.get("spark_rows") or 0) > 0 and (
+                rec.get("hash_match") is True or rec.get("err") == "no_oracle"
+            )
+            prev = status.get(name)
+            if prev is None or round_no >= prev[0]:
+                status[name] = (round_no, ok)
+    return status
+
+
+def _verified_latest() -> dict[str, int]:
+    """name -> round of its most recent verification, restricted to names
+    whose most recent driver record IS that verification."""
+    return {n: r for n, (r, ok) in _artifact_status().items() if ok}
 
 
 def _ordered(names: list[str]) -> list[str]:
-    """Driver-facing order: (1) the re-check queue (changed or vacuously-
-    verified queries), minus entries a round newer than _QUEUE_AS_OF already
-    re-verified, (2) queries never verified by any driver round, (3) the
-    already-verified remainder. The driver's correctness pass covers a
-    budget-bounded prefix of this dict, so each round's budget goes to the
-    queries whose status is least trustworthy. (Local tests re-verify
-    everything every run — tests/test_oracle_diff.py.)"""
-    retired = _verified_in_artifacts(min_round=_QUEUE_AS_OF)
+    """Driver-facing order: (1) the re-check queue (changed queries), minus
+    entries a round newer than _QUEUE_AS_OF already re-verified, (2) queries
+    never verified — or whose NEWEST driver record failed, (3) the verified
+    remainder, oldest verification first, so leftover budget rotates through
+    the greens that have gone longest without a driver check instead of
+    re-confirming last round's rows. (Local tests re-verify everything every
+    run — tests/test_oracle_diff.py.)"""
+    verified = _verified_latest()
+    retired = {n for n, r in verified.items() if r > _QUEUE_AS_OF}
     queue = [n for n in _RECHECK_QUEUE if n in names and n not in retired]
-    verified = _verified_in_artifacts() - set(queue)
-    fresh = [n for n in names if n not in verified and n not in queue]
-    prior = [n for n in names if n in verified]
+    vset = set(verified) - set(queue)
+    fresh = [n for n in names if n not in vset and n not in queue]
+    idx = {n: i for i, n in enumerate(names)}
+    prior = sorted(
+        (n for n in names if n in vset), key=lambda n: (verified[n], idx[n])
+    )
     return queue + fresh + prior
 
 

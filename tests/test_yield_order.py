@@ -83,6 +83,52 @@ def test_old_rounds_do_not_retire_queue(tmp_path, monkeypatch):
     assert e._ordered(["queued_q", "other_q"])[0] == "queued_q"
 
 
+def test_latest_round_failure_demotes_old_green(tmp_path, monkeypatch):
+    # A query verified in r01 whose r03 record hash-FAILS must leave the
+    # verified tail and sort with the fresh (distrusted) bucket — no manual
+    # queue edit required.
+    e = _reload_with_artifacts(
+        tmp_path,
+        monkeypatch,
+        {
+            "CORRECTNESS_r01.json": {
+                "regressed_q": {"hash_match": True, "spark_rows": 3, "err": None},
+                "stable_q": {"hash_match": True, "spark_rows": 3, "err": None},
+            },
+            "CORRECTNESS_r03.json": {
+                "regressed_q": {"hash_match": False, "spark_rows": 3, "err": None},
+            },
+        },
+    )
+    monkeypatch.setattr(e, "_RECHECK_QUEUE", ())
+    got = e._ordered(["stable_q", "regressed_q", "fresh_q"])
+    assert got == ["regressed_q", "fresh_q", "stable_q"]
+
+
+def test_verified_tail_rotates_oldest_first(tmp_path, monkeypatch):
+    # Leftover driver budget should hit the greens that have gone longest
+    # without a check: the tail sorts by round-of-last-verification ascending,
+    # not registry order.
+    e = _reload_with_artifacts(
+        tmp_path,
+        monkeypatch,
+        {
+            "CORRECTNESS_r01.json": {
+                "old_green": {"hash_match": True, "spark_rows": 3, "err": None},
+            },
+            "CORRECTNESS_r02.json": {
+                "mid_green": {"hash_match": None, "spark_rows": 9, "err": "no_oracle"},
+            },
+            "CORRECTNESS_r03.json": {
+                "new_green": {"hash_match": True, "spark_rows": 3, "err": None},
+            },
+        },
+    )
+    monkeypatch.setattr(e, "_RECHECK_QUEUE", ())
+    got = e._ordered(["new_green", "mid_green", "old_green"])
+    assert got == ["old_green", "mid_green", "new_green"]
+
+
 def test_real_registry_order_is_complete_and_deduped():
     importlib.reload(entry_mod)
     names = list(entry_mod.queries())
