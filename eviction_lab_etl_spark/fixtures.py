@@ -221,3 +221,48 @@ def embeddings_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     return base.unionByName(twins)
+
+
+# --- clustered embeddings (ann_ivf recall evaluation) ------------------------
+
+# 50 planted clusters x 10 members over the real vector corpus: member
+# (cid, j) = seed_cid + CLUSTER_EPS * perturber, with the perturber drawn
+# deterministically from the disjoint id range (50 + (cid*10 + j) % 450).
+# Near-orthogonal base vectors of similar magnitude give within-cluster
+# cos ~ 1/(1+eps^2) ~ 0.92 and cross-cluster cos well below 0.5, so
+# nearest-neighbor structure is REAL and an IVF recall number measures the
+# quantizer: the raw embeddings table is isotropic noise (max pairwise cos
+# ~0.51, top-3 neighbor label agreement 10% = chance), where top-3 neighbors
+# are arbitrary points NO codebook can systematically co-bucket — recall
+# against it measures luck, not codebook quality. vec_id = j*50 + cid
+# spreads every cluster across the id space so the vec_id < 10 probe set
+# covers 10 DISTINCT clusters. Spark-only (no DuckDB twin): ann_ivf is
+# rows-only by SURVEY design; recall is pinned in tests/test_library.py.
+CLUSTER_EPS = 0.3
+
+
+def embeddings_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("s")
+    )
+    pert = emb.filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("p")
+    )
+    return (
+        seeds.select(
+            "cid", "s", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("j")
+        )
+        .withColumn("pid", F.lit(50) + (F.col("cid") * 10 + F.col("j")) % 450)
+        .join(pert, "pid")
+        .select(
+            (F.col("j") * 50 + F.col("cid")).alias("vec_id"),
+            F.zip_with(
+                "s",
+                "p",
+                lambda a, b: a.cast("double")
+                + F.lit(CLUSTER_EPS) * b.cast("double"),
+            ).alias("embedding"),
+            F.col("cid"),
+        )
+    )

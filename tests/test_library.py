@@ -216,13 +216,35 @@ def test_srp_banding_prunes_candidates(spark, sf_dir):
 
 
 def test_ivf_multiprobe_recall_vs_exact_knn(spark, sf_dir):
-    """Multi-probe IVF (nprobe=2) must recover >= 0.75 of the exact cosine
-    top-3 neighbor set (nprobe=1 caps recall at bucket boundaries; the
-    fixture codebook is 8 arbitrary centroids, so perfect recall is not
-    expected — the assertion pins the multi-probe gain floor)."""
+    """Trained spherical-k-means IVF (k=8, nprobe=2) must recover >= 0.95 of
+    the exact cosine top-3 neighbor set on the clustered fixture corpus
+    (measured 1.0 — the trained codebook keeps each planted cluster's
+    members co-bucketed; the old first-8-vectors stand-in capped near 0.75
+    and isotropic-noise input makes any recall number meaningless). Exact
+    ground truth is computed independently in numpy, not by another Spark
+    query."""
+    import numpy as np
+
+    from eviction_lab_etl_spark import fixtures
     from eviction_lab_etl_spark.registry import QUERIES
 
+    corpus = (
+        fixtures.embeddings_clustered(spark, sf_dir)
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    ids = corpus.vec_id.values
+    E = np.vstack(corpus.embedding.values)
+    E = E / np.linalg.norm(E, axis=1, keepdims=True)
+    S = E @ E.T
+    id_to_row = {v: i for i, v in enumerate(ids)}
+    exact = set()
+    for vid in range(10):
+        i = id_to_row[vid]
+        sims = S[i].copy()
+        sims[i] = -2.0
+        for t in np.argsort(-sims)[:3]:
+            exact.add((vid, int(ids[t])))
     ivf = {(r.vid, r.nbr) for r in QUERIES["ann_ivf"](spark, sf_dir).collect()}
-    exact = {(r.vid, r.nbr) for r in QUERIES["sim_knn_cosine"](spark, sf_dir).collect()}
     assert exact
-    assert len(ivf & exact) / len(exact) >= 0.75
+    assert len(ivf & exact) / len(exact) >= 0.95
