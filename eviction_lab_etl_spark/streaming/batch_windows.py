@@ -109,3 +109,64 @@ def stream_session(spark, sf_dir):
             "n_events",
         )
     )
+
+
+@query(
+    "stream_stateful_counter_batch",
+    oracle="""
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_counter_batch(spark, sf_dir):
+    """Hash-checked companion to ``stream_stateful_counter``: the per-user
+    (count, total) profile that operator maintains in GroupState is, after a
+    full availableNow replay, exactly this one-shuffle batch aggregate —
+    tests/test_rows_only.py asserts the equality, and this query gives the
+    DRIVER a value-hash over the same numbers, closing the rows-only gap for
+    the stateful surface. Decimal-summed value per §2.0 rule 1 so the float
+    total is aggregation-order-proof."""
+    events = load(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        to_dbl(F.sum(dec("value"))).alias("total_value"),
+    )
+
+
+@query(
+    "stream_stream_join_batch",
+    oracle="""
+    SELECT p.event_id AS purchase_event_id, s.event_id AS signup_event_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id
+     AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join_batch(spark, sf_dir):
+    """Hash-checked companion to ``stream_stream_join``: the watermarked
+    stream-stream interval join over a complete replay emits exactly this
+    batch range join's pairs (tests/test_rows_only.py asserts the set
+    equality), so the driver's value-hash on this query pins the streaming
+    operator's output too. Plan shape: equi-join on user_id with the
+    interval as a residual predicate — shuffles on user_id, the layout that
+    scales (a pure theta join would be a cross product)."""
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_event_id"),
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"),
+        F.col("ts").alias("s_ts"),
+        F.col("event_id").alias("signup_event_id"),
+    )
+    return purchases.join(
+        signups,
+        (F.col("p_user") == F.col("s_user"))
+        & (F.col("s_ts") <= F.col("p_ts"))
+        & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("purchase_event_id", "signup_event_id")

@@ -43,6 +43,7 @@ EXTENSIONS = {
     "pipeline_data_dictionary", "pipeline_validate", "pipeline_corpus_clean",
     "pipeline_corpus_manifest",
     "stream_stateful_counter", "stream_stream_join",
+    "stream_stateful_counter_batch", "stream_stream_join_batch",
     "split_content_hash", "sample_stratified",
     "agg_approx_quantile", "sketch_hll_partitioned",
     "complex_shipping_priority", "complex_region_revenue",
