@@ -53,6 +53,27 @@ LLM_HEADLINE = [
     "pipeline_training_set",
 ]
 
+# Per-query comparison bases, reported as "vs_baseline" ratios (<1 = faster).
+# §2 seven: BASELINE.md's reference measurements (sf0.1, warm). LLM four:
+# pinned from BENCH_r03 — their first measurement — so this family gets the
+# same regression tracking the §2 set has had since round 1. A ratio drifting
+# above ~1.3 on an LLM query is a regression alarm, not "no baseline exists".
+BASELINE_SEC = {
+    # BASELINE.md (reference engine, same machine/config)
+    "agg_sum_groupby": 0.787,
+    "join_broadcast_dims": 1.071,
+    "window_rank_topk": 1.651,
+    "reshape_pivot_wide": 0.262,
+    "stream_session": 1.173,
+    "text_tokenize_topn": 0.478,
+    "sim_knn_cosine": 0.705,
+    # BENCH_r03.json (this engine's r03 medians — LLM regression base)
+    "dedup_simhash_pairs": 0.7904,
+    "pipeline_corpus_manifest": 0.3488,
+    "contam_ngram_overlap": 1.5371,
+    "pipeline_training_set": 1.3102,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,6 +100,11 @@ def main() -> None:
             runs.append(time.perf_counter() - start)
         timings[name] = round(statistics.median(runs), 4)
 
+    vs_baseline = {
+        name: round(timings[name] / BASELINE_SEC[name], 3)
+        for name in timings
+        if name in BASELINE_SEC
+    }
     print(
         json.dumps(
             {
@@ -87,6 +113,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "llm_queries": LLM_HEADLINE,
+                "vs_baseline": vs_baseline,
                 "sf": sf,
             }
         )
