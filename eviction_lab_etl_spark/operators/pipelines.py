@@ -322,6 +322,30 @@ def pipeline_corpus_clean(spark, sf_dir):
     )
 
 
+def prefix_candidates(part):
+    """(p_partkey, p_retailprice, prefix) for every distinct 2-4 char prefix
+    of every name token — the autocomplete index's candidate frame, shared by
+    the registered query and tools/scale_stress.py's skew measurement so the
+    stress numbers describe the shipped plan."""
+    tok = part.select(
+        "p_partkey",
+        "p_retailprice",
+        F.explode(F.split("p_name", " ")).alias("w"),
+    )
+    return tok.select(
+        "p_partkey",
+        "p_retailprice",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(2), F.lit(4)),
+                    lambda i: F.substring(F.col("w"), F.lit(1), i),
+                )
+            )
+        ).alias("prefix"),
+    ).distinct()
+
+
 @query(
     "search_prefix_topk",
     oracle="""
@@ -377,23 +401,7 @@ def search_prefix_topk(spark, sf_dir):
     part = load(spark, sf_dir, "part")
     from pyspark.sql import Window
 
-    tok = part.select(
-        "p_partkey",
-        "p_retailprice",
-        F.explode(F.split("p_name", " ")).alias("w"),
-    )
-    pref = tok.select(
-        "p_partkey",
-        "p_retailprice",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(2), F.lit(4)),
-                    lambda i: F.substring(F.col("w"), F.lit(1), i),
-                )
-            )
-        ).alias("prefix"),
-    ).distinct()
+    pref = prefix_candidates(part)
     win = Window.partitionBy("prefix").orderBy(
         F.col("p_retailprice").cast("decimal(12,2)").desc(), F.col("p_partkey")
     )

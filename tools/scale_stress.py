@@ -108,6 +108,95 @@ def measure_srp_pruning(spark, sf_dir) -> dict[str, int]:
     return {"n_vectors": n, "cand_pairs": cand, "all_pairs": n * (n - 1) // 2}
 
 
+def measure_cc_stress(spark, mult: int) -> dict:
+    """Connected components on a planted adversarial graph that scales with
+    the multiplier: mult*100 disjoint 100-vertex PATHS (diameter 99 each —
+    the worst shape per vertex for label propagation). The claim under test:
+    large-star/small-star contraction keeps ROUNDS flat (O(log n), ~7) while
+    wall-clock grows ~linearly in edges; a propagation loop would need 99
+    rounds at every size."""
+    from eviction_lab_etl_spark.operators.clustering import _cc_rounds
+
+    n_chains = mult * 100
+    edges = (
+        spark.range(n_chains)
+        .select(
+            F.col("id").alias("c"),
+            F.explode(F.sequence(F.lit(0), F.lit(98))).alias("i"),
+        )
+        .select(
+            (F.col("c") * 1000 + F.col("i")).alias("a"),
+            (F.col("c") * 1000 + F.col("i") + 1).alias("b"),
+        )
+    )
+    start = time.perf_counter()
+    labels, rounds = _cc_rounds(edges, 25, None)
+    n_comp = labels.select("lbl").distinct().count()
+    return {
+        "edges": n_chains * 99,
+        "rounds": rounds,
+        "components": n_comp,
+        "sec": round(time.perf_counter() - start, 2),
+    }
+
+
+def measure_prefix_skew(spark, mult: int) -> dict:
+    """search_prefix_topk skew evidence. The scaled part corpus replicates
+    names with offset keys, so the PREFIX key distribution is unchanged while
+    rows per prefix grow mult× — exactly the hot-prefix scenario. Reports the
+    naive per-prefix window partition size (what a window without rank-limit
+    pushdown would sort in one task) vs the WindowGroupLimit(Partial) bound
+    (<= 3 rows per prefix per map partition — what the shipped plan's final
+    exchange actually carries), plus the measured query wall-clock."""
+    from eviction_lab_etl_spark.operators.pipelines import (
+        prefix_candidates,
+        search_prefix_topk,
+    )
+
+    dst = os.path.join(SCRATCH, f"prefix_x{mult}")
+    marker = os.path.join(dst, "_COMPLETE")
+    if not os.path.exists(marker):
+        df = load(spark, SRC, "part")
+        if mult > 1:
+            df = df.select(
+                "*",
+                F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__copy"),
+            ).withColumn(
+                "p_partkey",
+                F.col("p_partkey") + F.col("__copy").cast("long") * F.lit(OFFSET),
+            ).drop("__copy")
+        df.write.mode("overwrite").parquet(os.path.join(dst, "part.parquet"))
+        open(marker, "w").close()
+
+    pref = prefix_candidates(load(spark, dst, "part"))
+    naive_max = (
+        pref.groupBy("prefix").count().agg(F.max("count").alias("m")).collect()[0].m
+    )
+    bounded_max = (
+        pref.withColumn("pid", F.spark_partition_id())
+        .groupBy("prefix")
+        .agg((3 * F.countDistinct("pid")).alias("cap"))
+        .agg(F.max("cap").alias("m"))
+        .collect()[0]
+        .m
+    )
+
+    def run() -> None:
+        search_prefix_topk(spark, dst).write.format("noop").mode("overwrite").save()
+
+    run()
+    runs = []
+    for _ in range(3):
+        start = time.perf_counter()
+        run()
+        runs.append(time.perf_counter() - start)
+    return {
+        "naive_max_window_rows": naive_max,
+        "grouplimit_max_candidates": bounded_max,
+        "sec": round(statistics.median(runs), 4),
+    }
+
+
 def scaled_dir(mult: int) -> str:
     return os.path.join(SCRATCH, f"stress_x{mult}")
 
@@ -136,12 +225,31 @@ def build_scaled(spark, mult: int) -> str:
 
 
 def main() -> None:
-    mults = [int(a) for a in sys.argv[1:]] or [1, 10, 30]
+    args = sys.argv[1:]
+    # --cc-prefix: run only the clustering + prefix-skew measurements (the
+    # full STRESS sweep is ~10 min at 30x; these two are seconds).
+    extra_only = "--cc-prefix" in args
+    mults = [int(a) for a in args if not a.startswith("--")] or [1, 10, 30]
     registry.load_all_operators()
     spark = build_session(
         app_name="elspark-scale-stress", master="local[32]", shuffle_partitions=32
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if extra_only:
+        for mult in mults:
+            print(
+                json.dumps(
+                    {
+                        "metric": "scale_stress_cc_prefix",
+                        "mult": mult,
+                        "cc": measure_cc_stress(spark, mult),
+                        "prefix": measure_prefix_skew(spark, mult),
+                    }
+                ),
+                flush=True,
+            )
+        return
 
     for mult in mults:
         sf_dir = build_scaled(spark, mult)
