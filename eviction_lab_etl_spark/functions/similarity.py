@@ -26,18 +26,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def jaccard_pairs_prefix(
+def prefix_candidate_pairs(
     tokens: DataFrame,
     id_col: str = "doc_id",
     token_col: str = "w",
     threshold: tuple[int, int] = (6, 10),
 ) -> DataFrame:
-    """All pairs (a < b) with Jaccard(tokens_a, tokens_b) ≥ num/den.
-
-    ``tokens``: one row per (document, DISTINCT token). Output columns:
-    ``a, b, inter, uni`` (ints; the ratio is left to the consumer).
-    Identical result set to the naive all-token index join.
-    """
+    """The candidate pair set (a < b) the prefix filter admits — documents
+    whose rarity-prefixes share at least one token. Exposed separately so
+    tools/scale_stress.py can put a number on the pruning vs the all-token
+    index; ``jaccard_pairs_prefix`` verifies exactly these pairs."""
     num, den = threshold
     tok = tokens.select(F.col(id_col).alias("id"), F.col(token_col).alias("w"))
 
@@ -58,7 +56,7 @@ def jaccard_pairs_prefix(
         .select("id", "w")
     )
 
-    cand = (
+    return (
         prefix.alias("p1")
         .join(
             prefix.alias("p2"),
@@ -67,6 +65,26 @@ def jaccard_pairs_prefix(
         .select(F.col("p1.id").alias("a"), F.col("p2.id").alias("b"))
         .distinct()
     )
+
+
+def jaccard_pairs_prefix(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "w",
+    threshold: tuple[int, int] = (6, 10),
+) -> DataFrame:
+    """All pairs (a < b) with Jaccard(tokens_a, tokens_b) ≥ num/den.
+
+    ``tokens``: one row per (document, DISTINCT token). Output columns:
+    ``a, b, inter, uni`` (ints; the ratio is left to the consumer).
+    Identical result set to the naive all-token index join.
+    """
+    num, den = threshold
+    tok = tokens.select(F.col(id_col).alias("id"), F.col(token_col).alias("w"))
+
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+
+    cand = prefix_candidate_pairs(tokens, id_col, token_col, threshold)
 
     inter = (
         cand.join(tok.alias("t1"), F.col("a") == F.col("t1.id"))

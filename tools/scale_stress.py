@@ -197,6 +197,89 @@ def measure_prefix_skew(spark, mult: int) -> dict:
     }
 
 
+def _naive_candidate_bound(tokens) -> int:
+    """Candidate-pair mass of the naive all-token inverted index: sum over
+    tokens of f*(f-1)/2, computed from the frequency table alone — the pair
+    space is never materialized."""
+    return int(
+        tokens.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .agg(
+            F.sum(
+                (F.col("f").cast("decimal(38,0)") * (F.col("f") - 1)) / 2
+            ).alias("m")
+        )
+        .collect()[0]
+        .m
+    )
+
+
+def measure_jaccard_stress(spark, mult: int) -> dict:
+    """The UNBOUNDED Jaccard path (the registered query's SURVEY doc_id<200
+    bound stays in place; this measures the library seam that lifts it).
+
+    Finding recorded at mult=1 against the real documents table: its
+    vocabulary is 31 tokens (min frequency ~3.3k of 5k docs), so there IS no
+    rarity for a prefix filter to exploit — prefix filtering admits 12.45M
+    of the 12.50M possible pairs and the exact join stays
+    Omega(n^2) on this corpus no matter the algorithm. That is the
+    measured justification for the SURVEY bound, so the scaling run uses a
+    deterministic synthetic corpus WITH rarity structure (groups of 5 docs
+    sharing 5 group-private tokens over a 31-token common vocabulary — the
+    shape real near-dup corpora have, where most tokens are globally rare)
+    at near-dup threshold 0.9, where the prefix (|A| - ceil(0.9|A|) + 1 = 3
+    rarest tokens) is all group-private: candidates collapse from the
+    all-token index's O(n^2) mass to the within-group pairs."""
+    from eviction_lab_etl_spark.functions.similarity import (
+        jaccard_pairs_prefix,
+        prefix_candidate_pairs,
+    )
+
+    n_docs = 5000 * mult
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    # 15 shared-vocabulary tokens per doc (vocab 31, rotating by group) plus
+    # 5 group-private tokens; groups of 5 consecutive doc_ids are exact
+    # near-dup cliques (Jaccard 1.0), cross-group Jaccard <= 0.6.
+    grp = F.expr("doc_id div 5")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(14)),
+                    lambda k: F.concat(F.lit("c"), ((grp * 7 + k) % 31)),
+                ),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(4)),
+                    lambda k: F.concat(F.lit("r"), grp, F.lit("_"), k),
+                ),
+            )
+        ).alias("w"),
+    )
+    naive_bound = _naive_candidate_bound(tokens)
+
+    def run() -> None:
+        jaccard_pairs_prefix(tokens, threshold=(9, 10)).write.format(
+            "noop"
+        ).mode("overwrite").save()
+
+    run()
+    runs = []
+    for _ in range(3):
+        start = time.perf_counter()
+        run()
+        runs.append(time.perf_counter() - start)
+    cand_pairs = prefix_candidate_pairs(tokens, threshold=(9, 10)).count()
+    result_pairs = jaccard_pairs_prefix(tokens, threshold=(9, 10)).count()
+    return {
+        "n_docs": n_docs,
+        "naive_candidate_bound": naive_bound,
+        "prefix_candidates": cand_pairs,
+        "result_pairs": result_pairs,
+        "sec": round(statistics.median(runs), 4),
+    }
+
+
 def scaled_dir(mult: int) -> str:
     return os.path.join(SCRATCH, f"stress_x{mult}")
 
@@ -245,6 +328,7 @@ def main() -> None:
                         "mult": mult,
                         "cc": measure_cc_stress(spark, mult),
                         "prefix": measure_prefix_skew(spark, mult),
+                        "jaccard_unbounded": measure_jaccard_stress(spark, mult),
                     }
                 ),
                 flush=True,
