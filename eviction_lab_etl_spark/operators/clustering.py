@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from eviction_lab_etl_spark.functions.determinism import big
 from eviction_lab_etl_spark.registry import query
 
 
@@ -191,4 +192,69 @@ def dedup_cluster_cc(spark, sf_dir):
     edges = pairs.filter(10 * F.col("inter") >= 9 * F.col("uni")).select("a", "b")
     return connected_components(edges).select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("component")
+    )
+
+
+@query(
+    "dedup_canonical_docs",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents WHERE doc_id < 200
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pr AS (
+        SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS inter
+        FROM tok t1 JOIN tok t2 ON t1.w = t2.w AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    ),
+    edges0 AS (
+        SELECT a, b FROM pr
+        JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        WHERE 10 * inter >= 9 * (sa.n + sb.n - inter)
+    ),
+    edges AS (SELECT a, b FROM edges0 UNION ALL SELECT b AS a, a AS b FROM edges0),
+    walk(v, lbl) AS (
+        SELECT DISTINCT a AS v, a AS lbl FROM edges
+        UNION
+        SELECT e.b AS v, w.lbl FROM walk w JOIN edges e ON e.a = w.v
+    ),
+    comp AS (SELECT v AS doc_id, min(lbl) AS component FROM walk GROUP BY v)
+    SELECT d.doc_id, len(string_split(d.text, ' ')) AS n_tok
+    FROM documents d
+    LEFT JOIN comp c ON c.doc_id = d.doc_id
+    WHERE d.doc_id < 200
+      AND (c.doc_id IS NULL OR c.component = d.doc_id)
+    """,
+)
+def dedup_canonical_docs(spark, sf_dir):
+    """The full near-dup dedup story end to end: pairwise Jaccard >= 0.9
+    edges (same graph as dedup_cluster_cc) -> connected components -> keep
+    exactly ONE canonical member per duplicate group (the minimum doc_id —
+    the component label itself) plus every document that belongs to no
+    group. This is the operator a training-data pipeline actually runs;
+    pairs and components are diagnostics. The survivor filter is a single
+    broadcast-able left join against the |clustered docs| label table
+    (tiny relative to the corpus: only docs with a near-dup ever enter the
+    closure), so the corpus-side plan is scan -> join -> filter with no
+    extra shuffle at 100 TB."""
+    from eviction_lab_etl_spark.operators.dedup_text import sim_jaccard_pairs
+    from eviction_lab_etl_spark.sources.loader import load
+
+    pairs = sim_jaccard_pairs(spark, sf_dir)
+    edges = pairs.filter(10 * F.col("inter") >= 9 * F.col("uni")).select("a", "b")
+    labels = connected_components(edges).select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("component")
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    )
+    return (
+        docs.join(F.broadcast(labels), "doc_id", "left")
+        .filter(
+            F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+        )
+        .select("doc_id", big("n_tok").alias("n_tok"))
     )

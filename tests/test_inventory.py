@@ -49,6 +49,7 @@ EXTENSIONS = {
     "complex_shipping_priority", "complex_region_revenue",
     "complex_returned_revenue", "io_orc_roundtrip", "io_bucketed_join",
     "text_clean_html", "text_pii_mask", "dedup_cluster_cc",
+    "dedup_canonical_docs",
     "contam_ngram_overlap", "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "text_dedup_repeats",
     "geo_centroid_bbox", "geo_point_in_region", "incr_partition_refresh",
