@@ -421,3 +421,77 @@ def pipeline_training_set(spark, sf_dir):
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "resample_sqrt_temperature",
+    oracle="""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tgt AS (
+        SELECT lang, n,
+               CAST(floor(sqrt(CAST(n * (SELECT max(n) FROM counts) AS DOUBLE)))
+                   AS BIGINT) AS target
+        FROM counts
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+        FROM documents
+    ),
+    plan AS (
+        SELECT r.doc_id, r.lang,
+               t.target // t.n
+                 + CASE WHEN r.rk <= t.target % t.n THEN 1 ELSE 0 END AS copies
+        FROM ranked r JOIN tgt t USING (lang)
+    )
+    SELECT doc_id, lang, CAST(c AS BIGINT) AS copy_idx
+    FROM plan, unnest(range(0, copies)) AS r(c)
+    """,
+)
+def resample_sqrt_temperature(spark, sf_dir):
+    """Square-root temperature resampling (the mBERT/XLM exponent-0.5
+    smoothing of the language distribution): each language's target row
+    count is the geometric mean floor(sqrt(n_lang * n_max)) — low-resource
+    languages are boosted sublinearly toward the head language instead of
+    resample_by_lang's hard ceil-ratio cap. All arithmetic is integer-exact
+    on both engines (n*n_max <= n_max^2 is far inside double-exact range, so
+    floor(sqrt(..)) agrees bit-for-bit; copies and remainders are pure
+    integer ops per §2.0 rule 1).
+
+    The remainder (target mod n) extra copies go to the first `remainder`
+    docs in doc_id order via a per-lang row_number — per-lang windows are
+    the same shard-independence shape as pack_concat_chunks (a GLOBAL order
+    would serialize; per-lang parallelizes across languages). Under extreme
+    single-language skew the scale path is remainder assignment per
+    (lang, subshard) with per-subshard quotas — same result set, bounded
+    window partitions. The |langs|-row target table broadcasts; replication
+    is a map-side explode, so the corpus never shuffles for the copy step."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    mx = counts.agg(F.max("n").alias("nmax"))
+    tgt = counts.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n",
+        F.floor(F.sqrt((F.col("n") * F.col("nmax")).cast("double"))).alias(
+            "target"
+        ),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    ranked = docs.select("doc_id", "lang").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    plan = ranked.join(F.broadcast(tgt), "lang").select(
+        "doc_id",
+        "lang",
+        (
+            F.expr("target div n")
+            + F.when(F.col("rk") <= F.col("target") % F.col("n"), 1).otherwise(0)
+        ).alias("copies"),
+    )
+    return plan.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), F.col("copies") - 1)).alias("copy_idx"),
+    ).withColumn("copy_idx", big("copy_idx"))

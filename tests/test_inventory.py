@@ -51,7 +51,7 @@ EXTENSIONS = {
     "text_clean_html", "text_pii_mask", "dedup_cluster_cc",
     "dedup_canonical_docs",
     "contam_ngram_overlap", "pack_concat_chunks", "chunk_sliding",
-    "resample_by_lang", "text_dedup_repeats",
+    "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",
     "geo_centroid_bbox", "geo_point_in_region", "incr_partition_refresh",
     "incr_merge_upsert",
     "pipeline_training_set", "search_prefix_topk", "multimodal_dedup",

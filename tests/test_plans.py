@@ -191,6 +191,20 @@ def test_training_pipeline_no_sortmerge_no_python(spark, sf_dir):
     assert info["python_rows"] == 0 and info["arrow_python"] == 0
 
 
+def test_dedup_and_resample_small_sides_broadcast(spark, sf_dir):
+    # Canonical-survivor dedup: the cluster-label table must broadcast onto
+    # the corpus scan (only docs with a near-dup enter the closure — tiny).
+    info = plan_of(spark, sf_dir, "dedup_canonical_docs")
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 1, f"canonical dedup: labels not broadcast ({bcast})"
+    # Sqrt-temperature resampling: the |langs|-row target table broadcasts;
+    # the replication explode is map-side (no corpus shuffle for the copies).
+    info = plan_of(spark, sf_dir, "resample_sqrt_temperature")
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 2, f"resample_sqrt: targets not broadcast ({bcast})"
+    assert info["sortmerge_joins"] == 0
+
+
 def test_search_prefix_topk_partial_before_exchange(spark, sf_dir):
     # The autocomplete top-k must keep Spark's rank-limit combiner: a
     # WindowGroupLimit in Partial mode BELOW the prefix exchange (each map
