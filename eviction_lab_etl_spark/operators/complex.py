@@ -168,3 +168,99 @@ def complex_returned_revenue(spark, sf_dir):
         .orderBy(F.col("rev").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@query(
+    "complex_small_qty_revenue",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               sum(CAST(l_quantity AS BIGINT)) AS sq,
+               count(*) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           CAST(sum({REVENUE_SQL}) * 10000 AS BIGINT) AS rev_x10k,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN per_part pp ON pp.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sq
+    GROUP BY p_brand
+    """,
+)
+def complex_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: revenue locked up in small-quantity orders — per
+    brand, the revenue of lineitems whose quantity is below 20% of that
+    part's average. The classic correlated scalar subquery (avg per part)
+    decorrelates into an aggregate-then-join: one shuffle builds the
+    |parts|-row (sum, count) table, which re-joins the fact on l_partkey.
+    The below-average test uses integer cross-multiplication
+    (5*qty*cnt < sum — quantities are integral in this corpus) so both
+    engines decide every boundary row identically; revenue is emitted as a
+    scaled BIGINT (ten-thousandths — §2.0 rule 10: at brand-level sums the
+    engines' decimal→double conversions diverge by 1 ulp, scale-4 vs
+    scale-12 division; the scaled integer is exact on both). At 100 TB both
+    sides of the self-join shuffle on l_partkey — co-partitioned, no
+    broadcast of the fact — and the final brand rollup is a 25-row
+    aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("sq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(per_part, "l_partkey")
+        .filter(5 * F.col("l_quantity").cast("long") * F.col("cnt") < F.col("sq"))
+        .join(F.broadcast(part.select("p_partkey", "p_brand")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(revenue()) * 10000).cast("long").alias("rev_x10k"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "complex_large_orders",
+    oracle="""
+    WITH big_orders AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 300
+    )
+    SELECT c_name, o.o_orderkey, o.o_orderdate, total_qty
+    FROM big_orders b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_qty DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def complex_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape (large-volume customers): orders whose total lineitem
+    quantity exceeds 300, joined out to the order and customer rows, top-10
+    by quantity. The group-HAVING result is the JOIN INPUT — the aggregate
+    (|orders| rows pre-filter, a handful after) reduces before any wide row
+    is assembled, so the customer/order joins see only qualifying keys.
+    Integer quantities make the HAVING boundary and the ordering exact; the
+    top-10 is TakeOrdered (no global sort exchange)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    return (
+        big_orders.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(10)
+    )

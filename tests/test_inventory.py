@@ -47,7 +47,8 @@ EXTENSIONS = {
     "split_content_hash", "sample_stratified",
     "agg_approx_quantile", "sketch_hll_partitioned",
     "complex_shipping_priority", "complex_region_revenue",
-    "complex_returned_revenue", "io_orc_roundtrip", "io_bucketed_join",
+    "complex_returned_revenue", "complex_small_qty_revenue",
+    "complex_large_orders", "io_orc_roundtrip", "io_bucketed_join",
     "text_clean_html", "text_pii_mask", "dedup_cluster_cc",
     "dedup_canonical_docs",
     "contam_ngram_overlap", "pack_concat_chunks", "chunk_sliding",
