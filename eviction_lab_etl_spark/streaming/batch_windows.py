@@ -170,3 +170,66 @@ def stream_stream_join_batch(spark, sf_dir):
         & (F.col("s_ts") <= F.col("p_ts"))
         & (F.col("s_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
     ).select("purchase_event_id", "signup_event_id")
+
+
+@query(
+    "stream_session_dynamic",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id,
+               ts + CASE WHEN event_type = 'purchase'
+                         THEN INTERVAL 60 MINUTE
+                         ELSE INTERVAL 15 MINUTE END AS end_ts
+        FROM events
+    ),
+    o AS (
+        SELECT user_id, ts,
+               CASE WHEN max(end_ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR ts >= max(end_ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS brk
+        FROM g
+    ),
+    i AS (
+        SELECT user_id, ts,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM o
+    )
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start,
+           count(*) AS n_events
+    FROM i
+    GROUP BY user_id, grp
+    """,
+)
+def stream_session_dynamic(spark, sf_dir):
+    """Dynamic-gap sessionization (S): the session timeout depends on the
+    EVENT — a purchase holds the session open for 60 minutes, anything else
+    for 15 — via ``session_window(ts, gap_expression)``, a capability fixed
+    per-gap sessionizers don't have (engagement-weighted timeouts are the
+    production norm). Spark merges events whose [ts, ts+gap) intervals
+    chain-overlap; the oracle is the classic interval-merge construction — a
+    new island starts exactly when ts clears the RUNNING MAX of all prior
+    interval ends (a plain lag() is wrong here: a long-gap event can cover a
+    later short-gap one, which running-max handles and lag misses). Same
+    one-shuffle-per-user plan shape as stream_session, identical in batch
+    and streaming execution."""
+    events = load(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("60 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("start_ts"))
+        .select(
+            "user_id",
+            F.unix_micros("start_ts").alias("session_start"),
+            "n_events",
+        )
+    )
