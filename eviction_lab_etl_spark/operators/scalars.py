@@ -201,3 +201,40 @@ def scalar_conditional_null(spark, sf_dir):
         "c_custkey",
         to_dbl(F.coalesce(F.col("spend_dec"), F.lit(-1).cast("decimal(18,6)"))).alias("spend0"),
     )
+
+
+@query(
+    "scalar_try_safe",
+    oracle="""
+    SELECT c_custkey,
+           c_custkey / NULLIF(c_custkey % 7, 0) AS safe_div,
+           CASE WHEN c_custkey % 2 = 0 THEN 9223372036854775807 END AS safe_add,
+           TRY_CAST(string_split(c_name, '#')[2] AS BIGINT) AS name_num,
+           string_split(c_name, '#')[3] AS missing_part
+    FROM customer
+    """,
+)
+def scalar_try_safe(spark, sf_dir):
+    """ANSI-safe expression surface (S): Spark 4 runs with
+    ``spark.sql.ansi.enabled=true``, where division by zero, arithmetic
+    overflow, bad casts, and out-of-bounds element access are RUNTIME ERRORS
+    that kill a 100 TB job 6 hours in. The ``try_*`` family is the
+    per-expression escape hatch — NULL instead of abort — and every dirty
+    ingest pipeline needs it: try_divide (NULL at zero divisors, here every
+    7th key), try_add (NULL at bigint overflow, here every odd key pushed
+    past Long.MAX), try_cast over parsed name tails, and try_element_at past
+    the end of a split. The oracle states each expected value directly
+    (DuckDB errors on none of these by default), which pins that the try_*
+    forms return VALUES where they should and NULL exactly where they
+    should."""
+    cust = load(spark, sf_dir, "customer")
+    parts = F.split("c_name", "#")
+    return cust.select(
+        "c_custkey",
+        F.try_divide(F.col("c_custkey"), F.col("c_custkey") % 7).alias("safe_div"),
+        F.try_add(
+            F.lit(9223372036854775807), F.col("c_custkey") % 2
+        ).alias("safe_add"),
+        F.try_element_at(parts, F.lit(2)).cast("bigint").alias("name_num"),
+        F.try_element_at(parts, F.lit(3)).alias("missing_part"),
+    )

@@ -150,3 +150,32 @@ def io_partitioned_write(spark, sf_dir):
     orders.write.mode("overwrite").partitionBy("yr").parquet(path)
     # Partition pruning: yr=1997 resolves to one directory, not a full scan.
     return spark.read.parquet(path).filter(F.col("yr") == 1997).select("o_orderkey", "yr")
+
+
+@query(
+    "io_python_datasource",
+    oracle="""
+    SELECT i AS event_id,
+           CAST(i // 500 AS INTEGER) AS shard,
+           (i * i) % 97 AS value
+    FROM range(0, 4000) t(i)
+    """,
+)
+def io_python_datasource(spark, sf_dir):
+    """Custom connector via the Python Data Source API (Spark 4) — the
+    engine's seam for ingesting systems no built-in format reads (the
+    reference's census-endpoint fetches, R2). The synthetic-telemetry source
+    declares 8 input partitions x 500 rows; Spark runs one task per
+    partition and the rows cross into the JVM as Arrow batches. The content
+    rule is pure arithmetic on the global row index, so the oracle states
+    the full expected table and the driver value-hashes a CUSTOM connector
+    exactly like a parquet scan. sf_dir is unused: the source IS the data."""
+    from eviction_lab_etl_spark.sources import pyds
+
+    pyds.register(spark)
+    return (
+        spark.read.format("synthetic_telemetry")
+        .option("shards", 8)
+        .option("rows", 500)
+        .load()
+    )
