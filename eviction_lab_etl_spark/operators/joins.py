@@ -254,3 +254,44 @@ def join_cross_small(spark, sf_dir):
         .distinct()
     )
     return region.crossJoin(F.broadcast(status))
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.cents
+    FROM (SELECT o_orderkey FROM orders WHERE o_orderkey % 199 = 0) o
+    CROSS JOIN LATERAL (
+        SELECT l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM lineitem WHERE l_orderkey = o.o_orderkey
+        ORDER BY cents DESC, l_linenumber LIMIT 2
+    ) l
+    """,
+)
+def join_lateral_topn(spark, sf_dir):
+    """LATERAL correlated subquery (C/X): for each selected order, its top-2
+    priciest lineitems — the per-row-subquery SQL surface (\"for each X give
+    me its best Ys\") that DSL joins can't state directly. Catalyst
+    decorrelates the lateral into a join + per-key limit rather than
+    executing the inner query once per outer row, so the plan scales like
+    the window top-k family. Price is emitted as exact integer cents
+    (decimal(12,2)*100 — a double*100 cast truncates vs rounds differently
+    across engines). The %199 outer filter keeps the driver result compact
+    while every order's inner ordering is still exercised."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lat_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber, l.cents
+        FROM (SELECT o_orderkey FROM lat_orders WHERE o_orderkey % 199 = 0) o,
+        LATERAL (
+            SELECT l_linenumber,
+                   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS cents
+            FROM lat_lineitem WHERE l_orderkey = o.o_orderkey
+            ORDER BY cents DESC, l_linenumber LIMIT 2
+        ) l
+        """
+    )

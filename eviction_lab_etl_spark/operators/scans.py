@@ -179,3 +179,24 @@ def io_python_datasource(spark, sf_dir):
         .option("rows", 500)
         .load()
     )
+
+
+@query("io_binary_files")  # rows-only: filesystem listing isn't view-expressible
+def io_binary_files(spark, sf_dir):
+    """``binaryFile`` format scan (A/X): Spark's native multimodal ingest —
+    each file arrives as one row of (path, length, content bytes) with the
+    content column PRUNED unless projected, so a metadata-only listing never
+    reads payloads. This is how image/audio corpora enter the engine before
+    the mapInPandas decode stage (operators/multimodal.py). Emitted as
+    (file_name, n_bytes, content md5) — tests/test_rows_only.py cross-checks
+    every digest against DuckDB's read_blob over the same directory."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return files.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

@@ -50,7 +50,8 @@ EXTENSIONS = {
     "complex_shipping_priority", "complex_region_revenue",
     "complex_returned_revenue", "complex_small_qty_revenue",
     "complex_large_orders", "io_orc_roundtrip", "io_bucketed_join",
-    "io_python_datasource", "scalar_try_safe",
+    "io_python_datasource", "scalar_try_safe", "io_binary_files",
+    "join_lateral_topn",
     "text_clean_html", "text_pii_mask", "dedup_cluster_cc",
     "dedup_canonical_docs",
     "contam_ngram_overlap", "pack_concat_chunks", "chunk_sliding",

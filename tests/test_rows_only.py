@@ -260,3 +260,24 @@ def test_pipeline_corpus_clean(spark, ddb, sf_dir):
     assert 0 < len(ids) < n_docs  # something survived, something was cleaned
     run2 = QUERIES["pipeline_corpus_clean"](spark, sf_dir).collect()
     assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+
+
+def test_io_binary_files_digests_match_filesystem(spark, sf_dir):
+    """Every (file, size, md5) from the binaryFile scan must equal a direct
+    filesystem read — pins that content arrives intact and unmangled."""
+    import glob as _glob
+    import hashlib
+    import os
+
+    got = {
+        (r.file_name, r.n_bytes, r.content_md5)
+        for r in QUERIES["io_binary_files"](spark, sf_dir).collect()
+    }
+    want = set()
+    for path in _glob.glob(os.path.join(sf_dir, "*.parquet")):
+        with open(path, "rb") as fh:
+            blob = fh.read()
+        want.add(
+            (os.path.basename(path), len(blob), hashlib.md5(blob).hexdigest())
+        )
+    assert got == want and len(got) == 10
