@@ -142,3 +142,42 @@ def udtf_explode_pos(spark, sf_dir):
         return docs.select(
             "doc_id", F.posexplode(F.split("text", " ")).alias("p", "word")
         ).select("doc_id", (F.col("p") + 1).cast("bigint").alias("pos"), "word")
+
+
+@query(
+    "udf_arrow_map",
+    oracle="""
+    SELECT event_id,
+           event_id % 7 AS bucket,
+           user_id * 2 AS uid2
+    FROM events
+    """,
+)
+def udf_arrow_map(spark, sf_dir):
+    """mapInArrow (X): the zero-copy Arrow-native batch map — RecordBatches
+    flow straight from Tungsten into pyarrow.compute kernels with no pandas
+    materialization in between, the lowest-overhead Python boundary Spark
+    has (mapInPandas pays the Arrow->pandas conversion both ways; this
+    skips it). The transform is integer-exact so the oracle can state the
+    full expected table. At 100 TB this is the boundary to reach for when
+    custom vectorized logic must touch every row of a fact table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def arrow_buckets(batches):
+        for batch in batches:
+            eid = batch.column("event_id")
+            uid = batch.column("user_id")
+            seven = pa.scalar(7, type=pa.int64())
+            bucket = pc.subtract(
+                eid, pc.multiply(pc.divide(eid, seven), seven)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [eid, bucket, pc.multiply(uid, pa.scalar(2, type=pa.int64()))],
+                names=["event_id", "bucket", "uid2"],
+            )
+
+    events = load(spark, sf_dir, "events").select("event_id", "user_id")
+    return events.mapInArrow(
+        arrow_buckets, schema="event_id long, bucket long, uid2 long"
+    )
