@@ -69,6 +69,10 @@ STRESS = [
     "chunk_sliding",
     "incr_partition_refresh",
     "geo_point_in_region",
+    # Round 4: per-part avg self-join (both sides shuffle on l_partkey) and
+    # dynamic-gap sessionization (per-user state; users scale with copies).
+    "complex_small_qty_revenue",
+    "stream_session_dynamic",
 ]
 
 
