@@ -54,9 +54,10 @@ def _truncate(df: DataFrame) -> DataFrame:
 
 def _signature(edges: DataFrame) -> tuple:
     """Order-insensitive fingerprint of an edge set, one tiny aggregate job:
-    (count, wrapping hash-sum, hash-xor). Used only for fixpoint detection —
-    a collision would need two DIFFERENT consecutive edge sets agreeing on
-    all three, and the following round would catch it."""
+    (count, wrapping hash-sum, hash-xor). Used only as a cheap candidate test
+    for fixpoint: when the signatures first match, _cc_rounds confirms with an
+    exact set comparison, so a signature collision costs one extra exceptAll
+    job — it can never terminate the loop on unequal edge sets."""
     row = edges.agg(
         F.count(F.lit(1)).alias("n"),
         # decimal(38,0) sum: overflow-proof under ANSI mode at any edge count
@@ -116,9 +117,14 @@ def _cc_rounds(
     rounds = 0
     converged = False
     for rounds in range(1, max_iter + 1):
+        prev = cur
         cur = _truncate(_small_star(_large_star(cur)))
         sig = _signature(cur)
-        if sig == prev_sig:
+        # Signature match is the cheap candidate test; equality is confirmed
+        # exactly. Counts are equal (part of the signature), so a one-sided
+        # exceptAll suffices. Both sides are checkpointed, so this runs one
+        # small extra job exactly once, at convergence.
+        if sig == prev_sig and cur.exceptAll(prev).isEmpty():
             converged = True
             break
         prev_sig = sig

@@ -235,6 +235,6 @@ def scalar_try_safe(spark, sf_dir):
         F.try_add(
             F.lit(9223372036854775807), F.col("c_custkey") % 2
         ).alias("safe_add"),
-        F.try_element_at(parts, F.lit(2)).cast("bigint").alias("name_num"),
+        F.try_element_at(parts, F.lit(2)).try_cast("bigint").alias("name_num"),
         F.try_element_at(parts, F.lit(3)).alias("missing_part"),
     )

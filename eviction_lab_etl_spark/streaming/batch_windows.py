@@ -73,7 +73,7 @@ def stream_sliding(spark, sf_dir):
     "stream_session",
     oracle="""
     WITH o AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS brk
@@ -81,8 +81,12 @@ def stream_sliding(spark, sf_dir):
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     i AS (
+        -- running sum ordered by (ts, event_id), matching the brk window:
+        -- with duplicate (user_id, ts) rows an ORDER BY ts alone would be
+        -- tie-order-nondeterministic and could split a session differently
+        -- across runs
         SELECT user_id, ts,
-               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS grp
         FROM o
     )
@@ -183,7 +187,7 @@ def stream_stream_join_batch(spark, sf_dir):
         FROM events
     ),
     o AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN max(end_ts) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
@@ -196,8 +200,10 @@ def stream_stream_join_batch(spark, sf_dir):
         FROM g
     ),
     i AS (
+        -- ordered by (ts, event_id) to match the brk window; ORDER BY ts
+        -- alone is tie-order-nondeterministic under duplicate timestamps
         SELECT user_id, ts,
-               sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS grp
         FROM o
     )
