@@ -1,17 +1,22 @@
-"""Multimodal column plumbing (BASELINE.json extension).
+"""Multimodal column operators (BASELINE.json extension).
 
-Pattern: media are opaque ``binary`` columns with a typed metadata struct;
-decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages so the heavy bytes never cross a row-at-a-time
-boundary. The actual codecs (PIL/ffmpeg/librosa) are not in this container,
-so the decode body is a clearly-marked deterministic stub behind
-``decode_media``; everything Spark-side — binary schema, batch iteration,
-UDF signature, partition behavior — is real and tested.
+Pattern: media are opaque ``binary`` columns with typed metadata; decode /
+feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
+stages so the heavy bytes never cross a row-at-a-time boundary.
+
+The image path is REAL: ``functions/media_codecs.py`` implements pure-Python
+PPM (P6) and 24-bit BMP codecs (struct header parse + pixel slice — no PIL),
+fixtures mint genuine payloads in both formats, and the correctness oracle
+derives the expected decoded channel sums arithmetically in SQL — so the
+DECODERS are hash-checked against independent math, not against themselves.
+Audio/video stay behind ``NotImplementedError`` (ffmpeg/librosa are not in
+this container); their Spark-side plumbing shape is identical.
 
 At 100 TB: binary payloads dominate partition size, so sources should set
 ``spark.sql.files.maxPartitionBytes`` low and never project the binary column
 except into the mapInPandas stage (column pruning keeps metadata-only queries
-free of the bytes).
+free of the bytes). The decode/resize chain below is shuffle-free — every
+stage is map-side, so it scales embarrassingly with executors.
 """
 
 from __future__ import annotations
@@ -23,28 +28,45 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from eviction_lab_etl_spark import fixtures
-from eviction_lab_etl_spark.functions.determinism import big
+from eviction_lab_etl_spark.functions import media_codecs
 from eviction_lab_etl_spark.registry import query
 from eviction_lab_etl_spark.sources.loader import load
 
-_FEATURE_DIM = 4
+
+def _img_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic per-doc image dimensions (1..13 × 1..7): small enough to
+    decode 500 of them in milliseconds, varied enough to cover BMP row-padding
+    (every width mod 4 residue) and multi-digit PPM headers."""
+    return doc_id % 13 + 1, doc_id % 7 + 1
+
+
+def _features(width: int, height: int, rgb: bytes) -> list[float]:
+    """Feature vector a real image stage would emit: dimensions + per-channel
+    mean intensity in [0,1]."""
+    n = width * height
+    sums = [0, 0, 0]
+    for i in range(0, len(rgb), 3):
+        sums[0] += rgb[i]
+        sums[1] += rgb[i + 1]
+        sums[2] += rgb[i + 2]
+    return [
+        float(width),
+        float(height),
+        sums[0] / (255.0 * n),
+        sums[1] / (255.0 * n),
+        sums[2] / (255.0 * n),
+    ]
 
 
 def decode_media(payload: bytes, media_type: str) -> list[float]:
     """Decode a media payload into a feature vector.
 
-    STUB: real image/audio decoding needs PIL/librosa/ffmpeg, which this
-    container does not ship. The deterministic fake — first 4 bytes scaled to
-    [0,1] — preserves the exact data shape a real extractor would emit, so the
-    surrounding Spark plumbing is fully exercised. Replace the body (not the
-    signature) to go real.
+    REAL for images: PPM (P6) and 24-bit BMP are parsed by the pure-Python
+    codecs in functions/media_codecs.py. Unsupported media types (audio/video)
+    raise NotImplementedError — their codecs need libraries this container
+    does not ship.
     """
-    if media_type not in ("fake/bytes",):
-        raise NotImplementedError(
-            f"real decoder for {media_type!r} requires media libs absent here"
-        )
-    head = payload[:_FEATURE_DIM].ljust(_FEATURE_DIM, b"\0")
-    return [b / 255.0 for b in head]
+    return _features(*media_codecs.decode_image(payload, media_type))
 
 
 def media_frame(spark, sf_dir: str) -> DataFrame:
@@ -62,73 +84,197 @@ def media_frame(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def media_frame_images(spark, sf_dir: str) -> DataFrame:
+    """Mint REAL image payloads per document — even doc_ids as binary PPM,
+    odd as 24-bit BMP — over the deterministic test pattern
+    (``media_codecs.test_pattern``). An Arrow-batched encode stage: the
+    binary column is born inside mapInPandas exactly as it would arrive from
+    a binaryFile scan, and the pattern's arithmetic definition is what lets
+    the downstream decoders be oracle-checked."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads: list[bytes] = []
+            types: list[str] = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _img_dims(d)
+                rgb = media_codecs.test_pattern(d, w, h)
+                if d % 2 == 0:
+                    payloads.append(media_codecs.encode_ppm(w, h, rgb))
+                    types.append(media_codecs.PPM_TYPE)
+                else:
+                    payloads.append(media_codecs.encode_bmp(w, h, rgb))
+                    types.append(media_codecs.BMP_TYPE)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": payloads,
+                    "media_type": types,
+                }
+            )
+
+    return docs.mapInPandas(
+        encode, schema="doc_id long, payload binary, media_type string"
+    )
+
+
+_DECODE_SCHEMA = (
+    "doc_id long, media_type string, width long, height long, "
+    "sum_r long, sum_g long, sum_b long, dim long"
+)
+
+
+def _decode_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Shared decode-and-summarize stage: parse each payload with the real
+    codec for its media_type, emit dimensions + per-channel pixel sums
+    (integers — floats are never hashed, §2.0 rule 1) + the feature-vector
+    dimension."""
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "media_type", "width", "height",
+            "sum_r", "sum_g", "sum_b", "dim",
+        )}
+        for doc_id, payload, mt in zip(
+            pdf["doc_id"], pdf["payload"], pdf["media_type"]
+        ):
+            w, h, rgb = media_codecs.decode_image(bytes(payload), mt)
+            sums = [0, 0, 0]
+            for i in range(0, len(rgb), 3):
+                sums[0] += rgb[i]
+                sums[1] += rgb[i + 1]
+                sums[2] += rgb[i + 2]
+            out["doc_id"].append(int(doc_id))
+            out["media_type"].append(mt)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["sum_r"].append(sums[0])
+            out["sum_g"].append(sums[1])
+            out["sum_b"].append(sums[2])
+            out["dim"].append(len(_features(w, h, rgb)))
+        yield pd.DataFrame(out)
+
+
 @query(
     "multimodal_decode",
     oracle="""
+    WITH dims AS (
+        SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, w, h, t.i AS i, (doc_id * 31 + 7 * t.i) % 256 AS v
+        FROM dims, LATERAL (SELECT unnest(range(0, 3 * w * h)) AS i) t
+    )
     SELECT doc_id,
-           CAST(n_chars AS BIGINT) AS n_bytes,
-           CAST(4 AS BIGINT) AS dim,
-           upper(rpad(substring(hex(encode(text)), 1, 8), 8, '0')) AS feature_hex
-    FROM documents
+           CASE WHEN doc_id % 2 = 0 THEN 'image/x-portable-pixmap'
+                ELSE 'image/bmp' END AS media_type,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(sum(CASE WHEN i % 3 = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN i % 3 = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN i % 3 = 2 THEN v END) AS BIGINT) AS sum_b,
+           CAST(5 AS BIGINT) AS dim
+    FROM px GROUP BY doc_id, w, h
     """,
 )
 def multimodal_decode(spark, sf_dir):
-    """Arrow-batched feature extraction over binary payloads via mapInPandas:
-    each batch arrives as a pandas frame and the stub decoder produces the
-    float feature vector — the exact shape of a real image/audio embedding
-    stage. The emitted columns are the vector's *dimension* plus a hex digest
-    of the decoded source bytes rather than the raw array<float>: floats are
-    never hashed (§2.0 rule 1) and the digest gives the oracle a byte-exact,
-    engine-neutral value check of what was decoded."""
-    media = media_frame(spark, sf_dir)
+    """REAL image decoding over binary payloads: an Arrow-batched encode
+    stage mints genuine PPM/BMP files (alternating by doc parity), then a
+    second mapInPandas stage parses them back with the pure-Python codecs —
+    ASCII header scan for PPM, struct-unpacked BITMAPINFOHEADER with
+    bottom-up BGR row deswizzling and 4-byte row-padding for BMP. The oracle
+    never decodes anything: it recomputes the expected width/height/channel
+    sums from the test pattern's closed form, so a decoder bug (misparsed
+    header, wrong padding, BGR/RGB swap, off-by-one slice) hash-mismatches.
+    Both stages are map-side — the chain is shuffle-free at any scale."""
+    media = media_frame_images(spark, sf_dir)
+    return media.mapInPandas(_decode_stats, schema=_DECODE_SCHEMA)
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            features = [
-                decode_media(payload, meta["media_type"])
-                for payload, meta in zip(pdf["payload"], pdf["meta"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": [m["n_bytes"] for m in pdf["meta"]],
-                    "dim": [len(f) for f in features],
-                    "feature_hex": [
-                        p[:_FEATURE_DIM].ljust(_FEATURE_DIM, b"\0").hex().upper()
-                        for p in pdf["payload"]
-                    ],
-                }
-            )
 
-    return media.mapInPandas(
-        extract, schema="doc_id long, n_bytes long, dim long, feature_hex string"
+def _resize_nn(width: int, height: int, rgb: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbor downscale on the canonical RGB buffer: target pixel
+    (x, y) samples source pixel (x*width//tw, y*height//th)."""
+    out = bytearray(3 * tw * th)
+    for y in range(th):
+        sy = (y * height) // th
+        for x in range(tw):
+            si = 3 * (width * sy + (x * width) // tw)
+            di = 3 * (tw * y + x)
+            out[di : di + 3] = rgb[si : si + 3]
+    return bytes(out)
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH d0 AS (
+        SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, w, h,
+               greatest(w // 2, 1) AS tw, greatest(h // 2, 1) AS th
+        FROM d0
+    ),
+    px AS (
+        SELECT doc_id, tw, th, c.c AS c,
+               (doc_id * 31
+                + 7 * (3 * (w * ((ty.y * h) // th) + (tx.x * w) // tw) + c.c)
+               ) % 256 AS v
+        FROM dims,
+             LATERAL (SELECT unnest(range(0, tw)) AS x) tx,
+             LATERAL (SELECT unnest(range(0, th)) AS y) ty,
+             LATERAL (SELECT unnest(range(0, 3)) AS c) c
     )
-
-
-@query("multimodal_resize")  # rows-only: binary-transform plumbing
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image/x-portable-pixmap'
+                ELSE 'image/bmp' END AS media_type,
+           CAST(tw AS BIGINT) AS width,
+           CAST(th AS BIGINT) AS height,
+           CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS sum_r,
+           CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS sum_g,
+           CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS sum_b,
+           CAST(5 AS BIGINT) AS dim
+    FROM px GROUP BY doc_id, tw, th
+    """,
+)
 def multimodal_resize(spark, sf_dir):
-    """Media resize stage: an Arrow-batched transform that rewrites the binary
-    payload and its metadata in one pass (the shape of an image-resize or
-    audio-resample step). The stub 'resize' truncates the payload to 64 bytes;
-    a real codec swaps only the per-row body. Metadata (n_bytes) is recomputed
-    from the actual output payload, as a real stage must."""
+    """REAL media resize: decode each payload with its codec, nearest-neighbor
+    downscale to half dimensions (min 1), re-encode in the SAME format, then
+    decode the resized payload again and emit its channel sums. Three chained
+    Arrow stages (encode → resize → decode) exercise the full binary
+    round-trip a production image pipeline performs; the oracle computes the
+    expected sums by sampling the test pattern's closed form at the
+    nearest-neighbor source coordinates, so a wrong sampling index, a
+    re-encode corruption, or a padding bug in either codec direction
+    hash-mismatches. Map-side only — no shuffle at any scale."""
+    media = media_frame_images(spark, sf_dir)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [bytes(p[:64]) for p in pdf["payload"]]
+            payloads: list[bytes] = []
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+                w, h, rgb = media_codecs.decode_image(bytes(payload), mt)
+                tw, th = max(w // 2, 1), max(h // 2, 1)
+                small = _resize_nn(w, h, rgb, tw, th)
+                if mt == media_codecs.PPM_TYPE:
+                    payloads.append(media_codecs.encode_ppm(tw, th, small))
+                else:
+                    payloads.append(media_codecs.encode_bmp(tw, th, small))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload": resized,
-                    "n_bytes": [len(p) for p in resized],
-                    "media_type": [m["media_type"] for m in pdf["meta"]],
+                    "payload": payloads,
+                    "media_type": pdf["media_type"],
                 }
             )
 
-    media = media_frame(spark, sf_dir)
-    return media.mapInPandas(
-        resize, schema="doc_id long, payload binary, n_bytes long, media_type string"
+    resized = media.mapInPandas(
+        resize, schema="doc_id long, payload binary, media_type string"
     )
+    return resized.mapInPandas(_decode_stats, schema=_DECODE_SCHEMA)
 
 
 @query(

@@ -1,0 +1,83 @@
+"""Unit tests for the pure-Python image codecs (functions/media_codecs.py):
+the decoders must parse real on-disk layouts — PPM comment headers, BMP
+bottom-up BGR rows with 4-byte padding, top-down negative-height BMPs — and
+the resize sampler must match its closed form. The oracle-diff suite checks
+the Spark-side chain end-to-end; these pin the codec internals directly."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from eviction_lab_etl_spark.functions import media_codecs as mc
+from eviction_lab_etl_spark.operators.multimodal import _resize_nn, decode_media
+
+
+@pytest.mark.parametrize("width", range(1, 9))  # covers every 3*w % 4 residue
+@pytest.mark.parametrize("height", [1, 2, 5])
+def test_roundtrip_both_formats(width, height):
+    rgb = mc.test_pattern(17, width, height)
+    assert mc.decode_ppm(mc.encode_ppm(width, height, rgb)) == (width, height, rgb)
+    assert mc.decode_bmp(mc.encode_bmp(width, height, rgb)) == (width, height, rgb)
+
+
+def test_ppm_header_with_comments_and_whitespace():
+    rgb = mc.test_pattern(9, 3, 2)
+    payload = b"P6\n# made by a real tool\n 3\t2 # dims\n255\n" + rgb
+    assert mc.decode_ppm(payload) == (3, 2, rgb)
+
+
+def test_bmp_top_down_negative_height():
+    w, h = 3, 2
+    rgb = mc.test_pattern(5, w, h)
+    bmp = mc.encode_bmp(w, h, rgb)
+    row_size = (3 * w + 3) & ~3
+    rows = [bmp[54 + i * row_size : 54 + (i + 1) * row_size] for i in range(h)]
+    top_down = bmp[:22] + struct.pack("<i", -h) + bmp[26:54] + b"".join(
+        reversed(rows)
+    )
+    assert mc.decode_bmp(top_down) == (w, h, rgb)
+
+
+def test_decode_rejects_malformed_payloads():
+    with pytest.raises(ValueError):
+        mc.decode_ppm(b"P5\n1 1\n255\n\0\0\0")  # P5 is grayscale, not P6
+    with pytest.raises(ValueError):
+        mc.decode_ppm(b"P6\n1 1\n65535\n" + b"\0" * 6)  # 16-bit maxval
+    with pytest.raises(ValueError):
+        mc.decode_ppm(b"P6\n2 2\n255\n\0\0\0")  # truncated raster
+    with pytest.raises(ValueError):
+        mc.decode_bmp(b"XX" + b"\0" * 60)  # bad magic
+    with pytest.raises(ValueError):
+        # 8-bit BMP variant must be refused, not mis-sliced
+        good = bytearray(mc.encode_bmp(2, 2, mc.test_pattern(1, 2, 2)))
+        good[28:30] = struct.pack("<H", 8)
+        mc.decode_bmp(bytes(good))
+    with pytest.raises(NotImplementedError):
+        mc.decode_image(b"\0\0\0\0", "audio/wav")
+
+
+def test_decode_media_feature_vector():
+    w, h = 4, 3
+    rgb = mc.test_pattern(2, w, h)
+    feats = decode_media(mc.encode_ppm(w, h, rgb), mc.PPM_TYPE)
+    assert len(feats) == 5
+    assert feats[0] == float(w) and feats[1] == float(h)
+    n = w * h
+    for c in range(3):
+        expected = sum(rgb[i] for i in range(c, 3 * n, 3)) / (255.0 * n)
+        assert feats[2 + c] == pytest.approx(expected)
+    # identical pixels through the BMP path must give identical features
+    assert decode_media(mc.encode_bmp(w, h, rgb), mc.BMP_TYPE) == feats
+
+
+def test_resize_nn_matches_closed_form():
+    w, h, tw, th = 13, 7, 6, 3
+    rgb = mc.test_pattern(11, w, h)
+    small = _resize_nn(w, h, rgb, tw, th)
+    assert len(small) == 3 * tw * th
+    for y in range(th):
+        for x in range(tw):
+            si = 3 * (w * ((y * h) // th) + (x * w) // tw)
+            assert small[3 * (tw * y + x) : 3 * (tw * y + x) + 3] == rgb[si : si + 3]

@@ -180,11 +180,9 @@ def test_ann_ivf_structure(spark, sf_dir):
         assert sorted(ranks) == [1, 2, 3]
 
 
-def test_multimodal_resize(spark, sf_dir):
-    rows = QUERIES["multimodal_resize"](spark, sf_dir).collect()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    assert len(rows) == docs.count()
-    assert all(r.n_bytes == len(r.payload) <= 64 for r in rows)
+# multimodal_resize graduated to a hash-checked oracle query in round 5
+# (real decode → nearest-neighbor downscale → re-encode → decode); its
+# correctness now lives in test_oracle_diff + test_media_codecs.
 
 
 def test_streaming_session_window_equals_batch(spark, sf_dir):
