@@ -236,9 +236,25 @@ def embeddings_with_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are arbitrary points NO codebook can systematically co-bucket — recall
 # against it measures luck, not codebook quality. vec_id = j*50 + cid
 # spreads every cluster across the id space so the vec_id < 10 probe set
-# covers 10 DISTINCT clusters. Spark-only (no DuckDB twin): ann_ivf is
-# rows-only by SURVEY design; recall is pinned in tests/test_library.py.
+# covers 10 DISTINCT clusters. The trained-KMeans ann_ivf stays rows-only
+# (codebooks aren't SQL-expressible; recall pinned in tests/test_library.py);
+# EMBEDDINGS_CLUSTERED_SQL below is the DuckDB twin that lets the
+# sampled-codebook ann_ivf_recall query be hash-checked end-to-end.
 CLUSTER_EPS = 0.3
+
+EMBEDDINGS_CLUSTERED_SQL = f"""
+        SELECT m.j * 50 + m.cid AS vec_id,
+               list_transform(range(1, len(m.s) + 1),
+                   i -> CAST(m.s[i] AS DOUBLE)
+                        + {CLUSTER_EPS} * CAST(e.embedding[i] AS DOUBLE)
+               ) AS embedding,
+               m.cid AS cid
+        FROM (SELECT cid, s, t.j AS j, 50 + (cid * 10 + t.j) % 450 AS pid
+              FROM (SELECT vec_id AS cid, embedding AS s
+                    FROM embeddings WHERE vec_id < 50) seeds,
+                   LATERAL (SELECT unnest(range(0, 10)) AS j) t) m
+        JOIN embeddings e ON e.vec_id = m.pid
+"""
 
 
 def embeddings_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:

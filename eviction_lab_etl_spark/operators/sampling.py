@@ -8,9 +8,10 @@ one:
   a digest of the *content*, not the row id — duplicated documents land in the
   same fold (no train/test leakage through dups), the assignment is stable
   across reruns and engines, and no shuffle beyond the final tiny aggregate.
-- **Stratified sampling** (`sample_stratified`): per-stratum Bernoulli sampling
-  (`df.sampleBy`) — a map-only pass; the 100 TB form is identical because no
-  coordination is needed beyond the seed.
+- **Stratified sampling** (`sample_stratified`): per-stratum ~20% sample by a
+  stratum-salted content digest — a map-only pass, deterministic across
+  engines and retried stages (no RNG seed bookkeeping); the 100 TB form is
+  identical because no coordination is needed at all.
 - **Approximate quantiles** (`agg_approx_quantile`): single-pass mergeable
   quantile sketch (`percentile_approx`) — the scale substitute for exact
   medians when the group is billions of rows.
@@ -70,18 +71,42 @@ def split_content_hash(spark, sf_dir):
     )
 
 
-@query("sample_stratified")  # rows-only: Bernoulli sampling is engine-specific RNG
+@query(
+    "sample_stratified",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_sample,
+           sum(n_chars)::bigint AS sum_chars
+    FROM documents
+    WHERE substr(md5(concat(lang, ':', text)), 1, 2) < '33'
+    GROUP BY lang
+    """,
+)
 def sample_stratified(spark, sf_dir):
-    """Per-language 20% stratified sample → per-stratum sample counts.
+    """Per-language ~20% stratified sample → per-stratum counts, by
+    DETERMINISTIC content hashing rather than Bernoulli RNG: a row is sampled
+    iff the first byte of md5(lang ':' text) is < 0x33 (51/256 = 19.9%).
+    Salting the digest with the stratum makes strata independent (the same
+    text in two languages draws two independent "coins"), and hashing content
+    keeps exact duplicates on the same side of the cut — the same leakage
+    argument as `split_content_hash`.
 
-    `sampleBy` is a map-only Bernoulli filter (seeded per partition) — the
-    exact shape a 100 TB corpus subsample runs: no shuffle until the final
-    tiny count. RNG streams differ across engines by design → rows-only;
-    the test pins the per-stratum fraction and run-to-run determinism.
+    Same plan shape as the `sampleBy` Bernoulli form (map-only filter, no
+    shuffle until the final tiny count) but reproducible across engines,
+    reruns, AND retried stages — at 100 TB a re-executed task re-samples
+    identically with no seed bookkeeping. Hash-checkable (§2.0): ASCII-lexical
+    comparison of hex digits is numeric comparison.
     """
     docs = load(spark, sf_dir, "documents")
-    sample = docs.sampleBy("lang", fractions={l: 0.2 for l in LANGS}, seed=42)
-    return sample.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sample"))
+    coin = F.substring(F.md5(F.concat_ws(":", "lang", "text")), 1, 2)
+    return (
+        docs.filter(coin < "33")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sample"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
 
 
 @query("agg_approx_quantile")  # rows-only: sketch quantiles are approximate by design

@@ -36,7 +36,7 @@ S2_ROWS_ONLY = {
 
 EXTENSIONS = {
     "dedup_simhash", "dedup_simhash_pairs", "sim_ngram_jaccard",
-    "sim_cosine_neardup", "ann_ivf",
+    "sim_cosine_neardup", "ann_ivf", "ann_ivf_recall",
     "text_langid", "text_quality", "text_token_count", "text_fingerprint",
     "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
     "pipeline_tile_wide", "pipeline_rankings", "pipeline_search_index",

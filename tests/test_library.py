@@ -248,3 +248,16 @@ def test_ivf_multiprobe_recall_vs_exact_knn(spark, sf_dir):
     ivf = {(r.vid, r.nbr) for r in QUERIES["ann_ivf"](spark, sf_dir).collect()}
     assert exact
     assert len(ivf & exact) / len(exact) >= 0.95
+
+
+def test_ann_ivf_recall_query_floor(spark, sf_dir):
+    """The hash-checked sampled-codebook recall query must report aggregate
+    recall@3 >= 0.9 over the 10-probe panel (measured 29/30 = 0.967) with
+    n_exact = 3 for every probe — the driver hash pins the exact numbers;
+    this pins the statistical claim they encode."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    rows = QUERIES["ann_ivf_recall"](spark, sf_dir).collect()
+    assert {r.vid for r in rows} == set(range(10))
+    assert all(r.n_exact == 3 for r in rows)
+    assert sum(r.n_hits for r in rows) / sum(r.n_exact for r in rows) >= 0.9

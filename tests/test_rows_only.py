@@ -70,9 +70,11 @@ def test_sim_ann_lsh_precision_and_recall(spark, ddb, sf_dir):
 
 
 def test_sample_stratified_fractions_and_determinism(spark, ddb, sf_dir):
-    """20% Bernoulli per stratum: every language sampled at a plausible rate,
-    and the seeded sample is identical across runs (retry idempotence — a
-    failed 100 TB stage re-executes with the same seed)."""
+    """~19.9% deterministic digest sample per stratum: every language sampled
+    at a plausible rate, and the sample is identical across runs (retry
+    idempotence — a failed 100 TB stage re-executes with no seed state).
+    Value-level correctness is the oracle diff's job now; this pins the
+    statistical property the oracle can't see."""
     run1 = {r["lang"]: r["n_sample"] for r in QUERIES["sample_stratified"](spark, sf_dir).collect()}
     totals = dict(ddb.sql("SELECT lang, count(*) FROM documents GROUP BY lang").fetchall())
     for lang, total in totals.items():
