@@ -67,7 +67,10 @@ def _run_to_memory(stream_df: DataFrame, output_mode: str) -> tuple[SparkSession
 def stream_watermark_late(spark, sf_dir):
     """Tumbling daily aggregate under a 1-hour watermark: the streaming engine
     tracks max(ts)-1h and drops later-arriving rows; with an ordered replay
-    nothing is late, so counts equal the batch tumbling result."""
+    nothing is late, so counts equal the batch tumbling result.
+    tests/test_stream_equivalence.py asserts that equality EXACTLY (batch
+    minus the enumerated watermark-withheld tail day) and separately proves
+    the late-drop path with an out-of-order multi-batch replay."""
     stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
@@ -82,7 +85,9 @@ def stream_watermark_late(spark, sf_dir):
 @query("stream_dedup_watermark")  # rows-only
 def stream_dedup_watermark(spark, sf_dir):
     """Streaming exactly-once dedup: dropDuplicatesWithinWatermark keeps state
-    only within the watermark horizon — bounded memory at unbounded input."""
+    only within the watermark horizon — bounded memory at unbounded input.
+    tests/test_stream_equivalence.py replays a corpus with planted duplicate
+    event_ids and asserts the emitted set is exactly the distinct set."""
     stream = _events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "1 hour")
