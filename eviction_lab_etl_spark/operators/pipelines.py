@@ -258,12 +258,18 @@ def pipeline_corpus_manifest(spark, sf_dir):
     and the two deterministic stages end to end; the full pipeline's extra
     drop set is exactly the LSH near-dup stage."""
     docs = load(spark, sf_dir, "documents")
-    keep = docs.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
-    survivors = docs.join(keep, "doc_id").select("doc_id", "text", "lang")
-    w = F.split("text", " ")
+    # keep-first as a window over the digest, not groupBy+self-join: ONE scan
+    # of documents and ONE exchange (on h) instead of two scans plus the
+    # doc_id re-shuffle of the join — min(doc_id) per digest is exactly
+    # row_number()=1 ordered by doc_id.
+    w_first = Window.partitionBy("h").orderBy("doc_id")
+    toks = F.split("text", " ")
     survivors = (
-        survivors.withColumn("n_tok", F.size(w))
-        .withColumn("n_uniq", F.size(F.array_distinct(w)))
+        docs.select("doc_id", "lang", "text", F.md5("text").alias("h"))
+        .withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .withColumn("n_tok", F.size(toks))
+        .withColumn("n_uniq", F.size(F.array_distinct(toks)))
         .filter((F.col("n_tok") >= 20) & (10 * F.col("n_uniq") >= 3 * F.col("n_tok")))
     )
     return survivors.select(
@@ -286,39 +292,61 @@ def pipeline_corpus_clean(spark, sf_dir):
     integer rationals), so the manifest is reproducible run to run. Each
     stage is a shuffle on digest / band-bucket / doc_id — no O(n²) stage
     anywhere; the quadratic-looking near-dup step is the banded candidate
-    join of functions/minhash.py."""
+    join of functions/minhash.py.
+
+    Plan economics (round-4 advice item 5): documents is SCANNED ONCE and
+    TOKENIZED ONCE — exact dedup is a window over the digest (no groupBy +
+    self-join rescan), and the tokenized survivor frame is persisted so the
+    MinHash stage and the quality gate read one materialization instead of
+    re-running split/array_distinct per branch (the single most expensive
+    transform in the flow — the contam_ngram_overlap measurement puts the
+    gram/token string transform at ~90% of such a query's cost). The
+    near-dup drop side is a broadcast anti join: the drop set is pair
+    survivors only, orders of magnitude smaller than the corpus.
+    tests/test_plans.py::test_corpus_clean_single_scan_and_tokenize pins
+    scan count, tokenize count, and the shuffle budget."""
     from eviction_lab_etl_spark.functions.minhash import minhash_near_dup_pairs
 
     docs = load(spark, sf_dir, "documents")
 
-    # 1. exact dedup: keep the lowest doc_id per content digest
-    keep_exact = docs.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+    # 1. exact dedup (keep lowest doc_id per digest) as ONE window pass +
+    # 2. tokenize ONCE; persist the diamond point (minhash + gate both read it)
+    w_first = Window.partitionBy("h").orderBy("doc_id")
+    toks = F.split("text", " ")
+    survivors = (
+        docs.select("doc_id", "lang", "text", F.md5("text").alias("h"))
+        .withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.array_distinct(toks).alias("uniq"),
+            F.size(toks).alias("n_tok"),
+        )
+        .withColumn("n_uniq", F.size("uniq"))
+        .persist()
     )
-    survivors = docs.join(keep_exact, "doc_id").select("doc_id", "text", "lang")
 
-    # 2. near-dedup: drop the higher doc_id of every verified >=0.6 pair
-    tokens = survivors.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
-    )
+    # 3. near-dedup: drop the higher doc_id of every verified >=0.6 pair
+    tokens = survivors.select("doc_id", F.explode("uniq").alias("w"))
     near_pairs = minhash_near_dup_pairs(
         tokens, id_col="doc_id", token_col="w", threshold=(6, 10)
     )
-    drop_near = near_pairs.select(F.col("b").alias("doc_id")).distinct()
-    survivors = survivors.join(drop_near, "doc_id", "left_anti")
-
-    # 3. quality gate: length + type/token ratio (integer arithmetic only)
-    w = F.split("text", " ")
-    survivors = (
-        survivors.withColumn("n_tok", F.size(w))
-        .withColumn("n_uniq", F.size(F.array_distinct(w)))
-        .filter((F.col("n_tok") >= 20) & (10 * F.col("n_uniq") >= 3 * F.col("n_tok")))
+    drop_near = F.broadcast(
+        near_pairs.select(F.col("b").alias("doc_id")).distinct()
     )
-    return survivors.select(
-        "doc_id",
-        "lang",
-        big(F.col("n_tok")).alias("n_tok"),
-        big(F.col("n_uniq")).alias("n_uniq"),
+
+    # 4. quality gate: length + type/token ratio (integer arithmetic only),
+    # over columns already computed at the persisted stage
+    return (
+        survivors.join(drop_near, "doc_id", "left_anti")
+        .filter((F.col("n_tok") >= 20) & (10 * F.col("n_uniq") >= 3 * F.col("n_tok")))
+        .select(
+            "doc_id",
+            "lang",
+            big(F.col("n_tok")).alias("n_tok"),
+            big(F.col("n_uniq")).alias("n_uniq"),
+        )
     )
 
 

@@ -239,3 +239,23 @@ def test_merge_upsert_change_batch_broadcasts(spark, sf_dir):
     bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
     assert bcast >= 2, f"merge: change batch not broadcast ({bcast})"
     assert info["sortmerge_joins"] == 0, "merge fell to sort-merge"
+
+
+def test_corpus_clean_single_scan_and_tokenize(spark, sf_dir):
+    """Round-4 advice item 5: pipeline_corpus_clean must scan documents ONCE
+    (window keep-first, not groupBy+self-join) and tokenize once behind a
+    persisted diamond point; shuffle budget pinned well under the old 22,
+    with zero sort-merge joins (the drop set broadcasts). Repeated calls do
+    not leak cache: CacheManager dedupes the identical logical plan."""
+    info = plan_of(spark, sf_dir, "pipeline_corpus_clean")
+    assert info["plan"].count("documents.parquet") == 1
+    assert info["shuffles"] <= 8  # was 22 before the round-5 restructure
+    assert info["sortmerge_joins"] == 0
+    # the tokenized intermediate is a persisted InMemoryRelation, so the
+    # split/array_distinct transform runs once, not once per consumer branch
+    assert "InMemoryRelation" in info["plan"]
+
+    m = plan_of(spark, sf_dir, "pipeline_corpus_manifest")
+    assert m["plan"].count("documents.parquet") == 1
+    assert m["shuffles"] <= 1
+    assert m["sortmerge_joins"] == 0
