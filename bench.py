@@ -9,6 +9,14 @@ Timing protocol mirrors BASELINE.md: per query, one untimed warm-up run
 runs (single-run local[*] timings jitter ±30% from GC/scheduling noise; the
 median is still a "warm single run" in BASELINE.md's sense, just a stable
 one). Session startup (~5 s) is excluded, as in BASELINE.md.
+
+Two-point scaling (round-4 advice item 6): the seven §2 headliners are ALSO
+timed at 1x and 10x of the primary SF dir (tools/scale_stress.build_scaled,
+cached under .scratch/) to the noop sink at BOTH points — same protocol, so
+the per-query growth ratio is a host-noise-free scaling slope taken within
+one run (10x sf0.1 = sf1-equivalent row counts). collect() is not used for
+the pair because 10x map-only outputs would measure driver deserialization.
+Disable with SPARK_GRAFT_TWO_POINT=0; multiplier via SPARK_GRAFT_SCALE_MULT.
 """
 
 from __future__ import annotations
@@ -118,6 +126,42 @@ def main() -> None:
     vs_run_median = {
         name: round(ratio / run_median, 3) for name, ratio in vs_baseline.items()
     }
+
+    scale_pair: dict[str, dict] = {}
+    scale_mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "10"))
+    scale_error = None
+    if os.environ.get("SPARK_GRAFT_TWO_POINT", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.join(REPO_DIR, "tools"))
+            import scale_stress
+
+            big_dir = scale_stress.build_scaled(spark, scale_mult)
+
+            def noop_median(fn, d: str) -> float:
+                def run() -> None:
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+
+                run()  # warm-up
+                runs = []
+                for _ in range(3):
+                    start = time.perf_counter()
+                    run()
+                    runs.append(time.perf_counter() - start)
+                return round(statistics.median(runs), 4)
+
+            for name in HEADLINE:
+                fn = registry.QUERIES[name]
+                t1 = noop_median(fn, sf_dir)
+                tm = noop_median(fn, big_dir)
+                scale_pair[name] = {
+                    "x1_sec": t1,
+                    f"x{scale_mult}_sec": tm,
+                    # wall-clock growth per data growth; 1.0 = perfectly
+                    # amortized, scale_mult = linear, above that = trouble
+                    "growth": round(tm / t1, 2),
+                }
+        except Exception as exc:  # never break the driver's bench contract
+            scale_error = f"{type(exc).__name__}: {exc}"
     print(
         json.dumps(
             {
@@ -129,6 +173,9 @@ def main() -> None:
                 "vs_baseline": vs_baseline,
                 "vs_run_median": vs_run_median,
                 "run_median_ratio": round(run_median, 3),
+                "scale_mult": scale_mult,
+                "scale_pair": scale_pair,
+                **({"scale_error": scale_error} if scale_error else {}),
                 "sf": sf,
             }
         )

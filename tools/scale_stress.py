@@ -285,7 +285,11 @@ def measure_jaccard_stress(spark, mult: int) -> dict:
 
 
 def scaled_dir(mult: int) -> str:
-    return os.path.join(SCRATCH, f"stress_x{mult}")
+    # source-aware cache key: bench.py builds pairs from whatever
+    # SPARK_GRAFT_SF_DIR points at, and an sf0.01-derived x10 must never be
+    # mistaken for the sf0.1-derived one
+    src_tag = os.path.basename(os.path.normpath(SRC))
+    return os.path.join(SCRATCH, f"stress_{src_tag}_x{mult}")
 
 
 def build_scaled(spark, mult: int) -> str:
