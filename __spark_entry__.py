@@ -42,15 +42,19 @@ _FLAGSHIP = "agg_sum_groupby"
 # stale queue can never burn a later round's budget re-checking green rows.
 # Bump _QUEUE_AS_OF to the highest CORRECTNESS_r*.json round present whenever
 # the queue is edited.
-_QUEUE_AS_OF = 3
+_QUEUE_AS_OF = 4
 _RECHECK_QUEUE: tuple[str, ...] = (
-    "dedup_cluster_cc",       # large/small-star contraction rewrite this round
-    "search_prefix_topk",     # rank-limit combiner pinned this round (plan audit)
-    "incr_partition_refresh", # digest aggregation masked mod 2^63 this round
-    "incr_merge_upsert",      # digest aggregation masked mod 2^63 this round
-    "pack_concat_chunks",     # seq_id float-div -> integer div this round
-    "pipeline_training_set",  # seq_id float-div -> integer div this round
-    "ann_ivf",                # codebook now trained k-means centroids this round
+    # Round 5 changes, most-load-bearing first:
+    "multimodal_decode",       # real PPM/BMP decoders replace the stub; new oracle
+    "multimodal_resize",       # graduated rows-only -> hash-checked resize chain
+    "ann_ivf_recall",          # NEW: sampled-codebook IVF recall, hash-checked
+    "sample_stratified",       # graduated rows-only -> salted-digest hash oracle
+    "pipeline_corpus_manifest",# window keep-first rewrite (single scan)
+    "pipeline_corpus_clean",   # window dedup + persisted tokenize + bcast anti
+    "stream_session",          # oracle running-sum tie-order fix (ts, event_id)
+    "stream_session_dynamic",  # same oracle tie-order fix
+    "scalar_try_safe",         # name_num now an actual try_cast
+    "dedup_cluster_cc",        # fixpoint now confirmed by exact exceptAll
 )
 
 
