@@ -51,8 +51,9 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "sample_stratified",       # graduated rows-only -> salted-digest hash oracle
     "pipeline_corpus_manifest",# window keep-first rewrite (single scan)
     "pipeline_corpus_clean",   # window dedup + persisted tokenize + bcast anti
-    "stream_session",          # oracle running-sum tie-order fix (ts, event_id)
-    "stream_session_dynamic",  # same oracle tie-order fix
+    "stream_session",          # oracle tie-order + exact-gap boundary fixes
+    "stream_session_dynamic",  # same oracle fixes (strict > on running max)
+    "stream_session_skewsafe", # NEW: two-phase hot-key sessionization
     "scalar_try_safe",         # name_num now an actual try_cast
     "dedup_cluster_cc",        # fixpoint now confirmed by exact exceptAll
 )

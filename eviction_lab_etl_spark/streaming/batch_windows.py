@@ -69,13 +69,14 @@ def stream_sliding(spark, sf_dir):
     )
 
 
-@query(
-    "stream_session",
-    oracle="""
+# Shared by stream_session (native session_window) and
+# stream_session_skewsafe (two-phase bucketed form): both must hash to the
+# SAME oracle — that identity is what proves the skew-safe rewrite exact.
+_SESSION_30M_ORACLE = """
     WITH o AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS brk
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -95,13 +96,19 @@ def stream_sliding(spark, sf_dir):
            count(*) AS n_events
     FROM i
     GROUP BY user_id, grp
-    """,
-)
+    """
+
+
+@query("stream_session", oracle=_SESSION_30M_ORACLE)
 def stream_session(spark, sf_dir):
     """30-minute-gap sessionization per user (S) via native session_window —
     Spark's dynamic-gap session operator, identical in batch and streaming.
     The oracle is the classic gaps-and-islands construction; the break
-    condition is `>= gap` because Spark sessions span [ts, ts+gap).
+    condition is STRICTLY `> gap`: measured empirically (round 5), Spark
+    merges an event landing at exactly last_ts + gap — the session interval
+    is closed at its end, [ts, last_ts+gap] — so `>=` would split a
+    session Spark keeps whole on exact-gap ties (latent on organic
+    microsecond data, decided by tests/test_library.py's boundary cases).
     Output session_start as epoch microseconds (bigint) for hash stability."""
     events = load(spark, sf_dir, "events")
     return (
@@ -112,6 +119,81 @@ def stream_session(spark, sf_dir):
             F.unix_micros("start_ts").alias("session_start"),
             "n_events",
         )
+    )
+
+
+def sessionize_two_phase(events, gap: str = "30 minutes", bucket_minutes: int = 1440):
+    """Hot-key-safe sessionization: the scalable rewrite of
+    ``groupBy(session_window(ts, gap), user_id)`` for skewed user
+    distributions.
+
+    Native session_window partitions the exchange by user_id alone, and its
+    map-side partial aggregate keys on the EXACT pre-merge [ts, ts+gap)
+    window — so a viral user's rows all land in one reducer whose
+    Sort+MergingSessions runs single-threaded, and AQE cannot help (its skew
+    split applies to join exchanges, not aggregation exchanges). This
+    operator makes the per-key serial step proportional to SESSIONS, not
+    EVENTS:
+
+    - **Phase 1** sessionizes within (user_id, time-bucket): the grouping
+      key gains an integer bucket index (``unix_micros(ts) div bucket`` —
+      session_window cannot be combined with a second ``window()``
+      expression), so the exchange hashes on (user_id, bucket) and a hot
+      user fans out over every bucket it spans.
+    - **Phase 2** interval-merges each user's bucket-local sessions (running
+      max of session end; a session chains iff its start <= that max — the
+      same closed-interval [start, last_ts+gap] overlap rule session_window
+      applies to events). Input here is one row per LOCAL SESSION, orders of magnitude
+      smaller than the event stream, so the per-user window is trivially
+      cheap even for the hottest key.
+
+    tools/skew_stress.py measures both forms under a 90%-hot-user
+    distribution; tests/test_oracle_diff.py proves exact equality with the
+    native operator via the shared oracle.
+    """
+    from pyspark.sql import Window
+
+    bucket_us = bucket_minutes * 60 * 1_000_000
+    local = (
+        events.groupBy(
+            "user_id",
+            F.expr(f"unix_micros(ts) div {bucket_us}").alias("bkt"),
+            F.session_window("ts", gap).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id", F.col("w.start").alias("start"), F.col("w.end").alias("end"), "n"
+        )
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("start", "end")
+    prev_end = F.max("end").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chained = local.withColumn(
+        # strict >: Spark's session interval is closed at its end (an event
+        # at exactly last_ts + gap merges), so equal start/end must chain
+        "brk",
+        F.when(prev_end.isNull() | (F.col("start") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "grp", F.sum("brk").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return chained.groupBy("user_id", "grp").agg(
+        F.min("start").alias("start_ts"), F.sum("n").alias("n_events")
+    )
+
+
+@query("stream_session_skewsafe", oracle=_SESSION_30M_ORACLE)
+def stream_session_skewsafe(spark, sf_dir):
+    """``sessionize_two_phase`` over the events table — hash-checked against
+    the SAME oracle as ``stream_session``, so the driver verifies the
+    skew-safe rewrite produces bit-identical sessions. See
+    sessionize_two_phase for the 100 TB rationale and tools/skew_stress.py
+    for the measured hot-user numbers."""
+    events = load(spark, sf_dir, "events")
+    return sessionize_two_phase(events).select(
+        "user_id",
+        F.unix_micros("start_ts").alias("session_start"),
+        "n_events",
     )
 
 
@@ -192,7 +274,7 @@ def stream_stream_join_batch(spark, sf_dir):
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                     ) IS NULL
-                    OR ts >= max(end_ts) OVER (
+                    OR ts > max(end_ts) OVER (
                         PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                     )
@@ -219,13 +301,13 @@ def stream_session_dynamic(spark, sf_dir):
     EVENT — a purchase holds the session open for 60 minutes, anything else
     for 15 — via ``session_window(ts, gap_expression)``, a capability fixed
     per-gap sessionizers don't have (engagement-weighted timeouts are the
-    production norm). Spark merges events whose [ts, ts+gap) intervals
-    chain-overlap; the oracle is the classic interval-merge construction — a
-    new island starts exactly when ts clears the RUNNING MAX of all prior
-    interval ends (a plain lag() is wrong here: a long-gap event can cover a
-    later short-gap one, which running-max handles and lag misses). Same
-    one-shuffle-per-user plan shape as stream_session, identical in batch
-    and streaming execution."""
+    production norm). Spark merges events whose [ts, ts+gap] intervals
+    chain-overlap — closed at the end: an event landing at exactly a prior
+    interval's end MERGES (measured, round 5), so the island break is
+    STRICTLY `ts >` the RUNNING MAX of prior interval ends (a plain lag()
+    is wrong here: a long-gap event can cover a later short-gap one, which
+    running-max handles and lag misses). Same one-shuffle-per-user plan
+    shape as stream_session, identical in batch and streaming execution."""
     events = load(spark, sf_dir, "events")
     gap = F.when(
         F.col("event_type") == "purchase", F.lit("60 minutes")

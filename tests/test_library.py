@@ -261,3 +261,58 @@ def test_ann_ivf_recall_query_floor(spark, sf_dir):
     assert {r.vid for r in rows} == set(range(10))
     assert all(r.n_exact == 3 for r in rows)
     assert sum(r.n_hits for r in rows) / sum(r.n_exact for r in rows) >= 0.9
+
+
+def test_sessionize_two_phase_bucket_boundaries(spark):
+    """The two-phase sessionizer must agree with native session_window on
+    exactly the inputs where bucketing could go wrong: a session straddling
+    midnight, a chain spanning THREE day buckets (merge must be transitive
+    across the running max), an exact-gap tie (Spark MERGES an event at
+    exactly last_ts + gap — closed interval end, pinned here), and
+    single-event sessions at bucket edges. Tiny 1-minute buckets make every
+    session cross multiple buckets."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.streaming.batch_windows import (
+        sessionize_two_phase,
+    )
+
+    rows = [
+        # user 1: chain 23:45 -> 00:10 -> 00:35 (crosses midnight, 25-min
+        # gaps), then 01:05 at EXACTLY 30 min — merges (closed interval end)
+        (1, "2024-01-01 23:45:00"),
+        (1, "2024-01-02 00:10:00"),
+        (1, "2024-01-02 00:35:00"),
+        (1, "2024-01-02 01:05:00"),
+        # user 2: single events 31 min apart -> three singleton sessions
+        (2, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:31:00"),
+        (2, "2024-01-01 01:02:00"),
+        # user 3: dense run, one session of 5 events
+        (3, "2024-01-01 12:00:00"),
+        (3, "2024-01-01 12:05:00"),
+        (3, "2024-01-01 12:10:00"),
+        (3, "2024-01-01 12:39:00"),
+        (3, "2024-01-01 13:08:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    native = {
+        (r.user_id, r.s, r.n_events)
+        for r in ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("st"))
+        .select("user_id", F.unix_micros("st").alias("s"), "n_events")
+        .collect()
+    }
+    for bucket_minutes in (1, 60, 1440):
+        two_phase = {
+            (r.user_id, r.s, r.n_events)
+            for r in sessionize_two_phase(ev, bucket_minutes=bucket_minutes)
+            .select("user_id", F.unix_micros("start_ts").alias("s"), "n_events")
+            .collect()
+        }
+        assert two_phase == native, f"bucket_minutes={bucket_minutes}"
+    # the midnight-straddling chain swallows the exact-gap event: 4, not 3+1
+    assert (1, 1704152700000000, 4) in native
+    assert len([t for t in native if t[0] == 2]) == 3  # 31-min gaps split

@@ -96,6 +96,74 @@ def timed(spark, dst, skew_on: bool, salted: bool) -> float:
     return round(statistics.median(runs), 4)
 
 
+def build_skewed_sessions(spark, mult: int, hot_tenths: int = 9) -> str:
+    """Hot-USER event stream for the sessionization skew case: mult x events
+    with timestamps fanned out per copy (+37 s each, so the hot user's rows
+    interleave in time like a real viral user's would, instead of collapsing
+    onto duplicate timestamps); copies above the cutoff all become user 0."""
+    dst = os.path.join(SCRATCH, f"skew_sess_x{mult}_h{hot_tenths}")
+    marker = os.path.join(dst, "_COMPLETE")
+    if os.path.exists(marker):
+        return dst
+    ev = load(spark, SRC, "events").select("event_id", "user_id", "ts")
+    fact = ev.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__copy")
+    )
+    cutoff = mult * (10 - hot_tenths) // 10
+    fact = (
+        fact.withColumn(
+            "user_id",
+            F.when(F.col("__copy") >= cutoff, F.lit(0)).otherwise(
+                F.col("user_id") + F.col("__copy").cast("long") * F.lit(1_000_000)
+            ),
+        )
+        .withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.unix_micros("ts") + F.col("__copy").cast("long") * 37_000_000
+            ),
+        )
+        .drop("__copy")
+    )
+    fact.write.mode("overwrite").parquet(os.path.join(dst, "events.parquet"))
+    open(marker, "w").close()
+    return dst
+
+
+def timed_session(spark, dst: str, two_phase: bool) -> float:
+    """Native session_window vs sessionize_two_phase on the hot-user stream.
+
+    Native partitions the aggregation exchange by user_id alone — the 90%
+    user serializes into one Sort+MergingSessions task, and AQE cannot split
+    a non-join exchange. The two-phase form fans the hot user over
+    (user_id, day-bucket) and interval-merges the resulting session rows."""
+    from eviction_lab_etl_spark.streaming.batch_windows import (
+        sessionize_two_phase,
+    )
+
+    def run() -> None:
+        ev = spark.read.parquet(os.path.join(dst, "events.parquet"))
+        if two_phase:
+            out = sessionize_two_phase(ev).select(
+                "user_id", F.unix_micros("start_ts").alias("s"), "n_events"
+            )
+        else:
+            out = (
+                ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("st"))
+                .select("user_id", F.unix_micros("st").alias("s"), "n_events")
+            )
+        out.write.format("noop").mode("overwrite").save()
+
+    run()  # warm-up
+    runs = []
+    for _ in range(3):
+        start = time.perf_counter()
+        run()
+        runs.append(time.perf_counter() - start)
+    return round(statistics.median(runs), 4)
+
+
 def main() -> None:
     mult = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     spark = build_session(
@@ -106,10 +174,13 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     dst = build_skewed(spark, mult)
+    sess_dst = build_skewed_sessions(spark, mult)
     results = {
         "smj_aqe_skew_on": timed(spark, dst, skew_on=True, salted=False),
         "smj_aqe_skew_off": timed(spark, dst, skew_on=False, salted=False),
         "salted_16": timed(spark, dst, skew_on=False, salted=True),
+        "session_native_hot": timed_session(spark, sess_dst, two_phase=False),
+        "session_two_phase_hot": timed_session(spark, sess_dst, two_phase=True),
     }
     print(
         json.dumps(
