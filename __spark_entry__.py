@@ -47,6 +47,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     # Round 5 changes, most-load-bearing first:
     "multimodal_decode",       # real PPM/BMP decoders replace the stub; new oracle
     "multimodal_resize",       # graduated rows-only -> hash-checked resize chain
+    "multimodal_audio_decode", # NEW: real RIFF/WAVE PCM decode, hash-checked
     "ann_ivf_recall",          # NEW: sampled-codebook IVF recall, hash-checked
     "sample_stratified",       # graduated rows-only -> salted-digest hash oracle
     "pipeline_corpus_manifest",# window keep-first rewrite (single scan)

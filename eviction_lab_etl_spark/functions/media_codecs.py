@@ -145,6 +145,65 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, bytes(out)
 
 
+# --- WAV (PCM 16-bit mono) --------------------------------------------------
+
+WAV_TYPE = "audio/wav"
+
+
+def encode_wav(
+    sample_rate: int,
+    samples: list[int],
+    extra_chunks: tuple[tuple[bytes, bytes], ...] = (),
+) -> bytes:
+    """RIFF/WAVE container around 16-bit little-endian mono PCM.
+
+    ``extra_chunks`` (chunk-id, body) pairs are inserted between fmt and
+    data — the LIST/INFO metadata real encoders emit — so fixtures can
+    exercise the decoder's chunk walking, not just the happy layout."""
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    for cid, cbody in extra_chunks:
+        body += cid + struct.pack("<I", len(cbody)) + cbody
+        if len(cbody) % 2:
+            body += b"\0"  # word alignment pad
+    body += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Decode RIFF/WAVE to (sample_rate, samples) by walking the chunk list —
+    real WAV files carry extra chunks (LIST/INFO, fact, cue) in arbitrary
+    order before data, so a fixed-offset slice is wrong; only chunk walking
+    is. PCM 16-bit mono only; anything else is refused, not mis-sliced."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, 8 + struct.unpack_from("<I", payload, 4)[0]
+    sample_rate = None
+    pcm = None
+    while pos + 8 <= min(end, len(payload)):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV variant (fmt={audio_fmt}, ch={channels}, "
+                    f"bits={bits}); PCM 16-bit mono only"
+                )
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or pcm is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if len(pcm) % 2:
+        raise ValueError("odd PCM byte length for 16-bit samples")
+    return sample_rate, list(struct.unpack(f"<{len(pcm) // 2}h", pcm))
+
+
 # --- dispatch ---------------------------------------------------------------
 
 _DECODERS = {PPM_TYPE: decode_ppm, BMP_TYPE: decode_bmp}
@@ -156,7 +215,8 @@ def decode_image(payload: bytes, media_type: str) -> tuple[int, int, bytes]:
         decoder = _DECODERS[media_type]
     except KeyError:
         raise NotImplementedError(
-            f"no decoder for {media_type!r}: audio/video codecs need "
-            "ffmpeg/librosa, which this container does not ship"
+            f"no image decoder for {media_type!r}: video codecs need ffmpeg, "
+            "which this container does not ship (audio/wav has its own "
+            "decoder, decode_wav)"
         ) from None
     return decoder(payload)

@@ -4,13 +4,14 @@ Pattern: media are opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
 stages so the heavy bytes never cross a row-at-a-time boundary.
 
-The image path is REAL: ``functions/media_codecs.py`` implements pure-Python
-PPM (P6) and 24-bit BMP codecs (struct header parse + pixel slice — no PIL),
-fixtures mint genuine payloads in both formats, and the correctness oracle
-derives the expected decoded channel sums arithmetically in SQL — so the
-DECODERS are hash-checked against independent math, not against themselves.
-Audio/video stay behind ``NotImplementedError`` (ffmpeg/librosa are not in
-this container); their Spark-side plumbing shape is identical.
+The image AND audio paths are REAL: ``functions/media_codecs.py`` implements
+pure-Python PPM (P6), 24-bit BMP, and RIFF/WAVE PCM codecs (struct header
+parse + pixel/sample slice — no PIL/librosa), fixtures mint genuine payloads
+in all three formats, and the correctness oracles derive the expected decoded
+channel/PCM sums arithmetically in SQL — so the DECODERS are hash-checked
+against independent math, not against themselves. Only video stays behind
+``NotImplementedError`` (every practical video codec needs ffmpeg); its
+Spark-side plumbing shape is identical.
 
 At 100 TB: binary payloads dominate partition size, so sources should set
 ``spark.sql.files.maxPartitionBytes`` low and never project the binary column
@@ -275,6 +276,88 @@ def multimodal_resize(spark, sf_dir):
         resize, schema="doc_id long, payload binary, media_type string"
     )
     return resized.mapInPandas(_decode_stats, schema=_DECODE_SCHEMA)
+
+
+def _audio_pattern(doc_id: int) -> tuple[int, list[int]]:
+    """Deterministic int16 PCM test signal: n = doc_id%50+10 samples at
+    8/12/16 kHz, sample i = ((doc_id*13 + i*7919) % 65536) - 32768. The
+    closed form is what lets the WAV decoder be oracle-checked."""
+    n = doc_id % 50 + 10
+    rate = 8000 + (doc_id % 3) * 4000
+    return rate, [((doc_id * 13 + i * 7919) % 65536) - 32768 for i in range(n)]
+
+
+@query(
+    "multimodal_audio_decode",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 50 + 10 AS n,
+               8000 + (doc_id % 3) * 4000 AS rate
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, n, rate,
+               ((doc_id * 13 + t.i * 7919) % 65536) - 32768 AS s
+        FROM dims, LATERAL (SELECT unnest(range(0, n)) AS i) t
+    )
+    SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sum_pcm,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+    FROM px GROUP BY doc_id, n, rate
+    """,
+)
+def multimodal_audio_decode(spark, sf_dir):
+    """REAL audio decoding: an Arrow-batched encode stage mints genuine
+    RIFF/WAVE files (16-bit mono PCM; every 5th doc also carries a LIST/INFO
+    metadata chunk between fmt and data, as real encoders emit), then a
+    second mapInPandas stage parses them back with the pure-Python chunk
+    walker in functions/media_codecs.py — a fixed-offset slice would break
+    on the INFO-bearing files, so the oracle hash proves the walker handles
+    chunk order, sizes, and word-alignment padding. Emitted values are the
+    decoded sample count, rate, and integer PCM sums, derived independently
+    in SQL from the signal's closed form. Map-side only — no shuffle."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads: list[bytes] = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate, samples = _audio_pattern(d)
+                extra = (
+                    ((b"LIST", b"INFOIART" + b"\x05\x00\x00\x00spark"),)
+                    if d % 5 == 0
+                    else ()
+                )
+                payloads.append(media_codecs.encode_wav(rate, samples, extra))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "sum_pcm": [], "sum_abs": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, samples = media_codecs.decode_wav(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(len(samples))
+                out["sum_pcm"].append(sum(samples))
+                out["sum_abs"].append(sum(abs(s) for s in samples))
+            yield pd.DataFrame(out)
+
+    audio = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return audio.mapInPandas(
+        decode,
+        schema=(
+            "doc_id long, sample_rate long, n_samples long, "
+            "sum_pcm long, sum_abs long"
+        ),
+    )
 
 
 @query(

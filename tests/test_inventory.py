@@ -39,6 +39,7 @@ EXTENSIONS = {
     "sim_cosine_neardup", "ann_ivf", "ann_ivf_recall",
     "text_langid", "text_quality", "text_token_count", "text_fingerprint",
     "multimodal_decode", "multimodal_resize", "multimodal_frame_sample",
+    "multimodal_audio_decode",
     "pipeline_tile_wide", "pipeline_rankings", "pipeline_search_index",
     "pipeline_data_dictionary", "pipeline_validate", "pipeline_corpus_clean",
     "pipeline_corpus_manifest",

@@ -81,3 +81,30 @@ def test_resize_nn_matches_closed_form():
         for x in range(tw):
             si = 3 * (w * ((y * h) // th) + (x * w) // tw)
             assert small[3 * (tw * y + x) : 3 * (tw * y + x) + 3] == rgb[si : si + 3]
+
+
+def test_wav_roundtrip_and_chunk_walking():
+    samples = [((7 * i * 7919) % 65536) - 32768 for i in range(37)]
+    plain = mc.encode_wav(16000, samples)
+    assert mc.decode_wav(plain) == (16000, samples)
+    # LIST/INFO chunk (odd-length body → word-alignment pad) before data:
+    # a fixed-offset decoder would mis-slice; the chunk walker must not
+    info = mc.encode_wav(16000, samples, ((b"LIST", b"INFOIART\x03\x00\x00\x00ab"),))
+    assert mc.decode_wav(info) == (16000, samples)
+
+
+def test_wav_rejects_malformed():
+    samples = [0, 1, -1]
+    good = bytearray(mc.encode_wav(8000, samples))
+    with pytest.raises(ValueError):
+        mc.decode_wav(b"RIFX" + bytes(good[4:]))  # bad magic
+    stereo = bytearray(good)
+    stereo[22:24] = struct.pack("<H", 2)  # channels=2 must be refused
+    with pytest.raises(ValueError):
+        mc.decode_wav(bytes(stereo))
+    f32 = bytearray(good)
+    f32[20:22] = struct.pack("<H", 3)  # IEEE float fmt must be refused
+    with pytest.raises(ValueError):
+        mc.decode_wav(bytes(f32))
+    with pytest.raises(ValueError):
+        mc.decode_wav(good[:12])  # no chunks at all
