@@ -57,6 +57,8 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "stream_session_skewsafe", # NEW: two-phase hot-key sessionization
     "scalar_try_safe",         # name_num now an actual try_cast
     "dedup_cluster_cc",        # fixpoint now confirmed by exact exceptAll
+    "incr_ingest_dedup",       # NEW: snapshot-manifest ingest dedup
+    "resample_cap_source",     # NEW: per-source frequency capping
 )
 
 

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from eviction_lab_etl_spark import fixtures
 from eviction_lab_etl_spark.functions.determinism import big
 from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
 
 _TAG_RE = "<[^>]*>"
 _EMAIL_RE = "[a-z0-9.]+@[a-z0-9.]+"
@@ -86,3 +87,49 @@ def text_pii_mask(spark, sf_dir):
     (every doc carries a deterministic planted email + phone, so each row has
     >=1 redaction of each kind and the counts are value-checked)."""
     return mask_pii(fixtures.documents_with_pii(spark, sf_dir))
+
+
+@query(
+    "resample_cap_source",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source ORDER BY md5(text), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_total,
+           count(*) FILTER (WHERE rk <= 10) AS n_kept,
+           sum(n_chars) FILTER (WHERE rk <= 10)::BIGINT AS kept_chars
+    FROM ranked GROUP BY source
+    """,
+)
+def resample_cap_source(spark, sf_dir):
+    """Per-source frequency capping: at most K=10 documents admitted per
+    source domain, chosen by content-hash order (md5(text), doc_id tiebreak)
+    — the standard curation guard against a single domain (one wiki mirror,
+    one SEO farm) dominating the training mix. Hash order makes the kept set
+    deterministic across engines, reruns, and retried stages, and unbiased
+    by crawl order (a doc_id-ordered cap would systematically prefer early
+    crawls). Emits the per-source ledger: total seen, kept, kept characters.
+
+    At 100 TB the shuffle key is `source` — the classic hot-key column (one
+    domain can be 10% of a crawl). The ledger form scans everything anyway
+    (it reports totals), but a keep-only variant is exactly the
+    rank<=K-over-row_number shape that Spark's InferWindowGroupLimit plans
+    as a partial top-K below the exchange (see search_prefix_topk), so the
+    hot domain's reducer sees K rows per map task, never the domain's corpus."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5("text"), "doc_id")
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("rk") <= 10, 1)).alias("n_kept"),
+        F.sum(F.when(F.col("rk") <= 10, F.col("n_chars")))
+        .cast("long")
+        .alias("kept_chars"),
+    )

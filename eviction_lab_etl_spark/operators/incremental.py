@@ -226,3 +226,64 @@ def incr_merge_upsert(spark, sf_dir):
             digest_sum(row_digest("o_orderkey", "o_orderpriority")).alias("digest"),
         )
     )
+
+
+@query(
+    "incr_ingest_dedup",
+    oracle="""
+    WITH snapshot AS (
+        SELECT md5(text) AS h FROM documents WHERE doc_id < 400 GROUP BY 1
+    ),
+    batch AS (
+        SELECT doc_id, lang, text FROM documents WHERE doc_id >= 400
+        UNION ALL
+        SELECT doc_id + 200000 AS doc_id, lang, text
+        FROM documents WHERE doc_id < 25
+    )
+    SELECT lang,
+           count(*) AS n_arrived,
+           count(*) FILTER (WHERE s.h IS NULL) AS n_admitted,
+           count(*) FILTER (WHERE s.h IS NOT NULL) AS n_dup_rejected
+    FROM batch b LEFT JOIN snapshot s ON md5(b.text) = s.h
+    GROUP BY lang
+    """,
+)
+def incr_ingest_dedup(spark, sf_dir):
+    """Incremental-ingest dedup: a new crawl batch checked against the PRIOR
+    corpus snapshot's digest manifest — the production shape of daily corpus
+    growth, where re-crawled pages must not re-enter training data. The
+    fixture snapshot is doc_id < 400; the arriving batch is the genuinely-new
+    tail (doc_id >= 400) plus re-crawls of 25 snapshot docs under fresh ids
+    (same content, new doc_id — exactly what a crawler emits). Emits the
+    per-language admission ledger (arrived / admitted / rejected-as-dup);
+    within-batch duplicates are `dedup_exact`'s job, not this operator's.
+
+    At 100 TB: the manifest is 16-byte digests — ~3 orders of magnitude
+    smaller than the corpus — and is the ONLY thing the daily job reads of
+    the history; it broadcasts here (and would bucket-join on digest at
+    manifest sizes beyond memory), so daily ingest cost is O(batch), not
+    O(corpus). The same manifest is what `incr_partition_refresh` stores per
+    partition; this operator is its row-level sibling."""
+    docs = load(spark, sf_dir, "documents")
+    snapshot = F.broadcast(
+        docs.filter(F.col("doc_id") < 400)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    batch = (
+        docs.filter(F.col("doc_id") >= 400)
+        .select("doc_id", "lang", "text")
+        .unionByName(
+            docs.filter(F.col("doc_id") < 25).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "lang", "text"
+            )
+        )
+    )
+    joined = batch.withColumn("bh", F.md5("text")).join(
+        snapshot, F.col("bh") == F.col("h"), "left"
+    )
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_arrived"),
+        F.count(F.when(F.col("h").isNull(), 1)).alias("n_admitted"),
+        F.count("h").alias("n_dup_rejected"),
+    )
