@@ -59,6 +59,8 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "dedup_cluster_cc",        # fixpoint now confirmed by exact exceptAll
     "incr_ingest_dedup",       # NEW: snapshot-manifest ingest dedup
     "resample_cap_source",     # NEW: per-source frequency capping
+    "events_funnel",           # NEW: single-shuffle ordered funnel
+    "events_cohort_retention", # NEW: cohort retention matrix
 )
 
 

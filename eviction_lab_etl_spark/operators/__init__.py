@@ -12,6 +12,7 @@ from eviction_lab_etl_spark.operators import (  # noqa: F401
     dedup_text,
     extensions,
     filters,
+    funnels,
     geo,
     incremental,
     joins,

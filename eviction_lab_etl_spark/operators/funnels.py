@@ -1,0 +1,119 @@
+"""Product-analytics operators over the events stream (extension).
+
+The two queries every event warehouse serves daily — ordered funnel
+conversion and cohort retention — expressed Spark-first:
+
+- The funnel is ONE shuffle (groupBy user) followed by JVM-side higher-order
+  array functions over each user's time-sorted event sequence: no self-joins,
+  no per-stage rescans of the fact table. The multi-pass join formulation
+  (one scan + shuffle per stage — the oracle's shape, and what most SQL
+  warehouses run) costs S shuffles for an S-stage funnel; this form is S=∞
+  for one shuffle, at the price of materializing each user's events in one
+  array (bounded by per-user activity; a user with millions of events wants
+  the per-stage-join form or a pre-capped sequence).
+- Retention reuses the user-keyed shuffle: first-seen day per user, then the
+  (cohort, week-offset) distinct-user matrix. Both stages hash on user_id,
+  so Catalyst reuses one exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from eviction_lab_etl_spark.registry import query
+from eviction_lab_etl_spark.sources.loader import load
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
+        FROM events GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s.t1
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT count(t1) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after,
+           (SELECT count(*) FROM p) AS n_purchase_after
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Ordered funnel signup -> click -> purchase: a user converts stage k
+    only with an event at or after their stage k-1 time (first-touch
+    semantics; a click BEFORE the signup does not count, which is exactly
+    what the naive per-type min() gets wrong). Spark side: one groupBy(user)
+    builds each user's time-sorted (ts, type) array, then JVM higher-order
+    `filter`/`element_at` walk out the stage times — one shuffle for the
+    whole funnel. The oracle computes the same semantics as the classic
+    stage-join cascade, so the hash check proves the single-pass rewrite
+    against the multi-pass definition."""
+    events = load(spark, sf_dir, "events")
+    seq = events.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
+    )
+
+    def first_at_or_after(col_seq, etype, tmin):
+        hits = F.filter(
+            col_seq,
+            lambda e: (e["event_type"] == etype)
+            & (F.lit(True) if tmin is None else (e["ts"] >= tmin)),
+        )
+        return F.element_at(hits, 1)["ts"]
+
+    staged = (
+        seq.withColumn("t1", first_at_or_after(F.col("seq"), "signup", None))
+        .withColumn("t2", first_at_or_after(F.col("seq"), "click", F.col("t1")))
+        .withColumn("t3", first_at_or_after(F.col("seq"), "purchase", F.col("t2")))
+    )
+    return staged.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_click_after"),
+        F.count("t3").alias("n_purchase_after"),
+    )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH f AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    )
+    SELECT CAST(f.d0 AS VARCHAR) AS cohort_day,
+           (CAST(e.ts AS DATE) - f.d0) // 7 AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY f.d0, week_offset
+    """,
+)
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, counted
+    distinct in each subsequent week offset — the table behind every
+    retention curve. Both stages key on user_id (first-seen agg, then the
+    cohort join), so the fact table shuffles ONCE and the join reuses the
+    exchange; the cohort dimension (one row per user) stays on the same
+    partitioning. cohort_day emitted as string for engine-neutral hashing."""
+    events = load(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
+    return (
+        events.join(first, "user_id")
+        .select(
+            "user_id",
+            F.col("d0").cast("string").alias("cohort_day"),
+            F.expr("datediff(to_date(ts), d0) div 7").alias("week_offset"),
+        )
+        .groupBy("cohort_day", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )

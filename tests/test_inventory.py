@@ -59,6 +59,7 @@ EXTENSIONS = {
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",
     "geo_centroid_bbox", "geo_point_in_region", "incr_partition_refresh",
     "incr_merge_upsert", "incr_ingest_dedup", "resample_cap_source",
+    "events_funnel", "events_cohort_retention",
     "pipeline_training_set", "search_prefix_topk", "multimodal_dedup",
 }
 
