@@ -61,6 +61,8 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "resample_cap_source",     # NEW: per-source frequency capping
     "events_funnel",           # NEW: single-shuffle ordered funnel
     "events_cohort_retention", # NEW: cohort retention matrix
+    "complex_sole_discount_supplier",  # NEW: Q21-shape semi+anti self-join
+    "complex_idle_customers",  # NEW: Q22-shape scalar-subquery + anti join
 )
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from eviction_lab_etl_spark.functions.determinism import RATE, dec
+from eviction_lab_etl_spark.functions.determinism import RATE, dec, to_dbl
 from eviction_lab_etl_spark.registry import query
 from eviction_lab_etl_spark.sources.loader import load
 
@@ -263,4 +263,142 @@ def complex_large_orders(spark, sf_dir):
         .select("c_name", "o_orderkey", "o_orderdate", "total_qty")
         .orderBy(F.col("total_qty").desc(), "o_orderkey")
         .limit(10)
+    )
+
+
+@query(
+    "complex_sole_discount_supplier",
+    oracle="""
+    SELECT s.s_name, count(*) AS numsole
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND CAST(l1.l_discount AS DECIMAL(4,2)) > 0.05
+      AND n.n_name = 'NATION_7'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND CAST(l3.l_discount AS DECIMAL(4,2)) > 0.05
+      )
+    GROUP BY s.s_name
+    ORDER BY numsole DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def complex_sole_discount_supplier(spark, sf_dir):
+    """TPC-H Q21 SHAPE — the hardest reference-class join tree: a semi join
+    AND an anti join against the SAME fact table plus a 4-table tree. The
+    fixture schema carries no receipt/commit dates, so the Q21 predicate
+    'sole late supplier' becomes 'sole deep-discount supplier' (l_discount >
+    0.05, decimal-exact) on multi-supplier finished orders — the self-join
+    topology, which is what stresses the planner, is identical. The two
+    existence probes plan as leftsemi / leftanti with a non-equi suppkey
+    mismatch on the orderkey equi-key; at 100 TB all three lineitem
+    instances shuffle on l_orderkey — co-partitioned, no re-keying — and
+    nation broadcasts."""
+    supplier = load(spark, sf_dir, "supplier")
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+
+    deep = dec("l_discount") > F.lit(0.05).cast("decimal(4,2)")
+    l1 = lineitem.filter(deep).alias("l1")
+    l2 = lineitem.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = lineitem.filter(deep).select("l_orderkey", "l_suppkey").alias("l3")
+    cand = l1.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "leftsemi",
+    ).join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+        "leftanti",
+    )
+    return (
+        cand.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l1.l_orderkey"),
+        )
+        .join(supplier, F.col("s_suppkey") == F.col("l1.l_suppkey"))
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numsole"))
+        .orderBy(F.col("numsole").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "complex_idle_customers",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, c_nationkey, c_acctbal FROM customer
+        UNION ALL
+        SELECT c_custkey + 9000000, c_nationkey, c_acctbal
+        FROM customer WHERE c_custkey <= 25
+    ),
+    avg_bal AS (
+        SELECT avg(CAST(c_acctbal AS DECIMAL(12,2))) AS ab
+        FROM cust WHERE CAST(c_acctbal AS DECIMAL(12,2)) > 0
+    )
+    SELECT c_nationkey,
+           count(*) AS numcust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM cust, avg_bal
+    WHERE CAST(c_acctbal AS DECIMAL(12,2)) > ab
+      AND NOT EXISTS (
+          SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def complex_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average positive balance who
+    have NEVER ordered, bucketed by nation (the fixture schema's country
+    column — it has no c_phone), over the orphan-planted corpus (organic
+    custkeys all have orders, fixtures.py precedent). Exercises the
+    scalar-aggregate subquery
+    (the global average joins in as a broadcast 1-row cross) composed with
+    an anti join against the orders fact — the 'addressable-but-dormant
+    market' report. Decimal-exact average and sums per §2.0 rule 1; the
+    anti join shuffles on custkey at scale while the scalar broadcast costs
+    nothing."""
+    base = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    # planted order-less customers (same construction as fixtures.
+    # customers_with_orphans, widened to the columns this report needs):
+    # organic custkeys all have orders at every tested SF, so without the
+    # plant the anti join decides nothing and the green is vacuous
+    customer = base.unionByName(
+        base.filter(F.col("c_custkey") <= 25).withColumn(
+            "c_custkey", F.col("c_custkey") + 9000000
+        )
+    )
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = customer.filter(dec("c_acctbal") > 0).agg(
+        F.avg(dec("c_acctbal")).alias("ab")
+    )
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(dec("c_acctbal") > F.col("ab"))
+        .join(orders, F.col("o_custkey") == F.col("c_custkey"), "leftanti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            to_dbl(F.sum(dec("c_acctbal"))).alias("totacctbal"),
+        )
     )

@@ -101,10 +101,12 @@ def events_funnel(spark, sf_dir):
 def events_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-seen day, counted
     distinct in each subsequent week offset — the table behind every
-    retention curve. Both stages key on user_id (first-seen agg, then the
-    cohort join), so the fact table shuffles ONCE and the join reuses the
-    exchange; the cohort dimension (one row per user) stays on the same
-    partitioning. cohort_day emitted as string for engine-neutral hashing."""
+    retention curve. The cohort dimension (one aggregate row per user) is
+    small relative to the events fact, so AQE broadcasts it here; past
+    broadcast size the join co-partitions on user_id — the same key the
+    first-seen aggregate already shuffled on, so Catalyst aligns the two
+    without an extra fact shuffle. cohort_day emitted as string for
+    engine-neutral hashing."""
     events = load(spark, sf_dir, "events")
     first = events.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d0"))
     return (

@@ -50,7 +50,8 @@ EXTENSIONS = {
     "agg_approx_quantile", "sketch_hll_partitioned",
     "complex_shipping_priority", "complex_region_revenue",
     "complex_returned_revenue", "complex_small_qty_revenue",
-    "complex_large_orders", "io_orc_roundtrip", "io_bucketed_join",
+    "complex_large_orders", "complex_sole_discount_supplier",
+    "complex_idle_customers", "io_orc_roundtrip", "io_bucketed_join",
     "io_python_datasource", "scalar_try_safe", "io_binary_files",
     "join_lateral_topn", "udf_arrow_map",
     "text_clean_html", "text_pii_mask", "dedup_cluster_cc",
