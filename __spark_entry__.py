@@ -63,6 +63,9 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "events_cohort_retention", # NEW: cohort retention matrix
     "complex_sole_discount_supplier",  # NEW: Q21-shape semi+anti self-join
     "complex_idle_customers",  # NEW: Q22-shape scalar-subquery + anti join
+    "join_asof_tolerance",     # NEW: tolerance-bounded asof
+    "window_first_last",       # NEW: first/last/nth_value full frame
+    "agg_mode",                # NEW: deterministic mode composition
 )
 
 

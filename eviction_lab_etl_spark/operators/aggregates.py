@@ -254,3 +254,45 @@ def agg_approx_distinct(spark, sf_dir):
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts")
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+        SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q, count(*) AS n
+        FROM lineitem GROUP BY 1, 2
+    )
+    SELECT l_returnflag, q AS mode_qty, n AS mode_count
+    FROM c
+    QUALIFY row_number() OVER (
+        PARTITION BY l_returnflag ORDER BY n DESC, q
+    ) = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    """Mode (most frequent value) per group, as the deterministic two-level
+    composition: count per (group, value), then rank by (count DESC, value
+    ASC) and keep the winner. Spark 3.4+ ships a built-in `mode()` aggregate
+    but leaves ties non-deterministic — unusable under §2.0 rule 3, and
+    DuckDB's mode() has the same gap — so BOTH engines here run the explicit
+    construction, which also partial-aggregates map-side (the built-in
+    buffers a full value→count map per group; this form shuffles (group,
+    value) pairs once and the final top-1 window is over the distinct-value
+    table, not the fact table)."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    counts = li.groupBy(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("n").desc(), "q")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("q").alias("mode_qty"),
+            F.col("n").alias("mode_count"),
+        )
+    )

@@ -295,3 +295,45 @@ def join_lateral_topn(spark, sf_dir):
         ) l
         """
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id AS purchase_event_id, s.event_id AS signup_event_id
+    FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase') p
+    ASOF JOIN (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') s
+      ON p.user_id = s.user_id AND p.ts >= s.ts
+    WHERE p.ts - s.ts <= INTERVAL 2 HOUR
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """As-of join with a TOLERANCE bound (the kdb/TimescaleDB/pandas
+    `merge_asof(tolerance=...)` semantic): each purchase matches its most
+    recent signup at or before it, but only if that signup is within 2
+    hours — a match staler than the tolerance is no match at all, which is
+    NOT the same as a range join (the range join would fall back to an
+    older in-window signup; tolerance-asof must not). Composition: the same
+    one-shuffle union-tag asof primitive as `join_asof`, carrying the
+    matched signup's timestamp in the payload, then a post-filter on the
+    staleness — zero extra shuffles over the plain asof."""
+    from eviction_lab_etl_spark.functions.asof import asof_join
+
+    events = load(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("signup_event_id"),
+        F.col("ts").alias("signup_ts"),
+    )
+    matched = asof_join(
+        purchases, signups, by="user_id", left_ts="ts", right_ts="ts",
+        payload_cols=["signup_event_id", "signup_ts"],
+    )
+    return matched.filter(
+        F.col("signup_event_id").isNotNull()
+        & (F.col("ts") - F.col("signup_ts") <= F.expr("INTERVAL 2 HOURS"))
+    ).select(F.col("event_id").alias("purchase_event_id"), "signup_event_id")

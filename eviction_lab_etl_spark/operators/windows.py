@@ -206,3 +206,55 @@ def window_cume(spark, sf_dir):
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT l_orderkey,
+           first_value(l_partkey) OVER w AS first_part,
+           last_value(l_partkey) OVER w AS last_part,
+           nth_value(l_partkey, 2) OVER w AS second_part
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_orderkey
+                 ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    QUALIFY row_number() OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice
+    ) = 1
+    """,
+)
+def window_first_last(spark, sf_dir):
+    """first_value / last_value / nth_value over a full-partition frame: the
+    order's first, last, and second line item by line number — the window
+    trio the earlier E-group queries don't cover. The frame must be
+    UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING: with the default frame,
+    last_value degenerates to the current row (the classic window bug this
+    query exists to pin). The synthetic lineitem REUSES line numbers within
+    an order (unlike real TPC-H), so the ordering carries the full
+    (linenumber, partkey, suppkey, extendedprice) tiebreak chain — unique at
+    every tested SF — per §2.0 rule 3; one row kept per order via
+    row_number = 1 on the same ordering — Catalyst computes both windows in
+    one pass over one shuffle."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    keys = ["l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"]
+    frame = (
+        Window.partitionBy("l_orderkey")
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    order = Window.partitionBy("l_orderkey").orderBy(*keys)
+    return (
+        li.select(
+            "l_orderkey",
+            F.first("l_partkey").over(frame).alias("first_part"),
+            F.last("l_partkey").over(frame).alias("last_part"),
+            F.nth_value("l_partkey", 2).over(frame).alias("second_part"),
+            F.row_number().over(order).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -54,6 +54,7 @@ EXTENSIONS = {
     "complex_idle_customers", "io_orc_roundtrip", "io_bucketed_join",
     "io_python_datasource", "scalar_try_safe", "io_binary_files",
     "join_lateral_topn", "udf_arrow_map",
+    "join_asof_tolerance", "window_first_last", "agg_mode",
     "text_clean_html", "text_pii_mask", "dedup_cluster_cc",
     "dedup_canonical_docs",
     "contam_ngram_overlap", "pack_concat_chunks", "chunk_sliding",
