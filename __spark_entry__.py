@@ -66,6 +66,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "join_asof_tolerance",     # NEW: tolerance-bounded asof
     "window_first_last",       # NEW: first/last/nth_value full frame
     "agg_mode",                # NEW: deterministic mode composition
+    "graph_triangle_count",    # NEW: ordered-edge triangle enumeration
 )
 
 

@@ -264,3 +264,68 @@ def dedup_canonical_docs(spark, sf_dir):
         )
         .select("doc_id", big("n_tok").alias("n_tok"))
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents WHERE doc_id < 200
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pr AS (
+        SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS inter
+        FROM tok t1 JOIN tok t2 ON t1.w = t2.w AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT a, b FROM pr
+        JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        WHERE 10 * inter >= 9 * (sa.n + sb.n - inter)
+    )
+    SELECT (SELECT count(DISTINCT v) FROM (
+                SELECT a AS v FROM edges UNION ALL SELECT b FROM edges))
+               AS n_vertices,
+           (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*) FROM edges e1
+            JOIN edges e2 ON e2.a = e1.b
+            JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Distributed triangle counting over the near-dup similarity graph (the
+    same Jaccard >= 0.9 edge set ``dedup_cluster_cc`` clusters): the density
+    metric that separates 'one doc re-crawled N times' (clique: ~N³/6
+    triangles) from 'a chain of incremental edits' (path: 0) — which decides
+    whether a dedup group should keep one canonical doc or several.
+
+    Algorithm: ordered-edge enumeration (the standard MR formulation) — all
+    edges are kept a<b, a wedge is e1(a,b)⋈e2(b,c), and a triangle is a
+    wedge whose closing edge (a,c) exists; each triangle is counted exactly
+    once because its vertices appear in sorted order. Both joins shuffle on
+    a single vertex key. At 100 TB the wedge volume is Σ deg(v)², so the
+    production refinement orients edges from lower- to higher-DEGREE
+    endpoints first (node-iterator++), bounding wedges by the arboricity;
+    the id-ordered form here keeps the oracle exact and the join topology
+    identical."""
+    from eviction_lab_etl_spark.operators.dedup_text import sim_jaccard_pairs
+
+    pairs = sim_jaccard_pairs(spark, sf_dir)
+    edges = pairs.filter(10 * F.col("inter") >= 9 * F.col("uni")).select("a", "b")
+    verts = (
+        edges.select(F.col("a").alias("v"))
+        .unionByName(edges.select(F.col("b").alias("v")))
+        .agg(F.count_distinct("v").alias("n_vertices"))
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return verts.crossJoin(n_edges).crossJoin(tri)

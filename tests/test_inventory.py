@@ -55,7 +55,7 @@ EXTENSIONS = {
     "io_python_datasource", "scalar_try_safe", "io_binary_files",
     "join_lateral_topn", "udf_arrow_map",
     "join_asof_tolerance", "window_first_last", "agg_mode",
-    "text_clean_html", "text_pii_mask", "dedup_cluster_cc",
+    "text_clean_html", "text_pii_mask", "dedup_cluster_cc", "graph_triangle_count",
     "dedup_canonical_docs",
     "contam_ngram_overlap", "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

@@ -262,3 +262,60 @@ def test_digest_sum_survives_int64_overflow(spark):
         "(4611686018427387904), (4611686018427387904)) t(d)"
     ).fetchone()[0]
     assert got == want == 0
+
+
+# Event times drawn in MINUTES over ~3 days around day boundaries, so random
+# inputs routinely produce sessions that straddle buckets, exact-gap ties
+# (minute granularity makes diff == 30min likely), duplicate timestamps, and
+# empty/singleton users — the full edge-case space of the sessionizer.
+session_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user_id
+        st.integers(min_value=0, max_value=3 * 1440),   # minutes offset
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(rows=session_events)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_two_phase_sessionize_equals_native(spark, rows):
+    """sessionize_two_phase must equal native session_window for ANY event
+    set — the algebraic claim behind the skew-safe rewrite (SCALE.md round-5
+    section). Hour buckets force nearly every random session to span
+    buckets, which is exactly where a wrong merge rule would diverge."""
+    from eviction_lab_etl_spark.streaming.batch_windows import (
+        sessionize_two_phase,
+    )
+
+    if not rows:
+        return
+    ev = spark.createDataFrame(rows, "user_id long, m long").select(
+        "user_id",
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("m") * 60_000_000
+        ).alias("ts"),
+    )
+    native = {
+        (r.user_id, r.s, r.n)
+        for r in ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("ts").alias("st"))
+        .select("user_id", F.unix_micros("st").alias("s"), "n")
+        .collect()
+    }
+    two_phase = {
+        (r.user_id, r.s, r.n)
+        for r in sessionize_two_phase(ev, bucket_minutes=60)
+        .select(
+            "user_id",
+            F.unix_micros("start_ts").alias("s"),
+            F.col("n_events").alias("n"),
+        )
+        .collect()
+    }
+    assert two_phase == native
