@@ -67,6 +67,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "window_first_last",       # NEW: first/last/nth_value full frame
     "agg_mode",                # NEW: deterministic mode composition
     "graph_triangle_count",    # NEW: ordered-edge triangle enumeration
+    "text_rarity_score",       # NEW: corpus-relative rarity quality proxy
 )
 
 

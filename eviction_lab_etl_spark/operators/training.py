@@ -495,3 +495,63 @@ def resample_sqrt_temperature(spark, sf_dir):
         "lang",
         F.explode(F.sequence(F.lit(0), F.col("copies") - 1)).alias("copy_idx"),
     ).withColumn("copy_idx", big("copy_idx"))
+
+
+@query(
+    "text_rarity_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    freq AS (SELECT w, count(*) AS cf FROM tok GROUP BY w),
+    ranked AS (
+        SELECT cf, row_number() OVER (ORDER BY cf, w) AS rn FROM freq
+    ),
+    thr AS (
+        SELECT cf AS t FROM ranked
+        WHERE rn = (SELECT (count(*) + 1) // 2 FROM freq)
+    )
+    SELECT t.doc_id, count(*) AS n_tok,
+           count(*) FILTER (WHERE f.cf < thr.t) AS n_rare
+    FROM tok t JOIN freq f ON f.w = t.w CROSS JOIN thr
+    GROUP BY t.doc_id
+    """,
+)
+def text_rarity_score(spark, sf_dir):
+    """Corpus-relative rarity scoring — the integer-exact proxy for the
+    unigram-LM 'perplexity filter' every corpus pipeline runs (docs made of
+    corpus-frequent tokens are boilerplate-like; docs heavy in
+    corpus-rare tokens are either informative or garbage — both tails get
+    routed to different gates). Per doc: total tokens and tokens whose
+    CORPUS frequency is strictly below the vocabulary's median frequency
+    (median = the middle element of the (cf, w)-sorted vocabulary, a
+    deterministic integer — no float log-probs, §2.0 rule 1).
+
+    Scale shape: the vocabulary table (token, corpus_freq) is the small
+    side — even web-scale corpora hold vocabularies orders of magnitude
+    below the token stream — so it BROADCASTS onto the map-side token
+    explosion; the only corpus-wide shuffles are the vocab count and the
+    final per-doc aggregate. The threshold is a broadcast 1-row cross."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    ranked = freq.withColumn(
+        "rn", F.row_number().over(Window.orderBy("cf", "w"))
+    )
+    n_vocab = freq.agg(F.count(F.lit(1)).alias("nv"))
+    thr = (
+        ranked.crossJoin(F.broadcast(n_vocab))
+        .filter(F.col("rn") == F.expr("(nv + 1) div 2"))
+        .select(F.col("cf").alias("t"))
+    )
+    return (
+        tok.join(F.broadcast(freq), "w")
+        .crossJoin(F.broadcast(thr))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count(F.when(F.col("cf") < F.col("t"), 1)).alias("n_rare"),
+        )
+    )

@@ -59,6 +59,7 @@ EXTENSIONS = {
     "dedup_canonical_docs",
     "contam_ngram_overlap", "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",
+    "text_rarity_score",
     "geo_centroid_bbox", "geo_point_in_region", "incr_partition_refresh",
     "incr_merge_upsert", "incr_ingest_dedup", "resample_cap_source",
     "events_funnel", "events_cohort_retention",
