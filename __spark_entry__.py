@@ -68,6 +68,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "agg_mode",                # NEW: deterministic mode composition
     "graph_triangle_count",    # NEW: ordered-edge triangle enumeration
     "text_rarity_score",       # NEW: corpus-relative rarity quality proxy
+    "ts_gapfill_locf",         # NEW: calendar gap-fill + LOCF completion
 )
 
 

@@ -24,6 +24,7 @@ from eviction_lab_etl_spark.operators import (  # noqa: F401
     scans,
     setops,
     sorts,
+    timeseries,
     training,
     udfs,
     windows,

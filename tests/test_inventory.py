@@ -62,7 +62,7 @@ EXTENSIONS = {
     "text_rarity_score",
     "geo_centroid_bbox", "geo_point_in_region", "incr_partition_refresh",
     "incr_merge_upsert", "incr_ingest_dedup", "resample_cap_source",
-    "events_funnel", "events_cohort_retention",
+    "events_funnel", "events_cohort_retention", "ts_gapfill_locf",
     "pipeline_training_set", "search_prefix_topk", "multimodal_dedup",
 }
 
