@@ -312,7 +312,16 @@ def graph_triangle_count(spark, sf_dir):
     from eviction_lab_etl_spark.operators.dedup_text import sim_jaccard_pairs
 
     pairs = sim_jaccard_pairs(spark, sf_dir)
-    edges = pairs.filter(10 * F.col("inter") >= 9 * F.col("uni")).select("a", "b")
+    # The edge list feeds FIVE consumers (vertex count, edge count, and the
+    # three join legs); without materialization the whole inverted-index
+    # similarity lineage re-executes per consumer. The edge set is orders of
+    # magnitude smaller than its derivation — persist it (CacheManager
+    # dedupes the identical plan across repeated calls).
+    edges = (
+        pairs.filter(10 * F.col("inter") >= 9 * F.col("uni"))
+        .select("a", "b")
+        .persist()
+    )
     verts = (
         edges.select(F.col("a").alias("v"))
         .unionByName(edges.select(F.col("b").alias("v")))

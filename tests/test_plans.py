@@ -259,3 +259,31 @@ def test_corpus_clean_single_scan_and_tokenize(spark, sf_dir):
     assert m["plan"].count("documents.parquet") == 1
     assert m["shuffles"] <= 1
     assert m["sortmerge_joins"] == 0
+
+
+def test_round5_operator_plan_shapes(spark, sf_dir):
+    """Round-5 additions keep their declared scale shapes: the funnel walks
+    arrays JVM-side with NO Python boundary in 2 shuffles; per-source capping
+    reuses ONE exchange for window+agg (same key); the skew-safe sessionizer
+    is 2 shuffles (phase-1 bucketed, phase-2 session rows); gap-fill
+    broadcasts its calendar spine; ingest dedup broadcasts the snapshot
+    manifest; nothing plans a CartesianProduct."""
+    funnel = plan_of(spark, sf_dir, "events_funnel")
+    assert funnel["shuffles"] <= 2
+    assert funnel["python_rows"] == 0 and funnel["arrow_python"] == 0
+
+    cap = plan_of(spark, sf_dir, "resample_cap_source")
+    assert cap["shuffles"] == 1 and cap["sortmerge_joins"] == 0
+
+    skewsafe = plan_of(spark, sf_dir, "stream_session_skewsafe")
+    assert skewsafe["shuffles"] <= 2
+
+    gapfill = plan_of(spark, sf_dir, "ts_gapfill_locf")
+    assert gapfill["broadcast_joins"] + gapfill["broadcast_nl_joins"] >= 2
+    assert gapfill["sortmerge_joins"] == 0
+
+    ingest = plan_of(spark, sf_dir, "incr_ingest_dedup")
+    assert ingest["broadcast_joins"] >= 1 and ingest["sortmerge_joins"] == 0
+
+    for name in ("events_funnel", "graph_triangle_count", "ann_ivf_recall"):
+        assert "CartesianProduct" not in plan_of(spark, sf_dir, name)["plan"]
