@@ -25,6 +25,7 @@ from eviction_lab_etl_spark.operators import (  # noqa: F401
     setops,
     sorts,
     timeseries,
+    tpch_shapes,
     training,
     udfs,
     windows,
