@@ -439,3 +439,337 @@ def complex_top_supplier(spark, sf_dir):
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "rev_x10k")
     )
+
+
+@query(
+    "complex_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                   AS min_cents
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, s_suppkey, s_name, n_name, min_cents
+    FROM supply
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    JOIN region   ON r_regionkey = n_regionkey
+    WHERE p_size <= 10 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND min_cents = (
+          SELECT min(s2.min_cents)
+          FROM supply s2
+          JOIN supplier sup2 ON sup2.s_suppkey = s2.l_suppkey
+          JOIN nation n2   ON n2.n_nationkey = sup2.s_nationkey
+          JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+          WHERE s2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY p_partkey, s_suppkey
+    LIMIT 25
+    """,
+)
+def complex_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum cost supplier): for one part class, the
+    EUROPE supplier(s) offering the minimum cost, where the qualifying
+    minimum is itself a correlated aggregate over the same supply relation.
+    The fixture has no partsupp, so the supply relation is derived from
+    lineitem (per part×supplier minimum observed line total, in exact
+    cents). The correlated min decorrelates into a per-part aggregate that
+    joins back on (partkey, min_cents) — cost equality on exact integers
+    keeps ties (all minimal suppliers) identical in both engines, and the
+    final ordering carries the full (p_partkey, s_suppkey) key. At 100 TB:
+    the supply build shuffles lineitem once on (partkey, suppkey); the
+    region-filtered per-part min is a second small aggregate; every
+    dimension broadcasts."""
+    li = load(spark, sf_dir, "lineitem")
+    from eviction_lab_etl_spark.functions.determinism import cents
+
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(cents("l_extendedprice")).alias("min_cents")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 10) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    euro_supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    euro_supply = (
+        supply.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(euro_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    per_part_min = euro_supply.groupBy(F.col("p_partkey").alias("mp_key")).agg(
+        F.min("min_cents").alias("part_min")
+    )
+    return (
+        euro_supply.join(
+            F.broadcast(per_part_min),
+            (F.col("p_partkey") == F.col("mp_key"))
+            & (F.col("min_cents") == F.col("part_min")),
+        )
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "min_cents")
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(25)
+    )
+
+
+@query(
+    "complex_important_stock",
+    oracle="""
+    WITH nation_supply AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                        AS BIGINT) AS value_cents
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation   ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_5'
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS p_key, value_cents
+    FROM nation_supply
+    WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM nation_supply)
+    ORDER BY value_cents DESC, p_key
+    LIMIT 50
+    """,
+)
+def complex_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): parts whose supply
+    value from one nation exceeds 0.1% of that nation's total supply value —
+    a grouped aggregate filtered against a scalar aggregate OF THE SAME
+    intermediate. Values are exact cents (bigint), so the 0.1% threshold is
+    an integer cross-multiplication (value×1000 > total) decided identically
+    by both engines; overflow headroom: cents sums stay < 10^15 even at the
+    100 TB design point per-nation, and the threshold product < 10^18. One
+    partkey shuffle builds the supply table; Spark reuses the shuffle for
+    the 1-row total, which broadcasts back."""
+    from eviction_lab_etl_spark.functions.determinism import cents
+
+    li = load(spark, sf_dir, "lineitem")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    nation_supply = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("p_key"))
+        .agg(F.sum(cents("l_extendedprice")).alias("value_cents"))
+    )
+    total = nation_supply.agg(F.sum("value_cents").alias("grand_total"))
+    return (
+        nation_supply.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("grand_total"))
+        .select("p_key", "value_cents")
+        .orderBy(F.col("value_cents").desc(), "p_key")
+        .limit(50)
+    )
+
+
+@query(
+    "complex_returnflag_priority",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT','2-HIGH'))
+               AS high_cnt,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH'))
+               AS low_cnt
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def complex_returnflag_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipping mode / order priority): per category of the
+    fact (the fixture has no ship mode, so return flag stands in), how many
+    of one year's lineitems belong to critical- vs normal-priority orders —
+    the join + dual conditional-count shape. At 100 TB: one orderkey
+    shuffle, map-side partial counts, 3 output rows."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_if(high).alias("high_cnt"),
+            F.count_if(~high).alias("low_cnt"),
+        )
+    )
+
+
+@query(
+    "complex_parts_supplier_cnt",
+    oracle="""
+    SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS psize,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p_brand, p_type, psize
+    ORDER BY supplier_cnt DESC, p_brand, p_type, psize
+    LIMIT 30
+    """,
+)
+def complex_parts_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers can supply each (brand, type, size) combination, with
+    negative exclusions on part attributes AND a NOT-IN exclusion of
+    flagged suppliers (negative-balance stands in for the complaints
+    filter). The supply relation is lineitem (no partsupp in the fixture).
+    NOT IN over a non-nullable key plans as an anti join against a
+    broadcast-able exclusion list; the distinct count shuffles once on the
+    group key with partial distinct aggregation below the exchange."""
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    flagged = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(flagged), F.col("l_suppkey") == F.col("s_suppkey"), "leftanti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", big("p_size").alias("psize"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "psize")
+        .limit(30)
+    )
+
+
+@query(
+    "complex_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(sum({REVENUE_SQL}) * 10000 AS BIGINT) AS rev_x10k,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+           AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 25)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+           AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 35)
+    """,
+)
+def complex_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue): revenue matched by a 3-branch
+    disjunction where each branch constrains BOTH sides of the join (part
+    attributes AND lineitem quantity). The planner can push the p_brand
+    disjunction to the part scan, but the cross-table residual must stay a
+    join filter — the classic test that OR predicates don't defeat pushdown
+    entirely. Integer quantity/size bounds make every branch decision
+    exact. At 100 TB: part (pre-filtered to three brands) broadcasts; the
+    single-row aggregate needs no data shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity").cast("long")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10) & qty.between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(5, 20) & qty.between(10, 25))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 40) & qty.between(20, 35))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            (F.sum(revenue()) * 10000).cast("long").alias("rev_x10k"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "complex_excess_share_supplier",
+    oracle="""
+    WITH pair_qty AS (
+        SELECT l_suppkey, l_partkey,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sup_qty
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'cold%'
+          AND l_shipdate >= DATE '1997-01-01'
+          AND l_shipdate <  DATE '1998-01-01'
+        GROUP BY l_suppkey, l_partkey
+    ),
+    part_total AS (
+        SELECT l_partkey, CAST(sum(sup_qty) AS BIGINT) AS total_qty
+        FROM pair_qty GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_suppkey, s_name, n_name
+    FROM pair_qty
+    JOIN part_total USING (l_partkey)
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE sup_qty * 10 > total_qty * 3
+    ORDER BY s_suppkey
+    """,
+)
+def complex_excess_share_supplier(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): suppliers who shipped
+    more than 30% of some cold-part's one-year volume — a nested aggregate
+    (per supplier×part, then per part) whose comparison feeds a semi-join
+    into the supplier dimension. Quantities are integral, so the 30% share
+    test is the exact cross-product sup_qty×10 > total×3. At 100 TB: one
+    (suppkey, partkey) shuffle builds pair_qty; the per-part total reuses
+    it keyed on partkey; qualifying (supplier) keys are few and the
+    dimension joins broadcast."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("date"))
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("cold%"))
+        .select("p_partkey")
+    )
+    pair_qty = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sup_qty"))
+    )
+    part_total = pair_qty.groupBy(F.col("l_partkey").alias("pt_key")).agg(
+        F.sum("sup_qty").alias("total_qty")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        pair_qty.join(part_total, F.col("l_partkey") == F.col("pt_key"))
+        .filter(F.col("sup_qty") * 10 > F.col("total_qty") * 3)
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .distinct()
+        .orderBy("s_suppkey")
+    )
