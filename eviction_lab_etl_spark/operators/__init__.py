@@ -10,6 +10,7 @@ from eviction_lab_etl_spark.operators import (  # noqa: F401
     clustering,
     complex,
     dedup_text,
+    embeddings,
     extensions,
     filters,
     funnels,

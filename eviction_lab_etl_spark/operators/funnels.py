@@ -119,3 +119,44 @@ def events_cohort_retention(spark, sf_dir):
         .groupBy("cohort_day", "week_offset")
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "events_type_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS cur_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, cur_type, count(*) AS cnt
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, cur_type
+    """,
+)
+def events_type_transitions(spark, sf_dir):
+    """First-order behavioral transition matrix: for every consecutive event
+    pair in a user's (ts, event_id)-ordered stream, count (previous type →
+    current type). The Markov-chain summary behind next-action prediction
+    features and bot detection (self-loops at implausible rates). The lag
+    window's full tiebreak makes each user's sequence — and therefore every
+    pair — identical in both engines. At 100 TB: one user_id shuffle for the
+    window, map-side partial counts into an at-most-25-row matrix; the same
+    user-keyed exchange any sessionizer already makes, so in a multi-query
+    pipeline the sort is shared."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("cur_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "cur_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

@@ -88,3 +88,122 @@ def ts_gapfill_locf(spark, sf_dir):
             to_dbl(F.last("rev", ignorenulls=True).over(w)).alias("locf_revenue"),
         )
     )
+
+
+@query(
+    "ts_interpolate_linear",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(date_trunc('day', ts)) AS d0, max(date_trunc('day', ts)) AS d1
+        FROM events
+    ),
+    days AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS d FROM bounds
+    ),
+    users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+    daily AS (
+        SELECT user_id, date_trunc('day', ts) AS d,
+               CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS v_cents
+        FROM events WHERE event_type = 'purchase' AND user_id < 20
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT u.user_id, days.d,
+               CAST(date_diff('day', DATE '1970-01-01', CAST(days.d AS DATE))
+                    AS BIGINT) AS e
+        FROM users u CROSS JOIN days
+    ),
+    marked AS (
+        SELECT s.user_id, s.d, s.e, dl.v_cents,
+               last_value(dl.v_cents IGNORE NULLS) OVER back  AS v0,
+               last_value(CASE WHEN dl.v_cents IS NOT NULL THEN s.e END
+                          IGNORE NULLS) OVER back             AS t0,
+               first_value(dl.v_cents IGNORE NULLS) OVER fwd  AS v1,
+               first_value(CASE WHEN dl.v_cents IS NOT NULL THEN s.e END
+                           IGNORE NULLS) OVER fwd             AS t1
+        FROM spine s
+        LEFT JOIN daily dl ON dl.user_id = s.user_id AND dl.d = s.d
+        WINDOW back AS (PARTITION BY s.user_id ORDER BY s.e
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               fwd  AS (PARTITION BY s.user_id ORDER BY s.e
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(CAST(d AS DATE) AS VARCHAR) AS day,
+           CASE WHEN v_cents IS NOT NULL THEN v_cents
+                WHEN v0 IS NOT NULL AND v1 IS NOT NULL
+                THEN v0 * (t1 - e) + v1 * (e - t0) END AS num,
+           CASE WHEN v_cents IS NOT NULL THEN 1
+                WHEN v0 IS NOT NULL AND v1 IS NOT NULL
+                THEN t1 - t0 END AS den
+    FROM marked
+    """,
+)
+def ts_interpolate_linear(spark, sf_dir):
+    """Linear interpolation across time-series gaps, integer-exact: for every
+    (user, day) cell in the gap-filled spine, emit the daily purchase total
+    as an exact rational num/den — observed days are (v, 1), interior gaps
+    are the cross-multiplied linear blend (v0·(t1−t) + v1·(t−t0), t1−t0),
+    and edge gaps (nothing observed on one side) stay NULL. The consumer
+    divides once; the engine never touches float arithmetic, so the same
+    blend hashes identically everywhere (the LOCF operator above fills
+    level measures; this one fills trend measures). At 100 TB the plan is
+    the gap-fill plan plus one more window over the SAME (user, day)
+    partitioning — three window functions, one shuffle."""
+    events = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    from eviction_lab_etl_spark.functions.determinism import cents
+
+    bounds = load(spark, sf_dir, "events").agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    users = events.select("user_id").distinct()
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.sum(cents("value")).alias("v_cents"))
+    )
+    spine = users.crossJoin(F.broadcast(days)).withColumn(
+        "e", F.datediff("d", F.lit("1970-01-01").cast("date")).cast("long")
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("e")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_e = F.when(F.col("v_cents").isNotNull(), F.col("e"))
+    marked = (
+        spine.join(daily, ["user_id", "d"], "left")
+        .select(
+            "user_id",
+            "d",
+            "e",
+            "v_cents",
+            F.last("v_cents", ignorenulls=True).over(back).alias("v0"),
+            F.last(obs_e, ignorenulls=True).over(back).alias("t0"),
+            F.first("v_cents", ignorenulls=True).over(fwd).alias("v1"),
+            F.first(obs_e, ignorenulls=True).over(fwd).alias("t1"),
+        )
+    )
+    interior = F.col("v0").isNotNull() & F.col("v1").isNotNull()
+    return marked.select(
+        "user_id",
+        F.col("d").cast("string").alias("day"),
+        F.when(F.col("v_cents").isNotNull(), F.col("v_cents"))
+        .when(
+            interior,
+            F.col("v0") * (F.col("t1") - F.col("e"))
+            + F.col("v1") * (F.col("e") - F.col("t0")),
+        )
+        .alias("num"),
+        F.when(F.col("v_cents").isNotNull(), F.lit(1).cast("long"))
+        .when(interior, F.col("t1") - F.col("t0"))
+        .alias("den"),
+    )
