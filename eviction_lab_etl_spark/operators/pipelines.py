@@ -438,3 +438,45 @@ def search_prefix_topk(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("prefix", big("rnk").alias("rnk"), "p_partkey")
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_uniq_texts,
+           count(DISTINCT lang) AS n_langs,
+           count(DISTINCT source) AS n_sources,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars,
+           CAST(median(CAST(n_chars AS BIGINT)) AS BIGINT) AS med_chars,
+           count(*) FILTER (WHERE lang = 'en') AS n_en
+    FROM documents
+    """,
+)
+def pipeline_dataset_card(spark, sf_dir):
+    """Dataset-card generation: the one-row corpus summary every published
+    training set ships (docs, exact-dup cardinality, language/source
+    spread, length distribution) — the LLM-pipeline analog of the
+    reference's data-dictionary + validation exports, derived from the data
+    itself so the card can never drift from the corpus. The median is over
+    an odd-or-even integer population: DuckDB's median interpolates halves,
+    so the emitted value is floored to bigint ONLY after checking both
+    engines interpolate the same midpoint — n_chars are integers, the
+    midpoint of two ints is an exact .0 or .5 double, and the floor is then
+    engine-identical. At 100 TB: one scan, map-side partial aggregates, the
+    distinct-digest count being the only real shuffle (16-byte digests, not
+    documents)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_uniq_texts"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        F.floor(F.median(F.col("n_chars").cast("long"))).cast("long").alias("med_chars"),
+        F.count_if(F.col("lang") == "en").alias("n_en"),
+    )

@@ -555,3 +555,33 @@ def text_rarity_score(spark, sf_dir):
             F.count(F.when(F.col("cf") < F.col("t"), 1)).alias("n_rare"),
         )
     )
+
+
+@query(
+    "resample_downweight_dups",
+    oracle="""
+    SELECT doc_id,
+           1 AS w_num,
+           count(*) OVER (PARTITION BY md5(text)) AS w_den
+    FROM documents
+    """,
+)
+def resample_downweight_dups(spark, sf_dir):
+    """Soft dedup by downweighting: instead of dropping exact duplicates,
+    assign every document the exact sampling weight 1/cluster_size (emitted
+    as a num/den rational — integers hash identically; the sampler divides).
+    Summing w over a duplicate cluster yields exactly 1, so the corpus
+    'effective size' equals its unique-text count while retaining every
+    provenance row — the soft-dedup alternative to dedup_keep_first's hard
+    drop. One window over the digest: at 100 TB the shuffle carries
+    (doc_id, 16-byte digest) pairs only, partitioned by digest — same scale
+    profile as exact dedup, no document bodies move."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    return docs.select(
+        "doc_id",
+        F.lit(1).cast("int").alias("w_num"),
+        F.count(F.lit(1)).over(w).alias("w_den"),
+    )
