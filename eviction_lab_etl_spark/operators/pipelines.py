@@ -450,7 +450,7 @@ def search_prefix_topk(spark, sf_dir):
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(min(n_chars) AS BIGINT) AS min_chars,
            CAST(max(n_chars) AS BIGINT) AS max_chars,
-           CAST(median(CAST(n_chars AS BIGINT)) AS BIGINT) AS med_chars,
+           CAST(floor(median(CAST(n_chars AS BIGINT))) AS BIGINT) AS med_chars,
            count(*) FILTER (WHERE lang = 'en') AS n_en
     FROM documents
     """,
