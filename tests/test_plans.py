@@ -287,3 +287,58 @@ def test_round5_operator_plan_shapes(spark, sf_dir):
 
     for name in ("events_funnel", "graph_triangle_count", "ann_ivf_recall"):
         assert "CartesianProduct" not in plan_of(spark, sf_dir, name)["plan"]
+
+
+def test_tpch_shape_plan_shapes(spark, sf_dir):
+    """The completed TPC-H family keeps its declared physical shapes: Q6 is a
+    pure scan-aggregate with the date range pushed to the reader and no data
+    shuffle; the deep dimension fans (Q7/Q8) broadcast every dimension
+    instance; the self-referencing aggregates (Q11/Q15) stay free of
+    cartesian products (their 1-row scalar sides broadcast); the Q13
+    histogram is two chained aggregations, not more."""
+    q6 = plan_of(spark, sf_dir, "complex_forecast_revenue")
+    assert any("l_shipdate" in p for p in q6["pushed_filters"]), q6["pushed_filters"]
+    assert q6["sortmerge_joins"] == 0 and q6["python_rows"] == 0
+
+    q7 = plan_of(spark, sf_dir, "complex_nation_volume")
+    assert q7["broadcast_joins"] >= 4, q7["broadcast_joins"]
+
+    q8 = plan_of(spark, sf_dir, "complex_market_share")
+    assert q8["broadcast_joins"] >= 5, q8["broadcast_joins"]
+    assert "CartesianProduct" not in q8["plan"]
+
+    for name in ("complex_important_stock", "complex_top_supplier"):
+        info = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in info["plan"], name
+        assert info["python_rows"] == 0, name
+
+    q13 = plan_of(spark, sf_dir, "complex_cust_order_histogram")
+    assert q13["shuffles"] <= 3, q13["shuffles"]
+
+    q16 = plan_of(spark, sf_dir, "complex_parts_supplier_cnt")
+    assert q16["broadcast_joins"] >= 2  # exclusion list + part dims broadcast
+    assert q16["sortmerge_joins"] == 0
+
+
+def test_embedding_and_series_plan_shapes(spark, sf_dir):
+    """Embedding hygiene stats are single-scan, single-exchange, zero-Python
+    (the quantize fold is a JVM higher-order function); the transition
+    matrix and soft-dedup weights add only their own keyed exchange; linear
+    interpolation never plans a cartesian or Python node."""
+    for name in ("embed_centroid_stats", "embed_norm_hist"):
+        info = plan_of(spark, sf_dir, name)
+        assert info["shuffles"] == 1, (name, info["shuffles"])
+        assert info["python_rows"] == 0 and info["arrow_python"] == 0, name
+
+    trans = plan_of(spark, sf_dir, "events_type_transitions")
+    assert trans["shuffles"] <= 2 and trans["python_rows"] == 0
+
+    weights = plan_of(spark, sf_dir, "resample_downweight_dups")
+    assert weights["shuffles"] == 1, weights["shuffles"]
+
+    interp = plan_of(spark, sf_dir, "ts_interpolate_linear")
+    assert "CartesianProduct" not in interp["plan"]
+    assert interp["python_rows"] == 0 and interp["arrow_python"] == 0
+
+    card = plan_of(spark, sf_dir, "pipeline_dataset_card")
+    assert card["python_rows"] == 0 and card["arrow_python"] == 0
