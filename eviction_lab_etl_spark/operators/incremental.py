@@ -25,6 +25,7 @@ digest bit.
 
 from __future__ import annotations
 
+import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -286,4 +287,79 @@ def incr_ingest_dedup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_arrived"),
         F.count(F.when(F.col("h").isNull(), 1)).alias("n_admitted"),
         F.count("h").alias("n_dup_rejected"),
+    )
+
+
+@query(
+    "incr_snapshot_time_travel",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT year(o_orderdate) AS od_year, o_orderkey, o_orderpriority
+        FROM orders WHERE year(o_orderdate) = 1996
+    ),
+    v2 AS (
+        SELECT * FROM v1
+        UNION ALL
+        SELECT year(o_orderdate) AS od_year, o_orderkey, o_orderpriority
+        FROM orders WHERE year(o_orderdate) = 1997
+    ),
+    v3 AS (
+        SELECT od_year, o_orderkey,
+               CASE WHEN o_orderkey % 101 = 0 THEN '9-UPDATED'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM v2
+    ),
+    all_v AS (
+        SELECT 1 AS version, * FROM v1
+        UNION ALL SELECT 2, * FROM v2
+        UNION ALL SELECT 3, * FROM v3
+    )
+    SELECT CAST(version AS BIGINT) AS version, od_year,
+           count(*) AS n_rows,
+           CAST(sum({_MERGE_DIGEST_SQL}) % 9223372036854775808 AS BIGINT)
+               AS digest
+    FROM all_v
+    GROUP BY version, od_year
+    """,
+)
+def incr_snapshot_time_travel(spark, sf_dir):
+    """ACID snapshot table end-to-end (sources/snapshot.py): three real
+    commits against an on-disk table — append 1996, append 1997, then a
+    MERGE-style replace updating the priority of %101 keys — followed by a
+    TIME-TRAVEL read of all three versions, manifested as (version, year,
+    count, digest). The hash check proves the whole protocol: if commits
+    were non-atomic, isolation leaked (v1 seeing v2 files), or the replace
+    mutated history, some version's digest would move. Data files are
+    immutable and versions are manifest pointers, so the three reads cost
+    three manifest resolutions plus distributed parquet scans — no data is
+    copied to read the past."""
+    import tempfile
+    import uuid as _uuid
+
+    from eviction_lab_etl_spark.sources.snapshot import SnapshotTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("od_year"), "o_orderkey", "o_orderpriority"
+    )
+    table = SnapshotTable(
+        os.path.join(tempfile.gettempdir(), f"elspark_snap_{_uuid.uuid4().hex[:8]}")
+    )
+    table.append(orders.filter(F.col("od_year") == 1996))
+    table.append(orders.filter(F.col("od_year") == 1997))
+    merged = table.read(spark).withColumn(
+        "o_orderpriority",
+        F.when(F.col("o_orderkey") % 101 == 0, F.lit("9-UPDATED")).otherwise(
+            F.col("o_orderpriority")
+        ),
+    )
+    table.replace(merged)
+    assert table.latest_version() == 3
+    per_version = [
+        table.read(spark, version=v).withColumn("version", F.lit(v).cast("long"))
+        for v in (1, 2, 3)
+    ]
+    union = per_version[0].unionByName(per_version[1]).unionByName(per_version[2])
+    return union.groupBy("version", "od_year").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        digest_sum(row_digest("o_orderkey", "o_orderpriority")).alias("digest"),
     )

@@ -1,0 +1,147 @@
+"""Snapshot table format: ACID-style commits over plain parquet.
+
+A minimal transactional layer in the Delta/Iceberg mold, built from two
+public primitives only — immutable parquet data files and an atomic
+manifest-pointer swap:
+
+- **Data files are immutable.** Every commit writes NEW parquet files under a
+  unique subdirectory of ``data/``; nothing ever rewrites or appends to an
+  existing file.
+- **A version = a manifest.** ``manifests/v<N>.json`` lists exactly the data
+  files visible at version N. Readers resolve the newest manifest once, then
+  read only files it names — a reader can never observe a half-written
+  commit, because files become visible only via the manifest.
+- **Commit = atomic claim of the next version number.** The manifest is
+  staged to a temp name, then claimed with ``os.link(tmp, vN.json)`` — hard
+  linking fails with EEXIST if another writer claimed N first (POSIX gives
+  this atomically; on an object store the same role is played by a
+  conditional PUT / commit service). The loser re-reads the new head, reuses
+  its already-written (content-addressed, conflict-free) data files, and
+  retries against N+1 — optimistic concurrency with no lock server.
+- **Snapshot isolation + time travel.** A reader holding version N is
+  unaffected by later commits (its files are immutable and never named by a
+  DELETE); ``read(spark, version=K)`` reproduces any historical version
+  exactly.
+
+Scale design: the manifest holds file paths only, so its size is
+O(files), not O(rows) — at 100 TB with 128 MB files that is ~10^6 short
+strings per manifest, read once per query by the driver. Data-file IO is
+fully distributed (plain ``spark.read.parquet`` over the named files);
+the commit path touches zero data bytes. Compaction (rewriting many small
+files into few, then committing the swapped file list) is just another
+commit under this protocol.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflict(Exception):
+    """Another writer claimed the target version (retryable)."""
+
+
+class SnapshotTable:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+
+    # ---- version / manifest bookkeeping -------------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.root, "manifests", f"v{version:05d}.json")
+
+    def latest_version(self) -> int:
+        """Newest committed version (0 = empty table). Staged-but-unclaimed
+        temp manifests (a crashed writer's leftovers) are invisible: only
+        fully-claimed ``v*.json`` names count."""
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(os.path.join(self.root, "manifests"))
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions, default=0)
+
+    def manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as fh:
+            return json.load(fh)
+
+    def files(self, version: int | None = None) -> list[str]:
+        version = self.latest_version() if version is None else version
+        if version == 0:
+            return []
+        return [os.path.join(self.root, f) for f in self.manifest(version)["files"]]
+
+    # ---- write path ---------------------------------------------------
+    def _write_data(self, df: DataFrame) -> list[str]:
+        """Materialize a commit's data files under a unique dir; returns paths
+        relative to the table root. The dir name is content-addressed by
+        uuid, so concurrent writers never collide on data files."""
+        sub = os.path.join("data", uuid.uuid4().hex)
+        df.write.parquet(os.path.join(self.root, sub))
+        return sorted(
+            os.path.join(sub, f)
+            for f in os.listdir(os.path.join(self.root, sub))
+            if f.endswith(".parquet")
+        )
+
+    def _claim(self, payload: dict, target_version: int) -> int:
+        """Atomically claim ``target_version`` for ``payload``; raises
+        CommitConflict if a concurrent writer got there first."""
+        tmp = os.path.join(self.root, "manifests", f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        try:
+            os.link(tmp, self._manifest_path(target_version))  # atomic fail-if-exists
+        except FileExistsError:
+            raise CommitConflict(target_version) from None
+        finally:
+            os.unlink(tmp)
+        return target_version
+
+    def _commit(self, files: list[str], mode: str, max_retries: int = 20) -> int:
+        """Publish ``files`` (append: alongside the parent's; replace: as the
+        whole table) — retrying the version claim on conflict. Append
+        retries are conflict-free by construction (the re-read parent just
+        gains the other writer's files); replace retries surface the
+        classic write-write conflict to the caller via data content."""
+        for _ in range(max_retries):
+            parent = self.latest_version()
+            base = self.manifest(parent)["files"] if (parent and mode == "append") else []
+            payload = {
+                "version": parent + 1,
+                "parent": parent,
+                "mode": mode,
+                "files": base + files,
+            }
+            try:
+                return self._claim(payload, parent + 1)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"gave up after {max_retries} retries")
+
+    def append(self, df: DataFrame) -> int:
+        return self._commit(self._write_data(df), "append")
+
+    def replace(self, df: DataFrame) -> int:
+        """Full-content replacement (the commit a MERGE/compaction publishes
+        after rewriting its copy-on-write file set). Old versions' files are
+        never deleted — that is what keeps time travel exact; a vacuum step
+        (drop files unreferenced by any retained manifest) would be one more
+        manifest walk."""
+        return self._commit(self._write_data(df), "replace")
+
+    # ---- read path ----------------------------------------------------
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        files = self.files(version)
+        if not files:
+            raise ValueError("empty table (version 0 has no files)")
+        return spark.read.parquet(*files)
+
+    def drop(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)

@@ -1,0 +1,107 @@
+"""ACID properties of the snapshot table format (sources/snapshot.py).
+
+The oracle-checked query (incr_snapshot_time_travel) proves commit +
+time-travel VALUES; these tests pin the protocol-level guarantees the value
+check can't see: atomic version claims under writer races, reader isolation
+across later commits, and crash-leftover invisibility."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import uuid
+
+import pytest
+
+from eviction_lab_etl_spark.sources.snapshot import CommitConflict, SnapshotTable
+
+
+@pytest.fixture()
+def table():
+    t = SnapshotTable(
+        os.path.join(tempfile.gettempdir(), f"elspark_snaptest_{uuid.uuid4().hex[:8]}")
+    )
+    yield t
+    t.drop()
+
+
+def _frame(spark, lo, hi):
+    return spark.range(lo, hi).withColumnRenamed("id", "k")
+
+
+def test_append_replace_and_time_travel(spark, table):
+    table.append(_frame(spark, 0, 10))
+    table.append(_frame(spark, 10, 15))
+    assert table.latest_version() == 2
+    assert table.read(spark, version=1).count() == 10
+    assert table.read(spark, version=2).count() == 15
+    table.replace(_frame(spark, 0, 3))
+    assert table.latest_version() == 3
+    assert table.read(spark).count() == 3
+    # time travel: historical versions unchanged by the replace
+    assert table.read(spark, version=2).count() == 15
+
+
+def test_reader_isolation_across_commits(spark, table):
+    table.append(_frame(spark, 0, 10))
+    pinned_files = table.files(1)
+    df = spark.read.parquet(*pinned_files)  # reader opened at v1
+    table.replace(_frame(spark, 0, 2))
+    table.append(_frame(spark, 100, 104))
+    # The v1 reader still sees exactly v1's rows: its files are immutable
+    # and never deleted by later commits.
+    assert df.count() == 10
+    assert sorted(r.k for r in df.collect()) == list(range(10))
+
+
+def test_version_claim_is_atomic(spark, table):
+    """Two writers staging against the same parent: exactly one claims v2,
+    the retry lands on v3, and both commits' rows survive (append mode)."""
+    table.append(_frame(spark, 0, 5))
+    files_a = table._write_data(_frame(spark, 10, 12))
+    files_b = table._write_data(_frame(spark, 20, 23))
+    parent = table.latest_version()
+    base = table.manifest(parent)["files"]
+    table._claim(
+        {"version": 2, "parent": 1, "mode": "append", "files": base + files_a}, 2
+    )
+    with pytest.raises(CommitConflict):
+        table._claim(
+            {"version": 2, "parent": 1, "mode": "append", "files": base + files_b}, 2
+        )
+    # the losing writer's retry path (what _commit does): re-read head, rebase
+    table._claim(
+        {
+            "version": 3,
+            "parent": 2,
+            "mode": "append",
+            "files": table.manifest(2)["files"] + files_b,
+        },
+        3,
+    )
+    assert table.read(spark).count() == 5 + 2 + 3
+
+
+def test_concurrent_appends_via_public_api(spark, table):
+    table.append(_frame(spark, 0, 5))
+    table.append(_frame(spark, 5, 8))
+    table.append(_frame(spark, 8, 12))
+    assert table.latest_version() == 3
+    assert sorted(r.k for r in table.read(spark).collect()) == list(range(12))
+
+
+def test_crash_leftovers_are_invisible(spark, table):
+    table.append(_frame(spark, 0, 4))
+    # a crashed writer's staged manifest (never claimed) and orphan data dir
+    stale = os.path.join(table.root, "manifests", ".tmp-deadbeef.json")
+    with open(stale, "w") as fh:
+        json.dump({"version": 99, "files": ["data/orphan/file.parquet"]}, fh)
+    os.makedirs(os.path.join(table.root, "data", "orphan"), exist_ok=True)
+    assert table.latest_version() == 1
+    assert table.read(spark).count() == 4
+
+
+def test_empty_table_read_raises(spark, table):
+    with pytest.raises(ValueError):
+        table.read(spark)
