@@ -73,6 +73,14 @@ STRESS = [
     # dynamic-gap sessionization (per-user state; users scale with copies).
     "complex_small_qty_revenue",
     "stream_session_dynamic",
+    # Round 5: deep dimension fan (Q8), self-referencing scalar aggregate
+    # (Q11), first-order transitions (user-keyed window), embedding norm fold
+    # (pure map + tiny agg), soft-dedup weights (digest-keyed window).
+    "complex_market_share",
+    "complex_important_stock",
+    "events_type_transitions",
+    "embed_norm_hist",
+    "resample_downweight_dups",
 ]
 
 
