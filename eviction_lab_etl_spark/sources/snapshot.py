@@ -104,7 +104,13 @@ class SnapshotTable:
             os.unlink(tmp)
         return target_version
 
-    def _commit(self, files: list[str], mode: str, max_retries: int = 20) -> int:
+    def _commit(
+        self,
+        files: list[str],
+        mode: str,
+        max_retries: int = 20,
+        meta: dict | None = None,
+    ) -> int:
         """Publish ``files`` (append: alongside the parent's; replace: as the
         whole table) — retrying the version claim on conflict. Append
         retries are conflict-free by construction (the re-read parent just
@@ -118,6 +124,7 @@ class SnapshotTable:
                 "parent": parent,
                 "mode": mode,
                 "files": base + files,
+                "meta": meta or {},
             }
             try:
                 return self._claim(payload, parent + 1)
@@ -125,8 +132,17 @@ class SnapshotTable:
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries")
 
-    def append(self, df: DataFrame) -> int:
-        return self._commit(self._write_data(df), "append")
+    def append(self, df: DataFrame, meta: dict | None = None) -> int:
+        return self._commit(self._write_data(df), "append", meta=meta)
+
+    def committed_meta(self, key: str) -> set:
+        """All values of ``meta[key]`` across committed versions — the
+        idempotence ledger an exactly-once sink consults (e.g. streaming
+        batch ids already durably committed)."""
+        return {
+            self.manifest(v).get("meta", {}).get(key)
+            for v in range(1, self.latest_version() + 1)
+        } - {None}
 
     def replace(self, df: DataFrame) -> int:
         """Full-content replacement (the commit a MERGE/compaction publishes

@@ -211,3 +211,49 @@ def stream_stream_join(spark, sf_dir):
     ).select("purchase_event_id", "signup_event_id")
     session, table = _run_to_memory(joined, "append")
     return session.table(table)
+
+
+@query("stream_snapshot_sink")  # rows-only: transactional sink protocol, no SQL oracle
+def stream_snapshot_sink(spark, sf_dir):
+    """Exactly-once streaming sink via the ACID snapshot table
+    (sources/snapshot.py): each micro-batch's daily counts commit as ONE
+    atomic snapshot version carrying the batch id in the manifest metadata.
+    Effectively-once delivery is the composition of (a) Structured
+    Streaming's checkpoint replaying a failed batch with the SAME batch id
+    and (b) the sink consulting the committed-batch ledger and skipping ids
+    it already holds — the transactional-sink pattern Delta's
+    ``txnAppId``/``txnVersion`` implements, built here on the manifest
+    protocol alone. A reader never sees a torn batch: the data files land
+    invisibly first and become visible only with the atomic manifest claim.
+    At 100 TB each commit touches only its own batch's files; the ledger
+    scan is O(versions) manifest reads, driver-side, data-free."""
+    from eviction_lab_etl_spark.sources.snapshot import SnapshotTable
+
+    table = SnapshotTable(_scratch("snap_sink"))
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in table.committed_meta("batch_id"):
+            return  # checkpoint replay of an already-durable batch: no-op
+        daily = batch_df.groupBy(F.to_date("ts").alias("od")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        table.append(daily, meta={"batch_id": batch_id})
+
+    stream = _events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", _scratch("ckpt_snap"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # Replay the last batch id by hand: the ledger must make it a no-op.
+    versions_before = table.latest_version()
+    done = max(table.committed_meta("batch_id"))
+    commit_batch(spark.read.parquet(f"{sf_dir}/events.parquet").limit(1), done)
+    assert table.latest_version() == versions_before, "duplicate batch committed"
+    return (
+        table.read(spark)
+        .groupBy("od")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )

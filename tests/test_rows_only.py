@@ -281,3 +281,24 @@ def test_io_binary_files_digests_match_filesystem(spark, sf_dir):
             (os.path.basename(path), len(blob), hashlib.md5(blob).hexdigest())
         )
     assert got == want and len(got) == 10
+
+
+def test_stream_snapshot_sink_exactly_once_equals_batch(spark, sf_dir):
+    """The transactional streaming sink's committed table re-totals to
+    exactly the batch daily counts (nothing lost, nothing double-committed),
+    and the in-query replay assertion already proved a duplicate batch id is
+    a no-op."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    sunk = {(r.od, r.cnt) for r in QUERIES["stream_snapshot_sink"](spark, sf_dir).collect()}
+    batch = {
+        (r.od, r.cnt)
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("od"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+    assert sunk == batch
