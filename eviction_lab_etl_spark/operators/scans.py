@@ -200,3 +200,68 @@ def io_binary_files(spark, sf_dir):
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@query(
+    "io_xml_roundtrip",
+    oracle="""
+    SELECT CAST(n_nationkey AS BIGINT) AS nkey, n_name,
+           CAST(n_regionkey AS BIGINT) AS rkey
+    FROM nation
+    """,
+)
+def io_xml_roundtrip(spark, sf_dir):
+    """XML sink + source round-trip (Spark 4's built-in XML data source):
+    write nation as nested <row> elements, read it back with an EXPLICIT
+    schema (XML inference would widen the int keys), and hash-check the
+    result against the source table itself — a hash match PROVES the
+    round-trip lossless, which is strictly stronger than the rows-only
+    count the CSV/JSON round-trips settle for (their SURVEY rows-only
+    status predates this pattern). Scale: XML is a line-splittable source
+    only with care; the write is one task per partition and the read
+    distributes per file — fine for config/dimension-sized data, wrong for
+    facts (use parquet), which is the real guidance the operator encodes."""
+    from pyspark.sql.types import LongType
+
+    out = _sink_path("nation_xml")
+    nation = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("nkey"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("rkey"),
+    )
+    nation.write.mode("overwrite").format("xml").option("rootTag", "nations").option(
+        "rowTag", "nation"
+    ).save(out)
+    schema = StructType(
+        [
+            StructField("nkey", LongType()),
+            StructField("n_name", StringType()),
+            StructField("rkey", LongType()),
+        ]
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "nation")
+        .schema(schema)
+        .load(out)
+    )
+
+
+@query(
+    "io_text_roundtrip",
+    oracle="SELECT text FROM documents",
+)
+def io_text_roundtrip(spark, sf_dir):
+    """Plain-text sink + source round-trip: write the documents corpus as
+    newline-delimited text (the interchange format every tokenizer/dedup
+    CLI in an LLM data pipeline reads), read it back line-per-row, and
+    hash-check against the source column — lossless because the fixture
+    corpus is single-line (the operator would be WRONG for multi-line
+    documents; that corpus needs JSON-lines with escaping, io_json_lines).
+    Text files split by line at any scale; the value-hash is order-
+    insensitive, so the nondeterministic file/line order under parallel
+    write does not matter."""
+    out = _sink_path("docs_text")
+    docs = load(spark, sf_dir, "documents").select("text")
+    docs.write.mode("overwrite").text(out)
+    return spark.read.text(out).withColumnRenamed("value", "text")
