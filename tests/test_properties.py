@@ -319,3 +319,47 @@ def test_two_phase_sessionize_equals_native(spark, rows):
         .collect()
     }
     assert two_phase == native
+
+
+@given(
+    ops=st.lists(
+        st.tuples(st.sampled_from(["append", "replace"]), st.integers(1, 5)),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_any_commit_sequence_time_travels_exactly(spark, ops):
+    """Model-based check of the snapshot table: for ANY sequence of
+    append/replace commits, every historical version's read equals the
+    content a trivial in-memory model predicts — commits are linearizable
+    and history is immutable regardless of interleaving shape."""
+    import os
+    import tempfile
+    import uuid
+
+    from eviction_lab_etl_spark.sources.snapshot import SnapshotTable
+
+    table = SnapshotTable(
+        os.path.join(tempfile.gettempdir(), f"elspark_snapprop_{uuid.uuid4().hex[:8]}")
+    )
+    try:
+        model: list[list[int]] = []  # model[v-1] = expected keys at version v
+        next_key = 0
+        for mode, n in ops:
+            batch = list(range(next_key, next_key + n))
+            next_key += n
+            df = spark.createDataFrame([(k,) for k in batch], "k long")
+            if mode == "append":
+                table.append(df)
+                model.append((model[-1] if model else []) + batch)
+            else:
+                table.replace(df)
+                model.append(batch)
+        assert table.latest_version() == len(model)
+        for v, expected in enumerate(model, start=1):
+            got = sorted(r.k for r in table.read(spark, version=v).collect())
+            assert got == sorted(expected), (v, got, expected)
+    finally:
+        table.drop()
