@@ -152,6 +152,36 @@ class SnapshotTable:
         manifest walk."""
         return self._commit(self._write_data(df), "replace")
 
+    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+        """OPTIMIZE-style small-file compaction: rewrite the current content
+        into ``target_files`` files and publish the swap as a normal replace
+        commit. Readers of older versions are untouched (their files
+        survive); concurrent appends conflict-resolve through the usual
+        claim/retry. At 100 TB compaction runs per partition-range, not
+        whole-table — the protocol is identical, only the file selection
+        narrows."""
+        return self.replace(self.read(spark).coalesce(target_files))
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO retained manifest (after a
+        compact/replace, the pre-swap files still exist solely for time
+        travel; vacuuming trades history for space — exactly Delta/Iceberg
+        ``VACUUM`` semantics, here with all manifests retained, so only
+        crash-orphaned files — written but never claimed by any commit —
+        are eligible). Returns the deleted paths."""
+        referenced: set[str] = set()
+        for v in range(1, self.latest_version() + 1):
+            referenced.update(self.manifest(v)["files"])
+        deleted = []
+        data_root = os.path.join(self.root, "data")
+        for sub in os.listdir(data_root):
+            for f in os.listdir(os.path.join(data_root, sub)):
+                rel = os.path.join("data", sub, f)
+                if f.endswith(".parquet") and rel not in referenced:
+                    os.unlink(os.path.join(self.root, rel))
+                    deleted.append(rel)
+        return deleted
+
     # ---- read path ----------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         files = self.files(version)

@@ -105,3 +105,26 @@ def test_crash_leftovers_are_invisible(spark, table):
 def test_empty_table_read_raises(spark, table):
     with pytest.raises(ValueError):
         table.read(spark)
+
+
+def test_compact_preserves_content_and_history(spark, table):
+    table.append(_frame(spark, 0, 6).repartition(4))
+    table.append(_frame(spark, 6, 9).repartition(3))
+    assert len(table.files(2)) >= 5  # genuinely fragmented before compaction
+    v = table.compact(spark, target_files=1)
+    assert v == 3 and len(table.files(3)) == 1
+    assert sorted(r.k for r in table.read(spark).collect()) == list(range(9))
+    # history intact after the swap
+    assert table.read(spark, version=1).count() == 6
+
+
+def test_vacuum_removes_only_unclaimed_orphans(spark, table):
+    table.append(_frame(spark, 0, 4))
+    table.compact(spark)
+    # a crashed writer's data files, never claimed by any manifest
+    orphans = table._write_data(_frame(spark, 100, 105))
+    deleted = table.vacuum()
+    assert sorted(deleted) == sorted(orphans)
+    # every retained version still reads (no referenced file was touched)
+    assert table.read(spark, version=1).count() == 4
+    assert table.read(spark, version=2).count() == 4
