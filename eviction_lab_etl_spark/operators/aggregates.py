@@ -296,3 +296,31 @@ def agg_mode(spark, sf_dir):
             F.col("n").alias("mode_count"),
         )
     )
+
+
+@query(
+    "agg_bool_logic",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           bool_and(o_orderpriority <> '1-URGENT') AS none_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_bool_logic(spark, sf_dir):
+    """Boolean-logic aggregates (bool_and / bool_or — the every()/some()
+    quantifiers): per order status, whether ALL orders clear a price floor
+    and whether ANY / NONE are urgent. The reference's QA checks (R12) are
+    exactly these shapes ('every exported row has a parent-location').
+    Booleans aggregate exactly (no float hazard); at scale they partial-
+    aggregate map-side like any min/max."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bool_and(F.col("o_orderpriority") != "1-URGENT").alias("none_urgent"),
+    )
