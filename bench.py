@@ -61,6 +61,18 @@ LLM_HEADLINE = [
     "pipeline_training_set",
 ]
 
+# Round-5 additions worth tracking round-over-round (reported in "queries",
+# excluded from "value" and "vs_baseline" — they have no baseline yet; their
+# first medians here become the regression base for later rounds, exactly how
+# the LLM four were seeded from r03).
+R5_HEADLINE = [
+    "complex_market_share",       # deepest dimension fan (8-table Q8)
+    "complex_important_stock",    # self-referencing scalar aggregate (Q11)
+    "events_type_transitions",    # user-keyed lag window + matrix agg
+    "embed_norm_hist",            # quantize-fold over the embedding column
+    "incr_snapshot_time_travel",  # 3 ACID commits + 3 versioned reads, end-to-end
+]
+
 # Per-query comparison bases, reported as "vs_baseline" ratios (<1 = faster).
 # §2 seven: BASELINE.md's reference measurements (sf0.1, warm). LLM four:
 # pinned from BENCH_r03 — their first measurement — so this family gets the
@@ -104,7 +116,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + LLM_HEADLINE:
+    for name in HEADLINE + LLM_HEADLINE + R5_HEADLINE:
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).collect()  # warm-up: plan + JIT + IO cache
         runs = []
@@ -170,6 +182,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "llm_queries": LLM_HEADLINE,
+                "r5_queries": R5_HEADLINE,
                 "vs_baseline": vs_baseline,
                 "vs_run_median": vs_run_median,
                 "run_median_ratio": round(run_median, 3),

@@ -184,10 +184,17 @@ class SnapshotTable:
 
     # ---- read path ----------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Read a version's content. ``mergeSchema`` makes additive schema
+        evolution work across commits: a version whose file set spans commits
+        with different (compatible) schemas unions the columns, with rows
+        from pre-widening files reading NULL for the added columns — and
+        time travel to a pre-widening version still returns exactly that
+        version's narrower schema, because schema is a property of the files
+        a manifest names, not of the table."""
         files = self.files(version)
         if not files:
             raise ValueError("empty table (version 0 has no files)")
-        return spark.read.parquet(*files)
+        return spark.read.option("mergeSchema", "true").parquet(*files)
 
     def drop(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

@@ -13,6 +13,7 @@ import tempfile
 import uuid
 
 import pytest
+from pyspark.sql import functions as F
 
 from eviction_lab_etl_spark.sources.snapshot import CommitConflict, SnapshotTable
 
@@ -128,3 +129,14 @@ def test_vacuum_removes_only_unclaimed_orphans(spark, table):
     # every retained version still reads (no referenced file was touched)
     assert table.read(spark, version=1).count() == 4
     assert table.read(spark, version=2).count() == 4
+
+
+def test_additive_schema_evolution(spark, table):
+    table.append(_frame(spark, 0, 3))
+    table.append(_frame(spark, 3, 5).withColumn("tag", F.lit("new")))
+    latest = table.read(spark)
+    assert sorted(latest.columns) == ["k", "tag"]
+    rows = {(r.k, r.tag) for r in latest.collect()}
+    assert rows == {(0, None), (1, None), (2, None), (3, "new"), (4, "new")}
+    # pre-widening version keeps its narrower schema
+    assert table.read(spark, version=1).columns == ["k"]
