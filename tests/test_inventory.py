@@ -64,6 +64,21 @@ EXTENSIONS = {
     "incr_merge_upsert", "incr_ingest_dedup", "resample_cap_source",
     "events_funnel", "events_cohort_retention", "ts_gapfill_locf",
     "pipeline_training_set", "search_prefix_topk", "multimodal_dedup",
+    # Round-5 continued: the completed TPC-H shape family …
+    "complex_late_priority_orders", "complex_forecast_revenue",
+    "complex_nation_volume", "complex_market_share", "complex_product_profit",
+    "complex_cust_order_histogram", "complex_promo_revenue",
+    "complex_top_supplier", "complex_min_cost_supplier",
+    "complex_important_stock", "complex_returnflag_priority",
+    "complex_parts_supplier_cnt", "complex_disjunctive_revenue",
+    "complex_excess_share_supplier",
+    # … embedding hygiene, event/series analytics, corpus publishing …
+    "embed_centroid_stats", "embed_norm_hist", "events_type_transitions",
+    "ts_interpolate_linear", "pipeline_dataset_card",
+    "resample_downweight_dups", "agg_bool_logic",
+    # … ACID snapshot table + IO surface.
+    "incr_snapshot_time_travel", "stream_snapshot_sink",
+    "io_xml_roundtrip", "io_text_roundtrip",
 }
 
 
