@@ -333,17 +333,27 @@ def incr_snapshot_time_travel(spark, sf_dir):
     immutable and versions are manifest pointers, so the three reads cost
     three manifest resolutions plus distributed parquet scans — no data is
     copied to read the past."""
+    import hashlib
     import tempfile
-    import uuid as _uuid
 
     from eviction_lab_etl_spark.sources.snapshot import SnapshotTable
 
     orders = load(spark, sf_dir, "orders").select(
         F.year("o_orderdate").alias("od_year"), "o_orderkey", "o_orderpriority"
     )
-    table = SnapshotTable(
-        os.path.join(tempfile.gettempdir(), f"elspark_snap_{_uuid.uuid4().hex[:8]}")
+    # Deterministic per-(process, sf_dir) scratch root, rebuilt from scratch on
+    # every invocation: repeated calls (bench warm-up + timed runs, verify
+    # sweeps) reuse ONE directory instead of leaking a fresh uuid-named copy
+    # of three commits per call. Sequential calls are safe — by the time a
+    # caller re-invokes, the previous returned DataFrame has been consumed.
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(
+        tempfile.gettempdir(), f"elspark_snap_{os.getpid()}_{tag}"
     )
+    table = SnapshotTable(root)
+    if table.latest_version() > 0:
+        table.drop()
+        table = SnapshotTable(root)
     table.append(orders.filter(F.col("od_year") == 1996))
     table.append(orders.filter(F.col("od_year") == 1997))
     merged = table.read(spark).withColumn(

@@ -37,6 +37,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -110,14 +111,25 @@ class SnapshotTable:
         mode: str,
         max_retries: int = 20,
         meta: dict | None = None,
+        expected_parent: int | None = None,
     ) -> int:
         """Publish ``files`` (append: alongside the parent's; replace: as the
         whole table) — retrying the version claim on conflict. Append
         retries are conflict-free by construction (the re-read parent just
-        gains the other writer's files); replace retries surface the
-        classic write-write conflict to the caller via data content."""
+        gains the other writer's files). Replace is last-writer-wins on
+        CONTENT by definition ("table := df"), so its retry intentionally
+        re-claims over whatever landed meanwhile — callers whose replace is
+        derived FROM current content (compaction, merge) must pass
+        ``expected_parent`` to get compare-and-swap semantics instead: the
+        commit then refuses (CommitConflict) when the head moved, so the
+        caller re-derives from the new head rather than silently dropping
+        the concurrent commit's rows."""
         for _ in range(max_retries):
             parent = self.latest_version()
+            if expected_parent is not None and parent != expected_parent:
+                raise CommitConflict(
+                    f"head moved: expected v{expected_parent}, found v{parent}"
+                )
             base = self.manifest(parent)["files"] if (parent and mode == "append") else []
             payload = {
                 "version": parent + 1,
@@ -152,33 +164,57 @@ class SnapshotTable:
         manifest walk."""
         return self._commit(self._write_data(df), "replace")
 
-    def compact(self, spark: SparkSession, target_files: int = 1) -> int:
+    def compact(
+        self, spark: SparkSession, target_files: int = 1, max_retries: int = 5
+    ) -> int:
         """OPTIMIZE-style small-file compaction: rewrite the current content
-        into ``target_files`` files and publish the swap as a normal replace
-        commit. Readers of older versions are untouched (their files
-        survive); concurrent appends conflict-resolve through the usual
-        claim/retry. At 100 TB compaction runs per partition-range, not
-        whole-table — the protocol is identical, only the file selection
-        narrows."""
-        return self.replace(self.read(spark).coalesce(target_files))
+        into ``target_files`` files and publish the swap. Compaction must be
+        CONTENT-NEUTRAL, so the swap commits with compare-and-swap semantics
+        (``expected_parent``): if a concurrent append lands between reading
+        the head and claiming the swap, the claim refuses and the loop
+        re-reads the NEW head (picking up the appended rows) before retrying
+        — a plain replace-retry here would silently drop them. Readers of
+        older versions are untouched (their files survive). At 100 TB
+        compaction runs per partition-range, not whole-table — the protocol
+        is identical, only the file selection narrows."""
+        for _ in range(max_retries):
+            head = self.latest_version()
+            files = self._write_data(self.read(spark, version=head).coalesce(target_files))
+            try:
+                return self._commit(files, "replace", expected_parent=head)
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"compaction lost the head race {max_retries} times")
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_s: float = 3600.0) -> list[str]:
         """Delete data files referenced by NO retained manifest (after a
         compact/replace, the pre-swap files still exist solely for time
         travel; vacuuming trades history for space — exactly Delta/Iceberg
         ``VACUUM`` semantics, here with all manifests retained, so only
         crash-orphaned files — written but never claimed by any commit —
-        are eligible). Returns the deleted paths."""
+        are eligible). ``min_age_s`` is the in-flight-writer guard: a
+        writer that has materialized files but not yet claimed its manifest
+        is indistinguishable from a crash orphan by reference-counting
+        alone, so only unreferenced files older than the retention window
+        are deleted (same reasoning as Delta's VACUUM retention period; an
+        in-flight commit is expected to claim within the window). Returns
+        the deleted paths."""
         referenced: set[str] = set()
         for v in range(1, self.latest_version() + 1):
             referenced.update(self.manifest(v)["files"])
         deleted = []
+        now = time.time()
         data_root = os.path.join(self.root, "data")
         for sub in os.listdir(data_root):
             for f in os.listdir(os.path.join(data_root, sub)):
                 rel = os.path.join("data", sub, f)
-                if f.endswith(".parquet") and rel not in referenced:
-                    os.unlink(os.path.join(self.root, rel))
+                full = os.path.join(self.root, rel)
+                if (
+                    f.endswith(".parquet")
+                    and rel not in referenced
+                    and now - os.path.getmtime(full) >= min_age_s
+                ):
+                    os.unlink(full)
                     deleted.append(rel)
         return deleted
 

@@ -124,11 +124,32 @@ def test_vacuum_removes_only_unclaimed_orphans(spark, table):
     table.compact(spark)
     # a crashed writer's data files, never claimed by any manifest
     orphans = table._write_data(_frame(spark, 100, 105))
-    deleted = table.vacuum()
+    # default retention window protects files this young (they could be an
+    # in-flight writer about to claim) ...
+    assert table.vacuum() == []
+    # ... an expired window reaps them
+    deleted = table.vacuum(min_age_s=0)
     assert sorted(deleted) == sorted(orphans)
     # every retained version still reads (no referenced file was touched)
     assert table.read(spark, version=1).count() == 4
     assert table.read(spark, version=2).count() == 4
+
+
+def test_compact_cas_refuses_when_head_moves(spark, table):
+    """Compaction is content-neutral: if an append lands after the compactor
+    read the head, the stale swap must NOT claim (it would drop the appended
+    rows). The public compact() loop then re-derives from the new head — no
+    committed row is ever lost."""
+    table.append(_frame(spark, 0, 4))
+    head = table.latest_version()
+    stale_files = table._write_data(table.read(spark, version=head).coalesce(1))
+    table.append(_frame(spark, 10, 12))  # concurrent append wins the race
+    with pytest.raises(CommitConflict):
+        table._commit(stale_files, "replace", expected_parent=head)
+    v = table.compact(spark)  # public API re-reads the new head
+    assert sorted(r.k for r in table.read(spark, version=v).collect()) == [
+        0, 1, 2, 3, 10, 11,
+    ]
 
 
 def test_additive_schema_evolution(spark, table):
