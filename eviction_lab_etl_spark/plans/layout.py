@@ -74,3 +74,53 @@ def write_range_partitioned(
     df.repartitionByRange(n_files, F.col(order_col)).sortWithinPartitions(
         order_col
     ).write.mode("overwrite").parquet(path)
+
+
+def zorder_key(cols: list[str], bits: int = 16) -> F.Column:
+    """Interleaved-bit (Morton / Z-order) clustering key over N numeric
+    columns, computed in pure JVM expressions.
+
+    Each column is first normalized to a ``bits``-wide integer rank via its
+    percent_rank over the frame (rank-based, so skewed value distributions
+    still spread evenly across the curve), then the bit-planes are
+    interleaved: bit i of column j lands at position ``i*N + j``. Rows close
+    on EVERY dimension land close on the 1-D curve, so range-partitioning by
+    this key clusters multi-dimensional locality into files — the layout
+    behind Delta's OPTIMIZE ZORDER BY, built from public bit arithmetic.
+
+    Cost model at 100 TB: the percent_rank needs a global sort per column —
+    production replaces it with approx-quantile bucket boundaries computed on
+    a sample (one pass, broadcastable), keeping the key computation map-only.
+    The interleave itself is ~bits×N shift-or expressions inside codegen.
+    """
+    n = len(cols)
+    from pyspark.sql import Window
+
+    ranked = [
+        (F.percent_rank().over(Window.orderBy(F.col(c))) * ((1 << bits) - 1)).cast("long")
+        for c in cols
+    ]
+    key = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, r in enumerate(ranked):
+            bit = F.shiftright(r, i).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return key
+
+
+def zorder_write(df: DataFrame, cols: list[str], path: str, n_files: int = 8) -> None:
+    """Write ``df`` clustered along the Z-order curve of ``cols``: compute
+    the interleaved key, range-partition into ``n_files`` curve segments,
+    and drop the key before writing. Each output file then covers a NARROW
+    range of every clustered column simultaneously, so parquet footer
+    min/max stats let a filter on ANY of the columns skip most files — the
+    multi-dimensional generalization of `write_range_partitioned`'s
+    single-column clustering."""
+    keyed = df.withColumn("__z", zorder_key(cols))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

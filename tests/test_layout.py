@@ -93,3 +93,48 @@ def test_range_partitioned_write_prunes_files(spark, sf_dir):
         )
         assert total_files >= 8
         assert touched_files <= 2
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order layout evidence: after clustering lineitem by (l_orderkey,
+    l_partkey), each output file covers a narrow slice of BOTH key ranges —
+    the per-file min/max spans that parquet footer stats expose for row-group
+    skipping. A plain (unclustered) write is the control: its per-file spans
+    cover essentially the whole domain on at least one dimension, so a
+    selective filter can skip (almost) nothing."""
+    from eviction_lab_etl_spark.plans.layout import zorder_write
+    from eviction_lab_etl_spark.sources.loader import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    zpath, plain_path = str(tmp_path / "z"), str(tmp_path / "plain")
+    zorder_write(li, ["l_orderkey", "l_partkey"], zpath, n_files=16)
+    li.repartition(16).write.mode("overwrite").parquet(plain_path)
+
+    def mean_span_fraction(path: str) -> dict[str, float]:
+        back = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        spans = back.groupBy("f").agg(
+            (F.max("l_orderkey") - F.min("l_orderkey")).alias("ok_span"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("pk_span"),
+        )
+        dom = back.agg(
+            (F.max("l_orderkey") - F.min("l_orderkey")).alias("ok_dom"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("pk_dom"),
+        ).collect()[0]
+        rows = spans.collect()
+        return {
+            "ok": sum(r.ok_span for r in rows) / len(rows) / dom.ok_dom,
+            "pk": sum(r.pk_span for r in rows) / len(rows) / dom.pk_dom,
+        }
+
+    z, plain = mean_span_fraction(zpath), mean_span_fraction(plain_path)
+    # Control: round-robin files span ~the entire domain in both dimensions.
+    assert plain["ok"] > 0.9 and plain["pk"] > 0.9, plain
+    # Z-ordered files cover a strictly narrower slice of BOTH dimensions —
+    # 16 curve segments = the top 4 interleaved bits = 2 bit-planes per
+    # dimension, so each file spans ~1/4 of each domain; assert a
+    # conservative bound that still proves real multi-dimensional
+    # clustering (single-column range clustering would leave the OTHER
+    # dimension at ~1.0).
+    assert z["ok"] < 0.55 and z["pk"] < 0.55, z
+    # and the data survives the round-trip
+    assert spark.read.parquet(zpath).count() == li.count()
