@@ -184,8 +184,18 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
     pcm = None
     while pos + 8 <= min(end, len(payload)):
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if pos + 8 + size > len(payload):
+            # A declared chunk size past the payload is a truncated file —
+            # refuse, as the image decoders do ("truncated raster"); slicing
+            # short here would silently return partial PCM as if whole.
+            raise ValueError(
+                f"truncated WAV: chunk {cid!r} declares {size} bytes, "
+                f"payload has {len(payload) - pos - 8}"
+            )
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"short fmt chunk ({len(body)} bytes, need 16)")
             audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )

@@ -351,14 +351,17 @@ def complex_sole_discount_supplier(spark, sf_dir):
         FROM customer WHERE c_custkey <= 25
     ),
     avg_bal AS (
-        SELECT avg(CAST(c_acctbal AS DECIMAL(12,2))) AS ab
+        SELECT CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS sum_cents,
+               count(*) AS n_pos
         FROM cust WHERE CAST(c_acctbal AS DECIMAL(12,2)) > 0
     )
     SELECT c_nationkey,
            count(*) AS numcust,
            CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
     FROM cust, avg_bal
-    WHERE CAST(c_acctbal AS DECIMAL(12,2)) > ab
+    WHERE CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) * n_pos
+            > sum_cents
       AND NOT EXISTS (
           SELECT 1 FROM orders WHERE o_custkey = c_custkey
       )
@@ -373,9 +376,14 @@ def complex_idle_customers(spark, sf_dir):
     scalar-aggregate subquery
     (the global average joins in as a broadcast 1-row cross) composed with
     an anti join against the orders fact — the 'addressable-but-dormant
-    market' report. Decimal-exact average and sums per §2.0 rule 1; the
-    anti join shuffles on custkey at scale while the scalar broadcast costs
-    nothing."""
+    market' report. The above-average test is an integer cross-
+    multiplication (bal_cents × n_pos > sum_cents): Spark's avg(DECIMAL)
+    rounds to scale 6 while DuckDB's returns DOUBLE, so comparing against a
+    computed average is the one place the engines can classify a boundary
+    balance differently — comparing exact integers cannot diverge (house
+    style of complex_important_stock/Q15). Sums stay decimal-exact per
+    §2.0 rule 1; the anti join shuffles on custkey at scale while the
+    scalar broadcast costs nothing."""
     base = load(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal"
     )
@@ -389,12 +397,14 @@ def complex_idle_customers(spark, sf_dir):
         )
     )
     orders = load(spark, sf_dir, "orders")
+    bal_cents = (dec("c_acctbal") * 100).cast("long")
     avg_bal = customer.filter(dec("c_acctbal") > 0).agg(
-        F.avg(dec("c_acctbal")).alias("ab")
+        F.sum(bal_cents).alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_pos"),
     )
     return (
         customer.crossJoin(F.broadcast(avg_bal))
-        .filter(dec("c_acctbal") > F.col("ab"))
+        .filter(bal_cents * F.col("n_pos") > F.col("sum_cents"))
         .join(orders, F.col("o_custkey") == F.col("c_custkey"), "leftanti")
         .groupBy("c_nationkey")
         .agg(

@@ -29,19 +29,28 @@ FUNNEL_STAGES = ("signup", "click", "purchase")
 @query(
     "events_funnel",
     oracle="""
-    WITH s AS (
+    WITH ev AS (
+        SELECT user_id, ts, event_type FROM events
+        UNION ALL  -- planted non-converters: signup-only users (stall at click)
+        SELECT user_id + 9000000, ts, event_type FROM events
+        WHERE user_id < 5 AND event_type = 'signup'
+        UNION ALL  -- planted never-signed-up users (NULL stage-1 time)
+        SELECT user_id + 9500000, ts, event_type FROM events
+        WHERE user_id < 5 AND event_type = 'click'
+    ),
+    s AS (
         SELECT user_id, min(CASE WHEN event_type = 'signup' THEN ts END) AS t1
-        FROM events GROUP BY user_id
+        FROM ev GROUP BY user_id
     ),
     c AS (
         SELECT e.user_id, min(e.ts) AS t2
-        FROM events e JOIN s ON e.user_id = s.user_id
+        FROM ev e JOIN s ON e.user_id = s.user_id
         WHERE e.event_type = 'click' AND e.ts >= s.t1
         GROUP BY e.user_id
     ),
     p AS (
         SELECT e.user_id, min(e.ts) AS t3
-        FROM events e JOIN c ON e.user_id = c.user_id
+        FROM ev e JOIN c ON e.user_id = c.user_id
         WHERE e.event_type = 'purchase' AND e.ts >= c.t2
         GROUP BY e.user_id
     )
@@ -56,11 +65,29 @@ def events_funnel(spark, sf_dir):
     semantics; a click BEFORE the signup does not count, which is exactly
     what the naive per-type min() gets wrong). Spark side: one groupBy(user)
     builds each user's time-sorted (ts, type) array, then JVM higher-order
-    `filter`/`element_at` walk out the stage times — one shuffle for the
+    `filter`/`try_element_at` walk out the stage times — one shuffle for the
     whole funnel. The oracle computes the same semantics as the classic
     stage-join cascade, so the hash check proves the single-pass rewrite
-    against the multi-pass definition."""
-    events = load(spark, sf_dir, "events")
+    against the multi-pass definition.
+
+    Two planted non-converter populations (signup-only users and
+    never-signed-up users, fixtures.py precedent) keep the green
+    non-vacuous: every organic fixture user completes all three stages, so
+    without the plant the drop-off arms — including the empty-hits path
+    that plain element_at would ABORT under ANSI mode — never execute.
+    try_element_at (not element_at) is mandatory here: stage misses
+    produce empty filtered arrays, and under Spark 4's default ANSI mode
+    element_at on an empty array throws instead of yielding NULL."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    stall_click = (
+        ev.filter((F.col("user_id") < 5) & (F.col("event_type") == "signup"))
+        .withColumn("user_id", F.col("user_id") + 9000000)
+    )
+    no_signup = (
+        ev.filter((F.col("user_id") < 5) & (F.col("event_type") == "click"))
+        .withColumn("user_id", F.col("user_id") + 9500000)
+    )
+    events = ev.unionByName(stall_click).unionByName(no_signup)
     seq = events.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "event_type"))).alias("seq")
     )
@@ -71,7 +98,7 @@ def events_funnel(spark, sf_dir):
             lambda e: (e["event_type"] == etype)
             & (F.lit(True) if tmin is None else (e["ts"] >= tmin)),
         )
-        return F.element_at(hits, 1)["ts"]
+        return F.try_element_at(hits, F.lit(1))["ts"]
 
     staged = (
         seq.withColumn("t1", first_at_or_after(F.col("seq"), "signup", None))

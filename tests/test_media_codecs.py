@@ -108,3 +108,25 @@ def test_wav_rejects_malformed():
         mc.decode_wav(bytes(f32))
     with pytest.raises(ValueError):
         mc.decode_wav(good[:12])  # no chunks at all
+
+
+def test_wav_truncated_data_chunk_refused():
+    from eviction_lab_etl_spark.functions.media_codecs import decode_wav, encode_wav
+
+    whole = encode_wav(8000, [1, -2, 3, -4, 5, -6])
+    # cut mid-data: declared chunk size now extends past the payload
+    truncated = whole[: len(whole) - 4]
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(truncated)
+
+
+def test_wav_short_fmt_chunk_raises_valueerror_not_struct_error():
+    import struct
+
+    from eviction_lab_etl_spark.functions.media_codecs import decode_wav
+
+    fmt_body = b"\x01\x00\x01\x00"  # 4 bytes, need 16
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="short fmt chunk"):
+        decode_wav(payload)

@@ -39,7 +39,11 @@ SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 
 
 def build_skewed(spark, mult: int, hot_tenths: int = 9) -> str:
-    dst = os.path.join(SCRATCH, f"skew_x{mult}_h{hot_tenths}")
+    # Cache keyed by the SOURCE dir too (scale_stress.scaled_dir precedent):
+    # without src_tag, a run against a different SPARK_GRAFT_SF_DIR would
+    # silently reuse the other corpus's cached build.
+    src_tag = os.path.basename(os.path.normpath(SRC))
+    dst = os.path.join(SCRATCH, f"skew_{src_tag}_x{mult}_h{hot_tenths}")
     marker = os.path.join(dst, "_COMPLETE")
     if os.path.exists(marker):
         return dst
@@ -101,7 +105,8 @@ def build_skewed_sessions(spark, mult: int, hot_tenths: int = 9) -> str:
     with timestamps fanned out per copy (+37 s each, so the hot user's rows
     interleave in time like a real viral user's would, instead of collapsing
     onto duplicate timestamps); copies above the cutoff all become user 0."""
-    dst = os.path.join(SCRATCH, f"skew_sess_x{mult}_h{hot_tenths}")
+    src_tag = os.path.basename(os.path.normpath(SRC))
+    dst = os.path.join(SCRATCH, f"skew_sess_{src_tag}_x{mult}_h{hot_tenths}")
     marker = os.path.join(dst, "_COMPLETE")
     if os.path.exists(marker):
         return dst
