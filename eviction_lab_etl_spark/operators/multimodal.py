@@ -406,3 +406,79 @@ def multimodal_dedup(spark, sf_dir):
         .agg(F.min("doc_id").alias("keep"), F.count(F.lit(1)).alias("grp_size"))
         .filter(F.col("grp_size") > 1)
     )
+
+
+@query(
+    "multimodal_audio_features",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 50 + 10 AS n,
+               8000 + (doc_id % 3) * 4000 AS rate
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, n, rate, t.i,
+               ((doc_id * 13 + t.i * 7919) % 65536) - 32768 AS s
+        FROM dims, LATERAL (SELECT unnest(range(0, n)) AS i) t
+    ),
+    seq AS (
+        SELECT doc_id, n, rate, s,
+               lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS prev_s
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(sum(s * s) AS BIGINT) AS energy,
+           CAST(max(abs(s)) AS BIGINT) AS peak,
+           count(*) FILTER (WHERE prev_s IS NOT NULL AND prev_s * s < 0)
+               AS zero_crossings
+    FROM seq GROUP BY doc_id
+    """,
+)
+def multimodal_audio_features(spark, sf_dir):
+    """Audio FEATURE EXTRACTION over really-decoded PCM (the step after
+    multimodal_audio_decode in a speech-data pipeline: energy/silence
+    gating, clipping detection, voicedness proxies): per clip, the exact
+    integer energy (Σs²), peak amplitude, and strict-sign zero-crossing
+    count, computed from the chunk-walked WAV samples inside the same Arrow
+    batch that decoded them. The oracle re-derives all three from the
+    signal's closed form — through a lag window for the crossings — so the
+    hash proves decoder AND feature math against independent SQL. Map-side
+    only: encode→decode→features is one fused mapInPandas chain, no
+    shuffle; at 100 TB the binary payloads never leave their input
+    partition."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads: list[bytes] = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                rate, samples = _audio_pattern(d)
+                payloads.append(media_codecs.encode_wav(rate, samples))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "energy": [], "peak": [], "zero_crossings": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _, samples = media_codecs.decode_wav(bytes(payload))
+                out["doc_id"].append(int(doc_id))
+                out["energy"].append(sum(s * s for s in samples))
+                out["peak"].append(max(abs(s) for s in samples))
+                out["zero_crossings"].append(
+                    sum(
+                        1
+                        for a, b in zip(samples, samples[1:])
+                        if a * b < 0
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    audio = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return audio.mapInPandas(
+        features,
+        schema="doc_id long, energy long, peak long, zero_crossings long",
+    )
