@@ -230,3 +230,45 @@ def decode_image(payload: bytes, media_type: str) -> tuple[int, int, bytes]:
             "decoder, decode_wav)"
         ) from None
     return decoder(payload)
+
+
+# --- video (PPM frame stream) -----------------------------------------------
+
+VIDEO_TYPE = "video/x-ppm-stream"
+_VIDEO_MAGIC = b"VID0"
+
+
+def encode_video(frames: list[tuple[int, int, bytes]]) -> bytes:
+    """Minimal raw-video container: magic + frame count + concatenated P6
+    frames (each frame is a complete, self-delimiting PPM — header declares
+    its own raster length). The MJPEG idea with PPM in place of JPEG: real
+    enough that a decoder must walk variable-length frames by parsing each
+    header, which is the part a fixed-stride slicer gets wrong."""
+    body = b"".join(encode_ppm(w, h, rgb) for w, h, rgb in frames)
+    return _VIDEO_MAGIC + struct.pack("<I", len(frames)) + body
+
+
+def decode_video(payload: bytes) -> list[tuple[int, int, bytes]]:
+    """Decode the PPM frame stream by walking frames: parse each frame's own
+    header for its dimensions, slice exactly its raster, continue at the
+    next byte. Truncation anywhere raises (decode_ppm's raster check)."""
+    if payload[:4] != _VIDEO_MAGIC:
+        raise ValueError("not a VID0 PPM stream")
+    n_frames = struct.unpack_from("<I", payload, 4)[0]
+    frames: list[tuple[int, int, bytes]] = []
+    pos = 8
+    for _ in range(n_frames):
+        if payload[pos : pos + 2] != b"P6":
+            raise ValueError(f"frame {len(frames)}: not a P6 frame at byte {pos}")
+        (w, h, maxval), i = _ppm_tokens(payload, pos + 2, 3)
+        if maxval != 255:
+            raise ValueError(f"unsupported PPM maxval {maxval}")
+        i += 1  # single whitespace before raster
+        n = 3 * w * h
+        if len(payload) - i < n:
+            raise ValueError(f"truncated frame {len(frames)}")
+        frames.append((w, h, payload[i : i + n]))
+        pos = i + n
+    if pos != len(payload):
+        raise ValueError(f"{len(payload) - pos} trailing bytes after last frame")
+    return frames

@@ -4,14 +4,15 @@ Pattern: media are opaque ``binary`` columns with typed metadata; decode /
 feature-extract / resize / frame-sample run as Arrow-batched ``mapInPandas``
 stages so the heavy bytes never cross a row-at-a-time boundary.
 
-The image AND audio paths are REAL: ``functions/media_codecs.py`` implements
-pure-Python PPM (P6), 24-bit BMP, and RIFF/WAVE PCM codecs (struct header
-parse + pixel/sample slice — no PIL/librosa), fixtures mint genuine payloads
-in all three formats, and the correctness oracles derive the expected decoded
-channel/PCM sums arithmetically in SQL — so the DECODERS are hash-checked
-against independent math, not against themselves. Only video stays behind
-``NotImplementedError`` (every practical video codec needs ffmpeg); its
-Spark-side plumbing shape is identical.
+ALL THREE modalities decode for REAL: ``functions/media_codecs.py``
+implements pure-Python PPM (P6), 24-bit BMP, RIFF/WAVE PCM, and a PPM
+frame-stream video container (struct header parse + pixel/sample slice —
+no PIL/librosa/ffmpeg), fixtures mint genuine payloads in every format, and
+the correctness oracles derive the expected decoded channel/PCM/motion sums
+arithmetically in SQL — so the DECODERS are hash-checked against
+independent math, not against themselves. (Compressed codecs — JPEG/H.264 —
+still need external libraries; ``decode_media`` refuses those types rather
+than mis-decoding.)
 
 At 100 TB: binary payloads dominate partition size, so sources should set
 ``spark.sql.files.maxPartitionBytes`` low and never project the binary column
@@ -481,4 +482,95 @@ def multimodal_audio_features(spark, sf_dir):
     return audio.mapInPandas(
         features,
         schema="doc_id long, energy long, peak long, zero_crossings long",
+    )
+
+
+@query(
+    "multimodal_video_motion",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 13 + 1 AS w,
+               doc_id % 7 + 1 AS h,
+               doc_id % 6 + 2 AS nf
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, nf, f.f, i.i,
+               (doc_id * 31 + f.f * 101 + 7 * i.i) % 256 AS s
+        FROM dims,
+        LATERAL (SELECT unnest(range(0, nf)) AS f) f,
+        LATERAL (SELECT unnest(range(0, 3 * w * h)) AS i) i
+    ),
+    seq AS (
+        SELECT doc_id, nf, s,
+               lag(s) OVER (PARTITION BY doc_id, i ORDER BY f) AS prev_s
+        FROM px
+    )
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(sum(s) AS BIGINT) AS total_sum,
+           CAST(sum(CASE WHEN prev_s IS NOT NULL
+                         THEN abs(s - prev_s) END) AS BIGINT) AS motion
+    FROM seq GROUP BY doc_id, nf
+    """,
+)
+def multimodal_video_motion(spark, sf_dir):
+    """REAL video decoding + inter-frame motion: fixtures mint a PPM frame
+    stream per document (VID0 container, 2-7 variable-header frames), the
+    decoder walks frames by parsing each frame's own header, and the
+    feature stage computes per-clip motion energy — the sum of absolute
+    pixel deltas between consecutive frames, the scene-cut / static-clip
+    signal a video training pipeline filters on. The oracle re-derives
+    frame count, pixel total, AND the motion sum from the pattern's closed
+    form via a per-pixel lag window, so the frame walker and the diff math
+    are both checked against independent SQL (this retires the survey-era
+    'video stays stubbed' caveat: all three modalities now decode for
+    real). One fused mapInPandas chain, zero shuffles."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads: list[bytes] = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = _img_dims(d)
+                n_frames = d % 6 + 2
+                frames = [
+                    (
+                        w,
+                        h,
+                        bytes(
+                            (d * 31 + f * 101 + 7 * i) % 256
+                            for i in range(3 * w * h)
+                        ),
+                    )
+                    for f in range(n_frames)
+                ]
+                payloads.append(media_codecs.encode_video(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "n_frames": [], "total_sum": [], "motion": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = media_codecs.decode_video(bytes(payload))
+                rasters = [rgb for _, _, rgb in frames]
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(len(frames))
+                out["total_sum"].append(sum(sum(r) for r in rasters))
+                out["motion"].append(
+                    sum(
+                        sum(abs(a - b) for a, b in zip(prev, cur))
+                        for prev, cur in zip(rasters, rasters[1:])
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    video = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return video.mapInPandas(
+        motion,
+        schema="doc_id long, n_frames long, total_sum long, motion long",
     )

@@ -78,7 +78,7 @@ EXTENSIONS = {
     "resample_downweight_dups", "agg_bool_logic",
     # … ACID snapshot table + IO surface.
     "incr_snapshot_time_travel", "stream_snapshot_sink",
-    "io_xml_roundtrip", "io_text_roundtrip", "multimodal_audio_features",
+    "io_xml_roundtrip", "io_text_roundtrip", "multimodal_audio_features", "multimodal_video_motion",
 }
 
 

@@ -130,3 +130,21 @@ def test_wav_short_fmt_chunk_raises_valueerror_not_struct_error():
     payload = b"RIFF" + struct.pack("<I", len(body)) + body
     with pytest.raises(ValueError, match="short fmt chunk"):
         decode_wav(payload)
+
+
+def test_video_roundtrip_and_truncation():
+    from eviction_lab_etl_spark.functions.media_codecs import (
+        decode_video,
+        encode_video,
+        test_pattern,
+    )
+
+    frames = [(3, 2, test_pattern(7, 3, 2)), (5, 1, test_pattern(8, 5, 1))]
+    payload = encode_video(frames)
+    assert decode_video(payload) == frames
+    with pytest.raises(ValueError, match="truncated frame"):
+        decode_video(payload[:-3])
+    with pytest.raises(ValueError, match="trailing bytes"):
+        decode_video(payload + b"x")
+    with pytest.raises(ValueError, match="not a VID0"):
+        decode_video(b"RIFF1234")
