@@ -324,3 +324,33 @@ def agg_bool_logic(spark, sf_dir):
         F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
         F.bool_and(F.col("o_orderpriority") != "1-URGENT").alias("none_urgent"),
     )
+
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT n_name,
+           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           count(*) AS n_cust
+    FROM customer JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def agg_collect_sorted(spark, sf_dir):
+    """Array aggregation with a deterministic surface: the distinct market
+    segments per nation as a SORTED list (collect_set's order is partition-
+    dependent garbage until sort_array canonicalizes it — the rule-3
+    tiebreak discipline applied to array outputs). The reference's
+    data-dictionary exports ('which segments appear in this geography')
+    are this shape. Partial collect_set aggregates merge map-side; the
+    array stays ≤ |segments| = 5 elements regardless of row count."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count(F.lit(1)).alias("n_cust"),
+        )
+    )

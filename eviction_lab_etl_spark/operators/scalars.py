@@ -238,3 +238,32 @@ def scalar_try_safe(spark, sf_dir):
         F.try_element_at(parts, F.lit(2)).try_cast("bigint").alias("name_num"),
         F.try_element_at(parts, F.lit(3)).alias("missing_part"),
     )
+
+
+@query(
+    "scalar_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS lo_byte,
+           o_orderkey | 4096 AS with_flag,
+           xor(o_orderkey, 1365) AS toggled,
+           o_orderkey << 3 AS shifted_l,
+           o_orderkey >> 2 AS shifted_r
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def scalar_bitwise(spark, sf_dir):
+    """Bitwise scalar surface (&, |, xor, shifts) — the primitives behind
+    flag packing, hash mixing, and the Z-order key interleave in
+    plans/layout.py, demonstrated on their own. Integer-exact by nature;
+    both engines operate on two's-complement bigints."""
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("lo_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.lit(1365)).alias("toggled"),
+        F.shiftleft(k, 3).alias("shifted_l"),
+        F.shiftright(k, 2).alias("shifted_r"),
+    )

@@ -80,3 +80,39 @@ def setop_intersect(spark, sf_dir):
     y95 = _orders_year(spark, sf_dir, 1995).select("o_custkey")
     y96 = _orders_year(spark, sf_dir, 1996).select("o_custkey")
     return y95.intersect(y96)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def setop_except_all(spark, sf_dir):
+    """EXCEPT ALL (multiset semantics): a customer with three 1995 orders and
+    one 1996 order keeps TWO rows — the bag difference generation-diffing
+    needs when multiplicity itself is the signal (how many MORE slices does
+    build A have than build B). DataFrame.exceptAll == SQL EXCEPT ALL; at
+    scale it plans as one hash-partitioned count-matching join on the key,
+    same shuffle profile as the distinct variant."""
+    y95 = _orders_year(spark, sf_dir, 1995).select("o_custkey")
+    y96 = _orders_year(spark, sf_dir, 1996).select("o_custkey")
+    return y95.exceptAll(y96)
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+)
+def setop_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (multiset): min(multiplicity) copies per key — the bag
+    intersection. DataFrame.intersectAll == SQL INTERSECT ALL."""
+    y95 = _orders_year(spark, sf_dir, 1995).select("o_custkey")
+    y96 = _orders_year(spark, sf_dir, 1996).select("o_custkey")
+    return y95.intersectAll(y96)

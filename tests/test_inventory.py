@@ -79,6 +79,8 @@ EXTENSIONS = {
     # … ACID snapshot table + IO surface.
     "incr_snapshot_time_travel", "stream_snapshot_sink",
     "io_xml_roundtrip", "io_text_roundtrip", "multimodal_audio_features", "multimodal_video_motion",
+    "setop_except_all", "setop_intersect_all", "scalar_bitwise",
+    "agg_collect_sorted",
 }
 
 
