@@ -133,3 +133,68 @@ def resample_cap_source(spark, sf_dir):
         .cast("long")
         .alias("kept_chars"),
     )
+
+
+@query(
+    "text_boilerplate_grams",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               unnest(list_distinct(
+                   list_transform(range(1, len(w) - 3),
+                                  i -> array_to_string(w[i:i+4], ' ')))) AS g
+        FROM docs
+    ),
+    per_source AS (
+        SELECT source, count(DISTINCT doc_id) AS n_docs FROM docs GROUP BY source
+    ),
+    gram_docs AS (
+        SELECT source, g, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1, 2
+    )
+    SELECT gd.source,
+           count(*) AS n_grams,
+           count(*) FILTER (WHERE 10 * df >= 6 * n_docs) AS n_boiler
+    FROM gram_docs gd JOIN per_source ps ON ps.source = gd.source
+    GROUP BY gd.source
+    """,
+)
+def text_boilerplate_grams(spark, sf_dir):
+    """Per-source boilerplate detection (the CCNet/RefinedWeb move): a
+    5-token gram that appears in ≥60% of one source's documents is
+    navigation/template text, not content — the list a cleaning stage
+    subtracts before dedup so boilerplate doesn't glue unrelated pages into
+    one near-dup cluster. The 60% bar is an integer cross-multiplication
+    (10·df ≥ 6·n_docs). Per source: distinct gram count and how many
+    cleared the bar. At 100 TB the gram→doc-frequency aggregate shuffles
+    (source, gram) pairs once with map-side partial distinct; the per-source
+    doc counts broadcast."""
+    docs = load(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - 4),
+                    lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
+                )
+            )
+        ).alias("g"),
+    )
+    per_source = docs.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    gram_docs = grams.groupBy("source", "g").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    return (
+        gram_docs.join(F.broadcast(per_source), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(10 * F.col("df") >= 6 * F.col("n_docs")).alias("n_boiler"),
+        )
+    )

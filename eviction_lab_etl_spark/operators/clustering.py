@@ -338,3 +338,50 @@ def graph_triangle_count(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return verts.crossJoin(n_edges).crossJoin(tri)
+
+
+@query(
+    "graph_degree_hist",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents WHERE doc_id < 200
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pr AS (
+        SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS inter
+        FROM tok t1 JOIN tok t2 ON t1.w = t2.w AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT a, b FROM pr
+        JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        WHERE 10 * inter >= 9 * (sa.n + sb.n - inter)
+    ),
+    deg AS (
+        SELECT v, count(*) AS degree FROM (
+            SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+        ) GROUP BY v
+    )
+    SELECT degree, count(*) AS n_vertices
+    FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_hist(spark, sf_dir):
+    """Degree distribution of the near-dup similarity graph — the shape
+    diagnostic read BEFORE clustering: a heavy right tail (one doc similar
+    to thousands) predicts hot keys in the connected-components shuffle and
+    wedge explosion in triangle counting, and is exactly what degree-based
+    edge orientation / salting decisions key on. Reuses the persisted
+    triangle edge list when cached; two small aggregates (per-vertex
+    degree, then count-per-degree) on top of the symmetric edge union — the
+    histogram is ≤ max-degree rows no matter the corpus size."""
+    from eviction_lab_etl_spark.operators.dedup_text import sim_jaccard_pairs
+
+    pairs = sim_jaccard_pairs(spark, sf_dir)
+    edges = pairs.filter(10 * F.col("inter") >= 9 * F.col("uni")).select("a", "b")
+    sym = edges.select(F.col("a").alias("v")).unionByName(
+        edges.select(F.col("b").alias("v"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))

@@ -207,3 +207,56 @@ def ts_interpolate_linear(spark, sf_dir):
         .when(interior, F.col("t1") - F.col("t0"))
         .alias("den"),
     )
+
+
+@query(
+    "ts_anomaly_mad",
+    oracle="""
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS d, count(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    med AS (
+        SELECT CAST(2 * median(cnt) AS BIGINT) AS med2 FROM daily
+    ),
+    dev AS (
+        SELECT d, cnt, abs(2 * cnt - med2) AS dev2 FROM daily, med
+    ),
+    mad AS (
+        SELECT CAST(2 * median(dev2) AS BIGINT) AS mad4 FROM dev
+    )
+    SELECT CAST(CAST(d AS DATE) AS VARCHAR) AS day,
+           cnt,
+           (2 * dev2 > 3 * mad4) AS is_anomaly
+    FROM dev, mad
+    """,
+)
+def ts_anomaly_mad(spark, sf_dir):
+    """Robust anomaly flagging on the daily event-count series via median
+    absolute deviation — the outlier detector that, unlike z-scores, is not
+    itself corrupted by the outliers it hunts. Everything stays in exact
+    integer arithmetic despite two nested medians over possibly-even
+    populations: medians are carried DOUBLED (2·median of ints is an exact
+    .0-or-.5×2 integer in both engines), deviations become |2·cnt − med2|
+    (= 2·|cnt−med|), the MAD is carried quadrupled, and the 3-MAD flag is
+    the cross-multiplication 2·dev2 > 3·mad4 — bit-identical classification
+    everywhere, no float ever compared. The two scalar medians broadcast;
+    at scale the daily aggregate is |days| rows, so the whole detector
+    costs one partial-agg pass over the fact plus driver-trivial scalars."""
+    events = load(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    med = daily.agg((2 * F.median("cnt")).cast("long").alias("med2"))
+    dev = daily.crossJoin(F.broadcast(med)).withColumn(
+        "dev2", F.abs(2 * F.col("cnt") - F.col("med2"))
+    )
+    mad = dev.agg((2 * F.median("dev2")).cast("long").alias("mad4"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            F.col("d").cast("string").alias("day"),
+            "cnt",
+            (2 * F.col("dev2") > 3 * F.col("mad4")).alias("is_anomaly"),
+        )
+    )

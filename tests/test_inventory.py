@@ -80,7 +80,8 @@ EXTENSIONS = {
     "incr_snapshot_time_travel", "stream_snapshot_sink",
     "io_xml_roundtrip", "io_text_roundtrip", "multimodal_audio_features", "multimodal_video_motion",
     "setop_except_all", "setop_intersect_all", "scalar_bitwise",
-    "agg_collect_sorted",
+    "agg_collect_sorted", "graph_degree_hist", "ts_anomaly_mad",
+    "text_boilerplate_grams",
 }
 
 
