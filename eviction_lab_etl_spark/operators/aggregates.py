@@ -354,3 +354,46 @@ def agg_collect_sorted(spark, sf_dir):
             F.count(F.lit(1)).alias("n_cust"),
         )
     )
+
+
+@query(
+    "agg_corr_components",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_x_cents,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_y,
+           CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    * CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_xy_cents,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                    * CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_yy
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_corr_components(spark, sf_dir):
+    """Correlation/regression sufficient statistics, exactness-first: per
+    event type, the integer moment sums (n, Σx, Σy, Σxy, Σy²) between the
+    cents-exact value and the JSON property k. The consumer derives
+    Pearson r or OLS slope from five exact integers — the engine never
+    aggregates a float, so the statistics hash identically under any
+    partitioning (the decomposed form is also what map-side partial
+    aggregation wants: all five sums merge associatively). Overflow
+    headroom: x_cents·k ≤ 10^7 per row keeps Σxy under int64 to ~10^11
+    rows per group; past that, the sum_exact_long split applies."""
+    events = load(spark, sf_dir, "events")
+    from eviction_lab_etl_spark.functions.determinism import cents
+
+    k = F.get_json_object("props", "$.k").cast("long")
+    x = cents("value")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sum_x_cents"),
+        F.sum(k).alias("sum_y"),
+        F.sum(x * k).alias("sum_xy_cents"),
+        F.sum(k * k).alias("sum_yy"),
+    )

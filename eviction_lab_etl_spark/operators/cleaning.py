@@ -198,3 +198,58 @@ def text_boilerplate_grams(spark, sf_dir):
             F.count_if(10 * F.col("df") >= 6 * F.col("n_docs")).alias("n_boiler"),
         )
     )
+
+
+@query(
+    "pipeline_clean_funnel",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, text, n_chars,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq
+        FROM documents
+    ),
+    gates AS (
+        SELECT doc_id,
+               n_chars >= 50 AS pass_len,
+               n_chars >= 50 AND 10 * n_uniq >= 3 * n_tok AS pass_div,
+               n_chars >= 50 AND 10 * n_uniq >= 3 * n_tok
+                 AND doc_id = (SELECT min(d2.doc_id) FROM toks d2
+                               WHERE md5(d2.text) = md5(toks.text)) AS pass_dedup
+        FROM toks
+    )
+    SELECT count(*) AS n_input,
+           count(*) FILTER (WHERE pass_len) AS n_after_length,
+           count(*) FILTER (WHERE pass_div) AS n_after_diversity,
+           count(*) FILTER (WHERE pass_dedup) AS n_after_dedup
+    FROM gates
+    """,
+)
+def pipeline_clean_funnel(spark, sf_dir):
+    """The cleaning-funnel report every dataset paper tables: documents
+    surviving each successive gate — minimum length, lexical diversity
+    (distinct/total tokens ≥ 0.3, integer-crossmultiplied), exact dedup
+    (keep-first by digest). Each count is the CUMULATIVE survivor set, so
+    the report reads as the funnel it is; the whole thing is one scan plus
+    a digest-keyed window (the dedup gate), all integer-exact. This is the
+    observability face of pipeline_corpus_clean: the clean pipeline emits
+    the corpus, this emits the accounting that justifies it."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    toks = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size("w").alias("n_tok"),
+        F.size(F.array_distinct("w")).alias("n_uniq"),
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("keep_id"),
+    )
+    pass_len = F.col("n_chars") >= 50
+    pass_div = pass_len & (10 * F.col("n_uniq") >= 3 * F.col("n_tok"))
+    pass_dedup = pass_div & (F.col("doc_id") == F.col("keep_id"))
+    return toks.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count_if(pass_len).alias("n_after_length"),
+        F.count_if(pass_div).alias("n_after_diversity"),
+        F.count_if(pass_dedup).alias("n_after_dedup"),
+    )

@@ -187,3 +187,54 @@ def events_type_transitions(spark, sf_dir):
         .groupBy("prev_type", "cur_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH base AS (
+        SELECT user_id,
+               max(ts) AS last_ts,
+               count(*) AS freq,
+               CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS monetary_cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           ntile(4) OVER (ORDER BY last_ts, user_id)        AS r_bucket,
+           ntile(4) OVER (ORDER BY freq, user_id)           AS f_bucket,
+           ntile(4) OVER (ORDER BY monetary_cents, user_id) AS m_bucket,
+           freq, monetary_cents
+    FROM base
+    """,
+)
+def events_rfm_segments(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary) — the classic
+    customer-scoring table: per purchasing user, quartile buckets over last
+    purchase time, purchase count, and exact-cents spend. Every ntile
+    carries a user_id tiebreak (rule 3: the bucket BOUNDARY assignment must
+    be deterministic, not just the ordering), and money is integer cents so
+    the monetary ordering is exact. One user-keyed aggregate then three
+    global windows over |users| rows — tiny relative to the fact; at 100 TB
+    the windows run on the aggregate, never the event stream."""
+    from pyspark.sql import Window
+
+    from eviction_lab_etl_spark.functions.determinism import cents
+
+    events = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    base = events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(cents("value")).alias("monetary_cents"),
+    )
+    return base.select(
+        "user_id",
+        F.ntile(4).over(Window.orderBy("last_ts", "user_id")).alias("r_bucket"),
+        F.ntile(4).over(Window.orderBy("freq", "user_id")).alias("f_bucket"),
+        F.ntile(4)
+        .over(Window.orderBy("monetary_cents", "user_id"))
+        .alias("m_bucket"),
+        "freq",
+        "monetary_cents",
+    )

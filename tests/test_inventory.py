@@ -81,7 +81,8 @@ EXTENSIONS = {
     "io_xml_roundtrip", "io_text_roundtrip", "multimodal_audio_features", "multimodal_video_motion",
     "setop_except_all", "setop_intersect_all", "scalar_bitwise",
     "agg_collect_sorted", "graph_degree_hist", "ts_anomaly_mad",
-    "text_boilerplate_grams",
+    "text_boilerplate_grams", "events_rfm_segments", "pipeline_clean_funnel",
+    "agg_corr_components",
 }
 
 
