@@ -480,3 +480,40 @@ def pipeline_dataset_card(spark, sf_dir):
         F.floor(F.median(F.col("n_chars").cast("long"))).cast("long").alias("med_chars"),
         F.count_if(F.col("lang") == "en").alias("n_en"),
     )
+
+
+_SQL_REPORT = """
+    WITH yearly AS (
+        SELECT c_nationkey,
+               year(o_orderdate) AS yr,
+               sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_nationkey, yr
+    ),
+    ranked AS (
+        SELECT n_name, yr, spend,
+               row_number() OVER (
+                   PARTITION BY yr ORDER BY spend DESC, n_name
+               ) AS rk
+        FROM yearly JOIN nation ON n_nationkey = c_nationkey
+    )
+    SELECT CAST(yr AS BIGINT) AS yr, n_name,
+           CAST(spend * 100 AS BIGINT) AS spend_cents, rk
+    FROM ranked WHERE rk <= 3
+"""
+
+
+@query("sql_top_nations_report", oracle=_SQL_REPORT)
+def sql_top_nations_report(spark, sf_dir):
+    """The raw-SQL user surface: the ENTIRE query — CTEs, joins, window
+    rank, decimal discipline — is one ANSI SQL string executed by
+    spark.sql() over registered temp views, and the SAME string is the
+    DuckDB oracle (modulo nothing: it is written in the common dialect).
+    This pins the claim that a reference user can drive this engine with
+    plain SQL and get hash-identical results from Catalyst's SQL front end,
+    not just from the DataFrame DSL — parser → analyzer → same optimized
+    plan either way. Top-3 spending nations per order year, exact cents."""
+    from eviction_lab_etl_spark.sources.loader import register_views
+
+    register_views(spark, sf_dir, ["orders", "customer", "nation"])
+    return spark.sql(_SQL_REPORT)
