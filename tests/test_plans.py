@@ -342,3 +342,32 @@ def test_embedding_and_series_plan_shapes(spark, sf_dir):
 
     card = plan_of(spark, sf_dir, "pipeline_dataset_card")
     assert card["python_rows"] == 0 and card["arrow_python"] == 0
+
+
+def test_late_round5_plan_shapes(spark, sf_dir):
+    """Late round-5 additions keep their declared shapes: media feature
+    chains are pure fused map stages (mapInPandas only — zero shuffles);
+    the anomaly detector's scalar medians broadcast (no sort-merge join);
+    RFM windows run on the user aggregate, not the fact; the SQL-surface
+    report plans broadcast dimension joins like its DSL siblings; the
+    boilerplate and correlation aggregates stay Python-free."""
+    for name in ("multimodal_audio_features", "multimodal_video_motion"):
+        info = plan_of(spark, sf_dir, name)
+        assert info["shuffles"] == 0, (name, info["shuffles"])
+        assert info["sortmerge_joins"] == 0, name
+
+    mad = plan_of(spark, sf_dir, "ts_anomaly_mad")
+    assert mad["sortmerge_joins"] == 0
+    assert mad["broadcast_joins"] + mad["broadcast_nl_joins"] >= 2
+
+    rfm = plan_of(spark, sf_dir, "events_rfm_segments")
+    assert rfm["python_rows"] == 0 and rfm["arrow_python"] == 0
+
+    sql_report = plan_of(spark, sf_dir, "sql_top_nations_report")
+    assert sql_report["broadcast_joins"] >= 1
+    assert "CartesianProduct" not in sql_report["plan"]
+
+    for name in ("text_boilerplate_grams", "agg_corr_components",
+                 "pipeline_clean_funnel", "graph_degree_hist"):
+        info = plan_of(spark, sf_dir, name)
+        assert info["python_rows"] == 0 and info["arrow_python"] == 0, name

@@ -81,6 +81,10 @@ STRESS = [
     "events_type_transitions",
     "embed_norm_hist",
     "resample_downweight_dups",
+    # Round-5 late: per-source boilerplate detection (gram-DF shuffle) and
+    # RFM segmentation (windows over the user aggregate, not the fact).
+    "text_boilerplate_grams",
+    "events_rfm_segments",
 ]
 
 
