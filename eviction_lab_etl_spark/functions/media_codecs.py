@@ -254,6 +254,8 @@ def decode_video(payload: bytes) -> list[tuple[int, int, bytes]]:
     next byte. Truncation anywhere raises (decode_ppm's raster check)."""
     if payload[:4] != _VIDEO_MAGIC:
         raise ValueError("not a VID0 PPM stream")
+    if len(payload) < 8:
+        raise ValueError("truncated VID0 header")
     n_frames = struct.unpack_from("<I", payload, 4)[0]
     frames: list[tuple[int, int, bytes]] = []
     pos = 8
@@ -263,7 +265,12 @@ def decode_video(payload: bytes) -> list[tuple[int, int, bytes]]:
         (w, h, maxval), i = _ppm_tokens(payload, pos + 2, 3)
         if maxval != 255:
             raise ValueError(f"unsupported PPM maxval {maxval}")
-        i += 1  # single whitespace before raster
+        # same contract as decode_ppm: exactly one whitespace byte separates
+        # header from raster — a non-whitespace byte here would shift the
+        # raster slice, so refuse rather than mis-decode
+        if i >= len(payload) or payload[i : i + 1] not in (b" ", b"\t", b"\r", b"\n"):
+            raise ValueError(f"frame {len(frames)}: missing whitespace before raster")
+        i += 1
         n = 3 * w * h
         if len(payload) - i < n:
             raise ValueError(f"truncated frame {len(frames)}")

@@ -172,18 +172,19 @@ def text_boilerplate_grams(spark, sf_dir):
     (source, gram) pairs once with map-side partial distinct; the per-source
     doc counts broadcast."""
     docs = load(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
-    grams = docs.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - 4),
-                    lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
-                )
+    # Guarded for short docs: sequence(1, size-4) DESCENDS through 0 when a
+    # doc has <5 tokens (slice(w, 0, 5) then aborts the job); the correct
+    # gram set for such a doc is empty, matching the oracle's empty range.
+    gram_arr = F.when(
+        F.size("w") >= 5,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 4),
+                lambda i: F.concat_ws(" ", F.slice("w", i, 5)),
             )
-        ).alias("g"),
-    )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("doc_id", "source", F.explode(gram_arr).alias("g"))
     per_source = docs.groupBy("source").agg(
         F.count_distinct("doc_id").alias("n_docs")
     )

@@ -157,6 +157,26 @@ def connected_components(
     return labels
 
 
+
+def neardup_edges(spark, sf_dir) -> DataFrame:
+    """THE near-dup edge list (token-set Jaccard >= 0.9 over doc_id < 200,
+    tightened from sim_jaccard_pairs' 0.6 report threshold to near-dup
+    strength) — the single shared derivation behind clustering, canonical
+    selection, triangle counting, and the degree histogram. One definition,
+    one threshold, one persist: the edge set is orders of magnitude smaller
+    than its inverted-index lineage, and Spark's CacheManager dedupes the
+    identical plan across every consumer in a session, so the similarity
+    join runs once no matter how many graph diagnostics read it."""
+    from eviction_lab_etl_spark.operators.dedup_text import sim_jaccard_pairs
+
+    pairs = sim_jaccard_pairs(spark, sf_dir)
+    return (
+        pairs.filter(10 * F.col("inter") >= 9 * F.col("uni"))
+        .select("a", "b")
+        .persist()
+    )
+
+
 @query(
     "dedup_cluster_cc",
     oracle="""
@@ -192,11 +212,7 @@ def dedup_cluster_cc(spark, sf_dir):
     decides real structure), then ``connected_components`` labels each
     participating doc with its group id (= min doc_id in the group — the
     keep-first canonical member)."""
-    from eviction_lab_etl_spark.operators.dedup_text import sim_jaccard_pairs
-
-    pairs = sim_jaccard_pairs(spark, sf_dir)
-    edges = pairs.filter(10 * F.col("inter") >= 9 * F.col("uni")).select("a", "b")
-    return connected_components(edges).select(
+    return connected_components(neardup_edges(spark, sf_dir)).select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("component")
     )
 
@@ -244,12 +260,9 @@ def dedup_canonical_docs(spark, sf_dir):
     (tiny relative to the corpus: only docs with a near-dup ever enter the
     closure), so the corpus-side plan is scan -> join -> filter with no
     extra shuffle at 100 TB."""
-    from eviction_lab_etl_spark.operators.dedup_text import sim_jaccard_pairs
     from eviction_lab_etl_spark.sources.loader import load
 
-    pairs = sim_jaccard_pairs(spark, sf_dir)
-    edges = pairs.filter(10 * F.col("inter") >= 9 * F.col("uni")).select("a", "b")
-    labels = connected_components(edges).select(
+    labels = connected_components(neardup_edges(spark, sf_dir)).select(
         F.col("v").alias("doc_id"), F.col("lbl").alias("component")
     )
     docs = (
@@ -309,19 +322,10 @@ def graph_triangle_count(spark, sf_dir):
     endpoints first (node-iterator++), bounding wedges by the arboricity;
     the id-ordered form here keeps the oracle exact and the join topology
     identical."""
-    from eviction_lab_etl_spark.operators.dedup_text import sim_jaccard_pairs
-
-    pairs = sim_jaccard_pairs(spark, sf_dir)
-    # The edge list feeds FIVE consumers (vertex count, edge count, and the
-    # three join legs); without materialization the whole inverted-index
-    # similarity lineage re-executes per consumer. The edge set is orders of
-    # magnitude smaller than its derivation — persist it (CacheManager
-    # dedupes the identical plan across repeated calls).
-    edges = (
-        pairs.filter(10 * F.col("inter") >= 9 * F.col("uni"))
-        .select("a", "b")
-        .persist()
-    )
+    # The edge list feeds FIVE consumers here alone (vertex count, edge
+    # count, three join legs) — neardup_edges persists it once for all of
+    # this module's graph consumers.
+    edges = neardup_edges(spark, sf_dir)
     verts = (
         edges.select(F.col("a").alias("v"))
         .unionByName(edges.select(F.col("b").alias("v")))
@@ -376,10 +380,7 @@ def graph_degree_hist(spark, sf_dir):
     triangle edge list when cached; two small aggregates (per-vertex
     degree, then count-per-degree) on top of the symmetric edge union — the
     histogram is ≤ max-degree rows no matter the corpus size."""
-    from eviction_lab_etl_spark.operators.dedup_text import sim_jaccard_pairs
-
-    pairs = sim_jaccard_pairs(spark, sf_dir)
-    edges = pairs.filter(10 * F.col("inter") >= 9 * F.col("uni")).select("a", "b")
+    edges = neardup_edges(spark, sf_dir)
     sym = edges.select(F.col("a").alias("v")).unionByName(
         edges.select(F.col("b").alias("v"))
     )

@@ -558,6 +558,16 @@ def multimodal_video_motion(spark, sf_dir):
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 frames = media_codecs.decode_video(bytes(payload))
                 rasters = [rgb for _, _, rgb in frames]
+                # the container supports per-frame dimensions, but a motion
+                # delta is only defined frame-over-frame at EQUAL size —
+                # zip() would silently truncate to the shorter raster, so a
+                # resolution change is a detectable error, not a wrong number
+                for prev, cur in zip(rasters, rasters[1:]):
+                    if len(prev) != len(cur):
+                        raise ValueError(
+                            f"doc {int(doc_id)}: frame size change "
+                            f"{len(prev)} -> {len(cur)}; motion undefined"
+                        )
                 out["doc_id"].append(int(doc_id))
                 out["n_frames"].append(len(frames))
                 out["total_sum"].append(sum(sum(r) for r in rasters))

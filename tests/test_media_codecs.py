@@ -148,3 +148,14 @@ def test_video_roundtrip_and_truncation():
         decode_video(payload + b"x")
     with pytest.raises(ValueError, match="not a VID0"):
         decode_video(b"RIFF1234")
+
+
+def test_video_header_and_separator_hardening():
+    from eviction_lab_etl_spark.functions.media_codecs import decode_video
+
+    with pytest.raises(ValueError, match="truncated VID0 header"):
+        decode_video(b"VID0\x02\x00")
+    # non-whitespace byte between maxval and raster: refuse, don't mis-slice
+    bad = b"VID0" + b"\x01\x00\x00\x00" + b"P6\n1 1\n255X" + b"\x01\x02\x03\x04"
+    with pytest.raises(ValueError, match="missing whitespace"):
+        decode_video(bad)
