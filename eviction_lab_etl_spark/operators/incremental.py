@@ -373,3 +373,74 @@ def incr_snapshot_time_travel(spark, sf_dir):
         F.count(F.lit(1)).alias("n_rows"),
         digest_sum(row_digest("o_orderkey", "o_orderpriority")).alias("digest"),
     )
+
+
+@query(
+    "incr_snapshot_cdf",
+    oracle=f"""
+    WITH touched AS (
+        SELECT year(o_orderdate) AS od_year, o_orderkey, o_orderpriority
+        FROM orders
+        WHERE year(o_orderdate) IN (1996, 1997) AND o_orderkey % 101 = 0
+    ),
+    changes AS (
+        SELECT 'D' AS op, od_year, o_orderkey, o_orderpriority FROM touched
+        UNION ALL
+        SELECT 'I' AS op, od_year, o_orderkey, '9-UPDATED' FROM touched
+    )
+    SELECT op, od_year,
+           count(*) AS n_rows,
+           CAST(sum({_MERGE_DIGEST_SQL}) % 9223372036854775808 AS BIGINT)
+               AS digest
+    FROM changes
+    GROUP BY op, od_year
+    """,
+)
+def incr_snapshot_cdf(spark, sf_dir):
+    """Change data feed between snapshot versions (Delta CDF analog): after
+    replaying the time-travel fixture's commits (append 1996, append 1997,
+    MERGE-replace updating %101 keys), diff version 2 against version 3 as
+    row-level D/I change records — computed from the IMMUTABLE snapshots
+    themselves (exceptAll in both directions on the full row), so the feed
+    is exact even though the writer never logged its changes. This is what
+    lets a downstream incremental consumer (a search-index refresher, a
+    stream materializer) subscribe to a snapshot table without re-reading
+    it: the diff costs one co-partitioned anti-semantics pass over the two
+    versions' files, proportional to the table, with the output
+    proportional to the CHANGE. The per-(op, year) manifest digests prove
+    every delete carries the old row and every insert the new one."""
+    import hashlib
+    import tempfile
+
+    from eviction_lab_etl_spark.sources.snapshot import SnapshotTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("od_year"), "o_orderkey", "o_orderpriority"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"elspark_cdf_{os.getpid()}_{tag}")
+    table = SnapshotTable(root)
+    if table.latest_version() > 0:
+        table.drop()
+        table = SnapshotTable(root)
+    table.append(orders.filter(F.col("od_year") == 1996))
+    table.append(orders.filter(F.col("od_year") == 1997))
+    table.replace(
+        table.read(spark).withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 101 == 0, F.lit("9-UPDATED")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    old, new = table.read(spark, version=2), table.read(spark, version=3)
+    deletes = old.exceptAll(new).withColumn("op", F.lit("D"))
+    inserts = new.exceptAll(old).withColumn("op", F.lit("I"))
+    return (
+        deletes.unionByName(inserts)
+        .groupBy("op", "od_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            digest_sum(row_digest("o_orderkey", "o_orderpriority")).alias("digest"),
+        )
+    )

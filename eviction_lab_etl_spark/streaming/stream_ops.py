@@ -257,3 +257,28 @@ def stream_snapshot_sink(spark, sf_dir):
         .groupBy("od")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+@query("stream_static_enrich")  # rows-only: streaming side, no SQL oracle
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static join — the third join mode Structured Streaming offers
+    (after batch and stream-stream): each micro-batch of the event stream
+    enriches against a STATIC dimension (customer segment keyed by user id)
+    that is re-resolved per batch, the pattern behind every streaming
+    enrichment against a slowly-changing dimension table. No watermark and
+    no join state: the static side is broadcast into each micro-batch, so
+    state size is zero regardless of stream length — the property that
+    distinguishes this mode from stream-stream. Emits per-segment event
+    counts; tests assert exact equality with the batch join."""
+    stream = _events_stream(spark, sf_dir)
+    segments = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    enriched = (
+        stream.join(F.broadcast(segments), "user_id", "left")
+        .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    session, table = _run_to_memory(enriched, "complete")
+    return session.table(table)
