@@ -75,7 +75,9 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     # order; the ~12 that spill to the next round are deliberately the
     # simplest surface ops (bitwise/multiset-setops/sorted-collect/xml-text
     # roundtrips/bool-logic/anomaly/degree-hist/transitions/downweight/corr),
-    # every one locally sf0.01-verified (tests/test_oracle_diff.py).
+    # every one locally sf0.01-verified (tests/test_oracle_diff.py); the
+    # post-prioritization additions (snapshot CDF, stream-static join,
+    # polymorphic UDTF) spill with them by the same reasoning.
     "complex_late_priority_orders",   # TPC-H family completion (Q4)
     "complex_forecast_revenue",       # Q6
     "complex_nation_volume",          # Q7

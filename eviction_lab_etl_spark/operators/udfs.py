@@ -181,3 +181,50 @@ def udf_arrow_map(spark, sf_dir):
     return events.mapInArrow(
         arrow_buckets, schema="event_id long, bucket long, uid2 long"
     )
+
+
+@query(
+    "udtf_dynamic_schema",
+    oracle="""
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS w1,
+           string_split(text, ' ')[2] AS w2,
+           string_split(text, ' ')[3] AS w3
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def udtf_dynamic_schema(spark, sf_dir):
+    """Spark 4 POLYMORPHIC Python UDTF: the output schema is computed at
+    ANALYSIS time by the UDTF's analyze() from its literal argument (here
+    n=3 → columns w1..w3) — the API for table functions whose shape depends
+    on how they're called (dynamic pivots, configurable parsers), which a
+    fixed-returnType UDTF cannot express. The call site is a SQL LATERAL
+    join, the second UDTF surface (udtf_explode_pos covers the static-
+    schema form). Missing tokens yield NULL, matching the oracle's
+    out-of-bounds list indexing. Arrow-batched per-partition like every
+    Python boundary here."""
+    from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
+    from pyspark.sql.types import StringType, StructType
+
+    @udtf
+    class HeadTokens:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"w{i + 1}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            toks = (text or "").split(" ")
+            yield tuple(toks[i] if i < len(toks) else None for i in range(n))
+
+    spark.udtf.register("head_tokens", HeadTokens)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id, t.*
+        FROM documents_udtf, LATERAL head_tokens(text, 3) t
+        WHERE doc_id < 100
+        """
+    )
