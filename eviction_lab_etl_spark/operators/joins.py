@@ -337,3 +337,75 @@ def join_asof_tolerance(spark, sf_dir):
         F.col("signup_event_id").isNotNull()
         & (F.col("ts") - F.col("signup_ts") <= F.expr("INTERVAL 2 HOURS"))
     ).select(F.col("event_id").alias("purchase_event_id"), "signup_event_id")
+
+
+@query(
+    "join_scd2_point_in_time",
+    oracle="""
+    WITH dim AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               DATE '1990-01-01' AS valid_from,
+               DATE '1995-01-01' + INTERVAL (c_custkey % 2000) DAY AS valid_to
+        FROM customer
+        UNION ALL
+        SELECT c_custkey, '9-MOVED' AS segment,
+               DATE '1995-01-01' + INTERVAL (c_custkey % 2000) DAY AS valid_from,
+               DATE '2999-01-01' AS valid_to
+        FROM customer
+    )
+    SELECT segment,
+           count(*) AS n_orders,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS spend_cents
+    FROM orders
+    JOIN dim ON dim.c_custkey = o_custkey
+            AND o_orderdate >= valid_from AND o_orderdate < valid_to
+    GROUP BY segment
+    """,
+)
+def join_scd2_point_in_time(spark, sf_dir):
+    """Point-in-time join against a slowly-changing (SCD type 2) dimension:
+    every fact row is matched to the dimension VERSION that was valid at
+    the fact's own date — the correctness backbone of any warehouse where
+    attributes change over time (the reference's geography vintages, 2000
+    vs 2010, are exactly this problem). The versioned dimension is
+    synthesized deterministically (each customer changes segment once, at a
+    custkey-derived date), so the half-open [valid_from, valid_to)
+    intervals tile time with no gap or overlap and every order matches
+    EXACTLY one version — the invariant that makes the join lossless
+    (n_orders re-totals to |orders|, asserted by the count). At 100 TB:
+    equi-key on custkey carries the join (the interval predicate is a
+    cheap residual filter on the matched pairs, not a range-join blowup);
+    the 2-versions-per-key dimension broadcasts or co-partitions like any
+    other dim; spend is exact cents."""
+    from eviction_lab_etl_spark.functions.determinism import cents
+
+    cust = load(spark, sf_dir, "customer")
+    pivot = F.expr("DATE '1995-01-01' + make_interval(0,0,0, c_custkey % 2000)")
+    dim_v1 = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1990-01-01").cast("date").alias("valid_from"),
+        pivot.cast("date").alias("valid_to"),
+    )
+    dim_v2 = cust.select(
+        "c_custkey",
+        F.lit("9-MOVED").alias("segment"),
+        pivot.cast("date").alias("valid_from"),
+        F.lit("2999-01-01").cast("date").alias("valid_to"),
+    )
+    dim = dim_v1.unionByName(dim_v2)
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(dim),
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("o_orderdate") < F.col("valid_to")),
+        )
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("spend_cents"),
+        )
+    )
