@@ -290,6 +290,44 @@ def incr_ingest_dedup(spark, sf_dir):
     )
 
 
+
+def _replay_snapshot_fixture(spark, sf_dir, prefix: str):
+    """Build (or rebuild) the canonical 3-commit snapshot fixture BOTH
+    snapshot queries replay — append 1996, append 1997, MERGE-replace
+    updating the priority of %101 keys — under a deterministic
+    per-(process, sf_dir) scratch root. ONE definition: the time-travel and
+    CDF oracles both describe exactly this commit sequence, so the replay
+    must never diverge between them (a constant or commit-order change here
+    changes both queries and both oracles together or not at all).
+    Rebuilt from scratch per invocation; sequential callers reuse one
+    directory instead of leaking uuid-named copies."""
+    import hashlib
+    import tempfile
+
+    from eviction_lab_etl_spark.sources.snapshot import SnapshotTable
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("od_year"), "o_orderkey", "o_orderpriority"
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"{prefix}_{os.getpid()}_{tag}")
+    table = SnapshotTable(root)
+    if table.latest_version() > 0:
+        table.drop()
+        table = SnapshotTable(root)
+    table.append(orders.filter(F.col("od_year") == 1996))
+    table.append(orders.filter(F.col("od_year") == 1997))
+    table.replace(
+        table.read(spark).withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 101 == 0, F.lit("9-UPDATED")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+    )
+    return table
+
+
 @query(
     "incr_snapshot_time_travel",
     oracle=f"""
@@ -333,36 +371,7 @@ def incr_snapshot_time_travel(spark, sf_dir):
     immutable and versions are manifest pointers, so the three reads cost
     three manifest resolutions plus distributed parquet scans — no data is
     copied to read the past."""
-    import hashlib
-    import tempfile
-
-    from eviction_lab_etl_spark.sources.snapshot import SnapshotTable
-
-    orders = load(spark, sf_dir, "orders").select(
-        F.year("o_orderdate").alias("od_year"), "o_orderkey", "o_orderpriority"
-    )
-    # Deterministic per-(process, sf_dir) scratch root, rebuilt from scratch on
-    # every invocation: repeated calls (bench warm-up + timed runs, verify
-    # sweeps) reuse ONE directory instead of leaking a fresh uuid-named copy
-    # of three commits per call. Sequential calls are safe — by the time a
-    # caller re-invokes, the previous returned DataFrame has been consumed.
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(
-        tempfile.gettempdir(), f"elspark_snap_{os.getpid()}_{tag}"
-    )
-    table = SnapshotTable(root)
-    if table.latest_version() > 0:
-        table.drop()
-        table = SnapshotTable(root)
-    table.append(orders.filter(F.col("od_year") == 1996))
-    table.append(orders.filter(F.col("od_year") == 1997))
-    merged = table.read(spark).withColumn(
-        "o_orderpriority",
-        F.when(F.col("o_orderkey") % 101 == 0, F.lit("9-UPDATED")).otherwise(
-            F.col("o_orderpriority")
-        ),
-    )
-    table.replace(merged)
+    table = _replay_snapshot_fixture(spark, sf_dir, "elspark_snap")
     assert table.latest_version() == 3
     per_version = [
         table.read(spark, version=v).withColumn("version", F.lit(v).cast("long"))
@@ -409,30 +418,7 @@ def incr_snapshot_cdf(spark, sf_dir):
     versions' files, proportional to the table, with the output
     proportional to the CHANGE. The per-(op, year) manifest digests prove
     every delete carries the old row and every insert the new one."""
-    import hashlib
-    import tempfile
-
-    from eviction_lab_etl_spark.sources.snapshot import SnapshotTable
-
-    orders = load(spark, sf_dir, "orders").select(
-        F.year("o_orderdate").alias("od_year"), "o_orderkey", "o_orderpriority"
-    )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    root = os.path.join(tempfile.gettempdir(), f"elspark_cdf_{os.getpid()}_{tag}")
-    table = SnapshotTable(root)
-    if table.latest_version() > 0:
-        table.drop()
-        table = SnapshotTable(root)
-    table.append(orders.filter(F.col("od_year") == 1996))
-    table.append(orders.filter(F.col("od_year") == 1997))
-    table.replace(
-        table.read(spark).withColumn(
-            "o_orderpriority",
-            F.when(F.col("o_orderkey") % 101 == 0, F.lit("9-UPDATED")).otherwise(
-                F.col("o_orderpriority")
-            ),
-        )
-    )
+    table = _replay_snapshot_fixture(spark, sf_dir, "elspark_cdf")
     old, new = table.read(spark, version=2), table.read(spark, version=3)
     deletes = old.exceptAll(new).withColumn("op", F.lit("D"))
     inserts = new.exceptAll(old).withColumn("op", F.lit("I"))

@@ -201,10 +201,19 @@ def udtf_dynamic_schema(spark, sf_dir):
     fixed-returnType UDTF cannot express. The call site is a SQL LATERAL
     join, the second UDTF surface (udtf_explode_pos covers the static-
     schema form). Missing tokens yield NULL, matching the oracle's
-    out-of-bounds list indexing. Arrow-batched per-partition like every
-    Python boundary here."""
+    out-of-bounds list indexing, and NULL text propagates NULL (never '' —
+    string_split(NULL) in the oracle is NULL, so the guard must not
+    conflate empty and missing). The doc_id filter is applied BELOW the
+    view: Catalyst cannot push a predicate through a UDTF, so filtering
+    after the LATERAL would tokenize the whole corpus and discard 80% —
+    pre-filtering keeps the pushdown at the parquet scan. Arrow transfer
+    for UDTFs has its own flag (pythonUDTF.arrow.enabled — NOT covered by
+    the general pandas-UDF Arrow conf), enabled here so the boundary is
+    Arrow-batched like the rest of the Python surface."""
     from pyspark.sql.functions import AnalyzeArgument, AnalyzeResult, udtf
     from pyspark.sql.types import StringType, StructType
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
 
     @udtf
     class HeadTokens:
@@ -216,15 +225,19 @@ def udtf_dynamic_schema(spark, sf_dir):
             return AnalyzeResult(schema=schema)
 
         def eval(self, text: str, n: int):
-            toks = (text or "").split(" ")
+            if text is None:
+                yield (None,) * n
+                return
+            toks = text.split(" ")
             yield tuple(toks[i] if i < len(toks) else None for i in range(n))
 
     spark.udtf.register("head_tokens", HeadTokens)
-    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_udtf")
+    load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    ).createOrReplaceTempView("documents_udtf")
     return spark.sql(
         """
         SELECT doc_id, t.*
         FROM documents_udtf, LATERAL head_tokens(text, 3) t
-        WHERE doc_id < 100
         """
     )
