@@ -113,3 +113,25 @@ def test_no_unexpected_registrations():
         f"new queries {unexpected} — add them to EXTENSIONS here so the "
         "inventory test keeps guarding them"
     )
+
+
+def test_generated_catalog_is_fresh():
+    """OPERATORS.md bills itself as the always-current inventory — pin its
+    headline counts to the live registry so a query added without re-running
+    tools/gen_reports.py fails CI instead of shipping a stale catalog."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "OPERATORS.md")
+    with open(path) as fh:
+        head = fh.read(500)
+    m = re.search(r"(\d+) registered queries; (\d+) hash-checked", head)
+    assert m, "OPERATORS.md headline count line missing"
+    assert int(m.group(1)) == len(QUERIES), (
+        f"OPERATORS.md says {m.group(1)} queries, registry has {len(QUERIES)} — "
+        "re-run tools/gen_reports.py"
+    )
+    assert int(m.group(2)) == len(ORACLES), (
+        f"OPERATORS.md says {m.group(2)} oracles, registry has {len(ORACLES)} — "
+        "re-run tools/gen_reports.py"
+    )
