@@ -143,3 +143,52 @@ def sketch_hll_partitioned(spark, sf_dir):
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_parts"))
         .select("l_returnflag", "approx_parts")
     )
+
+
+@query(
+    "sample_weighted_priority",
+    oracle="""
+    WITH draws AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS u,
+               CAST(n_chars AS BIGINT) AS w
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, lang, u, w,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY CAST(u AS DOUBLE) / w, doc_id
+               ) AS rk
+        FROM draws
+    )
+    SELECT doc_id, lang, u, w, rk FROM ranked WHERE rk <= 5
+    """,
+)
+def sample_weighted_priority(spark, sf_dir):
+    """Deterministic WEIGHTED sampling without replacement (priority
+    sampling, Duffield et al.): each document draws a pseudo-uniform u from
+    its content digest and is ranked by u/w — higher weight (n_chars here:
+    prefer longer documents) means stochastically smaller key, so the
+    per-language top-5 is a weighted sample that is REPRODUCIBLE (content-
+    hash draws, no RNG state) and exactly equal across engines: u and w
+    are exact integers, u/w is one correctly-rounded double both engines
+    compute identically, and doc_id breaks exact ties. The same
+    construction at 100 TB is a per-stratum TopK (window-group-limit
+    partial below the exchange) — no global sort, no sampling state."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    draws = docs.select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long").alias("u"),
+        F.col("n_chars").cast("long").alias("w"),
+    )
+    w_rank = Window.partitionBy("lang").orderBy(
+        F.col("u").cast("double") / F.col("w"), "doc_id"
+    )
+    return (
+        draws.withColumn("rk", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
