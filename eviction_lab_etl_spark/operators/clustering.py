@@ -386,3 +386,63 @@ def graph_degree_hist(spark, sf_dir):
     )
     deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+@query(
+    "sim_cross_lang_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents WHERE doc_id < 200
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pr AS (
+        SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS inter
+        FROM tok t1 JOIN tok t2 ON t1.w = t2.w AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT a, b FROM pr
+        JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        WHERE 10 * inter >= 9 * (sa.n + sb.n - inter)
+    )
+    SELECT least(da.lang, db.lang) AS lang_lo,
+           greatest(da.lang, db.lang) AS lang_hi,
+           count(*) AS n_pairs
+    FROM edges
+    JOIN documents da ON da.doc_id = a
+    JOIN documents db ON db.doc_id = b
+    WHERE da.lang <> db.lang
+    GROUP BY lang_lo, lang_hi
+    """,
+)
+def sim_cross_lang_pairs(spark, sf_dir):
+    """Cross-language near-duplicate detection: the >=0.9 near-dup edges
+    whose endpoints carry DIFFERENT language labels, counted per unordered
+    language pair. In a real corpus these are mislabeled documents or
+    machine-translated copies — both of which corrupt per-language mixture
+    weights if deduped only within language (the standard per-lang dedup
+    silently keeps every cross-lingual twin). The language-pair key is
+    canonicalized with least/greatest so (en, es) and (es, en) are one
+    row. Reuses the persisted shared edge list; the two label lookups are
+    broadcast joins against the doc_id→lang projection."""
+    from eviction_lab_etl_spark.sources.loader import load
+
+    edges = neardup_edges(spark, sf_dir)
+    langs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "lang")
+    )
+    la = langs.select(F.col("doc_id").alias("a"), F.col("lang").alias("lang_a"))
+    lb = langs.select(F.col("doc_id").alias("b"), F.col("lang").alias("lang_b"))
+    return (
+        edges.join(F.broadcast(la), "a")
+        .join(F.broadcast(lb), "b")
+        .filter(F.col("lang_a") != F.col("lang_b"))
+        .groupBy(
+            F.least("lang_a", "lang_b").alias("lang_lo"),
+            F.greatest("lang_a", "lang_b").alias("lang_hi"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -238,3 +238,51 @@ def events_rfm_segments(spark, sf_dir):
         "freq",
         "monetary_cents",
     )
+
+
+@query(
+    "events_pareto_concentration",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+    ),
+    deciled AS (
+        SELECT user_id, n_events,
+               ntile(10) OVER (ORDER BY n_events DESC, user_id) AS decile
+        FROM per_user
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           count(*) AS n_users,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(sum(n_events)) OVER (
+               ORDER BY decile ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_events
+    FROM deciled
+    GROUP BY decile
+    """,
+)
+def events_pareto_concentration(spark, sf_dir):
+    """Activity-concentration (Pareto) report: users ranked into deciles by
+    event volume, with per-decile and cumulative event counts — reading off
+    'the top 10% of users generate X% of traffic' is the first skew
+    diagnostic run on any event corpus, and its cum_events column is
+    precisely the evidence that motivates salting/two-phase sessionization
+    when the head decile dominates. All integers; the decile boundary
+    assignment carries the user_id tiebreak (rule 3). Two cheap windows
+    over the |users| aggregate — the fact table is touched once."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    deciled = per_user.withColumn(
+        "decile",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("n_events").desc(), "user_id"))
+        .cast("long"),
+    )
+    per_decile = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("n_events").alias("n_events"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per_decile.withColumn("cum_events", F.sum("n_events").over(w_cum))

@@ -84,7 +84,8 @@ EXTENSIONS = {
     "text_boilerplate_grams", "events_rfm_segments", "pipeline_clean_funnel",
     "agg_corr_components", "sql_top_nations_report", "incr_snapshot_cdf",
     "stream_static_enrich", "udtf_dynamic_schema", "join_scd2_point_in_time",
-    "sample_weighted_priority",
+    "sample_weighted_priority", "sim_cross_lang_pairs",
+    "events_pareto_concentration",
 }
 
 
