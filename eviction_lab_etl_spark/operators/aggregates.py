@@ -397,3 +397,37 @@ def agg_corr_components(spark, sf_dir):
         F.sum(x * k).alias("sum_xy_cents"),
         F.sum(k * k).alias("sum_yy"),
     )
+
+
+@query(
+    "agg_percentiles_by_lang",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(floor(quantile_cont(CAST(n_chars AS BIGINT), 0.25)) AS BIGINT)
+               AS p25,
+           CAST(floor(median(CAST(n_chars AS BIGINT))) AS BIGINT) AS p50,
+           CAST(floor(quantile_cont(CAST(n_chars AS BIGINT), 0.75)) AS BIGINT)
+               AS p75
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def agg_percentiles_by_lang(spark, sf_dir):
+    """Exact per-stratum percentiles (p25/p50/p75 of document length per
+    language) — the distribution summary a corpus report tables next to the
+    mean. Both engines interpolate continuous quantiles over INTEGER inputs,
+    so every interpolated value is an exact k/4 rational the two engines
+    compute identically; the floor-before-cast guard then avoids DuckDB's
+    round-half-up bigint cast (the dataset-card median landmine, applied to
+    all three quantiles). Spark's percentile() is an exact aggregate —
+    sorted per group, fine for per-stratum stats; corpus-wide quantiles at
+    100 TB use the approx_percentile sketch (agg_approx_quantile)."""
+    docs = load(spark, sf_dir, "documents")
+    n = F.col("n_chars").cast("long")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.floor(F.percentile(n, F.lit(0.25))).cast("long").alias("p25"),
+        F.floor(F.percentile(n, F.lit(0.5))).cast("long").alias("p50"),
+        F.floor(F.percentile(n, F.lit(0.75))).cast("long").alias("p75"),
+    )

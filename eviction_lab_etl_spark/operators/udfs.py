@@ -241,3 +241,51 @@ def udtf_dynamic_schema(spark, sf_dir):
         FROM documents_udtf, LATERAL head_tokens(text, 3) t
         """
     )
+
+
+@query(
+    "udf_cogrouped_map",
+    oracle="""
+    WITH e AS (
+        SELECT user_id AS k, count(*) AS n_events
+        FROM events WHERE user_id <= 1500 GROUP BY user_id
+    ),
+    o AS (
+        SELECT o_custkey AS k, count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT coalesce(e.k, o.k) AS k,
+           coalesce(n_events, 0) AS n_events,
+           coalesce(n_orders, 0) AS n_orders
+    FROM e FULL OUTER JOIN o ON e.k = o.k
+    """,
+)
+def udf_cogrouped_map(spark, sf_dir):
+    """The COGROUPED pandas boundary (cogroup().applyInPandas — the
+    FlatMapCoGroupsInPandas node): two datasets partitioned on a shared key
+    arrive as one pandas frame PAIR per key, the API for per-key
+    reconciliation logic too imperative for a join (sequence alignment,
+    custom merge policies). Here each (events-by-user, orders-by-customer)
+    pair reduces to exact counts, so the result equals a FULL OUTER JOIN of
+    the two aggregates — which is exactly what the oracle computes,
+    hash-proving that every key lands in exactly one cogroup with both
+    sides complete (keys present on only one side get the other side
+    EMPTY, not dropped). At 100 TB both inputs shuffle once on the key —
+    the same exchange a join would make; only the per-key logic differs."""
+    events = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 1500)
+        .select(F.col("user_id").alias("k"))
+    )
+    orders = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+
+    def reconcile(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"k": [key[0]], "n_events": [len(ev)], "n_orders": [len(od)]}
+        )
+
+    return (
+        events.groupBy("k")
+        .cogroup(orders.groupBy("k"))
+        .applyInPandas(reconcile, schema="k long, n_events long, n_orders long")
+    )

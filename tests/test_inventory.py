@@ -85,7 +85,7 @@ EXTENSIONS = {
     "agg_corr_components", "sql_top_nations_report", "incr_snapshot_cdf",
     "stream_static_enrich", "udtf_dynamic_schema", "join_scd2_point_in_time",
     "sample_weighted_priority", "sim_cross_lang_pairs",
-    "events_pareto_concentration",
+    "events_pareto_concentration", "udf_cogrouped_map", "agg_percentiles_by_lang",
 }
 
 
