@@ -150,8 +150,8 @@ def sketch_hll_partitioned(spark, sf_dir):
     oracle="""
     WITH draws AS (
         SELECT doc_id, lang,
-               CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS u,
-               CAST(n_chars AS BIGINT) AS w
+               CAST(('0x' || substr(md5(coalesce(text, '')), 1, 8)) AS BIGINT) AS u,
+               greatest(CAST(coalesce(n_chars, 0) AS BIGINT), 1) AS w
         FROM documents
     ),
     ranked AS (
@@ -175,15 +175,24 @@ def sample_weighted_priority(spark, sf_dir):
     are exact integers, u/w is one correctly-rounded double both engines
     compute identically, and doc_id breaks exact ties. The same
     construction at 100 TB is a per-stratum TopK (window-group-limit
-    partial below the exchange) — no global sort, no sampling state."""
+    partial below the exchange) — no global sort, no sampling state.
+
+    Degenerate-document contract (made explicit in BOTH engines so a future
+    fixture with empty/NULL docs cannot flip the top-5): the draw hashes
+    ``coalesce(text, '')`` (a NULL text would make u NULL, and Spark windows
+    order NULLS FIRST where DuckDB orders NULLS LAST) and the weight is
+    ``greatest(coalesce(n_chars, 0), 1)`` (w=0 would divide by zero, with
+    engine-divergent double semantics)."""
     docs = load(spark, sf_dir, "documents")
     from pyspark.sql import Window
 
     draws = docs.select(
         "doc_id",
         "lang",
-        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long").alias("u"),
-        F.col("n_chars").cast("long").alias("w"),
+        F.conv(F.substring(F.md5(F.coalesce(F.col("text"), F.lit(""))), 1, 8), 16, 10)
+        .cast("long")
+        .alias("u"),
+        F.greatest(F.coalesce(F.col("n_chars"), F.lit(0)).cast("long"), F.lit(1).cast("long")).alias("w"),
     )
     w_rank = Window.partitionBy("lang").orderBy(
         F.col("u").cast("double") / F.col("w"), "doc_id"

@@ -76,30 +76,11 @@ def write_range_partitioned(
     ).write.mode("overwrite").parquet(path)
 
 
-def zorder_key(cols: list[str], bits: int = 16) -> F.Column:
-    """Interleaved-bit (Morton / Z-order) clustering key over N numeric
-    columns, computed in pure JVM expressions.
-
-    Each column is first normalized to a ``bits``-wide integer rank via its
-    percent_rank over the frame (rank-based, so skewed value distributions
-    still spread evenly across the curve), then the bit-planes are
-    interleaved: bit i of column j lands at position ``i*N + j``. Rows close
-    on EVERY dimension land close on the 1-D curve, so range-partitioning by
-    this key clusters multi-dimensional locality into files — the layout
-    behind Delta's OPTIMIZE ZORDER BY, built from public bit arithmetic.
-
-    Cost model at 100 TB: the percent_rank needs a global sort per column —
-    production replaces it with approx-quantile bucket boundaries computed on
-    a sample (one pass, broadcastable), keeping the key computation map-only.
-    The interleave itself is ~bits×N shift-or expressions inside codegen.
-    """
-    n = len(cols)
-    from pyspark.sql import Window
-
-    ranked = [
-        (F.percent_rank().over(Window.orderBy(F.col(c))) * ((1 << bits) - 1)).cast("long")
-        for c in cols
-    ]
+def _interleave(ranked: list[F.Column], bits: int) -> F.Column:
+    """Morton interleave of N ``bits``-wide integer rank columns: bit i of
+    column j lands at position ``i*N + j`` — ~bits×N shift-or expressions,
+    all inside whole-stage codegen."""
+    n = len(ranked)
     key = F.lit(0).cast("long")
     for i in range(bits):
         for j, r in enumerate(ranked):
@@ -108,15 +89,79 @@ def zorder_key(cols: list[str], bits: int = 16) -> F.Column:
     return key
 
 
-def zorder_write(df: DataFrame, cols: list[str], path: str, n_files: int = 8) -> None:
+def zorder_key(cols: list[str], bits: int = 16) -> F.Column:
+    """EXACT interleaved-bit (Morton / Z-order) clustering key over N numeric
+    columns, computed in pure JVM expressions.
+
+    Each column is first normalized to a ``bits``-wide integer rank via its
+    percent_rank over the frame (rank-based, so skewed value distributions
+    still spread evenly across the curve), then the bit-planes are
+    interleaved. Rows close on EVERY dimension land close on the 1-D curve,
+    so range-partitioning by this key clusters multi-dimensional locality
+    into files — the layout behind Delta's OPTIMIZE ZORDER BY, built from
+    public bit arithmetic.
+
+    SCALE WARNING: percent_rank here runs over an UN-partitioned window — a
+    global single-task sort per column. That is acceptable only on frames
+    that fit one task (tests, samples). The production path is
+    ``zorder_key_sampled`` (approx-quantile boundaries broadcast as
+    literals, map-only rank — what ``zorder_write`` uses); this exact form
+    exists as its correctness reference.
+    """
+    from pyspark.sql import Window
+
+    ranked = [
+        (F.percent_rank().over(Window.orderBy(F.col(c))) * ((1 << bits) - 1)).cast("long")
+        for c in cols
+    ]
+    return _interleave(ranked, bits)
+
+
+def zorder_key_sampled(
+    df: DataFrame, cols: list[str], bits: int = 8, relative_error: float = 0.001
+) -> F.Column:
+    """MAP-ONLY Z-order key: per-column ranks come from ``2^bits - 1``
+    approx-quantile cut points (Greenwald-Khanna sketch: one distributed
+    pass over ``df``, driver gets only the boundaries) inlined as literal
+    arrays — so computing the key adds NO shuffle and NO global sort to the
+    write plan, at any scale. Rank = count of boundaries ≤ value, evaluated
+    as an ``F.aggregate`` fold over the literal array inside codegen (O(2^b)
+    comparisons per row; bits=8 → 255, trivial JVM-side).
+
+    This is the production form of ``zorder_key`` (quantile ranks keep
+    skewed distributions spread across the curve exactly like percent_rank,
+    up to sketch error); 8 bits/dim = 256 buckets/dim bounds the rank
+    resolution, which only needs to exceed the output file count.
+    """
+    cuts = [i / (1 << bits) for i in range(1, 1 << bits)]
+    bounds = df.select([F.col(c).cast("double").alias(c) for c in cols]).approxQuantile(
+        cols, cuts, relative_error
+    )
+    ranked = []
+    for c, bs in zip(cols, bounds):
+        arr = F.array(*[F.lit(float(b)) for b in bs])
+        ranked.append(
+            F.aggregate(
+                arr,
+                F.lit(0).cast("long"),
+                lambda acc, b: acc
+                + F.when(F.col(c).cast("double") >= b, 1).otherwise(0).cast("long"),
+            )
+        )
+    return _interleave(ranked, bits)
+
+
+def zorder_write(
+    df: DataFrame, cols: list[str], path: str, n_files: int = 8, bits: int = 8
+) -> None:
     """Write ``df`` clustered along the Z-order curve of ``cols``: compute
-    the interleaved key, range-partition into ``n_files`` curve segments,
-    and drop the key before writing. Each output file then covers a NARROW
-    range of every clustered column simultaneously, so parquet footer
-    min/max stats let a filter on ANY of the columns skip most files — the
-    multi-dimensional generalization of `write_range_partitioned`'s
-    single-column clustering."""
-    keyed = df.withColumn("__z", zorder_key(cols))
+    the interleaved key (sampled/map-only form — the one that scales),
+    range-partition into ``n_files`` curve segments, and drop the key before
+    writing. Each output file then covers a NARROW range of every clustered
+    column simultaneously, so parquet footer min/max stats let a filter on
+    ANY of the columns skip most files — the multi-dimensional
+    generalization of `write_range_partitioned`'s single-column clustering."""
+    keyed = df.withColumn("__z", zorder_key_sampled(df, cols, bits=bits))
     (
         keyed.repartitionByRange(n_files, "__z")
         .sortWithinPartitions("__z")

@@ -52,6 +52,12 @@ class SnapshotTable:
         self.root = root
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         os.makedirs(os.path.join(root, "manifests"), exist_ok=True)
+        # Incremental meta-ledger cache: key -> (highest version scanned,
+        # {value: earliest committing version}). Manifests are immutable once
+        # claimed and versions only grow, so scanning just the tail is sound —
+        # committed_meta() goes from O(versions) manifest reads per call
+        # (O(versions²) over a streaming run) to O(new versions).
+        self._meta_cache: dict[str, tuple[int, dict]] = {}
 
     # ---- version / manifest bookkeeping -------------------------------
     def _manifest_path(self, version: int) -> str:
@@ -112,6 +118,7 @@ class SnapshotTable:
         max_retries: int = 20,
         meta: dict | None = None,
         expected_parent: int | None = None,
+        txn: tuple[str, object] | None = None,
     ) -> int:
         """Publish ``files`` (append: alongside the parent's; replace: as the
         whole table) — retrying the version claim on conflict. Append
@@ -123,9 +130,24 @@ class SnapshotTable:
         ``expected_parent`` to get compare-and-swap semantics instead: the
         commit then refuses (CommitConflict) when the head moved, so the
         caller re-derives from the new head rather than silently dropping
-        the concurrent commit's rows."""
+        the concurrent commit's rows.
+
+        ``txn=(key, value)`` makes the commit IDEMPOTENT at protocol level
+        (Delta's ``txnAppId``/``txnVersion``): the (key, value) pair is
+        recorded in the manifest meta, and the ledger is re-checked INSIDE
+        the retry loop each time the head is re-read — so two writers racing
+        to replay the same batch cannot both commit: the claim loser re-reads
+        the head, finds the winner's txn in the ledger, and returns that
+        version without claiming. A check only *before* _commit (check-then-
+        act) would leave that window open."""
+        if txn is not None:
+            meta = {**(meta or {}), txn[0]: txn[1]}
         for _ in range(max_retries):
             parent = self.latest_version()
+            if txn is not None:
+                done = self._meta_versions(txn[0]).get(txn[1])
+                if done is not None:
+                    return done  # already durable (possibly by a rival writer)
             if expected_parent is not None and parent != expected_parent:
                 raise CommitConflict(
                     f"head moved: expected v{expected_parent}, found v{parent}"
@@ -144,17 +166,41 @@ class SnapshotTable:
                 continue
         raise CommitConflict(f"gave up after {max_retries} retries")
 
-    def append(self, df: DataFrame, meta: dict | None = None) -> int:
-        return self._commit(self._write_data(df), "append", meta=meta)
+    def append(
+        self,
+        df: DataFrame,
+        meta: dict | None = None,
+        txn: tuple[str, object] | None = None,
+    ) -> int:
+        """Append ``df`` as a new version. With ``txn=(key, value)`` the
+        append is exactly-once per (key, value): a replay returns the
+        already-committed version. The pre-write ledger check is a fast path
+        that skips materializing data files for a known-durable batch; the
+        authoritative check is _commit's in-loop re-validation."""
+        if txn is not None:
+            done = self._meta_versions(txn[0]).get(txn[1])
+            if done is not None:
+                return done
+        return self._commit(self._write_data(df), "append", meta=meta, txn=txn)
+
+    def _meta_versions(self, key: str) -> dict:
+        """``meta[key]`` value -> earliest committing version, incrementally
+        cached (immutable manifests: only the tail beyond the cache's high-
+        water mark is ever read)."""
+        hi, vals = self._meta_cache.get(key, (0, {}))
+        latest = self.latest_version()
+        for v in range(hi + 1, latest + 1):
+            val = self.manifest(v).get("meta", {}).get(key)
+            if val is not None and val not in vals:
+                vals[val] = v
+        self._meta_cache[key] = (latest, vals)
+        return vals
 
     def committed_meta(self, key: str) -> set:
         """All values of ``meta[key]`` across committed versions — the
         idempotence ledger an exactly-once sink consults (e.g. streaming
         batch ids already durably committed)."""
-        return {
-            self.manifest(v).get("meta", {}).get(key)
-            for v in range(1, self.latest_version() + 1)
-        } - {None}
+        return set(self._meta_versions(key))
 
     def replace(self, df: DataFrame) -> int:
         """Full-content replacement (the commit a MERGE/compaction publishes
@@ -198,24 +244,48 @@ class SnapshotTable:
         alone, so only unreferenced files older than the retention window
         are deleted (same reasoning as Delta's VACUUM retention period; an
         in-flight commit is expected to claim within the window). Returns
-        the deleted paths."""
+        the deleted data-file paths.
+
+        Orphan COMMIT DIRECTORIES are reclaimed too: a crashed writer leaves
+        ``_SUCCESS``/``.crc`` sidecars (which are not ``*.parquet``) and the
+        uuid directory itself behind — without this, repeated failed
+        compactions accumulate unbounded empty dirs under ``data/``. A
+        directory is removed only when NO manifest references anything in it
+        and every remaining entry is past the retention window (the same
+        in-flight-writer guard as for the data files)."""
         referenced: set[str] = set()
         for v in range(1, self.latest_version() + 1):
             referenced.update(self.manifest(v)["files"])
         deleted = []
         now = time.time()
+
+        def _aged(path: str) -> bool:
+            return now - os.path.getmtime(path) >= min_age_s
+
         data_root = os.path.join(self.root, "data")
         for sub in os.listdir(data_root):
-            for f in os.listdir(os.path.join(data_root, sub)):
+            subdir = os.path.join(data_root, sub)
+            sub_prefix = os.path.join("data", sub) + os.sep
+            sub_referenced = any(r.startswith(sub_prefix) for r in referenced)
+            # age the dir BEFORE any unlink below bumps its mtime past `now`
+            dir_aged = _aged(subdir)
+            for f in os.listdir(subdir):
                 rel = os.path.join("data", sub, f)
-                full = os.path.join(self.root, rel)
-                if (
-                    f.endswith(".parquet")
-                    and rel not in referenced
-                    and now - os.path.getmtime(full) >= min_age_s
-                ):
+                full = os.path.join(subdir, f)
+                if f.endswith(".parquet") and rel not in referenced and _aged(full):
                     os.unlink(full)
                     deleted.append(rel)
+            if sub_referenced:
+                continue
+            # Fully-unreferenced dir: clear aged non-data sidecars, then rmdir
+            # once empty (dir mtime guards the just-created-empty-dir case).
+            leftovers = [os.path.join(subdir, f) for f in os.listdir(subdir)]
+            if dir_aged and all(
+                not f.endswith(".parquet") and _aged(f) for f in leftovers
+            ):
+                for f in leftovers:
+                    os.unlink(f)
+                os.rmdir(subdir)
         return deleted
 
     # ---- read path ----------------------------------------------------

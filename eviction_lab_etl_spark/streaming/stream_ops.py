@@ -220,24 +220,28 @@ def stream_snapshot_sink(spark, sf_dir):
     atomic snapshot version carrying the batch id in the manifest metadata.
     Effectively-once delivery is the composition of (a) Structured
     Streaming's checkpoint replaying a failed batch with the SAME batch id
-    and (b) the sink consulting the committed-batch ledger and skipping ids
-    it already holds — the transactional-sink pattern Delta's
-    ``txnAppId``/``txnVersion`` implements, built here on the manifest
-    protocol alone. A reader never sees a torn batch: the data files land
-    invisibly first and become visible only with the atomic manifest claim.
-    At 100 TB each commit touches only its own batch's files; the ledger
-    scan is O(versions) manifest reads, driver-side, data-free."""
+    and (b) the sink committing with ``txn=("batch_id", id)`` — the
+    transactional-sink pattern Delta's ``txnAppId``/``txnVersion``
+    implements, built here on the manifest protocol alone. The ledger check
+    is PROTOCOL-level: it re-runs inside the commit's claim-retry loop each
+    time the head is re-read, so even two concurrent writers replaying the
+    same batch cannot both commit (tests/test_snapshot.py pins both the
+    replay-recovery and the racing-writer case). A reader never sees a torn
+    batch: the data files land invisibly first and become visible only with
+    the atomic manifest claim. At 100 TB each commit touches only its own
+    batch's files; the ledger is incrementally cached, so a micro-batch
+    reads O(new versions) manifests, driver-side, data-free."""
     from eviction_lab_etl_spark.sources.snapshot import SnapshotTable
 
     table = SnapshotTable(_scratch("snap_sink"))
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id in table.committed_meta("batch_id"):
-            return  # checkpoint replay of an already-durable batch: no-op
         daily = batch_df.groupBy(F.to_date("ts").alias("od")).agg(
             F.count(F.lit(1)).alias("cnt")
         )
-        table.append(daily, meta={"batch_id": batch_id})
+        # Exactly-once per batch id: a checkpoint replay of an already-
+        # durable batch returns the existing version without committing.
+        table.append(daily, txn=("batch_id", batch_id))
 
     stream = _events_stream(spark, sf_dir)
     q = (

@@ -95,6 +95,38 @@ def test_range_partitioned_write_prunes_files(spark, sf_dir):
         assert touched_files <= 2
 
 
+def test_zorder_sampled_key_is_map_only(spark, sf_dir):
+    """The production Z-order key (approx-quantile boundaries inlined as
+    literals) must add NO exchange and NO window to the plan — the advertised
+    property that makes it safe on frames of any size, where the exact
+    percent_rank form degrades to a single-task global sort per column."""
+    from eviction_lab_etl_spark.plans.layout import zorder_key_sampled
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    keyed = li.withColumn("z", zorder_key_sampled(li, ["l_orderkey", "l_partkey"]))
+    info = audit_plan(keyed)
+    assert info["shuffles"] == 0, info["plan"]
+    assert "Window" not in info["plan"]
+
+
+def test_zorder_sampled_rank_is_monotone(spark):
+    """Per-dimension sanity for the sampled key: on a single column the key
+    must be a monotone step function of the value with ~2^bits levels —
+    i.e. the quantile-boundary rank really reproduces percent_rank's
+    bucketing up to sketch granularity."""
+    from eviction_lab_etl_spark.plans.layout import zorder_key_sampled
+
+    df = spark.range(0, 1000).select(F.col("id").cast("double").alias("v"))
+    rows = (
+        df.withColumn("z", zorder_key_sampled(df, ["v"], bits=4))
+        .orderBy("v")
+        .collect()
+    )
+    zs = [r.z for r in rows]
+    assert zs == sorted(zs)
+    assert len(set(zs)) >= 12  # ~16 levels at bits=4 on a uniform column
+
+
 def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
     """Z-order layout evidence: after clustering lineitem by (l_orderkey,
     l_partkey), each output file covers a narrow slice of BOTH key ranges —

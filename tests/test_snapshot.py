@@ -124,15 +124,83 @@ def test_vacuum_removes_only_unclaimed_orphans(spark, table):
     table.compact(spark)
     # a crashed writer's data files, never claimed by any manifest
     orphans = table._write_data(_frame(spark, 100, 105))
+    orphan_dir = os.path.join(table.root, os.path.dirname(orphans[0]))
+    assert os.path.isdir(orphan_dir)
     # default retention window protects files this young (they could be an
     # in-flight writer about to claim) ...
     assert table.vacuum() == []
-    # ... an expired window reaps them
+    assert os.path.isdir(orphan_dir)
+    # ... an expired window reaps them — data files, _SUCCESS/.crc sidecars,
+    # and the now-empty uuid directory itself (no unbounded dir accumulation)
     deleted = table.vacuum(min_age_s=0)
     assert sorted(deleted) == sorted(orphans)
-    # every retained version still reads (no referenced file was touched)
+    assert not os.path.exists(orphan_dir)
+    # every retained version still reads (no referenced file was touched,
+    # and referenced dirs keep their sidecars)
     assert table.read(spark, version=1).count() == 4
     assert table.read(spark, version=2).count() == 4
+
+
+def test_txn_append_is_exactly_once_across_restart(spark, table):
+    """Simulated streaming failure/restart: every micro-batch replays with
+    its original batch id; the replay must add no versions and the table
+    content must be the single-delivery result."""
+    batches = [(0, 0, 10), (1, 10, 25), (2, 25, 30)]
+    for bid, lo, hi in batches:
+        table.append(_frame(spark, lo, hi), txn=("batch_id", bid))
+    head = table.latest_version()
+    for bid, lo, hi in batches:  # checkpoint replay after a crash
+        v = table.append(_frame(spark, lo, hi), txn=("batch_id", bid))
+        assert v == bid + 1  # returns the original committing version
+    assert table.latest_version() == head
+    assert sorted(r.k for r in table.read(spark).collect()) == list(range(30))
+
+
+def test_txn_ledger_rechecked_inside_claim_retry(spark, table):
+    """Two writers replaying the SAME batch race the commit. Writer B's data
+    files are already staged — i.e. it is past any check-then-act pre-check —
+    yet its _commit must find writer A's txn when it (re-)reads the head
+    inside the claim loop and return A's version without claiming a new one.
+    This is the protocol-level idempotence guarantee (Delta validates
+    txnAppId/txnVersion at commit time, not before it)."""
+    table.append(_frame(spark, 0, 5))
+    files_b = table._write_data(_frame(spark, 10, 15))  # B stages first
+    va = table.append(_frame(spark, 10, 15), txn=("batch_id", 7))  # A wins
+    vb = table._commit(files_b, "append", txn=("batch_id", 7))
+    assert vb == va
+    assert table.latest_version() == va
+    assert sorted(r.k for r in table.read(spark).collect()) == (
+        list(range(5)) + list(range(10, 15))
+    )
+
+
+def test_snapshot_sink_recovery_equals_one_shot_batch(spark, sf_dir, table):
+    """stream_snapshot_sink's exactly-once claim end to end: commit per-batch
+    daily counts, crash-replay EVERY batch, and the committed table must
+    aggregate to exactly the one-shot batch result over the same events."""
+    from eviction_lab_etl_spark.sources.loader import load
+
+    events = load(spark, sf_dir, "events")
+
+    def commit_batch(bid: int) -> None:
+        chunk = events.filter(F.col("event_id") % 3 == bid)
+        daily = chunk.groupBy(F.to_date("ts").alias("od")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        table.append(daily, txn=("batch_id", bid))
+
+    for bid in range(3):
+        commit_batch(bid)
+    head = table.latest_version()
+    for bid in range(3):  # restart: the checkpoint replays all three
+        commit_batch(bid)
+    assert table.latest_version() == head
+    got = table.read(spark).groupBy("od").agg(F.sum("cnt").cast("long").alias("cnt"))
+    want = events.groupBy(F.to_date("ts").alias("od")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
 
 
 def test_compact_cas_refuses_when_head_moves(spark, table):
