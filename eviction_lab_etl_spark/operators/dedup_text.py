@@ -126,6 +126,46 @@ def sim_jaccard_pairs(spark, sf_dir):
     return out.select("a", "b", "inter", "uni")
 
 
+@query(
+    "sim_jaccard_prefix",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pr AS (
+        SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS inter
+        FROM tok t1 JOIN tok t2 ON t1.w = t2.w AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a, b, inter, (sa.n + sb.n - inter) AS uni
+    FROM pr
+    JOIN sz sa ON sa.doc_id = a
+    JOIN sz sb ON sb.doc_id = b
+    WHERE 10 * inter >= 6 * (sa.n + sb.n - inter)
+    """,
+)
+def sim_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered set-similarity join (PPJoin family) over the FULL
+    documents table — the scale-safe replacement for ``sim_jaccard_pairs``'s
+    naive all-token index, with NO doc_id bound: only each document's short
+    rarity-prefix is indexed, so a token shared by f documents no longer
+    contributes f² candidates (functions/similarity.py has the algorithm and
+    the 100 TB rationale; tools/scale_stress.py the measured pruning). The
+    oracle is the naive quadratic construction — identical result set by the
+    prefix-filter completeness guarantee, so the driver's hash pins that
+    equivalence on real data. Same integer cross-multiplied ≥0.6 threshold
+    (§2.0 rule 1: no floats)."""
+    from eviction_lab_etl_spark.functions.similarity import jaccard_pairs_prefix
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    return jaccard_pairs_prefix(tok).select("a", "b", "inter", "uni")
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right double fold of a·b (§2.0 rule 6): both engines
     reduce arrays in array order, giving bit-identical IEEE results."""

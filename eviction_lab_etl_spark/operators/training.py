@@ -116,6 +116,49 @@ def contam_ngram_overlap(spark, sf_dir):
     )
 
 
+@query("contam_ngram_hashed")  # rows-only: 64-bit gram hashing is engine-specific
+def contam_ngram_hashed(spark, sf_dir):
+    """Production knob for ``contam_ngram_overlap``: identical query shape,
+    but each 5-gram is represented by ``xxhash64`` of its token slice (one
+    64-bit long) instead of the joined gram STRING — r4/r5 profiling put 91%
+    of the exact query's cost in map-side gram-string materialization, and
+    this removes it (the slice hashes directly; no concatenation, no string
+    shuffle — the broadcast eval set is longs, the probe compares longs).
+    Approximate only through 64-bit collisions (~n²/2⁶⁵ expected —
+    negligible at any corpus size that fits a cluster);
+    tests/test_library.py asserts exact output equality with the string
+    form on the fixtures, and SCALE.md records the measured speed delta.
+    Rows-only by design: no SQL engine reproduces Spark's xxhash64."""
+    docs = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(w) >= _N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - (_N - 1)),
+                        lambda i: F.xxhash64(F.slice(w, i, _N)),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            )
+        ).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    return (
+        train.join(
+            F.broadcast(bench.withColumn("hit", F.lit(1))), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            big(F.sum(F.coalesce(F.col("hit"), F.lit(0)))).alias("n_hit"),
+        )
+    )
+
+
 @query(
     "pack_concat_chunks",
     oracle=f"""

@@ -109,7 +109,17 @@ def stream_session(spark, sf_dir):
     is closed at its end, [ts, last_ts+gap] — so `>=` would split a
     session Spark keeps whole on exact-gap ties (latent on organic
     microsecond data, decided by tests/test_library.py's boundary cases).
-    Output session_start as epoch microseconds (bigint) for hash stability."""
+    Output session_start as epoch microseconds (bigint) for hash stability.
+
+    DISPATCH RULE (which form to run): this native form is correct and
+    cheapest when no single user's event count dwarfs a task — streaming
+    state-store execution is per-key incremental anyway, and in batch the
+    per-key cost is one in-memory sort. For BATCH backfills where any key
+    may hold ≳ a few million events (a bot, a viral doc — anything past
+    ~one task's comfortable sort), call ``sessionize`` (the default,
+    skew-safe entry point below): same result by shared oracle, per-key
+    serial work proportional to sessions, not events (45 s → 12 s at 6 M
+    events on one hot key — tools/skew_stress.py)."""
     events = load(spark, sf_dir, "events")
     return (
         events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -182,15 +192,31 @@ def sessionize_two_phase(events, gap: str = "30 minutes", bucket_minutes: int = 
     )
 
 
+def sessionize(events, gap: str = "30 minutes"):
+    """THE batch sessionization entry point — skew-safe by default.
+
+    Always runs the two-phase bucketed form (``sessionize_two_phase``): on
+    un-skewed data it costs one extra window over the tiny per-local-session
+    frame (noise), and on skewed data it is the only form that survives —
+    so defaulting to it needs no cardinality estimate, no sampling pass, and
+    no tuning knob that can be wrong. Use native ``session_window`` directly
+    only in STREAMING (state-store execution is per-key incremental, no
+    monolithic per-key sort exists there). Returns
+    (user_id, start_ts, n_events); exact equality with the native operator
+    is driver-hash-checked via ``stream_session_skewsafe`` and plan-pinned
+    by tests/test_plans.py."""
+    return sessionize_two_phase(events, gap=gap)
+
+
 @query("stream_session_skewsafe", oracle=_SESSION_30M_ORACLE)
 def stream_session_skewsafe(spark, sf_dir):
-    """``sessionize_two_phase`` over the events table — hash-checked against
-    the SAME oracle as ``stream_session``, so the driver verifies the
-    skew-safe rewrite produces bit-identical sessions. See
-    sessionize_two_phase for the 100 TB rationale and tools/skew_stress.py
-    for the measured hot-user numbers."""
+    """``sessionize`` (the default skew-safe entry point) over the events
+    table — hash-checked against the SAME oracle as ``stream_session``, so
+    the driver verifies the skew-safe rewrite produces bit-identical
+    sessions. See sessionize_two_phase for the 100 TB rationale and
+    tools/skew_stress.py for the measured hot-user numbers."""
     events = load(spark, sf_dir, "events")
-    return sessionize_two_phase(events).select(
+    return sessionize(events).select(
         "user_id",
         F.unix_micros("start_ts").alias("session_start"),
         "n_events",

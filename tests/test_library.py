@@ -316,3 +316,20 @@ def test_sessionize_two_phase_bucket_boundaries(spark):
     # the midnight-straddling chain swallows the exact-gap event: 4, not 3+1
     assert (1, 1704152700000000, 4) in native
     assert len([t for t in native if t[0] == 2]) == 3  # 31-min gaps split
+
+
+def test_contam_hashed_equals_exact(spark, sf_dir):
+    """The hashed-gram contamination variant must emit exactly the string
+    form's (doc_id, n_grams, n_hit) rows on the fixture corpus — the
+    only divergence channel is a 64-bit xxhash collision, which this data
+    does not contain (and whose corpus-scale probability is ~n²/2⁶⁵)."""
+    from eviction_lab_etl_spark.operators.training import (
+        contam_ngram_hashed,
+        contam_ngram_overlap,
+    )
+
+    exact = contam_ngram_overlap(spark, sf_dir)
+    hashed = contam_ngram_hashed(spark, sf_dir)
+    assert exact.columns == hashed.columns
+    assert exact.exceptAll(hashed).count() == 0
+    assert hashed.exceptAll(exact).count() == 0

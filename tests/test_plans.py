@@ -371,3 +371,34 @@ def test_late_round5_plan_shapes(spark, sf_dir):
                  "pipeline_clean_funnel", "graph_degree_hist"):
         info = plan_of(spark, sf_dir, name)
         assert info["python_rows"] == 0 and info["arrow_python"] == 0, name
+
+
+def test_sessionize_default_is_two_phase_shape(spark, sf_dir):
+    """The default sessionization entry point (streaming/batch_windows.py
+    ``sessionize``) must keep the two-phase skew-safe shape: the FIRST
+    (event-volume) exchange hashes on (user_id, bucket) — so a hot user fans
+    out across buckets — and only the tiny per-local-session frame ever
+    passes through a user_id-only partitioning (the phase-2 window). The
+    native single-phase form, by contrast, exchanges the raw events on
+    user_id alone."""
+    import re
+
+    from eviction_lab_etl_spark.sources.loader import load
+    from eviction_lab_etl_spark.streaming.batch_windows import sessionize
+
+    plan = audit_plan(sessionize(load(spark, sf_dir, "events")))["plan"]
+    parts = re.findall(r"Arguments: hashpartitioning\(([^)]*), \d+\)", plan)
+    assert len(parts) == 2, f"expected exactly 2 exchanges, got {parts}"
+    # phase 1 (the EVENT-volume exchange, listed first in the details
+    # section): keyed by user_id AND the bucket grouping expression
+    phase1_keys = [k.strip() for k in parts[0].split(",")]
+    assert any("user_id" in k for k in phase1_keys)
+    assert len(phase1_keys) >= 2, f"phase-1 exchange not bucketed: {parts[0]}"
+    # phase 2 (per-LOCAL-SESSION window merge): user_id alone — safe, its
+    # input is one row per local session, not per event
+    phase2_keys = [k.strip() for k in parts[1].split(",")]
+    assert len(phase2_keys) == 1 and "user_id" in phase2_keys[0], parts[1]
+    # and both machinery pieces are present in one plan: the session-window
+    # local aggregation plus the interval-merge window
+    assert "session_window" in plan
+    assert "Window" in plan
