@@ -57,7 +57,8 @@ EXTENSIONS = {
     "join_asof_tolerance", "window_first_last", "agg_mode",
     "text_clean_html", "text_pii_mask", "dedup_cluster_cc", "graph_triangle_count",
     "dedup_canonical_docs",
-    "contam_ngram_overlap", "pack_concat_chunks", "chunk_sliding",
+    "contam_ngram_overlap", "contam_ngram_hashed", "sim_jaccard_prefix",
+    "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",
     "text_rarity_score",
     "geo_centroid_bbox", "geo_point_in_region", "incr_partition_refresh",
