@@ -42,68 +42,44 @@ _FLAGSHIP = "agg_sum_groupby"
 # stale queue can never burn a later round's budget re-checking green rows.
 # Bump _QUEUE_AS_OF to the highest CORRECTNESS_r*.json round present whenever
 # the queue is edited.
-_QUEUE_AS_OF = 4
+_QUEUE_AS_OF = 5
 _RECHECK_QUEUE: tuple[str, ...] = (
-    # Round 5 changes, most-load-bearing first:
-    "multimodal_decode",       # real PPM/BMP decoders replace the stub; new oracle
-    "multimodal_resize",       # graduated rows-only -> hash-checked resize chain
-    "multimodal_audio_decode", # NEW: real RIFF/WAVE PCM decode, hash-checked
-    "ann_ivf_recall",          # NEW: sampled-codebook IVF recall, hash-checked
-    "sample_stratified",       # graduated rows-only -> salted-digest hash oracle
-    "pipeline_corpus_manifest",# window keep-first rewrite (single scan)
-    "pipeline_corpus_clean",   # window dedup + persisted tokenize + bcast anti
-    "stream_session",          # oracle tie-order + exact-gap boundary fixes
-    "stream_session_dynamic",  # same oracle fixes (strict > on running max)
-    "stream_session_skewsafe", # NEW: two-phase hot-key sessionization
-    "scalar_try_safe",         # name_num now an actual try_cast
-    "dedup_cluster_cc",        # fixpoint now confirmed by exact exceptAll
-    "incr_ingest_dedup",       # NEW: snapshot-manifest ingest dedup
-    "resample_cap_source",     # NEW: per-source frequency capping
-    "events_funnel",           # NEW: single-shuffle ordered funnel
-    "events_cohort_retention", # NEW: cohort retention matrix
-    "complex_sole_discount_supplier",  # NEW: Q21-shape semi+anti self-join
-    "complex_idle_customers",  # NEW: Q22-shape scalar-subquery + anti join
-    "join_asof_tolerance",     # NEW: tolerance-bounded asof
-    "window_first_last",       # NEW: first/last/nth_value full frame
-    "agg_mode",                # NEW: deterministic mode composition
-    "graph_triangle_count",    # NEW: ordered-edge triangle enumeration
-    "text_rarity_score",       # NEW: corpus-relative rarity quality proxy
-    "ts_gapfill_locf",         # NEW: calendar gap-fill + LOCF completion
-    # --- continued-round-5 additions, priority order. 181 registered queries
-    # exceed the driver's ~50-query budget (24 queue + 53 never-verified), so
-    # this block pulls the headline late-round work ahead of registration
-    # order; the ~12 that spill to the next round are deliberately the
-    # simplest surface ops (bitwise/multiset-setops/sorted-collect/xml-text
-    # roundtrips/bool-logic/anomaly/degree-hist/transitions/downweight/corr),
-    # every one locally sf0.01-verified (tests/test_oracle_diff.py); the
-    # post-prioritization additions (snapshot CDF, stream-static join,
-    # polymorphic UDTF) spill with them by the same reasoning.
-    "complex_late_priority_orders",   # TPC-H family completion (Q4)
-    "complex_forecast_revenue",       # Q6
-    "complex_nation_volume",          # Q7
-    "complex_market_share",           # Q8
-    "complex_product_profit",         # Q9
-    "complex_cust_order_histogram",   # Q13
-    "complex_promo_revenue",          # Q14
-    "complex_top_supplier",           # Q15
-    "complex_min_cost_supplier",      # Q2
-    "complex_important_stock",        # Q11
-    "complex_returnflag_priority",    # Q12
-    "complex_parts_supplier_cnt",     # Q16
-    "complex_disjunctive_revenue",    # Q19
-    "complex_excess_share_supplier",  # Q20
-    "incr_snapshot_time_travel",      # ACID snapshot commits + time travel
-    "stream_snapshot_sink",           # exactly-once streaming sink
-    "multimodal_audio_features",      # real PCM feature extraction
-    "multimodal_video_motion",        # real frame-stream decode + motion
-    "embed_centroid_stats",           # embedding hygiene (quantized sums)
-    "embed_norm_hist",                # embedding norm histogram
-    "pipeline_dataset_card",          # corpus publishing card
-    "sql_top_nations_report",         # pure-SQL user surface
-    "pipeline_clean_funnel",          # cleaning survivor accounting
-    "text_boilerplate_grams",         # per-source template detection
-    "events_rfm_segments",            # RFM quartile segmentation
-    "ts_interpolate_linear",          # exact rational interpolation
+    # --- The 21 queries that have NEVER appeared in any CORRECTNESS_r*.json
+    # (round-5 verdict "What's missing" #1): the ~50-query budget deferred
+    # them behind headline work for two rounds; they lead round 6 so every
+    # registered query finally carries a driver record. All 21 pass the same
+    # oracle diff locally (tests/test_oracle_diff.py) — this closes the gap
+    # between "done locally" and "done". The two newest Python-boundary
+    # surfaces go first (verdict item 6: cogroup + polymorphic UDTF are the
+    # last unverified edges of the Arrow-boundary claim in PLANS.md).
+    "udf_cogrouped_map",       # cogrouped applyInPandas boundary
+    "udtf_dynamic_schema",     # polymorphic (analyze-time schema) UDTF
+    "sim_cross_lang_pairs",    # cross-language near-dup detection
+    "resample_downweight_dups",# soft dedup via duplicate-count weights
+    "sample_weighted_priority",# priority sampling (+ r6 weight/NULL guard)
+    "join_scd2_point_in_time", # SCD2 as-of dimension resolution
+    "stream_static_enrich",    # stream-static broadcast enrich (rows-only)
+    "incr_snapshot_cdf",       # change-data-feed between snapshot versions
+    "events_pareto_concentration",  # activity-concentration report
+    "events_type_transitions", # first-order type-transition matrix
+    "ts_anomaly_mad",          # MAD-based anomaly flags
+    "agg_percentiles_by_lang", # exact per-stratum percentiles (cogroup)
+    "agg_corr_components",     # correlation from integer component sums
+    "agg_bool_logic",          # bool_and/bool_or/count_if family
+    "agg_collect_sorted",      # deterministic collect_list surface
+    "graph_degree_hist",       # degree histogram (graph summary)
+    "scalar_bitwise",          # bit ops + aggregate XOR parity
+    "setop_except_all",        # multiset EXCEPT ALL
+    "setop_intersect_all",     # multiset INTERSECT ALL
+    "io_text_roundtrip",       # whole-file text source round-trip
+    "io_xml_roundtrip",        # XML source round-trip
+    # --- Round-6 changes/additions (modest on purpose — 25 queue entries
+    # leave half the budget rotating through the oldest-verified greens):
+    "sim_jaccard_prefix",      # NEW: prefix-filtered set-similarity join,
+                               # unbounded doc range (retires the r5 weak mark)
+    "contam_ngram_hashed",     # NEW: hashed-gram contamination knob (rows-only)
+    "stream_snapshot_sink",    # commit path now txn-idempotent at protocol level
+    "stream_session_skewsafe", # now routed through the sessionize() entry point
 )
 
 

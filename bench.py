@@ -73,6 +73,12 @@ R5_HEADLINE = [
     "incr_snapshot_time_travel",  # 3 ACID commits + 3 versioned reads, end-to-end
 ]
 
+# Round-6 additions (same seeding rule as R5_HEADLINE).
+R6_HEADLINE = [
+    "contam_ngram_hashed",        # hashed-gram contamination knob
+    "stream_session_skewsafe",    # the default (two-phase) sessionize path
+]
+
 # Per-query comparison bases, reported as "vs_baseline" ratios (<1 = faster).
 # §2 seven: BASELINE.md's reference measurements (sf0.1, warm). LLM four:
 # pinned from BENCH_r03 — their first measurement — so this family gets the
@@ -116,7 +122,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + LLM_HEADLINE + R5_HEADLINE:
+    for name in HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE:
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).collect()  # warm-up: plan + JIT + IO cache
         runs = []
@@ -161,13 +167,18 @@ def main() -> None:
                     runs.append(time.perf_counter() - start)
                 return round(statistics.median(runs), 4)
 
+            # Label both points by their sf-equivalent (10x sf0.1 = sf1 row
+            # counts, built from the SAME fixtures the driver uses), so the
+            # growth slope reads directly as an sf0.1 -> sf1 scaling row.
+            base_label = f"sf{sf:g}" if sf else "x1"
+            big_label = f"sf{sf * scale_mult:g}" if sf else f"x{scale_mult}"
             for name in HEADLINE:
                 fn = registry.QUERIES[name]
                 t1 = noop_median(fn, sf_dir)
                 tm = noop_median(fn, big_dir)
                 scale_pair[name] = {
-                    "x1_sec": t1,
-                    f"x{scale_mult}_sec": tm,
+                    f"{base_label}_sec": t1,
+                    f"{big_label}_sec": tm,
                     # wall-clock growth per data growth; 1.0 = perfectly
                     # amortized, scale_mult = linear, above that = trouble
                     "growth": round(tm / t1, 2),
@@ -183,6 +194,7 @@ def main() -> None:
                 "queries": timings,
                 "llm_queries": LLM_HEADLINE,
                 "r5_queries": R5_HEADLINE,
+                "r6_queries": R6_HEADLINE,
                 "vs_baseline": vs_baseline,
                 "vs_run_median": vs_run_median,
                 "run_median_ratio": round(run_median, 3),
