@@ -146,6 +146,40 @@ def sketch_hll_partitioned(spark, sf_dir):
 
 
 @query(
+    "export_shard_manifest",
+    oracle="""
+    SELECT CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) % 16 AS shard,
+           count(*) AS n_docs,
+           sum(n_chars)::bigint AS sum_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def export_shard_manifest(spark, sf_dir):
+    """Sharded-export manifest — the last step before a training run ingests
+    the corpus: every document is assigned shard ``md5(text)[first byte] %
+    16``. Content-addressed assignment means exact duplicates collocate (a
+    loader that dedups per shard still dedups globally), the layout is
+    byte-identical across reruns, retried stages, and engines (no RNG), and
+    digest mixing makes shards uniform in expectation regardless of how
+    doc_ids were assigned. At 100 TB the physical write is
+    ``partitionBy(shard)`` — ONE exchange keyed by the same expression —
+    and this manifest (per-shard doc/char/lang accounting, the file a
+    training loader reads first) is its tiny terminal aggregate. Per-shard
+    stats are hash-checkable: counts and integer char sums only (§2.0)."""
+    docs = load(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5("text"), 1, 2), 16, 10).cast("long") % 16
+    ).alias("shard")
+    return docs.groupBy(shard).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@query(
     "sample_weighted_priority",
     oracle="""
     WITH draws AS (
