@@ -363,3 +363,46 @@ def test_snapshot_any_commit_sequence_time_travels_exactly(spark, ops):
             assert got == sorted(expected), (v, got, expected)
     finally:
         table.drop()
+
+
+@given(bids=st.lists(st.integers(0, 4), min_size=1, max_size=10))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_snapshot_txn_appends_idempotent_under_any_replay(spark, bids):
+    """Model-based exactly-once: for ANY sequence of txn-tagged appends
+    (arbitrary duplication/reordering of batch ids — the space of crash-
+    replay schedules), only each batch id's FIRST delivery commits; every
+    replay returns the original version; the final table equals the
+    single-delivery result and history time-travels to the model prefix."""
+    import os
+    import tempfile
+    import uuid
+
+    from eviction_lab_etl_spark.sources.snapshot import SnapshotTable
+
+    table = SnapshotTable(
+        os.path.join(tempfile.gettempdir(), f"elspark_txnprop_{uuid.uuid4().hex[:8]}")
+    )
+    try:
+        def frame(bid):  # batch content is a deterministic function of its id
+            return spark.createDataFrame(
+                [(bid * 100 + i,) for i in range(3)], "k long"
+            )
+
+        committed: dict[int, int] = {}  # batch_id -> version
+        model: list[set[int]] = []      # model[v-1] = expected keys at v
+        for bid in bids:
+            v = table.append(frame(bid), txn=("batch_id", bid))
+            if bid in committed:
+                assert v == committed[bid], (bid, v, committed)
+            else:
+                committed[bid] = v
+                assert v == len(model) + 1
+                model.append((model[-1] if model else set())
+                             | {bid * 100 + i for i in range(3)})
+        assert table.latest_version() == len(model)
+        for v, expected in enumerate(model, start=1):
+            got = {r.k for r in table.read(spark, version=v).collect()}
+            assert got == expected, (v, got, expected)
+    finally:
+        table.drop()
