@@ -73,8 +73,8 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "setop_intersect_all",     # multiset INTERSECT ALL
     "io_text_roundtrip",       # whole-file text source round-trip
     "io_xml_roundtrip",        # XML source round-trip
-    # --- Round-6 changes/additions (modest on purpose — 25 queue entries
-    # leave half the budget rotating through the oldest-verified greens):
+    # --- Round-6 changes/additions (modest on purpose — 26 queue entries
+    # leave ~24 budget slots rotating through the oldest-verified greens):
     "sim_jaccard_prefix",      # NEW: prefix-filtered set-similarity join,
                                # unbounded doc range (retires the r5 weak mark)
     "contam_ngram_hashed",     # NEW: hashed-gram contamination knob (rows-only)

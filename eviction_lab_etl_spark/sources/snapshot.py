@@ -267,25 +267,34 @@ class SnapshotTable:
             subdir = os.path.join(data_root, sub)
             sub_prefix = os.path.join("data", sub) + os.sep
             sub_referenced = any(r.startswith(sub_prefix) for r in referenced)
-            # age the dir BEFORE any unlink below bumps its mtime past `now`
+            # age the dir BEFORE any deletion below bumps its mtime past `now`
             dir_aged = _aged(subdir)
-            for f in os.listdir(subdir):
-                rel = os.path.join("data", sub, f)
-                full = os.path.join(subdir, f)
-                if f.endswith(".parquet") and rel not in referenced and _aged(full):
-                    os.unlink(full)
-                    deleted.append(rel)
-            if sub_referenced:
-                continue
-            # Fully-unreferenced dir: clear aged non-data sidecars, then rmdir
-            # once empty (dir mtime guards the just-created-empty-dir case).
-            leftovers = [os.path.join(subdir, f) for f in os.listdir(subdir)]
-            if dir_aged and all(
-                not f.endswith(".parquet") and _aged(f) for f in leftovers
+            # walk recursively: a writer that crashed MID-write leaves Spark's
+            # ``_temporary/`` task-attempt tree (nested directories), which a
+            # flat listdir+unlink pass would trip over with IsADirectoryError
+            walked = [
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(subdir)
+                for f in fs
+            ]
+            if (
+                not sub_referenced
+                and dir_aged
+                and all(_aged(p) for p in walked)
             ):
-                for f in leftovers:
-                    os.unlink(f)
-                os.rmdir(subdir)
+                # wholly-unreferenced, wholly-aged commit dir = crash orphan:
+                # reclaim the entire tree (data files, sidecars, _temporary/,
+                # and the uuid directory itself)
+                for p in walked:
+                    if p.endswith(".parquet"):
+                        deleted.append(os.path.relpath(p, self.root))
+                shutil.rmtree(subdir)
+                continue
+            for p in walked:
+                rel = os.path.relpath(p, self.root)
+                if p.endswith(".parquet") and rel not in referenced and _aged(p):
+                    os.unlink(p)
+                    deleted.append(rel)
         return deleted
 
     # ---- read path ----------------------------------------------------

@@ -141,6 +141,32 @@ def test_vacuum_removes_only_unclaimed_orphans(spark, table):
     assert table.read(spark, version=2).count() == 4
 
 
+def test_vacuum_reclaims_mid_write_temporary_tree(spark, table):
+    """A writer that crashes DURING df.write.parquet leaves Spark's nested
+    ``_temporary/`` task-attempt tree — directories, not flat files. Vacuum
+    must reclaim the whole orphan tree (not trip on the subdirectory), while
+    the retention window still protects it when young."""
+    table.append(_frame(spark, 0, 4))
+    crash_dir = os.path.join(table.root, "data", "deadbeefcafe")
+    tmp_tree = os.path.join(crash_dir, "_temporary", "0", "task_001")
+    os.makedirs(tmp_tree)
+    with open(os.path.join(tmp_tree, "part-00000.snappy.parquet"), "wb") as fh:
+        fh.write(b"not a real parquet")
+    with open(os.path.join(crash_dir, "._SUCCESS.crc"), "wb") as fh:
+        fh.write(b"")
+    assert table.vacuum() == []  # young: could still be in flight
+    assert os.path.isdir(crash_dir)
+    deleted = table.vacuum(min_age_s=0)
+    assert deleted == [
+        os.path.join(
+            "data", "deadbeefcafe", "_temporary", "0", "task_001",
+            "part-00000.snappy.parquet",
+        )
+    ]
+    assert not os.path.exists(crash_dir)
+    assert table.read(spark).count() == 4
+
+
 def test_txn_append_is_exactly_once_across_restart(spark, table):
     """Simulated streaming failure/restart: every micro-batch replays with
     its original batch id; the replay must add no versions and the table

@@ -85,6 +85,17 @@ STRESS = [
     # RFM segmentation (windows over the user aggregate, not the fact).
     "text_boilerplate_grams",
     "events_rfm_segments",
+    # Round 6: hashed-gram contamination knob (same shape as the exact form,
+    # narrower shuffle), the default two-phase sessionize path (hot users fan
+    # out over buckets), and content-hash export sharding (map + one tiny
+    # agg). sim_jaccard_prefix is deliberately ABSENT: the real fixture's
+    # 31-token vocabulary has no rarity for the prefix to exploit (SURVEY §8
+    # r4 finding), so scaling it here would measure the documented Ω(n²)
+    # floor, not the algorithm — measure_jaccard_stress covers the library
+    # on a rarity-structured corpus instead.
+    "contam_ngram_hashed",
+    "stream_session_skewsafe",
+    "export_shard_manifest",
 ]
 
 
