@@ -116,7 +116,31 @@ def contam_ngram_overlap(spark, sf_dir):
     )
 
 
-@query("contam_ngram_hashed")  # rows-only: 64-bit gram hashing is engine-specific
+@query(
+    "contam_ngram_hashed",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS l FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(l[i : i + {_N - 1}], ' ') AS gram
+        FROM (SELECT doc_id, l,
+                     unnest(range(1, greatest(len(l) - {_N - 1}, 0) + 1)) AS i
+              FROM toks)
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit
+    FROM grams g LEFT JOIN bench b ON g.gram = b.gram
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+)
 def contam_ngram_hashed(spark, sf_dir):
     """Production knob for ``contam_ngram_overlap``: identical query shape,
     but each 5-gram is represented by ``xxhash64`` of its token slice (one
@@ -124,11 +148,16 @@ def contam_ngram_hashed(spark, sf_dir):
     of the exact query's cost in map-side gram-string materialization, and
     this removes it (the slice hashes directly; no concatenation, no string
     shuffle — the broadcast eval set is longs, the probe compares longs).
-    Approximate only through 64-bit collisions (~n²/2⁶⁵ expected —
-    negligible at any corpus size that fits a cluster);
-    tests/test_library.py asserts exact output equality with the string
-    form on the fixtures, and SCALE.md records the measured speed delta.
-    Rows-only by design: no SQL engine reproduces Spark's xxhash64."""
+    SCALE.md records the measured delta (advantage widens with scale).
+
+    The oracle is the EXACT string-gram contamination spec: hashed counts
+    equal it whenever no 64-bit collision exists among the corpus grams —
+    deterministically true of this fixture (asserted independently by
+    tests/test_library.py's equality with the string form) and
+    ~n²/2⁶⁵-improbable at any corpus size that fits a cluster, so the
+    driver hash pins the collision-free contract rather than settling for
+    rows-only. Caveat stands: on adversarial inputs engineered to collide,
+    the knob under-reports by design — use the exact form for audits."""
     docs = load(spark, sf_dir, "documents")
     w = F.split("text", " ")
     grams = docs.select(
