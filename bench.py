@@ -104,6 +104,13 @@ BASELINE_SEC = {
     "pipeline_corpus_manifest": 0.3488,
     "contam_ngram_overlap": 1.5371,
     "pipeline_training_set": 1.3102,
+    # BENCH_r05.json (r05 medians — R5_HEADLINE regression base, seeded the
+    # round after their first measurement, same rule as the LLM four)
+    "complex_market_share": 0.8816,
+    "complex_important_stock": 0.6136,
+    "events_type_transitions": 0.3199,
+    "embed_norm_hist": 0.2227,
+    "incr_snapshot_time_travel": 0.9247,
 }
 
 
