@@ -139,6 +139,22 @@ def main() -> None:
             runs.append(time.perf_counter() - start)
         timings[name] = round(statistics.median(runs), 4)
 
+    # TPC-H-shape power total: the 21 complex_* topologies back-to-back
+    # (single-stream, same warm-median protocol) — one number for the whole
+    # reference-class analytical family, tracked round-over-round next to
+    # the per-operator headliners. ~13 s at sf0.1 in r5 (SCALE.md table).
+    tpch_names = sorted(n for n in registry.QUERIES if n.startswith("complex_"))
+    tpch_total = 0.0
+    for name in tpch_names:
+        fn = registry.QUERIES[name]
+        fn(spark, sf_dir).collect()
+        runs = []
+        for _ in range(3):
+            start = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - start)
+        tpch_total += statistics.median(runs)
+
     vs_baseline = {
         name: round(timings[name] / BASELINE_SEC[name], 3)
         for name in timings
@@ -202,6 +218,10 @@ def main() -> None:
                 "llm_queries": LLM_HEADLINE,
                 "r5_queries": R5_HEADLINE,
                 "r6_queries": R6_HEADLINE,
+                "tpch_power": {
+                    "total_sec": round(tpch_total, 4),
+                    "n_queries": len(tpch_names),
+                },
                 "vs_baseline": vs_baseline,
                 "vs_run_median": vs_run_median,
                 "run_median_ratio": round(run_median, 3),
