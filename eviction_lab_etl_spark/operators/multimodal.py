@@ -409,6 +409,101 @@ def multimodal_dedup(spark, sf_dir):
     )
 
 
+def _dhash(width: int, height: int, rgb: bytes) -> tuple[int, int]:
+    """Perceptual difference hash (dHash, public algorithm): NN-resample the
+    decoded RGB to 9×8, integer luminance (299r+587g+114b)//1000 per pixel,
+    then one bit per row-adjacent pair (left < right) → 64 bits, returned as
+    (hi32, lo32) bigint-safe halves (row-major, MSB-first)."""
+    small = _resize_nn(width, height, rgb, 9, 8)
+    gray = [
+        (299 * small[3 * p] + 587 * small[3 * p + 1] + 114 * small[3 * p + 2])
+        // 1000
+        for p in range(72)
+    ]
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | (1 if gray[9 * y + x] < gray[9 * y + x + 1] else 0)
+    return bits >> 32, bits & 0xFFFFFFFF
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH d0 AS (
+        SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, ty.y AS y, tx.x AS x,
+               (  299 * ((doc_id*31 + 7*(3*(w*((ty.y*h)//8) + (tx.x*w)//9) + 0)) % 256)
+                + 587 * ((doc_id*31 + 7*(3*(w*((ty.y*h)//8) + (tx.x*w)//9) + 1)) % 256)
+                + 114 * ((doc_id*31 + 7*(3*(w*((ty.y*h)//8) + (tx.x*w)//9) + 2)) % 256)
+               ) // 1000 AS gray
+        FROM d0,
+             LATERAL (SELECT unnest(range(0, 9)) AS x) tx,
+             LATERAL (SELECT unnest(range(0, 8)) AS y) ty
+    ),
+    bits AS (
+        SELECT a.doc_id, (8 * a.y + a.x) AS pos,
+               CASE WHEN a.gray < b.gray THEN 1 ELSE 0 END AS bit
+        FROM g a
+        JOIN g b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1
+        WHERE a.x < 8
+    ),
+    hashes AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN pos < 32
+                             THEN bit * (CAST(1 AS BIGINT) << (31 - pos)) END)
+                    AS BIGINT) AS hash_hi,
+               CAST(sum(CASE WHEN pos >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (63 - pos)) END)
+                    AS BIGINT) AS hash_lo
+        FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id, hash_hi, hash_lo,
+           count(*) OVER (PARTITION BY hash_hi, hash_lo) AS grp_size
+    FROM hashes
+    """,
+)
+def multimodal_phash_dedup(spark, sf_dir):
+    """PERCEPTUAL image near-dup: dHash over the REAL decode chain — mint
+    genuine PPM/BMP payloads, parse them with the pure-Python codecs, dHash
+    the decoded pixels (9×8 resample → luminance → adjacent-gradient bits),
+    then group by the 64-bit hash. Unlike ``multimodal_dedup`` (byte-exact
+    md5), dHash keys on pixel STRUCTURE, so re-encoded/visually-identical
+    assets collapse — the image analog of SimHash for text. The oracle never
+    decodes: it recomputes every gradient bit from the test pattern's closed
+    form (the driver hash therefore pins decoder + resampler + luminance +
+    bit packing at once; this fixture yields 289 distinct hashes over 500
+    docs with groups up to 39 — non-vacuous). Scale shape: decode+hash is
+    one Arrow map stage; the only shuffle carries (8-byte hash, doc_id) —
+    never pixels; Hamming-near (≤k bit) matching at 100 TB bands the two
+    halves exactly like SimHash banding (operators/extensions.py)."""
+    media = media_frame_images(spark, sf_dir)
+
+    def hash_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "hash_hi": [], "hash_lo": []}
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                w, h, rgb = media_codecs.decode_image(bytes(payload), mt)
+                hi, lo = _dhash(w, h, rgb)
+                out["doc_id"].append(int(doc_id))
+                out["hash_hi"].append(hi)
+                out["hash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    from pyspark.sql import Window
+
+    hashes = media.mapInPandas(
+        hash_stage, schema="doc_id long, hash_hi long, hash_lo long"
+    )
+    grp = Window.partitionBy("hash_hi", "hash_lo")
+    return hashes.withColumn("grp_size", F.count(F.lit(1)).over(grp))
+
+
 @query(
     "multimodal_audio_features",
     oracle="""

@@ -58,7 +58,7 @@ EXTENSIONS = {
     "text_clean_html", "text_pii_mask", "dedup_cluster_cc", "graph_triangle_count",
     "dedup_canonical_docs",
     "contam_ngram_overlap", "contam_ngram_hashed", "sim_jaccard_prefix",
-    "export_shard_manifest",
+    "export_shard_manifest", "multimodal_phash_dedup",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",
     "text_rarity_score",
