@@ -406,3 +406,40 @@ def test_snapshot_txn_appends_idempotent_under_any_replay(spark, bids):
             assert got == expected, (v, got, expected)
     finally:
         table.drop()
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 15), min_size=1, max_size=8),
+        min_size=2,
+        max_size=12,
+    ),
+    thr=st.sampled_from([(1, 2), (6, 10), (9, 10)]),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_prefix_jaccard_equals_python_bruteforce(spark, docs, thr):
+    """The prefix-filtered similarity join (the ``sim_jaccard_prefix``
+    engine) against a pure-Python O(n²) brute force — an oracle independent
+    of BOTH Spark plans, over random corpora with arbitrary rarity
+    structure and all three threshold regimes. Completeness of the prefix
+    filter (any pair with J ≥ t shares a rarity-prefix token) is exactly
+    what random inputs can break and fixtures cannot."""
+    from eviction_lab_etl_spark.functions.similarity import jaccard_pairs_prefix
+
+    rows = [(i, f"t{t}") for i, toks in enumerate(docs) for t in set(toks)]
+    tokens = spark.createDataFrame(rows, "doc_id long, w string")
+    got = {
+        (r.a, r.b, r.inter, r.uni)
+        for r in jaccard_pairs_prefix(tokens, threshold=thr).collect()
+    }
+    sets = [set(t) for t in docs]
+    num, den = thr
+    want = set()
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if den * inter >= num * uni:
+                want.add((a, b, inter, uni))
+    assert got == want
