@@ -80,6 +80,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "contam_ngram_hashed",     # NEW: hashed-gram contamination knob (rows-only)
     "export_shard_manifest",   # NEW: content-hash training-export sharding
     "multimodal_phash_dedup",  # NEW: perceptual dHash image near-dup
+    "incr_view_maintain",      # NEW: CDF-driven incremental view maintenance
     "stream_snapshot_sink",    # commit path now txn-idempotent at protocol level
     "stream_session_skewsafe", # now routed through the sessionize() entry point
 )

@@ -385,6 +385,61 @@ def incr_snapshot_time_travel(spark, sf_dir):
 
 
 @query(
+    "incr_view_maintain",
+    oracle="""
+    WITH v2 AS (
+        SELECT year(o_orderdate) AS od_year, o_orderkey, o_orderpriority
+        FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    ),
+    v3 AS (
+        SELECT od_year,
+               CASE WHEN o_orderkey % 101 = 0 THEN '9-UPDATED'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM v2
+    )
+    SELECT od_year, o_orderpriority, count(*) AS n_rows
+    FROM v3 GROUP BY od_year, o_orderpriority
+    """,
+)
+def incr_view_maintain(spark, sf_dir):
+    """INCREMENTAL VIEW MAINTENANCE over the snapshot CDF (the Materialize /
+    Delta Live Tables capability): a materialized per-(year, priority) count
+    is brought from version 2 to version 3 by applying the row-level change
+    feed as ±1 deltas and merging — the v3 table itself is NEVER aggregated
+    on the Spark side. The oracle IS the full v3 recompute, so the driver
+    hash proves delta-application ≡ recompute exactly (count is the
+    canonical self-maintainable aggregate; sums/digests maintain the same
+    way, min/max do not — they need the base table on deletes). At 100 TB
+    the stored MV replaces the v2 aggregate scan, so refresh cost is
+    O(change), not O(table): the diff reads only the two versions' differing
+    files and the merge joins |groups| rows against |changed groups|."""
+    table = _replay_snapshot_fixture(spark, sf_dir, "elspark_ivm")
+    old, new = table.read(spark, version=2), table.read(spark, version=3)
+    # the stored materialized view, as of v2
+    mv = old.groupBy("od_year", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    # CDF deltas: deletes retract, inserts add
+    deltas = (
+        old.exceptAll(new).withColumn("d", F.lit(-1))
+        .unionByName(new.exceptAll(old).withColumn("d", F.lit(1)))
+        .groupBy("od_year", "o_orderpriority")
+        .agg(F.sum("d").alias("d"))
+    )
+    return (
+        mv.join(deltas, ["od_year", "o_orderpriority"], "full")
+        .select(
+            "od_year",
+            "o_orderpriority",
+            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("d", F.lit(0)))
+            .cast("long")
+            .alias("n_rows"),
+        )
+        .filter(F.col("n_rows") > 0)
+    )
+
+
+@query(
     "incr_snapshot_cdf",
     oracle=f"""
     WITH touched AS (

@@ -63,7 +63,8 @@ EXTENSIONS = {
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",
     "text_rarity_score",
     "geo_centroid_bbox", "geo_point_in_region", "incr_partition_refresh",
-    "incr_merge_upsert", "incr_ingest_dedup", "resample_cap_source",
+    "incr_merge_upsert", "incr_ingest_dedup", "incr_view_maintain",
+    "resample_cap_source",
     "events_funnel", "events_cohort_retention", "ts_gapfill_locf",
     "pipeline_training_set", "search_prefix_topk", "multimodal_dedup",
     # Round-5 continued: the completed TPC-H shape family …
