@@ -81,6 +81,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "export_shard_manifest",   # NEW: content-hash training-export sharding
     "multimodal_phash_dedup",  # NEW: perceptual dHash image near-dup
     "incr_view_maintain",      # NEW: CDF-driven incremental view maintenance
+    "graph_pagerank",          # NEW: fixed-point integer PageRank (exact)
     "stream_snapshot_sink",    # commit path now txn-idempotent at protocol level
     "stream_session_skewsafe", # now routed through the sessionize() entry point
 )

@@ -446,3 +446,86 @@ def sim_cross_lang_pairs(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@query(
+    "graph_pagerank",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents WHERE doc_id < 200
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pr AS (
+        SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS inter
+        FROM tok t1 JOIN tok t2 ON t1.w = t2.w AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT a, b FROM pr
+        JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        WHERE 10 * inter >= 9 * (sa.n + sb.n - inter)
+    ),
+    sym AS (
+        SELECT a AS v, b AS u FROM edges
+        UNION ALL SELECT b AS v, a AS u FROM edges
+    ),
+    deg AS (SELECT v, count(*) AS d FROM sym GROUP BY v),
+    r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS r FROM deg),
+    r1 AS (
+        SELECT s.v, CAST(150000 + (85 * sum(r0.r // dd.d)) // 100 AS BIGINT) AS r
+        FROM sym s JOIN r0 ON r0.v = s.u JOIN deg dd ON dd.v = s.u
+        GROUP BY s.v
+    ),
+    r2 AS (
+        SELECT s.v, CAST(150000 + (85 * sum(r1.r // dd.d)) // 100 AS BIGINT) AS r
+        FROM sym s JOIN r1 ON r1.v = s.u JOIN deg dd ON dd.v = s.u
+        GROUP BY s.v
+    ),
+    r3 AS (
+        SELECT s.v, CAST(150000 + (85 * sum(r2.r // dd.d)) // 100 AS BIGINT) AS r
+        FROM sym s JOIN r2 ON r2.v = s.u JOIN deg dd ON dd.v = s.u
+        GROUP BY s.v
+    )
+    SELECT v, r AS pagerank FROM r3
+    """,
+)
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the near-dup similarity graph in FIXED-POINT INTEGER
+    arithmetic — the centrality score that ranks a dedup cluster's most
+    'central' copy (the one most similar to the most others), complementing
+    the min-id canonical election of ``dedup_canonical_docs``.
+
+    Cross-engine exactness is the point of the formulation: ranks carry a
+    10⁶ scale, each step is r'(v) = 0.15·10⁶ + ⌊85·Σ_u ⌊r(u)/deg(u)⌋ / 100⌋
+    with every division a FLOOR on non-negative integers (`div` in Spark ≡
+    `//` in DuckDB), and integer addition is order-independent — so three
+    unrolled iterations are hash-checkable where a float PageRank never
+    could be (§2.0 rule 1, the same move as the embedding quantization).
+    Every vertex of this graph has degree ≥ 1 (it's an edge projection), so
+    there is no dangling-mass term.
+
+    Scale shape: each iteration is ONE shuffle — join ranks to the
+    (v, u, deg_u) link table on u, re-aggregate on v — the Pregel topology;
+    the unrolled 3-step form is the driver-checkable contract, and a
+    convergence loop is the same join repeated with checkpointing exactly
+    like ``connected_components`` (clustering.py)."""
+    edges = neardup_edges(spark, sf_dir)
+    sym = edges.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    # link table: (v, u, d) where d = deg(u) — built once, reused every step
+    link = sym.join(
+        deg.select(F.col("v").alias("u"), "d"), "u"
+    ).persist()
+    ranks = deg.select("v", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(3):
+        ranks = (
+            link.join(ranks.select(F.col("v").alias("u"), "r"), "u")
+            .groupBy("v")
+            .agg(
+                F.expr("CAST(150000 + (85 * sum(r div d)) div 100 AS BIGINT)").alias("r")
+            )
+        )
+    return ranks.select("v", F.col("r").alias("pagerank"))

@@ -56,6 +56,7 @@ EXTENSIONS = {
     "join_lateral_topn", "udf_arrow_map",
     "join_asof_tolerance", "window_first_last", "agg_mode",
     "text_clean_html", "text_pii_mask", "dedup_cluster_cc", "graph_triangle_count",
+    "graph_pagerank",
     "dedup_canonical_docs",
     "contam_ngram_overlap", "contam_ngram_hashed", "sim_jaccard_prefix",
     "export_shard_manifest", "multimodal_phash_dedup",
