@@ -402,3 +402,28 @@ def test_sessionize_default_is_two_phase_shape(spark, sf_dir):
     # local aggregation plus the interval-merge window
     assert "session_window" in plan
     assert "Window" in plan
+
+
+def test_round6_plan_shapes(spark, sf_dir):
+    """Round-6 additions keep their declared shapes: export sharding is a
+    map + two-phase distinct aggregate (no joins, no Python); the perceptual
+    hash chain is Arrow-batched end to end with its only exchange on the
+    8-byte hash; hashed-gram contamination broadcasts the eval set exactly
+    like the exact form; the prefix join, PageRank, and the IVM merge are
+    Python-free with no cartesian products."""
+    esm = plan_of(spark, sf_dir, "export_shard_manifest")
+    assert esm["sortmerge_joins"] == 0 and esm["python_rows"] == 0
+    assert esm["arrow_python"] == 0
+
+    ph = plan_of(spark, sf_dir, "multimodal_phash_dedup")
+    assert ph["arrow_python"] >= 2 and ph["python_rows"] == 0
+    assert ph["sortmerge_joins"] == 0
+
+    ch = plan_of(spark, sf_dir, "contam_ngram_hashed")
+    assert ch["broadcast_joins"] >= 1
+    assert ch["python_rows"] == 0 and ch["arrow_python"] == 0
+
+    for name in ("sim_jaccard_prefix", "graph_pagerank", "incr_view_maintain"):
+        info = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in info["plan"], name
+        assert info["python_rows"] == 0 and info["arrow_python"] == 0, name
