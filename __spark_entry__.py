@@ -73,11 +73,11 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "setop_intersect_all",     # multiset INTERSECT ALL
     "io_text_roundtrip",       # whole-file text source round-trip
     "io_xml_roundtrip",        # XML source round-trip
-    # --- Round-6 changes/additions (modest on purpose — 26 queue entries
-    # leave ~24 budget slots rotating through the oldest-verified greens):
+    # --- Round-6 changes/additions (modest on purpose — 29 queue entries
+    # leave ~21 budget slots rotating through the oldest-verified greens):
     "sim_jaccard_prefix",      # NEW: prefix-filtered set-similarity join,
                                # unbounded doc range (retires the r5 weak mark)
-    "contam_ngram_hashed",     # NEW: hashed-gram contamination knob (rows-only)
+    "contam_ngram_hashed",     # NEW: hashed-gram knob, hash-checked vs exact spec
     "export_shard_manifest",   # NEW: content-hash training-export sharding
     "multimodal_phash_dedup",  # NEW: perceptual dHash image near-dup
     "incr_view_maintain",      # NEW: CDF-driven incremental view maintenance

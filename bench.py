@@ -128,32 +128,32 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE:
+    def warm_median(name: str) -> float:
+        """The ONE timing protocol (BASELINE.md): untimed warm-up, then the
+        median of three timed runs on fresh DataFrames (no shuffle reuse)."""
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).collect()  # warm-up: plan + JIT + IO cache
         runs = []
         for _ in range(3):
             start = time.perf_counter()
-            fn(spark, sf_dir).collect()  # fresh DataFrame: no shuffle reuse
+            fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - start)
-        timings[name] = round(statistics.median(runs), 4)
+        return round(statistics.median(runs), 4)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE:
+        timings[name] = warm_median(name)
 
     # TPC-H-shape power total: the 21 complex_* topologies back-to-back
     # (single-stream, same warm-median protocol) — one number for the whole
     # reference-class analytical family, tracked round-over-round next to
     # the per-operator headliners. ~13 s at sf0.1 in r5 (SCALE.md table).
+    # Names the headliner loop already timed reuse that measurement.
     tpch_names = sorted(n for n in registry.QUERIES if n.startswith("complex_"))
-    tpch_total = 0.0
-    for name in tpch_names:
-        fn = registry.QUERIES[name]
-        fn(spark, sf_dir).collect()
-        runs = []
-        for _ in range(3):
-            start = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            runs.append(time.perf_counter() - start)
-        tpch_total += statistics.median(runs)
+    tpch_total = sum(
+        timings[name] if name in timings else warm_median(name)
+        for name in tpch_names
+    )
 
     vs_baseline = {
         name: round(timings[name] / BASELINE_SEC[name], 3)

@@ -384,6 +384,21 @@ def incr_snapshot_time_travel(spark, sf_dir):
     )
 
 
+def snapshot_cdf(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Row-level change records between two snapshot versions, derived from
+    the IMMUTABLE snapshots themselves: ``op`` = 'D' for rows only in
+    ``old``, 'I' for rows only in ``new`` (an update is a D/I pair). The
+    single shared derivation behind ``incr_snapshot_cdf`` and
+    ``incr_view_maintain``. Cost honesty: deriving a feed after the fact
+    scans BOTH versions (one co-partitioned anti-semantics pass); only the
+    OUTPUT is proportional to the change. A writer that logs its changes at
+    commit time gets a true O(change)-input feed — this derivation is the
+    fallback that needs no writer cooperation."""
+    deletes = old.exceptAll(new).withColumn("op", F.lit("D"))
+    inserts = new.exceptAll(old).withColumn("op", F.lit("I"))
+    return deletes.unionByName(inserts)
+
+
 @query(
     "incr_view_maintain",
     oracle="""
@@ -410,9 +425,10 @@ def incr_view_maintain(spark, sf_dir):
     hash proves delta-application ≡ recompute exactly (count is the
     canonical self-maintainable aggregate; sums/digests maintain the same
     way, min/max do not — they need the base table on deletes). At 100 TB
-    the stored MV replaces the v2 aggregate scan, so refresh cost is
-    O(change), not O(table): the diff reads only the two versions' differing
-    files and the merge joins |groups| rows against |changed groups|."""
+    the stored MV replaces the v2 aggregate scan and the merge joins
+    |groups| rows against |changed groups|; the remaining scan is the CDF
+    derivation itself (see ``snapshot_cdf``'s cost note — a writer-logged
+    change feed makes the whole refresh O(change))."""
     table = _replay_snapshot_fixture(spark, sf_dir, "elspark_ivm")
     old, new = table.read(spark, version=2), table.read(spark, version=3)
     # the stored materialized view, as of v2
@@ -421,8 +437,8 @@ def incr_view_maintain(spark, sf_dir):
     )
     # CDF deltas: deletes retract, inserts add
     deltas = (
-        old.exceptAll(new).withColumn("d", F.lit(-1))
-        .unionByName(new.exceptAll(old).withColumn("d", F.lit(1)))
+        snapshot_cdf(old, new)
+        .withColumn("d", F.when(F.col("op") == "D", -1).otherwise(1))
         .groupBy("od_year", "o_orderpriority")
         .agg(F.sum("d").alias("d"))
     )
@@ -475,10 +491,8 @@ def incr_snapshot_cdf(spark, sf_dir):
     every delete carries the old row and every insert the new one."""
     table = _replay_snapshot_fixture(spark, sf_dir, "elspark_cdf")
     old, new = table.read(spark, version=2), table.read(spark, version=3)
-    deletes = old.exceptAll(new).withColumn("op", F.lit("D"))
-    inserts = new.exceptAll(old).withColumn("op", F.lit("I"))
     return (
-        deletes.unionByName(inserts)
+        snapshot_cdf(old, new)
         .groupBy("op", "od_year")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

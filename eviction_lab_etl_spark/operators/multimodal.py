@@ -26,7 +26,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from eviction_lab_etl_spark import fixtures
@@ -494,8 +494,6 @@ def multimodal_phash_dedup(spark, sf_dir):
                 out["hash_hi"].append(hi)
                 out["hash_lo"].append(lo)
             yield pd.DataFrame(out)
-
-    from pyspark.sql import Window
 
     hashes = media.mapInPandas(
         hash_stage, schema="doc_id long, hash_hi long, hash_lo long"

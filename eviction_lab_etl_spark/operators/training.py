@@ -51,9 +51,11 @@ _W = 32
 _S = 16
 
 
-@query(
-    "contam_ngram_overlap",
-    oracle=f"""
+# The exact string-gram contamination SPEC — shared verbatim by
+# `contam_ngram_overlap` (which implements it literally) and
+# `contam_ngram_hashed` (whose collision-free-equality contract is exactly
+# "equals this spec"): one constant so the two can never silently diverge.
+_CONTAM_ORACLE = f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS l FROM documents
     ),
@@ -74,8 +76,10 @@ _S = 16
     FROM grams g LEFT JOIN bench b ON g.gram = b.gram
     WHERE g.doc_id % 97 <> 0
     GROUP BY g.doc_id
-    """,
-)
+    """
+
+
+@query("contam_ngram_overlap", oracle=_CONTAM_ORACLE)
 def contam_ngram_overlap(spark, sf_dir):
     """Per-training-document eval contamination: how many of its distinct
     5-grams appear anywhere in the eval set (docs with doc_id % 97 == 0 — a
@@ -116,31 +120,7 @@ def contam_ngram_overlap(spark, sf_dir):
     )
 
 
-@query(
-    "contam_ngram_hashed",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS l FROM documents
-    ),
-    grams AS (
-        SELECT DISTINCT doc_id,
-               array_to_string(l[i : i + {_N - 1}], ' ') AS gram
-        FROM (SELECT doc_id, l,
-                     unnest(range(1, greatest(len(l) - {_N - 1}, 0) + 1)) AS i
-              FROM toks)
-    ),
-    bench AS (
-        SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
-    )
-    SELECT g.doc_id,
-           count(*) AS n_grams,
-           CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_hit
-    FROM grams g LEFT JOIN bench b ON g.gram = b.gram
-    WHERE g.doc_id % 97 <> 0
-    GROUP BY g.doc_id
-    """,
-)
+@query("contam_ngram_hashed", oracle=_CONTAM_ORACLE)
 def contam_ngram_hashed(spark, sf_dir):
     """Production knob for ``contam_ngram_overlap``: identical query shape,
     but each 5-gram is represented by ``xxhash64`` of its token slice (one

@@ -196,15 +196,16 @@ def sessionize(events, gap: str = "30 minutes"):
     """THE batch sessionization entry point — skew-safe by default.
 
     Always runs the two-phase bucketed form (``sessionize_two_phase``): on
-    un-skewed data it costs a bounded constant factor (measured 1.3–1.6× at
-    1×–10× of sf0.1, tools/scale_stress.py — the extra interval-merge window
-    runs over one row per LOCAL SESSION, so the overhead cannot grow with
-    per-key event counts), while on skewed data it is the only form that
-    survives (3.8× faster at one 90%-hot key over 6 M events, gap widening
-    with size — tools/skew_stress.py). Defaulting to it therefore needs no
-    cardinality estimate, no sampling pass, and no tuning knob that can be
-    wrong; pay ≤1.6× bounded on the easy case to avoid unbounded serial
-    collapse on the hard one. Use native ``session_window`` directly
+    un-skewed data it costs a bounded constant factor (measured 1.3–1.7×
+    across 1×/10×/30× of sf0.1, narrowing as data grows —
+    tools/scale_stress.py; the extra interval-merge window runs over one
+    row per LOCAL SESSION, so the overhead cannot grow with per-key event
+    counts), while on skewed data it is the only form that survives (3.8×
+    faster at one 90%-hot key over 6 M events, gap widening with size —
+    tools/skew_stress.py). Defaulting to it therefore needs no cardinality
+    estimate, no sampling pass, and no tuning knob that can be wrong; pay
+    ≤1.7× bounded on the easy case to avoid unbounded serial collapse on
+    the hard one. Use native ``session_window`` directly
     only in STREAMING (state-store execution is per-key incremental, no
     monolithic per-key sort exists there). Returns
     (user_id, start_ts, n_events); exact equality with the native operator
