@@ -118,8 +118,11 @@ def stream_session(spark, sf_dir):
     may hold ≳ a few million events (a bot, a viral doc — anything past
     ~one task's comfortable sort), call ``sessionize`` (the default,
     skew-safe entry point below): same result by shared oracle, per-key
-    serial work proportional to sessions, not events (45 s → 12 s at 6 M
-    events on one hot key — tools/skew_stress.py)."""
+    serial work proportional to sessions, not events. Measured at 6 M
+    events / one 90%-hot key (tools/skew_stress.py): 45 s → 12 s (3.8×)
+    on the loaded r5 host, 7.6 s → 5.2 s (1.5×) re-measured idle in r6 —
+    the single-task serial sort is the long pole exactly when the cluster
+    has no spare cores to hide it, which is the 100 TB operating point."""
     events = load(spark, sf_dir, "events")
     return (
         events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
@@ -200,9 +203,12 @@ def sessionize(events, gap: str = "30 minutes"):
     across 1×/10×/30× of sf0.1, narrowing as data grows —
     tools/scale_stress.py; the extra interval-merge window runs over one
     row per LOCAL SESSION, so the overhead cannot grow with per-key event
-    counts), while on skewed data it is the only form that survives (3.8×
-    faster at one 90%-hot key over 6 M events, gap widening with size —
-    tools/skew_stress.py). Defaulting to it therefore needs no cardinality
+    counts), while on skewed data it is the only form whose hot-key cost
+    stays bounded (measured at one 90%-hot key over 6 M events: 3.8×
+    faster on the loaded r5 host, 1.5× re-measured idle in r6 — the
+    advantage is the serial-sort time the host cannot hide, so it grows
+    with both key size and cluster utilization — tools/skew_stress.py).
+    Defaulting to it therefore needs no cardinality
     estimate, no sampling pass, and no tuning knob that can be wrong; pay
     ≤1.7× bounded on the easy case to avoid unbounded serial collapse on
     the hard one. Use native ``session_window`` directly
