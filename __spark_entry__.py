@@ -73,8 +73,8 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "setop_intersect_all",     # multiset INTERSECT ALL
     "io_text_roundtrip",       # whole-file text source round-trip
     "io_xml_roundtrip",        # XML source round-trip
-    # --- Round-6 changes/additions (modest on purpose — 29 queue entries
-    # leave ~21 budget slots rotating through the oldest-verified greens):
+    # --- Round-6 changes/additions (modest on purpose — 31 queue entries
+    # leave ~19 budget slots rotating through the oldest-verified greens):
     "sim_jaccard_prefix",      # NEW: prefix-filtered set-similarity join,
                                # unbounded doc range (retires the r5 weak mark)
     "contam_ngram_hashed",     # NEW: hashed-gram knob, hash-checked vs exact spec
@@ -82,6 +82,9 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "multimodal_phash_dedup",  # NEW: perceptual dHash image near-dup
     "incr_view_maintain",      # NEW: CDF-driven incremental view maintenance
     "graph_pagerank",          # NEW: fixed-point integer PageRank (exact)
+    "dedup_minhash_pairs",     # NEW: hash-checked MinHash-LSH banding (shared
+                               # md5 family — oracle reproduces the banding)
+    "dedup_minhash_recall",    # NEW: banding recall vs exact PPJoin, 1 row
     "stream_snapshot_sink",    # commit path now txn-idempotent at protocol level
     "stream_session_skewsafe", # now routed through the sessionize() entry point
 )

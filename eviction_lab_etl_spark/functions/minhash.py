@@ -19,8 +19,20 @@ pay the exact verification join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Seeded hash family: (seed, token column) -> bigint hash. The default is
+# xxhash64 (fastest JVM-side choice); pass the md5-prefix family from
+# operators/extensions.py when the result must be reproducible in a DuckDB
+# oracle (xxhash64 exists only in Spark).
+HashFamily = Callable[[int, Column], Column]
+
+
+def xxhash_family(seed: int, col: Column) -> Column:
+    return F.xxhash64(F.lit(seed), col)
 
 
 def minhash_signatures(
@@ -28,11 +40,12 @@ def minhash_signatures(
     id_col: str = "id",
     token_col: str = "w",
     n_hashes: int = 96,
+    hash_fn: HashFamily = xxhash_family,
 ) -> DataFrame:
     """One row per document: ``(id, sig array<bigint>)`` of n_hashes minhash
     values, computed as a single grouped aggregation (no per-hash shuffle)."""
     aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col(token_col))).alias(f"__h{i}")
+        F.min(hash_fn(i, F.col(token_col))).alias(f"__h{i}")
         for i in range(n_hashes)
     ]
     wide = tokens.groupBy(F.col(id_col).alias("id")).agg(*aggs)
@@ -47,24 +60,30 @@ def lsh_candidate_pairs(
     """Distinct candidate pairs (a < b) sharing at least one band bucket.
 
     Each signature splits into ``bands`` slices of ``rows_per_band`` values;
-    a slice hashes to one bucket key. Docs collide iff some slice matches
-    exactly — the probability amplification that makes LSH work."""
+    docs collide iff some slice matches exactly — the probability
+    amplification that makes LSH work. The bucket key is the STRUCT of the
+    slice's values (rows_per_band × 8 bytes), not a hash of them: the
+    candidate set is then exactly "≥1 equal band" with zero bucket-collision
+    false candidates, which is what makes the banded join reproducible in a
+    value-level SQL oracle. (At extreme scale the key can be hashed back to
+    8 bytes — the 2⁻⁶⁴ false candidates it admits are removed by the exact
+    verification join anyway.)"""
     band_entries = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
+                F.struct(
                     *[
-                        F.element_at("sig", b * rows_per_band + j + 1)
+                        F.element_at("sig", b * rows_per_band + j + 1).alias(f"v{j}")
                         for j in range(rows_per_band)
                     ]
-                ).alias("bh"),
+                ).alias("key"),
             )
             for b in range(bands)
         ]
     )
     buckets = signatures.select("id", F.explode(band_entries).alias("e")).select(
-        "id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+        "id", F.col("e.band").alias("band"), F.col("e.key").alias("key")
     )
     b1 = buckets.alias("b1")
     b2 = buckets.alias("b2")
@@ -72,7 +91,7 @@ def lsh_candidate_pairs(
         b1.join(
             b2,
             (F.col("b1.band") == F.col("b2.band"))
-            & (F.col("b1.bh") == F.col("b2.bh"))
+            & (F.col("b1.key") == F.col("b2.key"))
             & (F.col("b1.id") < F.col("b2.id")),
         )
         .select(F.col("b1.id").alias("a"), F.col("b2.id").alias("b"))
@@ -87,6 +106,7 @@ def minhash_near_dup_pairs(
     threshold: tuple[int, int] = (6, 10),
     bands: int = 32,
     rows_per_band: int = 3,
+    hash_fn: HashFamily = xxhash_family,
 ) -> DataFrame:
     """LSH-accelerated near-dup join: band candidates, then exact-verify each
     candidate's true Jaccard with integer cross-multiplication. Output
@@ -94,7 +114,7 @@ def minhash_near_dup_pairs(
     banding false-negatives (≈0.04% at the default b, r and s=0.6)."""
     num, den = threshold
     tok = tokens.select(F.col(id_col).alias("id"), F.col(token_col).alias("w"))
-    sig = minhash_signatures(tok, "id", "w", bands * rows_per_band)
+    sig = minhash_signatures(tok, "id", "w", bands * rows_per_band, hash_fn)
     cand = lsh_candidate_pairs(sig, bands, rows_per_band)
     sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     inter = (

@@ -684,3 +684,172 @@ def text_fingerprint(spark, sf_dir):
         ),
     )
     return docs.select("doc_id", F.array_min(shingle_hashes).alias("fp"))
+
+
+# --- MinHash + LSH banding (shingle → minhash → band → bucket-join) ----------
+#
+# The §2.J contract covers MinHash-LSH via `sim_ann_lsh` (pyspark.ml
+# MinHashLSH — rows-only, its fitted permutations are engine-private). The
+# two queries below make the MinHash dedup family hash-checked like SimHash
+# and Jaccard: the engine-owned banding in functions/minhash.py runs with the
+# md5-prefix 60-bit hash family (the only portable hash both engines share),
+# so a DuckDB oracle reproduces the SAME signatures, the SAME band buckets,
+# and therefore the SAME candidate set — banding false negatives and all.
+# The approximation itself becomes deterministic, cross-engine-checkable
+# behavior instead of an unverifiable black box.
+
+_MH_BANDS = 16
+_MH_ROWS = 3
+_MH_NUM, _MH_DEN = 3, 5  # Jaccard ≥ 0.6, integer cross-multiplied (§2.0 rule 1)
+
+
+def _mh_spark_family(seed, col):
+    """Seeded md5-prefix 60-bit hash (Spark side of the shared family)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), col)), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def _mh_duck_hash(seed: int) -> str:
+    return f"CAST('0x' || substr(md5('{seed}|' || w), 1, 15) AS BIGINT)"
+
+
+_MH_SIG_COLS = ",\n               ".join(
+    f"min({_mh_duck_hash(i)}) AS h{i}" for i in range(_MH_BANDS * _MH_ROWS)
+)
+_MH_BAND_EQ = "\n           OR ".join(
+    "("
+    + " AND ".join(
+        f"a.h{b * _MH_ROWS + j} = b.h{b * _MH_ROWS + j}" for j in range(_MH_ROWS)
+    )
+    + ")"
+    for b in range(_MH_BANDS)
+)
+
+# Shared oracle CTEs: signatures → banded candidates → exact-verified pairs.
+_MH_ORACLE_CTES = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_MH_SIG_COLS}
+        FROM tok GROUP BY doc_id
+    ),
+    cand AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE {_MH_BAND_EQ}
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    iv AS (
+        SELECT c.a, c.b, count(*) AS inter
+        FROM cand c
+        JOIN tok t1 ON t1.doc_id = c.a
+        JOIN tok t2 ON t2.doc_id = c.b AND t1.w = t2.w
+        GROUP BY c.a, c.b
+    ),
+    lsh AS (
+        SELECT iv.a, iv.b, iv.inter, (sa.n + sb.n - iv.inter) AS uni
+        FROM iv
+        JOIN sz sa ON sa.doc_id = iv.a
+        JOIN sz sb ON sb.doc_id = iv.b
+        WHERE {_MH_DEN} * iv.inter >= {_MH_NUM} * (sa.n + sb.n - iv.inter)
+    )"""
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=_MH_ORACLE_CTES + "\n    SELECT a, b, inter, uni FROM lsh",
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-duplicate pairs (Broder '97 banding) over the FULL
+    documents table, hash-checked end to end: 48 min-hash values per doc in
+    ONE grouped aggregation, 16 bands × 3 rows, candidates = docs sharing at
+    least one whole band (struct-equality bucket join — zero hash-collision
+    false candidates), then exact Jaccard ≥ 0.6 verification by integer
+    cross-multiplication (functions/minhash.py). The oracle rebuilds the
+    identical signatures from the shared md5-prefix family, so the driver's
+    value hash pins the banding itself — misses included — not just the
+    verified survivors. At 100 TB the plan is: one shuffle on doc_id for
+    signatures (48 longs per doc), one shuffle on (band, slice-values) for
+    candidates, and the verification join only on surviving pairs; the O(n²)
+    pair space never materializes. P[candidate | s=0.6] ≈ 0.979 at b=16,r=3
+    (recall is itself driver-measured — `dedup_minhash_recall`)."""
+    from eviction_lab_etl_spark.functions.minhash import minhash_near_dup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    return minhash_near_dup_pairs(
+        tok,
+        "doc_id",
+        "w",
+        threshold=(_MH_NUM, _MH_DEN),
+        bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS,
+        hash_fn=_mh_spark_family,
+    ).select(
+        F.col("a"), F.col("b"), big(F.col("inter")).alias("inter"),
+        big(F.col("uni")).alias("uni"),
+    )
+
+
+@query(
+    "dedup_minhash_recall",
+    oracle=_MH_ORACLE_CTES
+    + f""",
+    ex AS (
+        SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS inter
+        FROM tok t1 JOIN tok t2 ON t1.w = t2.w AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    ),
+    exq AS (
+        SELECT e.a, e.b
+        FROM ex e
+        JOIN sz sa ON sa.doc_id = e.a
+        JOIN sz sb ON sb.doc_id = e.b
+        WHERE {_MH_DEN} * e.inter >= {_MH_NUM} * (sa.n + sb.n - e.inter)
+    )
+    SELECT (SELECT count(*) FROM exq) AS n_exact,
+           (SELECT count(*) FROM lsh) AS n_lsh,
+           (1000 * (SELECT count(*) FROM lsh)) // (SELECT count(*) FROM exq)
+               AS recall_pm""",
+)
+def dedup_minhash_recall(spark, sf_dir):
+    """Banding recall as a driver-recorded number (the ann_ivf_recall pattern
+    applied to MinHash): n_exact = prefix-filtered PPJoin pair count at the
+    same ≥0.6 threshold (functions/similarity.py — itself driver-verified by
+    `sim_jaccard_prefix`), n_lsh = the banded join's pair count, recall_pm =
+    floor(1000·n_lsh/n_exact). LSH output is a subset of the exact join by
+    construction, so this IS the banding miss rate on real data; both engines
+    reproduce the identical miss set from the shared hash family. Two 1-row
+    aggregates cross-joined — nothing wide crosses the driver."""
+    from eviction_lab_etl_spark.functions.minhash import minhash_near_dup_pairs
+    from eviction_lab_etl_spark.functions.similarity import jaccard_pairs_prefix
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    lsh = minhash_near_dup_pairs(
+        tok,
+        "doc_id",
+        "w",
+        threshold=(_MH_NUM, _MH_DEN),
+        bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS,
+        hash_fn=_mh_spark_family,
+    )
+    exact = jaccard_pairs_prefix(tok, "doc_id", "w", (_MH_NUM, _MH_DEN))
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .select(
+            "n_exact",
+            "n_lsh",
+            F.expr("(1000 * n_lsh) div n_exact").alias("recall_pm"),
+        )
+    )
