@@ -307,6 +307,79 @@ def measure_jaccard_stress(spark, mult: int) -> dict:
     }
 
 
+def measure_minhash_stress(spark, mult: int) -> dict:
+    """MinHash-LSH banding (functions/minhash.py) on the same kind of
+    rarity-structured synthetic corpus as measure_jaccard_stress — the shape
+    where LSH earns its keep (the real fixture's 31-token vocabulary makes
+    EVERY background pair Jaccard ≈ 0.9+, so banding there correctly prunes
+    nothing; see SURVEY §8).
+
+    Corpus: groups of 5 consecutive doc_ids share 17 group-private tokens;
+    each doc adds 1 doc-private token and 2 tokens from a 31-token common
+    vocabulary (rotating by group). Within-group Jaccard = 19/21 ≈ 0.905;
+    cross-group (same rotation) ≈ 2/38 ≈ 0.053. Banding uses the PRODUCTION
+    xxhash64 family at b=16, r=6 (96 hashes) — steep enough that the 0.05
+    background is pruned to ~0 while P[miss | s=0.905] = (1−0.905⁶)¹⁶ ≈
+    3·10⁻⁶. Reports the naive all-token candidate mass, the banded candidate
+    count, result pairs vs the 2n expected within-group pairs (recall), and
+    wall time: candidate growth linear in n on a corpus whose pair space is
+    quadratic is the 100 TB evidence."""
+    from eviction_lab_etl_spark.functions.minhash import (
+        lsh_candidate_pairs,
+        minhash_near_dup_pairs,
+        minhash_signatures,
+    )
+
+    bands, rpb = 16, 6
+    n_docs = 5000 * mult
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    grp = F.expr("doc_id div 5")
+    tokens = docs.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(16)),
+                    lambda k: F.concat(F.lit("p"), grp, F.lit("_"), k),
+                ),
+                F.array(F.concat(F.lit("d"), F.col("doc_id"))),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(1)),
+                    lambda k: F.concat(F.lit("c"), ((grp * 7 + k) % 31)),
+                ),
+            )
+        ).alias("w"),
+    )
+    naive_bound = _naive_candidate_bound(tokens)
+
+    def run() -> None:
+        minhash_near_dup_pairs(
+            tokens, "doc_id", "w", threshold=(9, 10), bands=bands, rows_per_band=rpb
+        ).write.format("noop").mode("overwrite").save()
+
+    run()
+    runs = []
+    for _ in range(3):
+        start = time.perf_counter()
+        run()
+        runs.append(time.perf_counter() - start)
+    sig = minhash_signatures(tokens, "doc_id", "w", bands * rpb)
+    cand_pairs = lsh_candidate_pairs(sig, bands, rpb).count()
+    result_pairs = minhash_near_dup_pairs(
+        tokens, "doc_id", "w", threshold=(9, 10), bands=bands, rows_per_band=rpb
+    ).count()
+    expected_pairs = 2 * n_docs  # 10 within-group pairs × n/5 groups
+    return {
+        "n_docs": n_docs,
+        "naive_candidate_bound": naive_bound,
+        "lsh_candidates": cand_pairs,
+        "result_pairs": result_pairs,
+        "expected_pairs": expected_pairs,
+        "recall_pm": (1000 * result_pairs) // expected_pairs,
+        "sec": round(statistics.median(runs), 4),
+    }
+
+
 def scaled_dir(mult: int) -> str:
     # source-aware cache key: bench.py builds pairs from whatever
     # SPARK_GRAFT_SF_DIR points at, and an sf0.01-derived x10 must never be
@@ -342,13 +415,29 @@ def main() -> None:
     args = sys.argv[1:]
     # --cc-prefix: run only the clustering + prefix-skew measurements (the
     # full STRESS sweep is ~10 min at 30x; these two are seconds).
+    # --minhash: run only the MinHash-LSH banding measurement.
     extra_only = "--cc-prefix" in args
+    minhash_only = "--minhash" in args
     mults = [int(a) for a in args if not a.startswith("--")] or [1, 10, 30]
     registry.load_all_operators()
     spark = build_session(
         app_name="elspark-scale-stress", master="local[32]", shuffle_partitions=32
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if minhash_only:
+        for mult in mults:
+            print(
+                json.dumps(
+                    {
+                        "metric": "scale_stress_minhash",
+                        "mult": mult,
+                        "minhash": measure_minhash_stress(spark, mult),
+                    }
+                ),
+                flush=True,
+            )
+        return
 
     if extra_only:
         for mult in mults:
