@@ -1,11 +1,12 @@
 """Native MinHash + LSH banding (shingle → minhash → band → bucket-join).
 
 Engine-owned alternative to ``pyspark.ml.feature.MinHashLSH`` (used by the
-``sim_ann_lsh`` operator): fully deterministic (hash family is
-``xxhash64(seed_i, token)`` — no fitted model, no RNG), entirely JVM-side
-expressions, and the banding is explicit so the candidate join is a plain
-shuffle on (band, band_hash) — the textbook bucket-join that replaces the
-O(n²) pair space at corpus scale.
+``sim_ann_lsh`` operator): fully deterministic (a seeded hash family — no
+fitted model, no RNG; default ``xxhash64(seed_i, token)``, pluggable to the
+``md5_family`` below when a DuckDB oracle must reproduce the signatures),
+entirely JVM-side expressions, and the banding is explicit so the candidate
+join is a plain shuffle on (band, slice-values) — the textbook bucket-join
+that replaces the O(n²) pair space at corpus scale.
 
 Theory (Broder '97 / standard LSH banding, public): P[min-hash collision] =
 Jaccard(A,B); with b bands of r rows, P[candidate] = 1 − (1 − s^r)^b. The
@@ -25,14 +26,41 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Seeded hash family: (seed, token column) -> bigint hash. The default is
-# xxhash64 (fastest JVM-side choice); pass the md5-prefix family from
-# operators/extensions.py when the result must be reproducible in a DuckDB
-# oracle (xxhash64 exists only in Spark).
+# xxhash64 (fastest JVM-side choice); pass md5_family when the result must
+# be reproducible in a DuckDB oracle (xxhash64 exists only in Spark).
 HashFamily = Callable[[int, Column], Column]
+
+# 60-bit hash width: the widest md5 hex prefix that always fits a signed
+# bigint. The ONE canonical definition of the cross-engine idiom — both
+# sides below must stay derived from this constant.
+MD5_PREFIX_HEX = 15
 
 
 def xxhash_family(seed: int, col: Column) -> Column:
     return F.xxhash64(F.lit(seed), col)
+
+
+def md5_family(seed: int, col: Column) -> Column:
+    """Seeded md5-prefix 60-bit hash — the only 64-bit-ish hash family both
+    Spark and DuckDB can evaluate identically (Spark parses the hex prefix
+    with ``conv``, DuckDB with a ``'0x'||…`` cast — ``md5_family_duck``).
+    Slower than xxhash64; use it where an oracle must rebuild signatures."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), col)), 1, MD5_PREFIX_HEX
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def md5_family_duck(seed: int, token_sql: str = "w") -> str:
+    """DuckDB-SQL spelling of ``md5_family`` over the expression
+    ``token_sql`` — byte-identical values to the Spark side by construction."""
+    return (
+        f"CAST('0x' || substr(md5('{seed}|' || {token_sql}), 1, "
+        f"{MD5_PREFIX_HEX}) AS BIGINT)"
+    )
 
 
 def minhash_signatures(

@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 
 from eviction_lab_etl_spark import fixtures
 from eviction_lab_etl_spark.functions.determinism import big
+from eviction_lab_etl_spark.functions.minhash import (
+    md5_family as _mh_spark_family,
+    md5_family_duck as _mh_duck_hash,
+)
 from eviction_lab_etl_spark.operators.dedup_text import cosine
 from eviction_lab_etl_spark.registry import query
 from eviction_lab_etl_spark.sources.loader import load, spread
@@ -702,18 +706,6 @@ _MH_BANDS = 16
 _MH_ROWS = 3
 _MH_NUM, _MH_DEN = 3, 5  # Jaccard ≥ 0.6, integer cross-multiplied (§2.0 rule 1)
 
-
-def _mh_spark_family(seed, col):
-    """Seeded md5-prefix 60-bit hash (Spark side of the shared family)."""
-    return F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.lit(str(seed)), col)), 1, 15), 16, 10
-    ).cast("bigint")
-
-
-def _mh_duck_hash(seed: int) -> str:
-    return f"CAST('0x' || substr(md5('{seed}|' || w), 1, 15) AS BIGINT)"
-
-
 _MH_SIG_COLS = ",\n               ".join(
     f"min({_mh_duck_hash(i)}) AS h{i}" for i in range(_MH_BANDS * _MH_ROWS)
 )
@@ -815,8 +807,10 @@ def dedup_minhash_pairs(spark, sf_dir):
     )
     SELECT (SELECT count(*) FROM exq) AS n_exact,
            (SELECT count(*) FROM lsh) AS n_lsh,
-           (1000 * (SELECT count(*) FROM lsh)) // (SELECT count(*) FROM exq)
-               AS recall_pm""",
+           CASE WHEN (SELECT count(*) FROM exq) = 0 THEN NULL
+                ELSE (1000 * (SELECT count(*) FROM lsh))
+                     // (SELECT count(*) FROM exq)
+           END AS recall_pm""",
 )
 def dedup_minhash_recall(spark, sf_dir):
     """Banding recall as a driver-recorded number (the ann_ivf_recall pattern
@@ -826,7 +820,10 @@ def dedup_minhash_recall(spark, sf_dir):
     floor(1000·n_lsh/n_exact). LSH output is a subset of the exact join by
     construction, so this IS the banding miss rate on real data; both engines
     reproduce the identical miss set from the shared hash family. Two 1-row
-    aggregates cross-joined — nothing wide crosses the driver."""
+    aggregates cross-joined — nothing wide crosses the driver. Empty-corpus
+    contract: n_exact = 0 yields recall_pm NULL in BOTH engines (made
+    explicit because ANSI Spark would otherwise throw on div-by-zero where
+    DuckDB's // returns NULL)."""
     from eviction_lab_etl_spark.functions.minhash import minhash_near_dup_pairs
     from eviction_lab_etl_spark.functions.similarity import jaccard_pairs_prefix
 
@@ -850,6 +847,8 @@ def dedup_minhash_recall(spark, sf_dir):
         .select(
             "n_exact",
             "n_lsh",
-            F.expr("(1000 * n_lsh) div n_exact").alias("recall_pm"),
+            F.when(F.col("n_exact") == 0, F.lit(None).cast("bigint"))
+            .otherwise(F.expr("(1000 * n_lsh) div n_exact"))
+            .alias("recall_pm"),
         )
     )
