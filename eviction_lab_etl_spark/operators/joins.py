@@ -409,3 +409,55 @@ def join_scd2_point_in_time(spark, sf_dir):
             F.sum(cents("o_totalprice")).alias("spend_cents"),
         )
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle="""
+    WITH profile AS (
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(sum(p.n_events) AS BIGINT) AS sum_profile_events,
+           CAST(sum(p.total_cents) AS BIGINT) AS sum_profile_cents
+    FROM events e JOIN profile p ON e.user_id = p.user_id
+    GROUP BY e.event_type
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    """Fact-to-profile enrichment through the SALTED join construction
+    (plans/layout.salted_join): every event joins its user's lifetime
+    profile (count + exact-cents spend), with the fact side fanned across 8
+    deterministic sub-keys (xxhash64 of the full row — no rand(), §2.0) and
+    the profile replicated to match, then a per-type rollup. The oracle is
+    the PLAIN join — salting must change the shuffle distribution and
+    nothing else, and the driver hash pins that equality on real data (the
+    same contract style as `stream_session_skewsafe`). Why it exists at
+    100 TB: a viral user sends all their events to one task under a plain
+    hash join; the salt bounds any task at ~1/8 of the hot key. Perf
+    evidence lives in SCALE.md's skew-stress table (tools/skew_stress.py:
+    plain SMJ vs AQE-split vs salted_join at a 90%-hot key); on this
+    fixture the replicated profile still broadcasts, so the query pins
+    semantics, not speed. Left side carries event_id so the salt spreads a
+    hot user's rows evenly (salting on a low-cardinality projection would
+    re-concentrate them)."""
+    from eviction_lab_etl_spark.functions.determinism import cents
+    from eviction_lab_etl_spark.plans.layout import salted_join
+
+    events = load(spark, sf_dir, "events")
+    profile = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents("value")).alias("total_cents"),
+    )
+    fact = events.select("event_id", "user_id", "event_type", "value")
+    joined = salted_join(fact, profile, "user_id", n_salts=8)
+    return joined.groupBy("event_type").agg(
+        big(F.count(F.lit(1))).alias("n"),
+        big(F.sum("n_events")).alias("sum_profile_events"),
+        big(F.sum("total_cents")).alias("sum_profile_cents"),
+    )

@@ -60,7 +60,7 @@ EXTENSIONS = {
     "dedup_canonical_docs",
     "contam_ngram_overlap", "contam_ngram_hashed", "sim_jaccard_prefix",
     "export_shard_manifest", "multimodal_phash_dedup",
-    "dedup_minhash_pairs", "dedup_minhash_recall",
+    "dedup_minhash_pairs", "dedup_minhash_recall", "join_skew_salted",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",
     "text_rarity_score",
