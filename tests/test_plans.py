@@ -427,3 +427,26 @@ def test_round6_plan_shapes(spark, sf_dir):
         info = plan_of(spark, sf_dir, name)
         assert "CartesianProduct" not in info["plan"], name
         assert info["python_rows"] == 0 and info["arrow_python"] == 0, name
+
+
+def test_late_round6_plan_shapes(spark, sf_dir):
+    """Late round-6 additions keep their declared shapes: the MinHash banded
+    candidate join is an EQUI-join on (band, slice-values) — never a
+    nested-loop over the O(n²) pair space — and both it and the salted join
+    are Python-free with no cartesian products."""
+    mp = plan_of(spark, sf_dir, "dedup_minhash_pairs")
+    assert "CartesianProduct" not in mp["plan"]
+    assert mp["broadcast_nl_joins"] == 0
+    assert mp["python_rows"] == 0 and mp["arrow_python"] == 0
+
+    # The recall query's ONE BroadcastNestedLoopJoin is the deliberate
+    # 1-row × 1-row cross of the two scalar aggregates — anything more
+    # would mean a real join degenerated.
+    mr = plan_of(spark, sf_dir, "dedup_minhash_recall")
+    assert "CartesianProduct" not in mr["plan"]
+    assert mr["broadcast_nl_joins"] <= 1
+    assert mr["python_rows"] == 0 and mr["arrow_python"] == 0
+
+    sj = plan_of(spark, sf_dir, "join_skew_salted")
+    assert "CartesianProduct" not in sj["plan"]
+    assert sj["python_rows"] == 0 and sj["arrow_python"] == 0
