@@ -73,8 +73,8 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "setop_intersect_all",     # multiset INTERSECT ALL
     "io_text_roundtrip",       # whole-file text source round-trip
     "io_xml_roundtrip",        # XML source round-trip
-    # --- Round-6 changes/additions (modest on purpose — 32 queue entries
-    # leave ~18 budget slots rotating through the oldest-verified greens):
+    # --- Round-6 changes/additions (modest on purpose — 34 queue entries
+    # leave ~16 budget slots rotating through the oldest-verified greens):
     "sim_jaccard_prefix",      # NEW: prefix-filtered set-similarity join,
                                # unbounded doc range (retires the r5 weak mark)
     "contam_ngram_hashed",     # NEW: hashed-gram knob, hash-checked vs exact spec
@@ -86,6 +86,8 @@ _RECHECK_QUEUE: tuple[str, ...] = (
                                # md5 family — oracle reproduces the banding)
     "dedup_minhash_recall",    # NEW: banding recall vs exact PPJoin, 1 row
     "join_skew_salted",        # NEW: salted-join construction ≡ plain join
+    "layout_zorder_key",       # NEW: exact Morton key ≡ SQL bit lattice
+    "io_range_partitioned",    # NEW: range-clustered write + pruned read-back
     "stream_snapshot_sink",    # commit path now txn-idempotent at protocol level
     "stream_session_skewsafe", # now routed through the sessionize() entry point
 )

@@ -265,3 +265,96 @@ def io_text_roundtrip(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select("text")
     docs.write.mode("overwrite").text(out)
     return spark.read.text(out).withColumnRenamed("value", "text")
+
+
+# --- Physical-layout library, driver-checked (plans/layout.py) ---------------
+
+_Z_BITS = 16
+_Z_MAX = (1 << _Z_BITS) - 1
+# Morton interleave of the two 16-bit ranks, as DuckDB bit arithmetic — the
+# same shift-or lattice plans/layout._interleave generates as Spark Columns.
+_Z_INTERLEAVE_DUCK = "\n               | ".join(
+    f"(((r{j} >> {i}) & 1) << {i * 2 + j})"
+    for i in range(_Z_BITS)
+    for j in range(2)
+)
+
+
+@query(
+    "layout_zorder_key",
+    oracle=f"""
+    WITH r AS (
+        SELECT o_orderkey,
+               CAST(floor(percent_rank() OVER (ORDER BY o_custkey)
+                          * {_Z_MAX}) AS BIGINT) AS r0,
+               CAST(floor(percent_rank() OVER (ORDER BY o_totalprice)
+                          * {_Z_MAX}) AS BIGINT) AS r1
+        FROM orders
+    )
+    SELECT o_orderkey,
+           {_Z_INTERLEAVE_DUCK} AS zkey
+    FROM r
+    """,
+)
+def layout_zorder_key(spark, sf_dir):
+    """EXACT Z-order (Morton) clustering key per order over (o_custkey,
+    o_totalprice) — the correctness reference behind `zorder_write`'s
+    clustered layout (plans/layout.py): percent_rank normalizes each
+    dimension to a 16-bit integer rank, then the bit-planes interleave so
+    rows close on EVERY dimension land close on the 1-D curve. The oracle
+    rebuilds the identical key in SQL bit arithmetic (floor before the
+    BIGINT cast — DuckDB rounds double→bigint where Spark truncates), so
+    the driver hash pins the full rank+interleave lattice value-for-value.
+    Rank floors are tie-stable (percent_rank depends only on rank), making
+    the float→int boundary cross-engine exact. This exact form carries the
+    documented single-task-sort warning; the production map-only path
+    (`zorder_key_sampled`, approx-quantile cut points inlined as literals)
+    is plan-pinned in tests/test_layout.py and used by zorder_write."""
+    from eviction_lab_etl_spark.plans.layout import zorder_key
+
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        zorder_key(["o_custkey", "o_totalprice"], bits=_Z_BITS).alias("zkey"),
+    )
+
+
+@query(
+    "io_range_partitioned",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS spend_cents
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-01-01'
+    GROUP BY o_orderpriority
+    """,
+)
+def io_range_partitioned(spark, sf_dir):
+    """Range-clustered parquet sink + pruned read-back
+    (plans/layout.write_range_partitioned): orders land in 4 files each
+    covering a contiguous o_orderdate range, then the scan applies a date
+    predicate — parquet footer min/max stats skip the files wholly before
+    the cutoff — and aggregates exact cents per priority. The oracle runs
+    the same filter+aggregate on the source table, so the driver hash
+    proves the clustered write/read path is lossless end to end (exact
+    cents via the shared cents() contract — o_totalprice is a 2-dp-valued
+    DOUBLE in the fixture, so the +0.5-truncate / DECIMAL-cast pair is the
+    cross-engine-exact recovery, §2.0). At
+    100 TB this layout is the write-side dual of partition pruning: one
+    repartitionByRange exchange at ingest buys file skipping on every
+    later time-bounded scan."""
+    from eviction_lab_etl_spark.functions.determinism import cents
+    from eviction_lab_etl_spark.plans.layout import write_range_partitioned
+
+    out = _sink_path("orders_range")
+    orders = load(spark, sf_dir, "orders")
+    write_range_partitioned(orders, out, "o_orderdate", n_files=4)
+    back = spark.read.parquet(out).filter(
+        F.col("o_orderdate") >= F.lit("1995-01-01").cast("date")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("o_totalprice")).alias("spend_cents"),
+    )

@@ -61,6 +61,7 @@ EXTENSIONS = {
     "contam_ngram_overlap", "contam_ngram_hashed", "sim_jaccard_prefix",
     "export_shard_manifest", "multimodal_phash_dedup",
     "dedup_minhash_pairs", "dedup_minhash_recall", "join_skew_salted",
+    "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",
     "text_rarity_score",
