@@ -77,6 +77,8 @@ R5_HEADLINE = [
 R6_HEADLINE = [
     "contam_ngram_hashed",        # hashed-gram contamination knob
     "stream_session_skewsafe",    # the default (two-phase) sessionize path
+    "join_skew_salted",           # salted fact-to-profile join (≡ plain join)
+    "io_range_partitioned",       # range-clustered write + pruned read-back
 ]
 
 # Per-query comparison bases, reported as "vs_baseline" ratios (<1 = faster).
