@@ -454,7 +454,7 @@ def join_skew_salted(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(cents("value")).alias("total_cents"),
     )
-    fact = events.select("event_id", "user_id", "event_type", "value")
+    fact = events.select("event_id", "user_id", "event_type")
     joined = salted_join(fact, profile, "user_id", n_salts=8)
     return joined.groupBy("event_type").agg(
         big(F.count(F.lit(1))).alias("n"),
