@@ -443,3 +443,63 @@ def test_prefix_jaccard_equals_python_bruteforce(spark, docs, thr):
             if den * inter >= num * uni:
                 want.add((a, b, inter, uni))
     assert got == want
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 15), min_size=1, max_size=8),
+        min_size=2,
+        max_size=10,
+    ),
+    thr=st.sampled_from([(1, 2), (6, 10), (9, 10)]),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_minhash_banding_equals_python_bruteforce(spark, docs, thr):
+    """The md5-family MinHash-LSH join (the ``dedup_minhash_pairs`` engine)
+    against a pure-Python reproduction — an oracle independent of BOTH Spark
+    and DuckDB. The Python side rebuilds the seeded md5-prefix hashes with
+    hashlib, takes per-band slice tuples, and enumerates candidates by
+    band-tuple equality over all pairs; output must match EXACTLY —
+    including banding false negatives, which is the whole contract. Pins
+    the '{seed}|{token}' framing, the 15-hex-char conv parse, the 1-based
+    element_at slice indexing, and the verify threshold in one assert."""
+    import hashlib
+
+    from eviction_lab_etl_spark.functions.minhash import (
+        md5_family,
+        minhash_near_dup_pairs,
+    )
+
+    bands, rpb = 4, 2
+    rows = [(i, f"t{t}") for i, toks in enumerate(docs) for t in set(toks)]
+    tokens = spark.createDataFrame(rows, "doc_id long, w string")
+    got = {
+        (r.a, r.b, r.inter, r.uni)
+        for r in minhash_near_dup_pairs(
+            tokens, "doc_id", "w", threshold=thr,
+            bands=bands, rows_per_band=rpb, hash_fn=md5_family,
+        ).collect()
+    }
+
+    def h60(seed: int, w: str) -> int:
+        return int(hashlib.md5(f"{seed}|{w}".encode()).hexdigest()[:15], 16)
+
+    sets = [{f"t{t}" for t in toks} for toks in docs]
+    sigs = [
+        [min(h60(i, w) for w in s) for i in range(bands * rpb)] for s in sets
+    ]
+    num, den = thr
+    want = set()
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            if not any(
+                sigs[a][k * rpb:(k + 1) * rpb] == sigs[b][k * rpb:(k + 1) * rpb]
+                for k in range(bands)
+            ):
+                continue
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if den * inter >= num * uni:
+                want.add((a, b, inter, uni))
+    assert got == want
