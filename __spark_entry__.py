@@ -42,54 +42,23 @@ _FLAGSHIP = "agg_sum_groupby"
 # stale queue can never burn a later round's budget re-checking green rows.
 # Bump _QUEUE_AS_OF to the highest CORRECTNESS_r*.json round present whenever
 # the queue is edited.
-_QUEUE_AS_OF = 5
+_QUEUE_AS_OF = 6
 _RECHECK_QUEUE: tuple[str, ...] = (
-    # --- The 21 queries that have NEVER appeared in any CORRECTNESS_r*.json
-    # (round-5 verdict "What's missing" #1): the ~50-query budget deferred
-    # them behind headline work for two rounds; they lead round 6 so every
-    # registered query finally carries a driver record. All 21 pass the same
-    # oracle diff locally (tests/test_oracle_diff.py) — this closes the gap
-    # between "done locally" and "done". The two newest Python-boundary
-    # surfaces go first (verdict item 6: cogroup + polymorphic UDTF are the
-    # last unverified edges of the Arrow-boundary claim in PLANS.md).
-    "udf_cogrouped_map",       # cogrouped applyInPandas boundary
-    "udtf_dynamic_schema",     # polymorphic (analyze-time schema) UDTF
-    "sim_cross_lang_pairs",    # cross-language near-dup detection
-    "resample_downweight_dups",# soft dedup via duplicate-count weights
-    "sample_weighted_priority",# priority sampling (+ r6 weight/NULL guard)
-    "join_scd2_point_in_time", # SCD2 as-of dimension resolution
-    "stream_static_enrich",    # stream-static broadcast enrich (rows-only)
-    "incr_snapshot_cdf",       # change-data-feed between snapshot versions
-    "events_pareto_concentration",  # activity-concentration report
-    "events_type_transitions", # first-order type-transition matrix
-    "ts_anomaly_mad",          # MAD-based anomaly flags
-    "agg_percentiles_by_lang", # exact per-stratum percentiles (cogroup)
-    "agg_corr_components",     # correlation from integer component sums
-    "agg_bool_logic",          # bool_and/bool_or/count_if family
-    "agg_collect_sorted",      # deterministic collect_list surface
-    "graph_degree_hist",       # degree histogram (graph summary)
-    "scalar_bitwise",          # bit ops + aggregate XOR parity
-    "setop_except_all",        # multiset EXCEPT ALL
-    "setop_intersect_all",     # multiset INTERSECT ALL
-    "io_text_roundtrip",       # whole-file text source round-trip
-    "io_xml_roundtrip",        # XML source round-trip
-    # --- Round-6 changes/additions (modest on purpose — 34 queue entries
-    # leave ~16 budget slots rotating through the oldest-verified greens):
-    "sim_jaccard_prefix",      # NEW: prefix-filtered set-similarity join,
-                               # unbounded doc range (retires the r5 weak mark)
-    "contam_ngram_hashed",     # NEW: hashed-gram knob, hash-checked vs exact spec
-    "export_shard_manifest",   # NEW: content-hash training-export sharding
-    "multimodal_phash_dedup",  # NEW: perceptual dHash image near-dup
-    "incr_view_maintain",      # NEW: CDF-driven incremental view maintenance
-    "graph_pagerank",          # NEW: fixed-point integer PageRank (exact)
-    "dedup_minhash_pairs",     # NEW: hash-checked MinHash-LSH banding (shared
-                               # md5 family — oracle reproduces the banding)
-    "dedup_minhash_recall",    # NEW: banding recall vs exact PPJoin, 1 row
-    "join_skew_salted",        # NEW: salted-join construction ≡ plain join
-    "layout_zorder_key",       # NEW: exact Morton key ≡ SQL bit lattice
-    "io_range_partitioned",    # NEW: range-clustered write + pruned read-back
-    "stream_snapshot_sink",    # commit path now txn-idempotent at protocol level
-    "stream_session_skewsafe", # now routed through the sessionize() entry point
+    # --- The one red row from CORRECTNESS_r06 leads (round-6 verdict item 1):
+    # agg_collect_sorted ERRORED because its array<string> output column was
+    # unhashable on the driver's pandas canonicalizer; the surface is now the
+    # canonical concat_ws string (identical information, scalar, hashable).
+    "agg_collect_sorted",      # FIXED r7: concat_ws scalar surface
+    # --- Round-7 changes/additions:
+    "io_orc_roundtrip",        # UPGRADED r7: rows-only -> hash-checked
+    "io_bucketed_join",        # UPGRADED r7: rows-only -> hash-checked
+    "multimodal_phash_near",   # NEW r7: banded Hamming hd<=k pHash join
+    "multimodal_phash_dedup",  # r7: hash stage factored into _phash_frame
+    "graph_pagerank",          # r7: persist dropped for ReuseExchange
+    "incr_view_maintain",      # r7: null-safe merge keys (eqNullSafe)
+    "dedup_minhash_pairs",     # r7: md5_family NULL-propagation fix
+    "dedup_minhash_recall",    # r7: md5_family NULL-propagation fix
+    "pipeline_corpus_clean",   # r7: md5_family NULL-propagation fix (rows-only)
 )
 
 

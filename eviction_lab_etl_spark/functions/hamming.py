@@ -1,0 +1,105 @@
+"""Banded Hamming-distance near-match over 64-bit hashes.
+
+The generic engine behind ``multimodal_phash_near`` (perceptual-image
+near-dup) and any other fixed-width fingerprint family (audio chromaprints,
+video frame signatures): find all id pairs whose 64-bit hashes differ in at
+most ``max_hd`` bits WITHOUT the O(n²) pair join, using the Manku et al.
+(WWW'07) block-permutation / pigeonhole argument also used by the SimHash
+text path (operators/extensions.py).
+
+Hashes arrive as two NONNEGATIVE 32-bit halves (hi = bits 63..32,
+lo = bits 31..0) so every shift/XOR/bit_count stays inside a BIGINT on both
+Spark and any SQL oracle — no sign-bit or HUGEINT edge anywhere.
+
+Exactness: with ``bands`` > ``max_hd`` equal-width bands, a pair within
+``max_hd`` dirty bits can dirty at most ``max_hd`` bands, so at least one
+band matches exactly (pigeonhole) — banding admits EVERY qualifying pair,
+and the post-join bit_count filter removes every non-qualifying candidate:
+the result EQUALS the exact quadratic join. tests/test_properties.py pins
+this equality against a pure-Python brute force over random hash sets.
+
+Scale shape (100 TB): the candidate shuffle carries ``bands`` rows per
+hash — (band, band_key, id, hi, lo) — never pixels/payloads and never the
+pair space; the verify is two bit_counts on the already-joined halves.
+Buckets stay sparse as long as 64/bands-bit keys spread; for longer
+fingerprints widen hash and bands together keeping bands > max_hd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_HASH_BITS = 64
+_HALF_BITS = 32
+
+
+def hamming_near_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hi_col: str = "hash_hi",
+    lo_col: str = "hash_lo",
+    max_hd: int = 6,
+    bands: int = 8,
+) -> DataFrame:
+    """All (a, b, hd) with a < b (by ``id_col``) and Hamming distance
+    hd ≤ ``max_hd`` between the 64-bit hashes, via banded bucket join.
+
+    ``bands`` must exceed ``max_hd`` (the pigeonhole recall guarantee) and
+    divide 64 evenly with a whole number of bands per 32-bit half.
+    """
+    if bands <= max_hd:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hd ({max_hd}) for the "
+            "pigeonhole guarantee to hold"
+        )
+    if _HASH_BITS % bands or (_HALF_BITS % (_HASH_BITS // bands)):
+        raise ValueError(
+            f"bands ({bands}) must divide {_HASH_BITS} with a whole number "
+            f"of bands per {_HALF_BITS}-bit half"
+        )
+    band_bits = _HASH_BITS // bands
+    per_half = _HALF_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(
+                    F.col(lo_col) if b < per_half else F.col(hi_col),
+                    (b % per_half) * band_bits,
+                )
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col(hi_col).alias("hi"),
+        F.col(lo_col).alias("lo"),
+        F.explode(band_entries).alias("e"),
+    ).select(
+        "id", "hi", "lo", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    hd = F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi"))) + F.bit_count(
+        F.col("a.lo").bitwiseXOR(F.col("b.lo"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a"),
+            F.col("b.id").alias("b"),
+            hd.cast("long").alias("hd"),
+        )
+        .filter(F.col("hd") <= max_hd)
+        .distinct()
+    )

@@ -44,10 +44,15 @@ def md5_family(seed: int, col: Column) -> Column:
     """Seeded md5-prefix 60-bit hash — the only 64-bit-ish hash family both
     Spark and DuckDB can evaluate identically (Spark parses the hex prefix
     with ``conv``, DuckDB with a ``'0x'||…`` cast — ``md5_family_duck``).
-    Slower than xxhash64; use it where an oracle must rebuild signatures."""
+    Slower than xxhash64; use it where an oracle must rebuild signatures.
+
+    NULL tokens hash to NULL: ``F.concat`` propagates NULL exactly like
+    DuckDB's ``||`` in ``md5_family_duck`` (a ``concat_ws`` spelling would
+    silently skip the NULL and hash ``'{seed}'``, silently diverging from
+    the oracle — the cross-engine byte-identity claim covers ALL inputs)."""
     return F.conv(
         F.substring(
-            F.md5(F.concat_ws("|", F.lit(str(seed)), col)), 1, MD5_PREFIX_HEX
+            F.md5(F.concat(F.lit(f"{seed}|"), col)), 1, MD5_PREFIX_HEX
         ),
         16,
         10,

@@ -330,7 +330,8 @@ def agg_bool_logic(spark, sf_dir):
     "agg_collect_sorted",
     oracle="""
     SELECT n_name,
-           list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+               AS segments,
            count(*) AS n_cust
     FROM customer JOIN nation ON n_nationkey = c_nationkey
     GROUP BY n_name
@@ -338,9 +339,12 @@ def agg_bool_logic(spark, sf_dir):
 )
 def agg_collect_sorted(spark, sf_dir):
     """Array aggregation with a deterministic surface: the distinct market
-    segments per nation as a SORTED list (collect_set's order is partition-
-    dependent garbage until sort_array canonicalizes it — the rule-3
-    tiebreak discipline applied to array outputs). The reference's
+    segments per nation, SORTED and joined into one canonical string
+    (collect_set's order is partition-dependent garbage until sort_array
+    canonicalizes it — the rule-3 tiebreak discipline applied to array
+    outputs; concat_ws then flattens the array to a scalar so the result
+    hashes on any verification surface, including ones whose pandas
+    canonicalizer cannot sort numpy-array cells). The reference's
     data-dictionary exports ('which segments appear in this geography')
     are this shape. Partial collect_set aggregates merge map-side; the
     array stays ≤ |segments| = 5 elements regardless of row count."""
@@ -350,7 +354,9 @@ def agg_collect_sorted(spark, sf_dir):
         cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+            F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias(
+                "segments"
+            ),
             F.count(F.lit(1)).alias("n_cust"),
         )
     )

@@ -515,10 +515,14 @@ def graph_pagerank(spark, sf_dir):
         edges.select(F.col("b").alias("v"), F.col("a").alias("u"))
     )
     deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
-    # link table: (v, u, d) where d = deg(u) — built once, reused every step
-    link = sym.join(
-        deg.select(F.col("v").alias("u"), "d"), "u"
-    ).persist()
+    # link table: (v, u, d) where d = deg(u) — referenced by all three
+    # unrolled join steps. NOT persisted: the three link subtrees are
+    # byte-identical, so Spark's ReuseExchange computes the link shuffle
+    # once per execution and streams it to every consumer — same
+    # compute-once guarantee as a persist() with NO session-lifetime
+    # executor-memory pin after the query finishes (a persist here leaked
+    # the cache on every invocation).
+    link = sym.join(deg.select(F.col("v").alias("u"), "d"), "u")
     ranks = deg.select("v", F.lit(1000000).cast("long").alias("r"))
     for _ in range(3):
         ranks = (

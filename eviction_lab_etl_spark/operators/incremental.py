@@ -442,12 +442,24 @@ def incr_view_maintain(spark, sf_dir):
         .groupBy("od_year", "o_orderpriority")
         .agg(F.sum("d").alias("d"))
     )
+    # null-SAFE merge keys: a NULL group key must meet its counterpart in
+    # ONE output row (plain `=` would split the group into two diverging
+    # rows). Latent on TPC-H (o_orderpriority is never NULL) but the merge
+    # pattern is meant to generalize beyond the fixture.
+    mv, deltas = mv.alias("mv"), deltas.alias("dl")
     return (
-        mv.join(deltas, ["od_year", "o_orderpriority"], "full")
+        mv.join(
+            deltas,
+            F.col("mv.od_year").eqNullSafe(F.col("dl.od_year"))
+            & F.col("mv.o_orderpriority").eqNullSafe(F.col("dl.o_orderpriority")),
+            "full",
+        )
         .select(
-            "od_year",
-            "o_orderpriority",
-            (F.coalesce("n_rows", F.lit(0)) + F.coalesce("d", F.lit(0)))
+            F.coalesce("mv.od_year", "dl.od_year").alias("od_year"),
+            F.coalesce("mv.o_orderpriority", "dl.o_orderpriority").alias(
+                "o_orderpriority"
+            ),
+            (F.coalesce("mv.n_rows", F.lit(0)) + F.coalesce("dl.d", F.lit(0)))
             .cast("long")
             .alias("n_rows"),
         )

@@ -427,10 +427,12 @@ def _dhash(width: int, height: int, rgb: bytes) -> tuple[int, int]:
     return bits >> 32, bits & 0xFFFFFFFF
 
 
-@query(
-    "multimodal_phash_dedup",
-    oracle="""
-    WITH d0 AS (
+# Closed-form recomputation of every dHash bit from the test pattern's
+# arithmetic definition — the shared oracle CTE behind multimodal_phash_dedup
+# (exact-equality grouping) and multimodal_phash_near (banded Hamming join):
+# one `hashes(doc_id, hash_hi, hash_lo)` relation, no decoding anywhere.
+_PHASH_HASHES_DUCK = """
+    d0 AS (
         SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
         FROM documents
     ),
@@ -461,6 +463,39 @@ def _dhash(width: int, height: int, rgb: bytes) -> tuple[int, int]:
                     AS BIGINT) AS hash_lo
         FROM bits GROUP BY doc_id
     )
+"""
+
+
+def _phash_frame(spark, sf_dir: str) -> DataFrame:
+    """(doc_id, hash_hi, hash_lo) over the really-decoded image corpus: mint
+    PPM/BMP payloads (media_frame_images), decode them with the pure-Python
+    codecs, dHash the pixels — one fused Arrow map stage; the only columns
+    that survive it are the 8-byte hash halves and the id (payloads never
+    shuffle)."""
+    media = media_frame_images(spark, sf_dir)
+
+    def hash_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "hash_hi": [], "hash_lo": []}
+            for doc_id, payload, mt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_type"]
+            ):
+                w, h, rgb = media_codecs.decode_image(bytes(payload), mt)
+                hi, lo = _dhash(w, h, rgb)
+                out["doc_id"].append(int(doc_id))
+                out["hash_hi"].append(hi)
+                out["hash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        hash_stage, schema="doc_id long, hash_hi long, hash_lo long"
+    )
+
+
+@query(
+    "multimodal_phash_dedup",
+    oracle=f"""
+    WITH {_PHASH_HASHES_DUCK}
     SELECT doc_id, hash_hi, hash_lo,
            count(*) OVER (PARTITION BY hash_hi, hash_lo) AS grp_size
     FROM hashes
@@ -478,28 +513,54 @@ def multimodal_phash_dedup(spark, sf_dir):
     bit packing at once; this fixture yields 289 distinct hashes over 500
     docs with groups up to 39 — non-vacuous). Scale shape: decode+hash is
     one Arrow map stage; the only shuffle carries (8-byte hash, doc_id) —
-    never pixels; Hamming-near (≤k bit) matching at 100 TB bands the two
-    halves exactly like SimHash banding (operators/extensions.py)."""
-    media = media_frame_images(spark, sf_dir)
-
-    def hash_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"doc_id": [], "hash_hi": [], "hash_lo": []}
-            for doc_id, payload, mt in zip(
-                pdf["doc_id"], pdf["payload"], pdf["media_type"]
-            ):
-                w, h, rgb = media_codecs.decode_image(bytes(payload), mt)
-                hi, lo = _dhash(w, h, rgb)
-                out["doc_id"].append(int(doc_id))
-                out["hash_hi"].append(hi)
-                out["hash_lo"].append(lo)
-            yield pd.DataFrame(out)
-
-    hashes = media.mapInPandas(
-        hash_stage, schema="doc_id long, hash_hi long, hash_lo long"
-    )
+    never pixels; Hamming-near (≤k bit) matching at 100 TB is the banded
+    sibling `multimodal_phash_near`."""
+    hashes = _phash_frame(spark, sf_dir)
     grp = Window.partitionBy("hash_hi", "hash_lo")
     return hashes.withColumn("grp_size", F.count(F.lit(1)).over(grp))
+
+
+_PHASH_BANDS = 8          # 8 bands × 8 bits over the 64-bit dHash
+_PHASH_MAX_HD = 6         # pigeonhole needs bands > max_hd: 8 > 6
+
+
+@query(
+    "multimodal_phash_near",
+    oracle=f"""
+    WITH {_PHASH_HASHES_DUCK}
+    SELECT a.doc_id AS a, b.doc_id AS b,
+           CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) AS BIGINT) AS hd
+    FROM hashes a JOIN hashes b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+          + bit_count(xor(a.hash_lo, b.hash_lo)) <= {_PHASH_MAX_HD}
+    """,
+)
+def multimodal_phash_near(spark, sf_dir):
+    """NEAR-duplicate image pairs within Hamming distance 6 of their 64-bit
+    dHash — the re-encode/slight-crop case exact-equality grouping
+    (multimodal_phash_dedup) misses — via the same banded bucket join that
+    powers dedup_simhash_pairs (Manku et al. WWW'07): the 64-bit hash
+    splits into 8 bands of 8 bits (4 per 32-bit half); hd ≤ 6 can dirty at
+    most 6 bands, so by pigeonhole every qualifying pair shares ≥2 clean
+    bands — the banded result EQUALS the exact quadratic join, which is
+    exactly what the oracle computes (closed-form dHash recomputation, then
+    the all-pairs bit_count join over the bounded 500-doc fixture). The
+    hashing itself runs the REAL chain: encode→decode→dHash in one Arrow
+    map stage. Plan shape at 100 TB: candidates shuffle on (band, key) —
+    8 rows per image, 8-byte keys — never the O(n²) pair space and never a
+    pixel; the Hamming verify is two bit_counts on the joined halves
+    (functions/hamming.py, property-tested against a Python brute force in
+    tests/test_properties.py). SCALE.md records the pruning ratio vs the
+    quadratic oracle."""
+    from eviction_lab_etl_spark.functions.hamming import hamming_near_pairs
+
+    return hamming_near_pairs(
+        _phash_frame(spark, sf_dir),
+        id_col="doc_id",
+        max_hd=_PHASH_MAX_HD,
+        bands=_PHASH_BANDS,
+    )
 
 
 @query(

@@ -88,14 +88,24 @@ def io_csv_roundtrip(spark, sf_dir):
     return spark.read.schema(schema).option("header", True).csv(path)
 
 
-@query("io_bucketed_join")  # rows-only: sink layout + exchange-free join proof
+@query(
+    "io_bucketed_join",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
 def io_bucketed_join(spark, sf_dir):
     """Bucketed-table co-located join (the 100 TB ingest contract): orders and
     lineitem both hash-bucketed on orderkey at write time, so the later join
     needs NO exchange on either side — the shuffle is paid once at ingest, not
     per query. The plan property (0 Exchanges) is asserted in
     tests/test_layout.py; this entry makes the layout lever driver-visible.
-    Returns per-orderstatus lineitem counts from the bucket-joined tables."""
+    Returns per-orderstatus lineitem counts from the bucket-joined tables;
+    the oracle runs the identical join+aggregate on the source tables, so
+    the driver hash proves the bucketed write/read/join path is lossless
+    (not merely that it ran)."""
     from eviction_lab_etl_spark.plans.layout import bucketed_write
 
     n = 8
@@ -116,11 +126,17 @@ def io_bucketed_join(spark, sf_dir):
     )
 
 
-@query("io_orc_roundtrip")  # rows-only: sink+source behavior, no SQL oracle
+@query(
+    "io_orc_roundtrip",
+    oracle="SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders",
+)
 def io_orc_roundtrip(spark, sf_dir):
     """ORC sink/source round-trip — the second columnar format a lakehouse
     deployment encounters (Hive-era tables); schema and values must survive
-    unchanged, including decimals-as-doubles and timestamps."""
+    unchanged, including decimals-as-doubles. The oracle selects the same
+    three columns from the parquet source (io_text_roundtrip's pattern), so
+    the driver hash proves the ORC write/read preserved every value bit-
+    for-bit (IEEE doubles round-trip exactly through ORC's DOUBLE)."""
     path = _sink_path("orders_orc")
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"

@@ -265,6 +265,18 @@ class SnapshotTable:
         data_root = os.path.join(self.root, "data")
         for sub in os.listdir(data_root):
             subdir = os.path.join(data_root, sub)
+            if not os.path.isdir(subdir):
+                # a stray plain file directly under data/ (never written by
+                # this sink) must not reach the rmtree branch below — os.walk
+                # would yield nothing, the all-aged guard would trivially
+                # pass, and rmtree would raise NotADirectoryError, aborting
+                # the whole vacuum. Unlink it if unreferenced and aged.
+                rel = os.path.relpath(subdir, self.root)
+                if rel not in referenced and _aged(subdir):
+                    os.unlink(subdir)
+                    if subdir.endswith(".parquet"):
+                        deleted.append(rel)
+                continue
             sub_prefix = os.path.join("data", sub) + os.sep
             sub_referenced = any(r.startswith(sub_prefix) for r in referenced)
             # age the dir BEFORE any deletion below bumps its mtime past `now`

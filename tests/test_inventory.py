@@ -59,7 +59,7 @@ EXTENSIONS = {
     "graph_pagerank",
     "dedup_canonical_docs",
     "contam_ngram_overlap", "contam_ngram_hashed", "sim_jaccard_prefix",
-    "export_shard_manifest", "multimodal_phash_dedup",
+    "export_shard_manifest", "multimodal_phash_dedup", "multimodal_phash_near",
     "dedup_minhash_pairs", "dedup_minhash_recall", "join_skew_salted",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",

@@ -450,3 +450,14 @@ def test_late_round6_plan_shapes(spark, sf_dir):
     sj = plan_of(spark, sf_dir, "join_skew_salted")
     assert "CartesianProduct" not in sj["plan"]
     assert sj["python_rows"] == 0 and sj["arrow_python"] == 0
+
+
+def test_round7_plan_shapes(spark, sf_dir):
+    """multimodal_phash_near keeps its declared shape: the candidate join is
+    an EQUI-join on (band, key) — never a nested loop or cartesian over the
+    O(n²) image-pair space — and the only Python is the Arrow-batched
+    encode→decode→dHash chain (≥2 mapInPandas stages, zero row-Python)."""
+    pn = plan_of(spark, sf_dir, "multimodal_phash_near")
+    assert "CartesianProduct" not in pn["plan"]
+    assert pn["broadcast_nl_joins"] == 0
+    assert pn["arrow_python"] >= 2 and pn["python_rows"] == 0

@@ -503,3 +503,56 @@ def test_minhash_banding_equals_python_bruteforce(spark, docs, thr):
             if den * inter >= num * uni:
                 want.add((a, b, inter, uni))
     assert got == want
+
+
+@given(
+    hs=st.lists(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        min_size=2,
+        max_size=12,
+    ),
+    cfg=st.sampled_from([(6, 8), (0, 4), (3, 4), (7, 16)]),
+)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hamming_banding_equals_python_bruteforce(spark, hs, cfg):
+    """The banded Hamming join (functions/hamming.py, the engine behind
+    ``multimodal_phash_near``) against a pure-Python brute force over random
+    64-bit hashes: for ANY hash multiset and any (max_hd, bands) with
+    bands > max_hd, the banded result must EQUAL the exact quadratic
+    hd ≤ max_hd join — the pigeonhole guarantee as an executable property,
+    including the duplicate-hash (hd=0) and adversarially-close cases random
+    image fixtures underrepresent. Also pins the hi/lo half split: hi is
+    bits 63..32, lo is 31..0, both nonnegative."""
+    from eviction_lab_etl_spark.functions.hamming import hamming_near_pairs
+
+    max_hd, bands = cfg
+    rows = [(i, h >> 32, h & 0xFFFFFFFF) for i, h in enumerate(hs)]
+    df = spark.createDataFrame(rows, "doc_id long, hash_hi long, hash_lo long")
+    got = {
+        (r.a, r.b, r.hd)
+        for r in hamming_near_pairs(
+            df, id_col="doc_id", max_hd=max_hd, bands=bands
+        ).collect()
+    }
+    want = {
+        (a, b, bin(hs[a] ^ hs[b]).count("1"))
+        for a in range(len(hs))
+        for b in range(a + 1, len(hs))
+        if bin(hs[a] ^ hs[b]).count("1") <= max_hd
+    }
+    assert got == want
+
+
+def test_hamming_banding_rejects_unsound_configs(spark):
+    """bands ≤ max_hd breaks the pigeonhole recall guarantee and must raise,
+    as must band widths that don't tile the 32-bit halves."""
+    from eviction_lab_etl_spark.functions.hamming import hamming_near_pairs
+
+    df = spark.createDataFrame(
+        [(0, 0, 0)], "doc_id long, hash_hi long, hash_lo long"
+    )
+    with pytest.raises(ValueError):
+        hamming_near_pairs(df, max_hd=8, bands=8)
+    with pytest.raises(ValueError):
+        hamming_near_pairs(df, max_hd=2, bands=5)

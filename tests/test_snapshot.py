@@ -167,6 +167,27 @@ def test_vacuum_reclaims_mid_write_temporary_tree(spark, table):
     assert table.read(spark).count() == 4
 
 
+def test_vacuum_survives_stray_plain_file_under_data(spark, table):
+    """A stray PLAIN FILE directly under data/ (dropped by an operator or a
+    foreign tool — never written by this sink) must not crash vacuum: the
+    orphan-reclaim branch walks entries expecting commit DIRECTORIES, and
+    without an isdir guard the all-aged check trivially passes on a file
+    (os.walk yields nothing) and rmtree raises NotADirectoryError, aborting
+    the whole pass. The file is unlinked once unreferenced+aged; real
+    orphan dirs in the same pass are still reclaimed."""
+    table.append(_frame(spark, 0, 4))
+    stray = os.path.join(table.root, "data", "README.txt")
+    with open(stray, "w") as fh:
+        fh.write("not a commit dir")
+    orphans = table._write_data(_frame(spark, 100, 105))
+    assert table.vacuum() == []          # young window protects both
+    assert os.path.exists(stray)
+    deleted = table.vacuum(min_age_s=0)  # must NOT raise
+    assert sorted(deleted) == sorted(orphans)
+    assert not os.path.exists(stray)     # unreferenced + aged → unlinked
+    assert table.read(spark).count() == 4
+
+
 def test_txn_append_is_exactly_once_across_restart(spark, table):
     """Simulated streaming failure/restart: every micro-batch replays with
     its original batch id; the replay must add no versions and the table
