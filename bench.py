@@ -81,6 +81,36 @@ R6_HEADLINE = [
     "io_range_partitioned",       # range-clustered write + pruned read-back
 ]
 
+# Per-topology regression base for the TPC-H power family: the round-6
+# per-query warm medians (SCALE.md "TPC-H power" table, sf0.1, local[32]).
+# The 21-query total alone can hide one topology regressing 3x behind noise
+# in the others; the emitted per-query "vs_r6" ratio makes each topology its
+# own regression row. Same host-noise caveat as BASELINE_SEC: only a ratio
+# moving ALONE signals a regression.
+TPCH_BASE_SEC = {
+    "complex_min_cost_supplier": 1.03,
+    "complex_shipping_priority": 0.50,
+    "complex_late_priority_orders": 0.56,
+    "complex_region_revenue": 0.72,
+    "complex_forecast_revenue": 0.25,
+    "complex_nation_volume": 0.80,
+    "complex_market_share": 0.82,
+    "complex_product_profit": 0.79,
+    "complex_returned_revenue": 0.61,
+    "complex_important_stock": 0.58,
+    "complex_returnflag_priority": 0.42,
+    "complex_cust_order_histogram": 0.62,
+    "complex_promo_revenue": 0.42,
+    "complex_top_supplier": 0.34,
+    "complex_parts_supplier_cnt": 0.52,
+    "complex_small_qty_revenue": 0.50,
+    "complex_large_orders": 0.55,
+    "complex_disjunctive_revenue": 0.53,
+    "complex_excess_share_supplier": 0.87,
+    "complex_sole_discount_supplier": 0.82,
+    "complex_idle_customers": 0.44,
+}
+
 # Per-query comparison bases, reported as "vs_baseline" ratios (<1 = faster).
 # §2 seven: BASELINE.md's reference measurements (sf0.1, warm). LLM four:
 # pinned from BENCH_r03 — their first measurement — so this family gets the
@@ -152,10 +182,19 @@ def main() -> None:
     # the per-operator headliners. ~13 s at sf0.1 in r5 (SCALE.md table).
     # Names the headliner loop already timed reuse that measurement.
     tpch_names = sorted(n for n in registry.QUERIES if n.startswith("complex_"))
-    tpch_total = sum(
-        timings[name] if name in timings else warm_median(name)
+    tpch_per_query = {
+        name: timings[name] if name in timings else warm_median(name)
         for name in tpch_names
-    )
+    }
+    tpch_total = sum(tpch_per_query.values())
+    tpch_vs_r6 = {
+        name: round(sec / TPCH_BASE_SEC[name], 3)
+        for name, sec in tpch_per_query.items()
+        if name in TPCH_BASE_SEC
+    }
+    # Any topology >1.5x its r6 median is a called-out regression candidate
+    # (subject to the uniform-host-shift caveat above).
+    tpch_flagged = sorted(n for n, r in tpch_vs_r6.items() if r > 1.5)
 
     vs_baseline = {
         name: round(timings[name] / BASELINE_SEC[name], 3)
@@ -223,6 +262,9 @@ def main() -> None:
                 "tpch_power": {
                     "total_sec": round(tpch_total, 4),
                     "n_queries": len(tpch_names),
+                    "per_query": tpch_per_query,
+                    "vs_r6": tpch_vs_r6,
+                    "flagged_over_1.5x": tpch_flagged,
                 },
                 "vs_baseline": vs_baseline,
                 "vs_run_median": vs_run_median,

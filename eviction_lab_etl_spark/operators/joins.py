@@ -440,8 +440,11 @@ def join_skew_salted(spark, sf_dir):
     same contract style as `stream_session_skewsafe`). Why it exists at
     100 TB: a viral user sends all their events to one task under a plain
     hash join; the salt bounds any task at ~1/8 of the hot key. Perf
-    evidence lives in SCALE.md's skew-stress table (tools/skew_stress.py:
-    plain SMJ vs AQE-split vs salted_join at a 90%-hot key); on this
+    evidence lives in SCALE.md's skew-stress tables (tools/skew_stress.py:
+    plain SMJ vs AQE-split vs salted_join at a 90%-hot key — the r7
+    heavy-consumer A/B measures the salted path WINNING 2.2-2.5x when the
+    join feeds per-row compute, the regime where AQE's split cannot move
+    the post-join work off the straggler); on this
     fixture the replicated profile still broadcasts, so the query pins
     semantics, not speed. Left side carries event_id so the salt spreads a
     hot user's rows evenly (salting on a low-cardinality projection would

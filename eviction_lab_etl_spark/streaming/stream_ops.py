@@ -223,7 +223,13 @@ def stream_snapshot_sink(spark, sf_dir):
     and (b) the sink committing with ``txn=("batch_id", id)`` — the
     transactional-sink pattern Delta's ``txnAppId``/``txnVersion``
     implements, built here on the manifest protocol alone. The ledger check
-    is PROTOCOL-level: it re-runs inside the commit's claim-retry loop each
+    is PROTOCOL-level (tests/test_snapshot.py::
+    test_paced_stream_soak_versioned_cdf_and_replay soaks it end to end:
+    maxFilesPerTrigger=1 paces >=5 micro-batches into the sink, every
+    version-to-version CDF is append-pure and re-aggregates to the one-shot
+    batch answer, and a crash planted between the checkpoint's offset write
+    and commit marker replays without a duplicate version): it re-runs
+    inside the commit's claim-retry loop each
     time the head is re-read, so even two concurrent writers replaying the
     same batch cannot both commit (tests/test_snapshot.py pins both the
     replay-recovery and the racing-writer case). A reader never sees a torn

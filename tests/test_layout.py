@@ -170,3 +170,117 @@ def test_zorder_write_clusters_both_dimensions(spark, sf_dir, tmp_path):
     assert z["ok"] < 0.55 and z["pk"] < 0.55, z
     # and the data survives the round-trip
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+# ---- Z-order key properties (hypothesis) -----------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_Z_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+_Z_VALS = st.sampled_from([-7.0, -2.0, 0.0, 1.0, 2.5, 3.5, 7.0, 9.0, 64.0])
+
+
+def _py_morton_ref(xs: list, ys: list, bits: int) -> list:
+    """Pure-Python reference for the EXACT Z-order key: Spark percent_rank
+    semantics ((rank-1)/(n-1), ties share a rank), the same IEEE-double
+    pct*(2^bits-1) product Spark evaluates (so truncation boundaries agree
+    bit-for-bit), then the i*N+j Morton lattice of plans/layout._interleave."""
+    n = len(xs)
+    mx = (1 << bits) - 1
+
+    def ranks(vs):
+        return [
+            int((0.0 if n == 1 else sum(1 for u in vs if u < v) / (n - 1)) * mx)
+            for v in vs
+        ]
+
+    keys = []
+    for a, b in zip(ranks(xs), ranks(ys)):
+        k = 0
+        for i in range(bits):
+            k |= ((a >> i) & 1) << (2 * i)
+            k |= ((b >> i) & 1) << (2 * i + 1)
+        keys.append(k)
+    return keys
+
+
+def _deinterleave(key: int, bits: int, j: int, n_dims: int = 2) -> int:
+    return sum(((key >> (i * n_dims + j)) & 1) << i for i in range(bits))
+
+
+@given(
+    pairs=st.lists(st.tuples(_Z_VALS, _Z_VALS), min_size=1, max_size=20),
+    bits=st.sampled_from([4, 8]),
+)
+@_Z_SETTINGS
+def test_zorder_exact_key_matches_python_morton(spark, pairs, bits):
+    """The exact Z-order key (plans/layout.zorder_key) against a pure-Python
+    Morton reference, for ANY input including ties and negatives: pins the
+    percent_rank normalization, the double-multiply truncation boundary, and
+    the full _interleave bit lattice value-for-value — so a refactor that
+    shifts any bit-plane fails immediately, which the single driver fixture
+    (layout_zorder_key) alone cannot guarantee. Monotonicity in each
+    dimension holding the other fixed is implied: ranks are monotone in
+    value and the lattice is monotone in each rank."""
+    from eviction_lab_etl_spark.plans.layout import zorder_key
+
+    xs = [p[0] for p in pairs]
+    ys = [p[1] for p in pairs]
+    df = spark.createDataFrame(
+        [(i, xs[i], ys[i]) for i in range(len(pairs))],
+        "id long, x double, y double",
+    )
+    got = {
+        r.id: r.z
+        for r in df.select(
+            "id", zorder_key(["x", "y"], bits=bits).alias("z")
+        ).collect()
+    }
+    want = _py_morton_ref(xs, ys, bits)
+    assert [got[i] for i in range(len(pairs))] == want
+
+
+@given(seed=st.integers(min_value=0, max_value=10_000))
+@_Z_SETTINGS
+def test_zorder_sampled_agrees_with_exact_on_rank_boundaries(spark, seed):
+    """zorder_key_sampled vs the exact form where their contracts meet: on
+    2^bits DISTINCT values with relative_error=0, every value is itself a
+    quantile boundary, so the sampled rank (count of boundaries <= v) must
+    equal the exact percent_rank-derived rank +1, clamped to 2^bits-1 at
+    the maximum — per dimension, recovered by de-interleaving the key. This
+    pins the F.aggregate fold-count rank AND its alignment with the exact
+    reference; a drift in either rank convention breaks zorder_write's
+    clustering silently otherwise."""
+    import random
+
+    from eviction_lab_etl_spark.plans.layout import zorder_key_sampled
+
+    rng = random.Random(seed)
+    bits, n = 4, 16
+    xs = [float(v) for v in rng.sample(range(1000), n)]
+    ys = [float(v) for v in rng.sample(range(1000), n)]
+    df = spark.createDataFrame(
+        [(i, xs[i], ys[i]) for i in range(n)], "id long, x double, y double"
+    )
+    got = {
+        r.id: r.z
+        for r in df.select(
+            "id",
+            zorder_key_sampled(df, ["x", "y"], bits=bits, relative_error=0.0)
+            .alias("z"),
+        ).collect()
+    }
+    sx, sy = sorted(xs), sorted(ys)
+    mx = (1 << bits) - 1
+    for i in range(n):
+        want = (min(sx.index(xs[i]) + 1, mx), min(sy.index(ys[i]) + 1, mx))
+        have = (
+            _deinterleave(got[i], bits, 0),
+            _deinterleave(got[i], bits, 1),
+        )
+        assert have == want, (i, have, want)

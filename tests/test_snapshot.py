@@ -276,3 +276,98 @@ def test_additive_schema_evolution(spark, table):
     assert rows == {(0, None), (1, None), (2, None), (3, "new"), (4, "new")}
     # pre-widening version keeps its narrower schema
     assert table.read(spark, version=1).columns == ["k"]
+
+
+def test_paced_stream_soak_versioned_cdf_and_replay(spark, sf_dir, table):
+    """Rate-limited end-to-end soak (referenced from stream_snapshot_sink's
+    docstring): events replayed through the streaming file source with
+    maxFilesPerTrigger=1 across >=5 micro-batches into the snapshot sink,
+    one atomic version per batch. Extends the exactly-once property from
+    replayed-batch (test_snapshot_sink_recovery_equals_one_shot_batch) to a
+    PACED STREAM: (a) every version-to-version CDF is append-pure and the
+    union of all per-version inserts reaggregates to the one-shot batch
+    answer — no batch lost, none double-counted, at EVERY intermediate
+    version, not just the head; (b) a crash between the checkpoint's offset
+    write and its commit marker (commits/<id> deleted by hand) makes Spark
+    re-run that batch with the same id on restart, and the txn ledger must
+    absorb the replay without a new version."""
+    import shutil
+
+    from eviction_lab_etl_spark.operators.incremental import snapshot_cdf
+    from eviction_lab_etl_spark.sources.loader import load
+
+    n_slices = 5
+    src = os.path.join(
+        tempfile.gettempdir(), f"elspark_soak_src_{uuid.uuid4().hex[:8]}"
+    )
+    ckpt = os.path.join(
+        tempfile.gettempdir(), f"elspark_soak_ckpt_{uuid.uuid4().hex[:8]}"
+    )
+    events = load(spark, sf_dir, "events").select("event_id", "ts")
+    # One file per slice, written one at a time so each is a distinct
+    # streaming input file (the pacing unit for maxFilesPerTrigger=1).
+    for s in range(n_slices):
+        events.filter(F.col("event_id") % n_slices == s).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        daily = batch_df.groupBy(F.to_date("ts").alias("od")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        table.append(daily, txn=("batch_id", batch_id))
+
+    def run_stream() -> None:
+        q = (
+            spark.readStream.schema(events.schema)
+            .format("parquet")
+            .option("maxFilesPerTrigger", "1")
+            .load(src)
+            .writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        run_stream()
+        head = table.latest_version()
+        # availableNow honors maxFilesPerTrigger: one version per file.
+        assert head >= n_slices
+        assert table.committed_meta("batch_id") == set(range(head))
+
+        # (a) Version-by-version CDF consistency across the whole soak.
+        empty = table.read(spark, version=head).limit(0)
+        all_inserts = []
+        for v in range(1, head + 1):
+            old = empty if v == 1 else table.read(spark, version=v - 1)
+            cdf = snapshot_cdf(old, table.read(spark, version=v))
+            ops = cdf.groupBy("op").count().collect()
+            assert {r.op for r in ops} == {"I"}, f"v{v}: non-append CDF {ops}"
+            all_inserts.append(cdf.drop("op"))
+        replayed = all_inserts[0]
+        for frag in all_inserts[1:]:
+            replayed = replayed.unionByName(frag)
+        got = replayed.groupBy("od").agg(F.sum("cnt").cast("long").alias("cnt"))
+        want = events.groupBy(F.to_date("ts").alias("od")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+        # (b) Crash between offset write and commit marker: drop the LAST
+        # batch's commit file; restart re-runs it with the same batch id.
+        last = head - 1
+        os.remove(os.path.join(ckpt, "commits", str(last)))
+        # Hadoop's local ChecksumFs keeps a .crc sidecar per commit file; a
+        # stale sidecar makes the re-written commit's rename fail (surfacing
+        # as a bogus "multiple streaming queries" error), so crash it too.
+        crc = os.path.join(ckpt, "commits", f".{last}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        run_stream()
+        assert table.latest_version() == head, "replayed batch re-committed"
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -71,7 +71,7 @@ def build_skewed(spark, mult: int, hot_tenths: int = 9) -> str:
     return dst
 
 
-def timed(spark, dst, skew_on: bool, salted: bool) -> float:
+def timed(spark, dst, skew_on: bool, salted: bool, heavy: bool = False) -> float:
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
     # Defaults only split partitions > 256 MB; the synthesized hot partition
     # sits just under that. Lower the trigger so the experiment actually
@@ -86,9 +86,34 @@ def timed(spark, dst, skew_on: bool, salted: bool) -> float:
             joined = salted_join(fact, dim, "user_id", n_salts=16)
         else:
             joined = fact.join(dim, "user_id")
-        out = joined.groupBy("segment").agg(
-            F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")
-        )
+        if heavy:
+            # Compute-heavy consumer: ~a sha2 chain per joined row, evaluated
+            # in the JOIN task (map-side partial agg keeps the projection
+            # pre-exchange). This is the fact↔fact pipeline shape where the
+            # join output feeds real per-row work (feature extraction,
+            # tokenization): with the trivial consumer below, scan+shuffle
+            # swamps the hot task on a shared-memory host and all strategies
+            # tie (SCALE.md's honest reading); with per-row work the 90%-key
+            # task serializes 90% of total CPU and the salted fan-out is the
+            # only thing standing between wall-clock and that straggler.
+            row_work = F.length(
+                F.sha2(
+                    F.concat_ws(
+                        "|",
+                        F.sha2(F.concat_ws("|", "event_id", "user_id"), 256),
+                        F.col("value").cast("string"),
+                        F.col("segment").cast("string"),
+                    ),
+                    256,
+                )
+            )
+            out = joined.groupBy("segment").agg(
+                F.count(F.lit(1)).alias("cnt"), F.sum(row_work).alias("sv")
+            )
+        else:
+            out = joined.groupBy("segment").agg(
+                F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sv")
+            )
         out.write.format("noop").mode("overwrite").save()
 
     run()  # warm-up
@@ -184,6 +209,17 @@ def main() -> None:
         "smj_aqe_skew_on": timed(spark, dst, skew_on=True, salted=False),
         "smj_aqe_skew_off": timed(spark, dst, skew_on=False, salted=False),
         "salted_16": timed(spark, dst, skew_on=False, salted=True),
+        # Heavy-consumer A/B (the join-skew analog of the sessionization
+        # case): per-row post-join work makes the hot task the wall-clock.
+        "heavy_smj_aqe_skew_on": timed(
+            spark, dst, skew_on=True, salted=False, heavy=True
+        ),
+        "heavy_smj_aqe_skew_off": timed(
+            spark, dst, skew_on=False, salted=False, heavy=True
+        ),
+        "heavy_salted_16": timed(
+            spark, dst, skew_on=False, salted=True, heavy=True
+        ),
         "session_native_hot": timed_session(spark, sess_dst, two_phase=False),
         "session_two_phase_hot": timed_session(spark, sess_dst, two_phase=True),
     }
