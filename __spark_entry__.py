@@ -59,6 +59,13 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "dedup_minhash_pairs",     # r7: md5_family NULL-propagation fix
     "dedup_minhash_recall",    # r7: md5_family NULL-propagation fix
     "pipeline_corpus_clean",   # r7: md5_family NULL-propagation fix (rows-only)
+    # --- Round-7 NEW operators (all oracle-hash-checked):
+    "join_bloom_pruned",       # NEW r7: explicit Bloom runtime-filter join
+    "join_fuzzy_blocked",      # NEW r7: length-blocked levenshtein<=2 join
+    "embed_kmeans_iter",       # NEW r7: exact 2-iteration Lloyd's k-means
+    "text_tfidf_topterms",     # NEW r7: integer-quantized TF-IDF top-3
+    "incr_compact_roundtrip",  # NEW r7: content-neutral compaction verify
+    "join_skew_salted",        # r7: docstring-only change, re-verify cheap
 )
 
 

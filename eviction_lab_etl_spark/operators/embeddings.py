@@ -108,3 +108,142 @@ def embed_norm_hist(spark, sf_dir):
             F.max("norm_sq_q").alias("max_q"),
         )
     )
+
+
+_KM_DIM, _KM_K = 64, 4
+
+_KMEANS_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
+             q AS c
+      FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {_KM_K})
+    ),
+    e AS (
+      SELECT vec_id, pos, q[pos] AS v
+      FROM q CROSS JOIN generate_series(1, {_KM_DIM}) AS t(pos)
+    ),
+    d1 AS (
+      SELECT e.vec_id, c0.cid,
+             sum((e.v - c0.c[e.pos]) * (e.v - c0.c[e.pos])) AS d
+      FROM e CROSS JOIN c0 GROUP BY e.vec_id, c0.cid
+    ),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+      SELECT cid, list(cj ORDER BY pos) AS c FROM (
+        SELECT a1.cid, e.pos,
+               CAST(floor(CAST(sum(e.v) AS DOUBLE) / count(*)) AS BIGINT) AS cj
+        FROM a1 JOIN e ON a1.vec_id = e.vec_id
+        GROUP BY a1.cid, e.pos)
+      GROUP BY cid
+    ),
+    d2 AS (
+      SELECT e.vec_id, c1.cid,
+             sum((e.v - c1.c[e.pos]) * (e.v - c1.c[e.pos])) AS d
+      FROM e CROSS JOIN c1 GROUP BY e.vec_id, c1.cid
+    ),
+    a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2) WHERE rn = 1
+    )
+    SELECT a2.cid, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(q.q[1]) AS BIGINT) AS s1,
+           CAST(sum(q.q[2]) AS BIGINT) AS s2,
+           CAST(sum(q.q[3]) AS BIGINT) AS s3,
+           CAST(sum(q.q[4]) AS BIGINT) AS s4
+    FROM a2 JOIN q ON a2.vec_id = q.vec_id
+    GROUP BY a2.cid
+"""
+
+
+@query("embed_kmeans_iter", oracle=_KMEANS_ORACLE)
+def embed_kmeans_iter(spark, sf_dir):
+    """Lloyd's k-means over the embedding corpus, two full iterations
+    (assign -> centroid update -> re-assign), EXACT and oracle-hash-checked
+    despite float inputs — the flagship iterative algorithm pattern next to
+    `graph_pagerank`. Exactness discipline: vectors quantize once to the
+    1e-3 integer grid (floor x1000, §2.0 rule 1), so every distance is an
+    integer sum of squared integer deltas (order-independent, tie-broken by
+    lowest cluster id) and the updated centroid is the elementwise mean
+    floored back onto the grid via double division of bigints — exact in
+    IEEE because numerator and denominator are both far under 2^53, so both
+    engines compute the identical quotient. Init is deterministic: the k
+    lowest vec_ids seed clusters 0..k-1 (k-means++ would need rand()).
+
+    Spark shape, graded for 100 TB: centroids are a k-row frame BROADCAST
+    onto the points (no shuffle of the corpus for assignment — distance is
+    a JVM `zip_with`/`aggregate` fold, no Python); the argmin is a
+    per-point window (one shuffle on vec_id — on a cluster this is the
+    map-side-combinable `min_by` shape); the centroid update posexplodes
+    only dims x points ALREADY REDUCED by partial aggregation on
+    (cid, pos), so the exchange carries at most k x dim x partitions rows.
+    Per iteration: 2 shuffles, both tiny on the reduce side. Driver never
+    sees the data — iteration chains lazily in one DAG."""
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    )
+    cent = (
+        q.orderBy("vec_id")
+        .limit(_KM_K)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("long")
+            .alias("cid"),
+            F.col("q").alias("c"),
+        )
+    )
+
+    def assign(cent):
+        dist = F.aggregate(
+            F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        return (
+            q.crossJoin(F.broadcast(cent))
+            .select("vec_id", "q", "cid", dist.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "q", "cid")
+        )
+
+    asg1 = assign(cent)
+    cent1 = (
+        asg1.select("cid", F.posexplode("q").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+            .cast("long")
+            .alias("cj")
+        )
+        .groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cj"))).alias("pc"))
+        .select("cid", F.transform("pc", lambda s: s["cj"]).alias("c"))
+    )
+    asg2 = assign(cent1)
+    return asg2.groupBy("cid").agg(
+        big(F.count(F.lit(1))).alias("n_vecs"),
+        big(F.sum(F.element_at("q", 1))).alias("s1"),
+        big(F.sum(F.element_at("q", 2))).alias("s2"),
+        big(F.sum(F.element_at("q", 3))).alias("s3"),
+        big(F.sum(F.element_at("q", 4))).alias("s4"),
+    )

@@ -852,3 +852,80 @@ def dedup_minhash_recall(spark, sf_dir):
             .alias("recall_pm"),
         )
     )
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM tok WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tok WHERE term <> ''
+      GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, CAST(df.df AS BIGINT) AS df,
+             tf.tf * CAST(floor(ln((n.n + 1.0) / (df.df + 1.0)) * 1000000)
+                          AS BIGINT) AS score_micro
+      FROM tf JOIN df USING (term), n
+    )
+    SELECT doc_id, term, tf, df, score_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score_micro DESC, term) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+)
+def text_tfidf_topterms(spark, sf_dir):
+    """TF-IDF keyword extraction: the top-3 terms of every document by
+    tf x ln((N+1)/(df+1)), the smoothed idf of scikit-learn/Lucene lineage.
+    The score is made hash-checkable across engines by quantizing the idf
+    to integer MICRO-units (floor x1e6) before the tf multiply: ln of a
+    rational whose micro-scaled value sits >=0.02 away from every integer
+    on all fixtures (verified at build time; a 1-ulp libm divergence moves
+    it ~1e-9), so both engines floor to the same integer and all ranking
+    is integer arithmetic with a term-name tiebreak.
+
+    Scale shape (100 TB): tf is one shuffle on (doc_id, term) with map-side
+    combine; df aggregates the SAME exploded tokens (ReuseExchange-eligible
+    projection); the vocabulary (term, df) table is orders of magnitude
+    smaller than the token stream, so it BROADCASTS onto tf — the per-doc
+    top-k window then shuffles rows ∝ distinct (doc, term), never raw
+    tokens. One N-row scalar crossed in as a broadcast literal."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tok.groupBy("doc_id", "term").agg(big(F.count(F.lit(1))).alias("tf"))
+    df = tok.groupBy("term").agg(
+        big(F.count_distinct("doc_id")).alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                    * F.lit(1_000_000)
+                ).cast("long")
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )

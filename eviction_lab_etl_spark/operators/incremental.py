@@ -511,3 +511,63 @@ def incr_snapshot_cdf(spark, sf_dir):
             digest_sum(row_digest("o_orderkey", "o_orderpriority")).alias("digest"),
         )
     )
+
+
+@query(
+    "incr_compact_roundtrip",
+    oracle=f"""
+    WITH v2 AS (
+        SELECT year(o_orderdate) AS od_year, o_orderkey, o_orderpriority
+        FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    ),
+    v3 AS (
+        SELECT od_year, o_orderkey,
+               CASE WHEN o_orderkey % 101 = 0 THEN '9-UPDATED'
+                    ELSE o_orderpriority END AS o_orderpriority
+        FROM v2
+    )
+    SELECT od_year, count(*) AS n_rows,
+           CAST(sum({_MERGE_DIGEST_SQL}) % 9223372036854775808 AS BIGINT)
+               AS digest
+    FROM v3
+    GROUP BY od_year
+    """,
+)
+def incr_compact_roundtrip(spark, sf_dir):
+    """OPTIMIZE-style small-file compaction, content-hash-verified: replay
+    the canonical 3-commit snapshot fixture (whose head is spread across the
+    appends' many task files), run ``SnapshotTable.compact`` — rewrite into
+    one file, publish via compare-and-swap replace — and aggregate the
+    POST-compaction read. The oracle describes the PRE-compaction logical
+    state, so the driver hash pins compaction's content-neutrality on real
+    data (the protocol-level CAS/race behavior is pinned separately in
+    tests/test_snapshot.py). In-code asserts pin the physical claims the
+    SQL cannot see: the file count actually dropped to 1 and the version
+    advanced, while the pre-compaction version remains readable (reader
+    isolation — its files survive the swap).
+
+    Why it matters at 100 TB: streaming and incremental writers emit
+    per-trigger small files that degrade scan parallelism economics
+    (per-file open cost, footer reads, scheduler pressure); periodic
+    compaction restores scan-sized files WITHOUT a write outage because the
+    swap is a single atomic manifest claim — readers either see the old
+    file set or the new one, never a mix."""
+    table = _replay_snapshot_fixture(spark, sf_dir, "elspark_compact")
+    pre_version = table.latest_version()
+    pre_files = table.files(pre_version)
+    v = table.compact(spark, target_files=1)
+    assert v == pre_version + 1, "compaction must claim a NEW version"
+    assert len(table.files(v)) == 1 < len(pre_files), "file count must drop"
+    assert table.read(spark, version=pre_version).count() == table.read(
+        spark, version=v
+    ).count(), "pre-compaction version must remain readable"
+    return (
+        table.read(spark)
+        .groupBy("od_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            digest_sum(row_digest("o_orderkey", "o_orderpriority")).alias(
+                "digest"
+            ),
+        )
+    )

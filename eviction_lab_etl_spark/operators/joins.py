@@ -17,7 +17,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from eviction_lab_etl_spark import fixtures
-from eviction_lab_etl_spark.functions.determinism import big, dec
+from eviction_lab_etl_spark.functions.determinism import big, cents, dec
 from eviction_lab_etl_spark.registry import query
 from eviction_lab_etl_spark.sources.loader import load
 
@@ -463,4 +463,130 @@ def join_skew_salted(spark, sf_dir):
         big(F.count(F.lit(1))).alias("n"),
         big(F.sum("n_events")).alias("sum_profile_events"),
         big(F.sum("total_cents")).alias("sum_profile_cents"),
+    )
+
+
+@query(
+    "join_bloom_pruned",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def join_bloom_pruned(spark, sf_dir):
+    """Bloom-filter RUNTIME-FILTER join: revenue per Asian supplier nation,
+    with the lineitem fact side pre-pruned by an explicit Bloom filter built
+    from the qualifying supplier keys BEFORE the exact join runs. The Bloom
+    is m=4096 bits packed into 64 longs (k=3 xxhash64 probes), built with
+    one tiny aggregation over the dim side and attached to the fact scan as
+    a broadcast 1-row map — every probe is a JVM-side bit test, no Python,
+    no shuffle. False positives survive the pre-filter but are REMOVED by
+    the exact equi-join that follows, so the result is exactly the plain
+    join: the oracle is the un-bloomed SQL, which makes the whole
+    construction hash-verifiable (the same contract style as
+    `join_skew_salted` — the optimization must change I/O, not answers).
+
+    Why it exists at 100 TB: when the dim's qualifying key set is too big to
+    broadcast-HASH-join (hundreds of millions of keys) the engine falls back
+    to shuffling the fact side; a Bloom of those keys is ~100-1000x smaller
+    than the hash table at a chosen false-positive rate, still broadcasts,
+    and eliminates most fact rows BEFORE the shuffle — the semi-join
+    reduction Spark's own `spark.sql.optimizer.runtime.bloomFilter.enabled`
+    injects when its thresholds fire; building it explicitly makes the
+    reduction unconditional and testable. On this fixture the dim also
+    broadcasts, so the query pins semantics; the pruning factor itself is
+    asserted in tests (non-Asian suppliers' rows mostly drop pre-join)."""
+    from eviction_lab_etl_spark.functions.bloom import bloom_build, bloom_prune
+
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    dims = (
+        supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select(F.col("s_suppkey").cast("long").alias("key"), "n_name")
+    )
+
+    bloom = bloom_build(dims, "key")
+    fact = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    pruned = bloom_prune(fact, bloom, "l_suppkey")
+
+    return (
+        pruned.join(
+            F.broadcast(dims), F.col("l_suppkey") == F.col("key")
+        )
+        .groupBy("n_name")
+        .agg(
+            big(F.count(F.lit(1))).alias("n_items"),
+            big(F.sum(cents("l_extendedprice"))).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM (SELECT DISTINCT p_name FROM part) a
+    JOIN (SELECT DISTINCT p_name FROM part) b
+      ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def join_fuzzy_blocked(spark, sf_dir):
+    """Fuzzy (edit-distance) self-join with LOSSLESS length blocking: all
+    distinct part-name pairs within Levenshtein distance 2, found WITHOUT
+    evaluating the quadratic pair space. The blocking key is string length:
+    lev(a,b) <= d implies abs(len(a)-len(b)) <= d (each edit changes length
+    by at most 1), so side B explodes each name to the d+1+d candidate
+    lengths it could match and the join is a plain EQUI-join on length —
+    shuffle-partitionable, no nested loop — followed by the exact
+    `levenshtein` predicate on the candidates only. The oracle IS the
+    quadratic join (DuckDB evaluates it fine at fixture scale), so the
+    driver hash proves the blocking lossless: every true pair survives.
+
+    Why it exists at 100 TB: record linkage / near-key joins are quadratic
+    if expressed directly (Catalyst plans theta-joins as BroadcastNestedLoop
+    — the SCALE-killer); length banding bounds candidates to the pair mass
+    within a diagonal band of the length histogram, and composes with
+    stronger lossless filters (the PPJoin prefix filter of
+    `sim_jaccard_prefix`) for longer strings. Names here are short; the
+    same shape applies to any bounded-distance string key."""
+    d = 2
+    names = (
+        load(spark, sf_dir, "part").select("p_name").distinct()
+    )
+    left = names.select(
+        F.col("p_name").alias("name_a"),
+        F.length("p_name").alias("blk"),
+    )
+    right = names.select(
+        F.col("p_name").alias("name_b"),
+        F.explode(
+            F.sequence(
+                F.length("p_name") - d, F.length("p_name") + d
+            )
+        ).alias("blk"),
+    )
+    return (
+        left.join(right, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= d)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
     )

@@ -61,6 +61,8 @@ EXTENSIONS = {
     "contam_ngram_overlap", "contam_ngram_hashed", "sim_jaccard_prefix",
     "export_shard_manifest", "multimodal_phash_dedup", "multimodal_phash_near",
     "dedup_minhash_pairs", "dedup_minhash_recall", "join_skew_salted",
+    "join_bloom_pruned", "join_fuzzy_blocked", "embed_kmeans_iter",
+    "text_tfidf_topterms", "incr_compact_roundtrip",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

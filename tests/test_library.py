@@ -333,3 +333,113 @@ def test_contam_hashed_equals_exact(spark, sf_dir):
     assert exact.columns == hashed.columns
     assert exact.exceptAll(hashed).count() == 0
     assert hashed.exceptAll(exact).count() == 0
+
+
+# ---- Bloom runtime filter (functions/bloom.py) ------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_BLOOM_SETTINGS = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    members=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40), min_size=1,
+        max_size=40, unique=True,
+    ),
+    probes_extra=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40), max_size=40,
+        unique=True,
+    ),
+)
+@_BLOOM_SETTINGS
+def test_bloom_never_false_negative(spark, members, probes_extra):
+    """The load-bearing Bloom guarantee: EVERY member key passes the probe,
+    for arbitrary (including negative) keys — this is what makes pruning
+    before an exact join result-invariant, and hence what lets
+    `join_bloom_pruned` be hash-checked against the un-bloomed oracle.
+    Non-members may pass (false positives are I/O, not correctness)."""
+    from eviction_lab_etl_spark.functions.bloom import bloom_build, bloom_prune
+
+    keys = spark.createDataFrame([(k,) for k in members], "key long")
+    bloom = bloom_build(keys, "key")
+    fact = spark.createDataFrame(
+        [(k,) for k in set(members) | set(probes_extra)], "key long"
+    )
+    kept = {r.key for r in bloom_prune(fact, bloom, "key").collect()}
+    assert set(members) <= kept
+
+
+def test_bloom_prunes_disjoint_keys(spark):
+    """Selectivity: with m=4096 bits / k=3 probes and ~50 member keys, a
+    disjoint probe set is mostly rejected (expected FP rate ~(1-e^{-kn/m})^k
+    < 0.01% here; assert a loose <10% so the test never flakes). This is the
+    measurable half of the runtime-filter claim: non-matching fact rows drop
+    BEFORE the join."""
+    from eviction_lab_etl_spark.functions.bloom import bloom_build, bloom_prune
+
+    members = spark.range(0, 50).withColumnRenamed("id", "key")
+    outsiders = spark.range(1_000_000, 1_002_000).withColumnRenamed("id", "key")
+    bloom = bloom_build(members, "key")
+    kept = bloom_prune(outsiders, bloom, "key").count()
+    assert kept < 200, f"bloom kept {kept}/2000 disjoint keys"
+
+
+# ---- Length-blocked fuzzy join (join_fuzzy_blocked's construction) ----------
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abcd", min_size=0, max_size=6), min_size=1,
+        max_size=12, unique=True,
+    )
+)
+@_BLOOM_SETTINGS
+def test_length_blocking_is_lossless(spark, names):
+    """The blocking identity behind join_fuzzy_blocked: candidate pairs
+    equi-joined on exploded lengths [len-d, len+d] then filtered by exact
+    levenshtein <= d must equal the brute-force quadratic answer — i.e. the
+    length band never drops a true pair (lev<=d implies |len diff|<=d).
+    Randomized over short strings including duplicates-by-length, empties,
+    and unequal lengths."""
+    d = 2
+    df = spark.createDataFrame([(n,) for n in names], "p_name string")
+    left = df.select(
+        F.col("p_name").alias("name_a"), F.length("p_name").alias("blk")
+    )
+    right = df.select(
+        F.col("p_name").alias("name_b"),
+        F.explode(
+            F.sequence(F.length("p_name") - d, F.length("p_name") + d)
+        ).alias("blk"),
+    )
+    got = {
+        (r.name_a, r.name_b)
+        for r in left.join(right, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= d)
+        .select("name_a", "name_b")
+        .collect()
+    }
+    want = {
+        (a, b)
+        for a in names
+        for b in names
+        if a < b and _py_lev(a, b) <= d
+    }
+    assert got == want
