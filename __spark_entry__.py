@@ -65,6 +65,10 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "embed_kmeans_iter",       # NEW r7: exact 2-iteration Lloyd's k-means
     "text_tfidf_topterms",     # NEW r7: integer-quantized TF-IDF top-3
     "incr_compact_roundtrip",  # NEW r7: content-neutral compaction verify
+    "pipeline_entity_resolution",  # NEW r7: block->match->cluster->canonical
+    "events_streak_islands",   # NEW r7: gaps-and-islands streaks
+    "io_schema_evolution",     # NEW r7: mergeSchema additive-column read
+    "scalar_variant_shred",    # NEW r7: VARIANT parse_json + typed paths
     "join_skew_salted",        # r7: docstring-only change, re-verify cheap
 )
 

@@ -81,6 +81,19 @@ R6_HEADLINE = [
     "io_range_partitioned",       # range-clustered write + pruned read-back
 ]
 
+# Round-7 additions (same seeding rule): the Bloom runtime-filter join,
+# exact k-means, TF-IDF, and the two compositions; incr_compact_roundtrip is
+# deliberately absent (its wall is one sequential table rewrite — an I/O
+# protocol, not a query plan; join_fuzzy_blocked rides inside the ER
+# pipeline's timing).
+R7_HEADLINE = [
+    "join_bloom_pruned",          # bloom build + pruned fact scan + exact join
+    "embed_kmeans_iter",          # 2 Lloyd iterations, broadcast centroids
+    "text_tfidf_topterms",        # tf + df + vocab-broadcast ranking
+    "pipeline_entity_resolution", # block->match->CC->canonicalize end-to-end
+    "events_streak_islands",      # distinct + islands window + double agg
+]
+
 # Per-topology regression base for the TPC-H power family: the round-6
 # per-query warm medians (SCALE.md "TPC-H power" table, sf0.1, local[32]).
 # The 21-query total alone can hide one topology regressing 3x behind noise
@@ -173,7 +186,7 @@ def main() -> None:
         return round(statistics.median(runs), 4)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE:
+    for name in HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE + R7_HEADLINE:
         timings[name] = warm_median(name)
 
     # TPC-H-shape power total: the 21 complex_* topologies back-to-back
@@ -259,6 +272,7 @@ def main() -> None:
                 "llm_queries": LLM_HEADLINE,
                 "r5_queries": R5_HEADLINE,
                 "r6_queries": R6_HEADLINE,
+                "r7_queries": R7_HEADLINE,
                 "tpch_power": {
                     "total_sec": round(tpch_total, 4),
                     "n_queries": len(tpch_names),

@@ -105,3 +105,35 @@ def jaccard_pairs_prefix(
         .filter(den * F.col("inter") >= num * F.col("uni"))
         .select("a", "b", "inter", "uni")
     )
+
+
+def fuzzy_blocked_pairs(names: DataFrame, col: str, max_dist: int = 2) -> DataFrame:
+    """All unordered pairs of ``names[col]`` within Levenshtein distance
+    ``max_dist``, WITHOUT the quadratic pair space: lev(a,b) <= d implies
+    abs(len(a)-len(b)) <= d (each edit moves length by at most 1), so side B
+    explodes to its 2d+1 candidate lengths and the join is a plain EQUI-join
+    on length — shuffle-partitionable, lossless — with the exact
+    ``levenshtein`` predicate applied only to candidates. Columns out:
+    (name_a, name_b, dist) with name_a < name_b. The losslessness is
+    property-tested against a Python brute force (tests/test_library.py);
+    the registered query `join_fuzzy_blocked` hash-checks it against the
+    quadratic DuckDB oracle on real data."""
+    left = names.select(
+        F.col(col).alias("name_a"), F.length(col).alias("blk")
+    )
+    right = names.select(
+        F.col(col).alias("name_b"),
+        F.explode(
+            F.sequence(F.length(col) - max_dist, F.length(col) + max_dist)
+        ).alias("blk"),
+    )
+    return (
+        left.join(right, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(F.levenshtein("name_a", "name_b") <= max_dist)
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+    )

@@ -286,3 +286,69 @@ def events_pareto_concentration(spark, sf_dir):
     )
     w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
     return per_decile.withColumn("cum_events", F.sum("n_events").over(w_cum))
+
+
+@query(
+    "events_streak_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    isl AS (
+        SELECT user_id,
+               (d - DATE '1970-01-01')
+               - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                   AS island
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, island, count(*) AS run_len
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(sum(run_len) AS BIGINT) AS n_active_days,
+           CAST(max(run_len) AS BIGINT) AS max_streak,
+           CAST(count(*) AS BIGINT) AS n_islands
+    FROM runs GROUP BY user_id
+    """,
+)
+def events_streak_islands(spark, sf_dir):
+    """GAPS-AND-ISLANDS: per user, the longest run of CONSECUTIVE active
+    days, total active days, and the number of maximal runs — the classic
+    streak/retention primitive (login streaks, daily-active runs, sensor
+    uptime segments). The island key is the textbook identity: for days
+    sorted per user, (epoch-day - row_number) is CONSTANT exactly while
+    days are consecutive and jumps at every gap, turning run detection
+    into a plain GROUP BY — no self-join, no recursion, no per-row Python.
+
+    Scale shape (100 TB): one distinct on (user, day) — massive map-side
+    collapse of the raw event stream — then a per-user window and two
+    further aggregations ALL keyed on user_id, so Catalyst plans one
+    exchange and reuses it; per-user state is bounded by days-spanned, not
+    events. Epoch-day arithmetic (datediff from 1970-01-01) keeps the
+    island anchor a portable integer in both engines."""
+    from pyspark.sql import Window
+
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    isl = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff("d", F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(
+                Window.partitionBy("user_id").orderBy("d")
+            )
+        ).alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").cast("long").alias("n_active_days"),
+        F.max("run_len").cast("long").alias("max_streak"),
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+    )

@@ -563,30 +563,10 @@ def join_fuzzy_blocked(spark, sf_dir):
     within a diagonal band of the length histogram, and composes with
     stronger lossless filters (the PPJoin prefix filter of
     `sim_jaccard_prefix`) for longer strings. Names here are short; the
-    same shape applies to any bounded-distance string key."""
-    d = 2
-    names = (
-        load(spark, sf_dir, "part").select("p_name").distinct()
-    )
-    left = names.select(
-        F.col("p_name").alias("name_a"),
-        F.length("p_name").alias("blk"),
-    )
-    right = names.select(
-        F.col("p_name").alias("name_b"),
-        F.explode(
-            F.sequence(
-                F.length("p_name") - d, F.length("p_name") + d
-            )
-        ).alias("blk"),
-    )
-    return (
-        left.join(right, "blk")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .filter(F.levenshtein("name_a", "name_b") <= d)
-        .select(
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
-        )
-    )
+    same shape applies to any bounded-distance string key. The
+    construction lives in ``functions.similarity.fuzzy_blocked_pairs``;
+    `pipeline_entity_resolution` composes it with connected components."""
+    from eviction_lab_etl_spark.functions.similarity import fuzzy_blocked_pairs
+
+    names = load(spark, sf_dir, "part").select("p_name").distinct()
+    return fuzzy_blocked_pairs(names, "p_name", max_dist=2)

@@ -517,3 +517,73 @@ def sql_top_nations_report(spark, sf_dir):
 
     register_views(spark, sf_dir, ["orders", "customer", "nation"])
     return spark.sql(_SQL_REPORT)
+
+
+@query(
+    "pipeline_entity_resolution",
+    oracle="""
+    WITH RECURSIVE names AS (SELECT DISTINCT p_name AS name FROM part),
+    pairs AS (
+        SELECT a.name AS a, b.name AS b
+        FROM names a JOIN names b ON a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 2
+    ),
+    edges AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+    walk(v, lbl) AS (
+        SELECT DISTINCT a AS v, a AS lbl FROM edges
+        UNION
+        SELECT e.b AS v, w.lbl FROM walk w JOIN edges e ON e.a = w.v
+    ),
+    comp AS (SELECT v AS name, min(lbl) AS canonical FROM walk GROUP BY v),
+    lab AS (
+        SELECT n.name, coalesce(c.canonical, n.name) AS canonical
+        FROM names n LEFT JOIN comp c ON c.name = n.name
+    )
+    SELECT name, canonical,
+           CAST(count(*) OVER (PARTITION BY canonical) AS BIGINT)
+               AS cluster_size
+    FROM lab
+    """,
+)
+def pipeline_entity_resolution(spark, sf_dir):
+    """End-to-end ENTITY RESOLUTION: distinct part names -> blocked fuzzy
+    candidate pairs (``functions.similarity.fuzzy_blocked_pairs``,
+    Levenshtein <= 2 behind the lossless length band — never the quadratic
+    pair space) -> transitive closure via ``connected_components``
+    (alternating min-label contraction, O(log n) rounds) -> every name
+    labeled with its cluster's canonical form (lexicographic minimum) and
+    the cluster size. Names with no fuzzy neighbor remain their own
+    canonical singleton via the left join. This is the standard
+    record-linkage composition (block -> match -> cluster -> canonicalize)
+    as ONE declarative plan; the oracle recomputes it with a quadratic
+    match and a recursive-CTE closure, so the driver hash pins blocking
+    losslessness AND closure correctness together on real data.
+
+    Scale shape: blocking bounds candidates (the only all-pairs-risk step);
+    the closure shuffles the EDGE list (orders of magnitude below the
+    corpus); canonical mapping is a broadcast of (name -> label) back onto
+    the name universe — at 100 TB the heavy table flows through exactly one
+    equi-join and one window."""
+    from eviction_lab_etl_spark.functions.similarity import fuzzy_blocked_pairs
+    from eviction_lab_etl_spark.operators.clustering import connected_components
+
+    names = load(spark, sf_dir, "part").select(
+        F.col("p_name").alias("name")
+    ).distinct()
+    pairs = fuzzy_blocked_pairs(names, "name", max_dist=2)
+    comp = connected_components(pairs.select(F.col("name_a").alias("a"), F.col("name_b").alias("b")))
+    lab = names.join(
+        F.broadcast(comp.select(F.col("v").alias("name"), F.col("lbl").alias("canonical"))),
+        "name",
+        "left",
+    ).select(
+        "name", F.coalesce("canonical", "name").alias("canonical")
+    )
+    return lab.select(
+        "name",
+        "canonical",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("canonical"))
+        .cast("long")
+        .alias("cluster_size"),
+    )

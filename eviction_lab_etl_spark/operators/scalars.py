@@ -267,3 +267,48 @@ def scalar_bitwise(spark, sf_dir):
         F.shiftleft(k, 3).alias("shifted_l"),
         F.shiftright(k, 2).alias("shifted_r"),
     )
+
+
+@query(
+    "scalar_variant_shred",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_with_k,
+           CAST(max(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                         THEN 0 ELSE 1 END) AS BIGINT) AS any_missing_path
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def scalar_variant_shred(spark, sf_dir):
+    """Semi-structured SHREDDING through Spark 4's VARIANT type: `props`
+    parses once into a binary variant (`parse_json`), then typed paths
+    extract via `variant_get` — the open-format answer to a schemaless
+    ingest column, and the engine-native successor to per-access
+    `get_json_object` string re-parsing. `try_variant_get` on an absent
+    path yields NULL (pinned by the `any_missing_path` output — 0 for every
+    group). The oracle reaches the same values through DuckDB's JSON
+    functions, so the hash pins variant parse + typed extraction against an
+    independent JSON implementation.
+
+    Why VARIANT at 100 TB: parse-once binary encoding is O(paths) per row
+    thereafter vs O(parse) per extraction for JSON strings, and variant
+    columns shred into parquet with column statistics on extracted paths —
+    the same scan-pruning economics as real columns, which `$.k`-style
+    string extraction can never get."""
+    events = load(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.parse_json("props").alias("pv")
+    )
+    k = F.variant_get("pv", "$.k", "bigint")
+    missing = F.try_variant_get("pv", "$.missing", "string")
+    return v.groupBy("event_type").agg(
+        big(F.sum(k)).alias("sum_k"),
+        F.count(F.when(k.isNotNull(), 1)).alias("n_with_k"),
+        F.max(F.when(missing.isNull(), 0).otherwise(1))
+        .cast("long")
+        .alias("any_missing_path"),
+    )

@@ -374,3 +374,57 @@ def io_range_partitioned(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.sum(cents("o_totalprice")).alias("spend_cents"),
     )
+
+
+@query(
+    "io_schema_evolution",
+    oracle="""
+    SELECT year(o_orderdate) AS od_year,
+           count(*) AS n,
+           count(CASE WHEN year(o_orderdate) = 1997
+                      AND o_orderpriority = '1-URGENT' THEN 1 END)
+               AS n_urgent_flagged
+    FROM orders
+    WHERE year(o_orderdate) IN (1996, 1997)
+    GROUP BY od_year
+    """,
+)
+def io_schema_evolution(spark, sf_dir):
+    """ADDITIVE SCHEMA EVOLUTION on read: the 1996 vintage lands WITHOUT the
+    later `urgent_flag` column, the 1997 vintage adds it, and ONE
+    `mergeSchema` read reconciles both file generations — old files surface
+    the new column as NULL (so `count(col)` skips them), exactly the
+    Delta/Iceberg add-column contract rebuilt on raw parquet. The oracle
+    recomputes from the source table: 1996 rows can contribute no flags,
+    1997 rows flag exactly the urgent ones — so the hash pins that NULL
+    back-fill semantics, not just row counts.
+
+    At 100 TB schema evolution is a WRITE-side property: rewriting history
+    to add a column is a full-table pass, while merge-on-read costs one
+    footer per file generation (schemas merge per-file at planning, data
+    unread). The engine's own snapshot table reads with mergeSchema for the
+    same reason (sources/snapshot.py); this query pins the raw-parquet
+    behavior the table format builds on. Production note: mergeSchema is
+    OFF by default in Spark because footer-merging across thousands of
+    files costs planning time — turn it on per-read as here, or centralize
+    the schema in a table format."""
+    out = _sink_path("orders_evolving")
+    orders = load(spark, sf_dir, "orders")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        (F.col("o_orderpriority") == "1-URGENT").alias("urgent_flag"),
+    )
+    y96.write.mode("overwrite").parquet(out)
+    y97.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy(
+        F.year("o_orderdate").cast("long").alias("od_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("urgent_flag"), 1)).alias("n_urgent_flagged"),
+    )

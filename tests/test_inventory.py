@@ -63,6 +63,7 @@ EXTENSIONS = {
     "dedup_minhash_pairs", "dedup_minhash_recall", "join_skew_salted",
     "join_bloom_pruned", "join_fuzzy_blocked", "embed_kmeans_iter",
     "text_tfidf_topterms", "incr_compact_roundtrip",
+    "pipeline_entity_resolution", "events_streak_islands", "io_schema_evolution", "scalar_variant_shred",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

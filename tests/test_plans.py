@@ -461,3 +461,57 @@ def test_round7_plan_shapes(spark, sf_dir):
     assert "CartesianProduct" not in pn["plan"]
     assert pn["broadcast_nl_joins"] == 0
     assert pn["arrow_python"] >= 2 and pn["python_rows"] == 0
+
+
+def test_round7_new_operator_plan_shapes(spark, sf_dir):
+    """Round-7 additions keep their declared shapes. The Bloom-pruned join
+    probes via a SINGLE-row broadcast (its one BroadcastNestedLoopJoin is
+    the deliberate 1-row bloom attach; the dim join stays broadcast-hash);
+    the fuzzy join is an EQUI-join on the length band — never a nested loop
+    over the name-pair space; k-means assigns through broadcast centroid
+    joins with zero Python anywhere; TF-IDF broadcasts the vocabulary onto
+    tf. All four are Python-free."""
+    bp = plan_of(spark, sf_dir, "join_bloom_pruned")
+    assert "CartesianProduct" not in bp["plan"]
+    assert bp["broadcast_nl_joins"] <= 1  # the 1-row bloom attach only
+    assert bp["broadcast_joins"] >= 1  # the exact dim join stays hash
+    assert bp["python_rows"] == 0 and bp["arrow_python"] == 0
+
+    fz = plan_of(spark, sf_dir, "join_fuzzy_blocked")
+    assert "CartesianProduct" not in fz["plan"]
+    assert fz["broadcast_nl_joins"] == 0
+    assert fz["python_rows"] == 0 and fz["arrow_python"] == 0
+
+    km = plan_of(spark, sf_dir, "embed_kmeans_iter")
+    assert "CartesianProduct" not in km["plan"]
+    assert km["python_rows"] == 0 and km["arrow_python"] == 0
+    # both assignment passes broadcast the k-row centroid frame
+    assert km["broadcast_nl_joins"] >= 2
+
+    tt = plan_of(spark, sf_dir, "text_tfidf_topterms")
+    assert "CartesianProduct" not in tt["plan"]
+    assert tt["broadcast_joins"] >= 1  # vocabulary onto tf
+    assert tt["python_rows"] == 0 and tt["arrow_python"] == 0
+
+
+def test_round7_composition_plan_shapes(spark, sf_dir):
+    """The two round-7 compositions keep their declared shapes: entity
+    resolution never plans a cartesian/nested loop over the name-pair space
+    (blocking is an equi-join; the canonical mapping broadcasts back), and
+    the gaps-and-islands query is join-free with its window and both
+    aggregations all keyed on user_id — every exchange hashes user_id, so a
+    cluster reuses one partitioning."""
+    er = plan_of(spark, sf_dir, "pipeline_entity_resolution")
+    assert "CartesianProduct" not in er["plan"]
+    assert er["python_rows"] == 0 and er["arrow_python"] == 0
+    assert er["broadcast_joins"] >= 1  # canonical labels back onto names
+
+    si = plan_of(spark, sf_dir, "events_streak_islands")
+    assert si["sortmerge_joins"] == 0 and si["broadcast_nl_joins"] == 0
+    assert si["python_rows"] == 0 and si["arrow_python"] == 0
+    assert "CartesianProduct" not in si["plan"]
+    # every exchange in the plan hashes on user_id (island rides along)
+    import re as _re
+
+    for part in _re.findall(r"hashpartitioning\(([^)]*)\)", si["plan"]):
+        assert "user_id" in part, si["plan"]

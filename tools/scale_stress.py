@@ -96,6 +96,17 @@ STRESS = [
     "contam_ngram_hashed",
     "stream_session_skewsafe",
     "export_shard_manifest",
+    # Round 7: Bloom runtime-filter join (probe is map-side; build scales
+    # with suppliers), exact k-means (points scale, centroids stay k — the
+    # broadcast-assignment shape), TF-IDF (token shuffle scales, vocabulary
+    # constant). join_fuzzy_blocked is deliberately ABSENT: the fixture has
+    # 64 distinct names at every multiplier (p_name is not a growing key),
+    # so scaling would time a constant; its lossless-blocking property is
+    # pinned in tests instead. incr_compact_roundtrip is absent because its
+    # cost is one sequential rewrite of the table — linear by construction.
+    "join_bloom_pruned",
+    "embed_kmeans_iter",
+    "text_tfidf_topterms",
 ]
 
 
