@@ -69,6 +69,10 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "events_streak_islands",   # NEW r7: gaps-and-islands streaks
     "io_schema_evolution",     # NEW r7: mergeSchema additive-column read
     "scalar_variant_shred",    # NEW r7: VARIANT parse_json + typed paths
+    "window_skyline_2d",       # NEW r7: distributed 2-phase Pareto skyline
+    "ts_ewma_smooth",          # NEW r7: truncated integer EWMA window
+    "search_bm25_topk",        # NEW r7: BM25 lexical retrieval top-10
+    "io_stats_manifest",       # NEW r7: per-partition zone-map manifest
     "join_skew_salted",        # r7: docstring-only change, re-verify cheap
 )
 

@@ -92,6 +92,9 @@ R7_HEADLINE = [
     "text_tfidf_topterms",        # tf + df + vocab-broadcast ranking
     "pipeline_entity_resolution", # block->match->CC->canonicalize end-to-end
     "events_streak_islands",      # distinct + islands window + double agg
+    "window_skyline_2d",          # banded local sweep + global candidate sweep
+    "ts_ewma_smooth",             # 8-lag shared-sort window, all-integer
+    "search_bm25_topk",           # early-filtered tf + broadcast idf + top-k
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

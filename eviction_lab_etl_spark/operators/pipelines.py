@@ -587,3 +587,119 @@ def pipeline_entity_resolution(spark, sf_dir):
         .cast("long")
         .alias("cluster_size"),
     )
+
+
+@query(
+    "search_bm25_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tok2 AS (SELECT * FROM tok WHERE term <> ''),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok2 GROUP BY doc_id
+    ),
+    scal AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok2),
+    qtf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok2
+        WHERE term IN ('hash', 'join', 'spark') GROUP BY doc_id, term
+    ),
+    qdf AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok2
+        WHERE term IN ('hash', 'join', 'spark') GROUP BY term
+    ),
+    idf AS (
+        SELECT term,
+               CAST(floor(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1000000)
+                    AS BIGINT) AS idf_micro
+        FROM qdf, scal
+    ),
+    avg_dl AS (SELECT (100 * t) // n AS a FROM tot, scal),
+    sc AS (
+        SELECT qtf.doc_id,
+               (idf.idf_micro * 22 * avg_dl.a * qtf.tf)
+               // (10 * avg_dl.a * qtf.tf + 3 * avg_dl.a + 900 * dl.dl)
+                   AS contrib
+        FROM qtf JOIN idf USING (term) JOIN dl USING (doc_id), avg_dl
+    ),
+    agg AS (
+        SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS score_micro
+        FROM sc GROUP BY doc_id
+    )
+    SELECT doc_id, score_micro, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                        AS rnk
+          FROM agg)
+    WHERE rnk <= 10
+    """,
+)
+def search_bm25_topk(spark, sf_dir):
+    """BM25 RETRIEVAL: the top-10 documents for the query {hash, join,
+    spark} under Okapi BM25 (k1 = 1.2, b = 0.75, Lucene's positive smoothed
+    idf ln(1 + (N - df + 0.5)/(df + 0.5))) — the default lexical ranker of
+    every search stack and the lexical half of RAG hybrid retrieval. Made
+    hash-checkable across engines the same way as `text_tfidf_topterms`:
+    the ONLY float op is the idf, floored to integer micro-units with a
+    verified margin from every floor boundary (tests/test_determinism.py);
+    everything downstream is exact integer arithmetic — avgdl quantized to
+    centi-tokens A = (100·T) div N, and the per-term contribution evaluated
+    as (idf_micro · 22·A·tf) div (10·A·tf + 3·A + 900·dl), which is
+    tf·(k1+1)/(tf + k1·(1-b+b·dl·100/A)) · idf with k1, b as exact rationals
+    and ONE integer floor-division both engines share. These are the
+    operator's declared semantics (BM25 with centi-quantized avgdl and
+    micro-floored scores), not an approximation claim.
+
+    Scale shape (100 TB): query-term tf filters the token stream to the
+    query vocabulary BEFORE any shuffle (a 3-term IN over the exploded
+    tokens — predicate on the generator output, no full tf table); dl
+    aggregates the same exploded projection (ReuseExchange-eligible);
+    (term, idf) is 3 rows broadcast; A and N are 1-row broadcast literals;
+    the only data-sized shuffles are doc-keyed (tf ⋈ dl ⋈ final sum — one
+    co-partitioned key), and the top-10 is TakeOrderedAndProject (per-
+    partition heaps + driver merge of 10-row heads), never a global sort."""
+    docs = load(spark, sf_dir, "documents")
+    qterms = ("hash", "join", "spark")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = tok.groupBy("doc_id").agg(big(F.count(F.lit(1))).alias("dl"))
+    n = docs.agg(big(F.count(F.lit(1))).alias("n"))
+    t = tok.agg(big(F.count(F.lit(1))).alias("t"))
+    qtok = tok.filter(F.col("term").isin(*qterms))
+    qtf = qtok.groupBy("doc_id", "term").agg(
+        big(F.count(F.lit(1))).alias("tf")
+    )
+    qdf = qtok.groupBy("term").agg(
+        big(F.count_distinct("doc_id")).alias("df")
+    )
+    idf = qdf.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.floor(
+            F.log(
+                F.lit(1)
+                + (F.col("n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.lit(1_000_000)
+        ).cast("bigint").alias("idf_micro"),
+    )
+    avg_dl = t.crossJoin(F.broadcast(n)).select(
+        F.expr("(100 * t) div n").alias("a")
+    )
+    sc = (
+        qtf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avg_dl))
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf_micro * 22 * a * tf)"
+                " div (10 * a * tf + 3 * a + 900 * dl)"
+            ).alias("contrib"),
+        )
+    )
+    agg = sc.groupBy("doc_id").agg(big(F.sum("contrib")).alias("score_micro"))
+    top = agg.orderBy(F.desc("score_micro"), "doc_id").limit(10)
+    w = Window.orderBy(F.desc("score_micro"), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))

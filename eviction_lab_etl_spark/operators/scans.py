@@ -428,3 +428,54 @@ def io_schema_evolution(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         F.count(F.when(F.col("urgent_flag"), 1)).alias("n_urgent_flagged"),
     )
+
+
+@query(
+    "io_stats_manifest",
+    oracle="""
+    SELECT year(o_orderdate) AS od_year,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    GROUP BY od_year
+    """,
+)
+def io_stats_manifest(spark, sf_dir):
+    """FILE-STATISTICS MANIFEST (zone map): write orders hive-partitioned by
+    order year — pre-shuffled on the partition column so every year lands in
+    exactly ONE task and therefore exactly one file per directory (the
+    small-files discipline; without the repartition, every input task writes
+    a sliver into every year) — then rebuild the per-partition manifest from
+    the files themselves: file count via `input_file_name()`, row count, and
+    min/max of the sort key. This is the metadata layer every table format
+    (Iceberg/Delta manifests, parquet footer zone maps) maintains so that
+    `WHERE o_orderkey BETWEEN ...` can prune whole files without reading
+    them; `io_range_partitioned` demonstrates the pruned READ, this operator
+    pins the manifest BUILD. The oracle recomputes the same stats from the
+    source table with n_files pinned at the literal 1 the layout guarantees
+    — so the hash verifies the one-file-per-partition contract AND that the
+    round-trip preserved every key.
+
+    Scale shape (100 TB): one narrow-projection shuffle on the partition key
+    (same cost class as the write itself); the manifest scan aggregates
+    min/max/count per file — at production scale this comes from parquet
+    footers (O(files) metadata reads, zero data), and the aggregation shape
+    here is identical to a footer-driven rebuild."""
+    from eviction_lab_etl_spark.functions.determinism import big
+
+    out = _sink_path("orders_manifest")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("od_year")
+    )
+    orders.repartition("od_year").write.mode("overwrite").partitionBy(
+        "od_year"
+    ).parquet(out)
+    back = spark.read.parquet(out).withColumn("fname", F.input_file_name())
+    return back.groupBy(F.col("od_year").cast("bigint").alias("od_year")).agg(
+        F.count_distinct("fname").alias("n_files"),
+        F.count(F.lit(1)).alias("n"),
+        big(F.min("o_orderkey")).alias("min_key"),
+        big(F.max("o_orderkey")).alias("max_key"),
+    )

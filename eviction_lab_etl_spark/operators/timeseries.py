@@ -260,3 +260,87 @@ def ts_anomaly_mad(spark, sf_dir):
             (2 * F.col("dev2") > 3 * F.col("mad4")).alias("is_anomaly"),
         )
     )
+
+
+@query(
+    "ts_ewma_smooth",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v_cents,
+               ts
+        FROM events
+    ),
+    l AS (
+        SELECT user_id, event_id, v_cents,
+               lag(v_cents, 1) OVER w AS v1, lag(v_cents, 2) OVER w AS v2,
+               lag(v_cents, 3) OVER w AS v3, lag(v_cents, 4) OVER w AS v4,
+               lag(v_cents, 5) OVER w AS v5, lag(v_cents, 6) OVER w AS v6,
+               lag(v_cents, 7) OVER w AS v7
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, v_cents,
+           CAST((128 * v_cents + 64 * coalesce(v1, 0) + 32 * coalesce(v2, 0)
+                 + 16 * coalesce(v3, 0) + 8 * coalesce(v4, 0)
+                 + 4 * coalesce(v5, 0) + 2 * coalesce(v6, 0)
+                 + 1 * coalesce(v7, 0)) * 1000
+                // (128 + CASE WHEN v1 IS NULL THEN 0 ELSE 64 END
+                        + CASE WHEN v2 IS NULL THEN 0 ELSE 32 END
+                        + CASE WHEN v3 IS NULL THEN 0 ELSE 16 END
+                        + CASE WHEN v4 IS NULL THEN 0 ELSE 8 END
+                        + CASE WHEN v5 IS NULL THEN 0 ELSE 4 END
+                        + CASE WHEN v6 IS NULL THEN 0 ELSE 2 END
+                        + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END)
+                AS BIGINT) AS ewma_milli
+    FROM l
+    """,
+)
+def ts_ewma_smooth(spark, sf_dir):
+    """Exponentially-weighted moving average per entity (alpha = 1/2),
+    TRUNCATED at 7 lags — the declared semantics, not an approximation of
+    something else: weights 2^(7-j) over the current value and up to 7
+    predecessors, normalized by the weights actually present (so the series
+    head is an EWMA of what exists, not biased toward zero). Truncation
+    bounds the error vs the infinite recursion at 2^-8 of the oldest mass
+    while making the operator a PLAIN WINDOW EXPRESSION: the true recursive
+    EWMA (state_t = a*x_t + (1-a)*state_{t-1}) is not expressible in SQL
+    windows without exponent-magnitude tricks that overflow doubles beyond
+    ~1000 rows, and at 100 TB the recursive form forces applyInPandas
+    sequential state per key — this form stays in whole-stage codegen.
+    All-integer arithmetic end to end (cents in, integer-division milli
+    out), so the cross-engine hash has no float surface at all.
+
+    Scale shape: ONE shuffle on user_id; the 7 lag() calls share a single
+    window sort — Catalyst evaluates all of them in one pass; per-row cost
+    is 8 multiply-adds in codegen. Ordering carries the (ts, event_id)
+    unique tiebreak (§2.0 rule 3)."""
+    from eviction_lab_etl_spark.functions.determinism import cents
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", cents("value").alias("v_cents"), "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.col("v_cents")] + [
+        F.lag("v_cents", j).over(w) for j in range(1, 8)
+    ]
+    weights = [128, 64, 32, 16, 8, 4, 2, 1]
+    num = sum(
+        (F.lit(wt) * F.coalesce(c, F.lit(0)) for wt, c in zip(weights, lags)),
+        F.lit(0),
+    )
+    den = sum(
+        (F.when(c.isNull(), 0).otherwise(wt) for wt, c in zip(weights, lags)),
+        F.lit(0),
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "v_cents",
+        (num * 1000).cast("bigint").alias("_num"),
+        den.cast("bigint").alias("_den"),
+    ).select(
+        "user_id",
+        "event_id",
+        "v_cents",
+        F.expr("_num div _den").alias("ewma_milli"),
+    )

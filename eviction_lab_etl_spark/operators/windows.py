@@ -258,3 +258,82 @@ def window_first_last(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "window_skyline_2d",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey,
+               CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents,
+               CAST(p_size AS BIGINT) AS psize
+        FROM part
+    )
+    SELECT p_partkey, price_cents, psize
+    FROM p a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM p b
+        WHERE b.price_cents <= a.price_cents AND b.psize <= a.psize
+          AND (b.price_cents < a.price_cents OR b.psize < a.psize)
+    )
+    """,
+)
+def window_skyline_2d(spark, sf_dir):
+    """2-D SKYLINE (Pareto frontier): parts not dominated on
+    (retail price, size) — b dominates a iff b is <= on both dimensions and
+    strictly < on at least one. The naive formulation is a quadratic
+    NOT-EXISTS self-join (the oracle runs exactly that, so the hash pins
+    this plan against an INDEPENDENT algorithm); the engine runs the classic
+    sweep, O(n log n) and windowed: sorted by price, a point survives iff
+    (1) its size equals the minimum size at its own exact price (a
+    same-price smaller-size point strictly dominates) and (2) its size is
+    strictly below the running min over the RANGE frame ending 1 cent
+    cheaper (a cheaper point with size <= dominates via strict price).
+    Duplicate (price, size) points all survive, matching strict dominance.
+    Exact integer cents make the RANGE frame engine-portable.
+
+    Scale shape (100 TB): skyline is ALGEBRAIC — skyline(A ∪ B) =
+    skyline(skyline(A) ∪ skyline(B)) — so the engine runs the sweep TWICE:
+    first per deterministic PRICE BUCKET ($50 bands: one narrow-projection
+    hash shuffle of (key, 2 ints), windows fully parallel across bands,
+    output = per-band frontiers, typically a handful of points each), then
+    globally over the union of band frontiers (a single-partition window
+    over a candidate set that is tiny by construction). The quadratic pair
+    space — the thing that kills NOT EXISTS at a billion rows — and any
+    full-table global sort are both structurally absent; the result is
+    partition-invariant because any partitioning of the input satisfies the
+    contraction identity (band width is a tuning knob, not a correctness
+    knob). The same contraction extends to d>2; this is the d=2 workhorse
+    (price/latency, cost/quality frontiers)."""
+    from eviction_lab_etl_spark.functions.determinism import cents
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        cents("p_retailprice").alias("price_cents"),
+        big("p_size").alias("psize"),
+    )
+
+    def sweep(df, *pkeys):
+        w_eq = Window.partitionBy(*pkeys, "price_cents")
+        w_lt = (
+            Window.partitionBy(*pkeys)
+            .orderBy("price_cents")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        return (
+            df.withColumn("min_psize_eq", F.min("psize").over(w_eq))
+            .withColumn("min_psize_lt", F.min("psize").over(w_lt))
+            .filter(
+                (F.col("psize") == F.col("min_psize_eq"))
+                & (
+                    F.col("min_psize_lt").isNull()
+                    | (F.col("psize") < F.col("min_psize_lt"))
+                )
+            )
+            .select("p_partkey", "price_cents", "psize", *pkeys)
+        )
+
+    banded = p.withColumn("band", F.expr("price_cents div 5000"))
+    local = sweep(banded, "band")
+    return sweep(local.drop("band")).select("p_partkey", "price_cents", "psize")

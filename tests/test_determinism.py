@@ -29,3 +29,40 @@ def test_double_run_identical(spark, sf_dir, name):
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "7")
     assert results[0] == results[1], f"{name}: result depends on partitioning"
+
+
+def test_idf_micro_floor_margins():
+    """`text_tfidf_topterms` and `search_bm25_topk` floor a log-scaled idf to
+    integer micro-units and claim both engines land on the same integer.
+    That claim is sound only if the true value sits far enough from every
+    floor boundary that a 1-ulp libm divergence (~1e-9 at this magnitude)
+    cannot cross it. Pin the margin >= 0.02 micro-units for EVERY reachable
+    (n, df) pair on EVERY fixture scale the driver or bench touches."""
+    import math
+
+    import duckdb
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        con = duckdb.connect()
+        docs = f"/root/testdata/{sf}/documents.parquet"
+        n = con.sql(f"SELECT count(*) FROM '{docs}'").fetchone()[0]
+        dfs = con.sql(
+            f"""
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                         FROM '{docs}')
+            SELECT t, count(DISTINCT doc_id) AS df FROM tok WHERE t <> ''
+            GROUP BY t
+            """
+        ).fetchall()
+        for term, df in dfs:
+            x = math.log((n + 1.0) / (df + 1.0)) * 1_000_000  # tfidf idf
+            frac = x - math.floor(x)
+            assert 0.02 <= frac <= 1 - 0.02 or x == 0.0, (
+                f"{sf} tfidf term={term!r} df={df} frac={frac}"
+            )
+            if term in ("hash", "join", "spark"):  # bm25 query vocabulary
+                y = math.log(1 + (n - df + 0.5) / (df + 0.5)) * 1_000_000
+                fy = y - math.floor(y)
+                assert 0.02 <= fy <= 1 - 0.02, (
+                    f"{sf} bm25 term={term!r} df={df} frac={fy}"
+                )

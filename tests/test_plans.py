@@ -515,3 +515,33 @@ def test_round7_composition_plan_shapes(spark, sf_dir):
 
     for part in _re.findall(r"hashpartitioning\(([^)]*)\)", si["plan"]):
         assert "user_id" in part, si["plan"]
+
+
+def test_round7_second_batch_plan_shapes(spark, sf_dir):
+    """The skyline, EWMA, and BM25 additions keep their declared shapes.
+    Skyline: both sweep phases are windows — no join of any kind, so the
+    quadratic NOT-EXISTS shape (the oracle's) is structurally absent. EWMA:
+    join-free, one user_id-keyed exchange shared by all 8 lags. BM25: the
+    3-row idf and the 1-row scalars broadcast (each 1-row cross is a
+    BroadcastNestedLoopJoin by construction); the top-10 is
+    TakeOrderedAndProject, never a global sort. All three are Python-free."""
+    sk = plan_of(spark, sf_dir, "window_skyline_2d")
+    assert "CartesianProduct" not in sk["plan"]
+    assert sk["sortmerge_joins"] == 0 and sk["broadcast_nl_joins"] == 0
+    assert sk["broadcast_joins"] == 0  # join-free: windows only
+    assert sk["python_rows"] == 0 and sk["arrow_python"] == 0
+
+    ew = plan_of(spark, sf_dir, "ts_ewma_smooth")
+    assert ew["sortmerge_joins"] == 0 and ew["broadcast_nl_joins"] == 0
+    assert ew["python_rows"] == 0 and ew["arrow_python"] == 0
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", ew["plan"])
+    assert parts and all("user_id" in p for p in parts), ew["plan"]
+
+    bm = plan_of(spark, sf_dir, "search_bm25_topk")
+    assert "CartesianProduct" not in bm["plan"]
+    assert bm["broadcast_joins"] >= 1  # the 3-row (term, idf) dim
+    assert bm["broadcast_nl_joins"] <= 3  # the 1-row scalar attaches only
+    assert "TakeOrderedAndProject" in bm["plan"]
+    assert bm["python_rows"] == 0 and bm["arrow_python"] == 0

@@ -427,8 +427,17 @@ def main() -> None:
     # --cc-prefix: run only the clustering + prefix-skew measurements (the
     # full STRESS sweep is ~10 min at 30x; these two are seconds).
     # --minhash: run only the MinHash-LSH banding measurement.
+    # --only=a,b,c: restrict the STRESS sweep to the named queries (partial
+    # re-measure after adding entries, without re-timing the whole list).
     extra_only = "--cc-prefix" in args
     minhash_only = "--minhash" in args
+    only: set[str] | None = None
+    for a in args:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
+            unknown = only - set(STRESS)
+            assert not unknown, f"--only names not in STRESS: {sorted(unknown)}"
+            STRESS[:] = [n for n in STRESS if n in only]
     mults = [int(a) for a in args if not a.startswith("--")] or [1, 10, 30]
     registry.load_all_operators()
     spark = build_session(
