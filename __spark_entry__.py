@@ -73,6 +73,9 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "ts_ewma_smooth",          # NEW r7: truncated integer EWMA window
     "search_bm25_topk",        # NEW r7: BM25 lexical retrieval top-10
     "io_stats_manifest",       # NEW r7: per-partition zone-map manifest
+    "io_csv_roundtrip",        # r7: upgraded rows-only -> source-table hash
+    "io_json_lines",           # r7: upgraded rows-only -> source-table hash
+    "io_partitioned_write",    # r7: upgraded rows-only -> routing hash
     "join_skew_salted",        # r7: docstring-only change, re-verify cheap
 )
 

@@ -72,10 +72,16 @@ def scan_filter_prune(spark, sf_dir):
     )
 
 
-@query("io_csv_roundtrip")  # rows-only: sink+source behavior, no SQL oracle
+@query(
+    "io_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
 def io_csv_roundtrip(spark, sf_dir):
     """CSV sink → schema-explicit CSV source round-trip (the reference's IR is
-    CSV-on-disk between every Make stage, R4–R7)."""
+    CSV-on-disk between every Make stage, R4–R7). Hash-checked against the
+    SOURCE table: text serialization must preserve every int and name
+    byte-for-byte, which pins quoting, header handling, and the declared
+    read schema — not just that "some rows came back"."""
     path = _sink_path("nation_csv")
     load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
     schema = StructType(
@@ -145,27 +151,52 @@ def io_orc_roundtrip(spark, sf_dir):
     return spark.read.orc(path)
 
 
-@query("io_json_lines")  # rows-only
+@query(
+    "io_json_lines",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type FROM events
+    """,
+)
 def io_json_lines(spark, sf_dir):
-    """JSON-lines sink/source round-trip (search-index JSON export analog, R9)."""
+    """JSON-lines sink/source round-trip (search-index JSON export analog,
+    R9). Hash-checked against the source table: schema-INFERRED read-back
+    (JSON numbers come back bigint — the oracle casts to match) must
+    reproduce every id and string, pinning JSON escaping both ways."""
     path = _sink_path("events_json")
     events = load(spark, sf_dir, "events").select("event_id", "event_type")
     events.write.mode("overwrite").json(path)
     return spark.read.json(path).select("event_id", "event_type")
 
 
-@query("io_partitioned_write")  # rows-only
+@query(
+    "io_partitioned_write",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr
+    FROM orders WHERE year(o_orderdate) = 1997
+    """,
+)
 def io_partitioned_write(spark, sf_dir):
-    """Partitioned parquet sink + partition-pruned read (per-state export analog, R7).
+    """Partitioned parquet sink + partition-pruned read (per-state export
+    analog, R7). Hash-checked against the source table filtered the same
+    way: the pruned read of one yr= directory must return exactly the 1997
+    keys — verifying partition ROUTING (every row landed in the directory
+    its year says), not just that pruning returned something.
 
     At 100 TB this is the layout contract: facts land partitioned by a
     date-derived key so every downstream year-filter prunes at the source.
     """
+    from eviction_lab_etl_spark.functions.determinism import big
+
     path = _sink_path("orders_by_yr")
     orders = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
     orders.write.mode("overwrite").partitionBy("yr").parquet(path)
     # Partition pruning: yr=1997 resolves to one directory, not a full scan.
-    return spark.read.parquet(path).filter(F.col("yr") == 1997).select("o_orderkey", "yr")
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("yr") == 1997)
+        .select(big("o_orderkey").alias("o_orderkey"), big("yr").alias("yr"))
+    )
 
 
 @query(

@@ -27,9 +27,10 @@ stream_dedup_watermark stream_foreachbatch_upsert
 udf_py_scalar udf_pandas_scalar udf_grouped_map udf_pandas_agg udtf_explode_pos
 """.split()
 
-# SURVEY §2 marks exactly these as check=rows (no SQL-expressible oracle).
+# SURVEY §2 marks exactly these as check=rows (genuinely approximate or
+# streaming-stateful — no SQL-expressible oracle). The io round-trips were
+# upgraded to source-table hash checks in r7 and left this set.
 S2_ROWS_ONLY = {
-    "io_csv_roundtrip", "io_json_lines", "io_partitioned_write",
     "agg_approx_distinct", "sim_ann_lsh",
     "stream_watermark_late", "stream_dedup_watermark", "stream_foreachbatch_upsert",
 }
