@@ -46,7 +46,7 @@ def bloom_build(
     seeds: tuple[int, ...] = (101, 202, 303),
 ) -> DataFrame:
     """Fold ``keys[key_col]`` (any integral type) into a 1-row Bloom frame
-    with column ``bloom: map<int, bigint>`` — word index -> 64-bit mask,
+    with column ``__bloom_words: map<int, bigint>`` (dunder-prefixed so it cannot collide with a fact column) — word index -> 64-bit mask,
     words with no set bits omitted. ``m_bits`` must be a multiple of 64."""
     assert m_bits % _WORD == 0, "m_bits must pack into 64-bit words"
     pos = [
@@ -67,7 +67,7 @@ def bloom_build(
         .agg(
             F.map_from_arrays(
                 F.collect_list("word"), F.collect_list("mask")
-            ).alias("bloom")
+            ).alias("__bloom_words")
         )
     )
 
@@ -77,12 +77,12 @@ def bloom_might_contain(
     m_bits: int = 4096,
     seeds: tuple[int, ...] = (101, 202, 303),
 ) -> F.Column:
-    """Predicate over a frame carrying the ``bloom`` map column: true iff
+    """Predicate over a frame carrying the ``__bloom_words`` map column: true iff
     every probe bit of ``key_sql`` is set (i.e. the key MIGHT be present)."""
     hits = []
     for p in _positions_sql(key_sql, m_bits, tuple(seeds)):
         hits.append(
-            f"(shiftright(coalesce(element_at(bloom, CAST({p} / {_WORD} AS INT)),"
+            f"(shiftright(coalesce(element_at(__bloom_words, CAST({p} / {_WORD} AS INT)),"
             f" CAST(0 AS BIGINT)), CAST({p} % {_WORD} AS INT)) & 1) = 1"
         )
     return F.expr(" AND ".join(hits))
@@ -102,5 +102,5 @@ def bloom_prune(
     return (
         fact.join(F.broadcast(bloom))
         .filter(bloom_might_contain(key_col, m_bits, tuple(seeds)))
-        .drop("bloom")
+        .drop("__bloom_words")
     )

@@ -130,10 +130,14 @@ def fuzzy_blocked_pairs(names: DataFrame, col: str, max_dist: int = 2) -> DataFr
     return (
         left.join(right, "blk")
         .filter(F.col("name_a") < F.col("name_b"))
-        .filter(F.levenshtein("name_a", "name_b") <= max_dist)
+        # Compute the O(len^2) edit distance ONCE and filter on the aliased
+        # column: Filter and Project are separate physical operators, so a
+        # levenshtein call repeated in both would run the DP twice for every
+        # surviving candidate — the exact cost the blocking exists to bound.
         .select(
             "name_a",
             "name_b",
             F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
         )
+        .filter(F.col("dist") <= max_dist)
     )

@@ -39,12 +39,24 @@ def test_idf_micro_floor_margins():
     cannot cross it. Pin the margin >= 0.02 micro-units for EVERY reachable
     (n, df) pair on EVERY fixture scale the driver or bench touches."""
     import math
+    import os
 
     import duckdb
 
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+    base = os.path.dirname(
+        os.environ.get("ELSPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+    )
+    dirs = [
+        d
+        for d in (os.environ.get("ELSPARK_TEST_SF_DIR"),)
+        + tuple(os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1"))
+        if d and os.path.exists(os.path.join(d, "documents.parquet"))
+    ]
+    assert dirs, "no fixture dirs with documents.parquet found"
+    for sf_path in dict.fromkeys(dirs):
+        sf = os.path.basename(sf_path)
         con = duckdb.connect()
-        docs = f"/root/testdata/{sf}/documents.parquet"
+        docs = os.path.join(sf_path, "documents.parquet")
         n = con.sql(f"SELECT count(*) FROM '{docs}'").fetchone()[0]
         dfs = con.sql(
             f"""

@@ -417,27 +417,16 @@ def test_length_blocking_is_lossless(spark, names):
     length band never drops a true pair (lev<=d implies |len diff|<=d).
     Randomized over short strings including duplicates-by-length, empties,
     and unequal lengths."""
+    from eviction_lab_etl_spark.functions.similarity import fuzzy_blocked_pairs
+
     d = 2
     df = spark.createDataFrame([(n,) for n in names], "p_name string")
-    left = df.select(
-        F.col("p_name").alias("name_a"), F.length("p_name").alias("blk")
-    )
-    right = df.select(
-        F.col("p_name").alias("name_b"),
-        F.explode(
-            F.sequence(F.length("p_name") - d, F.length("p_name") + d)
-        ).alias("blk"),
-    )
     got = {
-        (r.name_a, r.name_b)
-        for r in left.join(right, "blk")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .filter(F.levenshtein("name_a", "name_b") <= d)
-        .select("name_a", "name_b")
-        .collect()
+        (r.name_a, r.name_b, r.dist)
+        for r in fuzzy_blocked_pairs(df, "p_name", max_dist=d).collect()
     }
     want = {
-        (a, b)
+        (a, b, _py_lev(a, b))
         for a in names
         for b in names
         if a < b and _py_lev(a, b) <= d

@@ -107,6 +107,15 @@ STRESS = [
     "join_bloom_pruned",
     "embed_kmeans_iter",
     "text_tfidf_topterms",
+    # Round 7 second batch: streaks + EWMA scale with events, BM25 with the
+    # document corpus (constant query vocabulary). window_skyline_2d,
+    # pipeline_entity_resolution and join_fuzzy_blocked are absent because
+    # their only table (part) replicates verbatim — KEYS does not multiply
+    # dims, so timing them would time a constant (the fuzzy rule above).
+    # io_stats_manifest is a partitioned rewrite — linear by construction.
+    "events_streak_islands",
+    "ts_ewma_smooth",
+    "search_bm25_topk",
 ]
 
 
