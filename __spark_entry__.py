@@ -76,6 +76,8 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "io_csv_roundtrip",        # r7: upgraded rows-only -> source-table hash
     "io_json_lines",           # r7: upgraded rows-only -> source-table hash
     "io_partitioned_write",    # r7: upgraded rows-only -> routing hash
+    "incr_scd2_build",         # NEW r7: SCD2 dimension build from change log
+    "graph_bfs_layers",        # NEW r7: bounded multi-source BFS layers
     "join_skew_salted",        # r7: docstring-only change, re-verify cheap
 )
 

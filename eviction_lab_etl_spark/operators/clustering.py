@@ -533,3 +533,76 @@ def graph_pagerank(spark, sf_dir):
             )
         )
     return ranks.select("v", F.col("r").alias("pagerank"))
+
+
+@query(
+    "graph_bfs_layers",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents WHERE doc_id < 200
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pr AS (
+        SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS inter
+        FROM tok t1 JOIN tok t2 ON t1.w = t2.w AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    ),
+    edges0 AS (
+        SELECT a, b FROM pr
+        JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        WHERE 10 * inter >= 9 * (sa.n + sb.n - inter)
+    ),
+    edges AS (SELECT a, b FROM edges0 UNION ALL SELECT b AS a, a AS b FROM edges0),
+    walk(v, d) AS (
+        SELECT DISTINCT a AS v, 0 AS d FROM edges WHERE a < 20
+        UNION
+        SELECT e.b AS v, w.d + 1 AS d FROM walk w JOIN edges e ON e.a = w.v
+        WHERE w.d < 3
+    )
+    SELECT v AS doc_id, CAST(min(d) AS BIGINT) AS depth FROM walk GROUP BY v
+    """,
+)
+def graph_bfs_layers(spark, sf_dir):
+    """MULTI-SOURCE BFS, depth ≤ 3, over the shared near-dup graph: every
+    vertex reachable from the seed set (doc_id < 20) labeled with its
+    MINIMUM hop distance — the bounded-radius traversal behind contamination
+    blast-radius ("everything within 3 near-dup hops of a benchmark doc"),
+    trust propagation, and neighborhood sampling. Three unrolled layers keep
+    it driver-checkable (the oracle is an independent recursive-CTE walk
+    with a depth cap); an unbounded frontier loop is the same join repeated
+    with the connected_components convergence discipline.
+
+    Scale shape (100 TB): layered frontier expansion — each round joins the
+    CURRENT frontier (vertices first reached last round, typically a small
+    fraction of the graph) against the edge list on the source vertex, then
+    a min-depth merge keyed on vertex. The edge list is the near-dup
+    projection (orders of magnitude below the corpus, persisted once for
+    the whole graph family); per-round cost is frontier-proportional, never
+    all-pairs, and the depth cap bounds the rounds. At a billion edges each
+    round is one shuffle of (frontier ⋈ edges) + one vertex-keyed agg —
+    the Pregel step, expressed declaratively."""
+    edges = neardup_edges(spark, sf_dir)
+    sym = edges.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
+        edges.select(F.col("b").alias("v"), F.col("a").alias("u"))
+    )
+    known = (
+        sym.filter(F.col("v") < 20)
+        .select("v")
+        .distinct()
+        .withColumn("depth", F.lit(0).cast("bigint"))
+    )
+    frontier = known
+    for step in (1, 2, 3):
+        reached = (
+            frontier.join(sym, "v")
+            .select(F.col("u").alias("v"))
+            .distinct()
+            .withColumn("depth", F.lit(step).cast("bigint"))
+        )
+        # New frontier = vertices not seen at a smaller depth.
+        frontier = reached.join(
+            known.select("v"), "v", "left_anti"
+        )
+        known = known.unionByName(frontier)
+    return known.select(F.col("v").alias("doc_id"), "depth")

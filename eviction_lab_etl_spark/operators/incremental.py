@@ -571,3 +571,66 @@ def incr_compact_roundtrip(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "incr_scd2_build",
+    oracle="""
+    WITH ch AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        )
+        WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           CAST(epoch_us(ts) AS BIGINT) AS valid_from,
+           CAST(epoch_us(lead(ts) OVER w) AS BIGINT) AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           (lead(ts) OVER w IS NULL) AS is_current
+    FROM ch
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def incr_scd2_build(spark, sf_dir):
+    """SCD TYPE-2 DIMENSION BUILD from a raw change log: per user, collapse
+    consecutive repeats of the tracked attribute (a re-assertion of the
+    same state is NOT a new version — the step most hand-rolled SCD2 loads
+    get wrong, ballooning history with no-op rows), then close each
+    surviving version's interval with the NEXT change's timestamp:
+    (valid_from, valid_to) half-open, valid_to NULL ⇔ is_current, and a
+    per-entity version number. `join_scd2_point_in_time` READS a dimension
+    of exactly this shape; this operator pins the BUILD — together they are
+    the full slowly-changing-dimension life cycle. Intervals are emitted as
+    epoch-micro bigints (unix_micros ≡ DuckDB epoch_us — the established
+    cross-engine timestamp surface).
+
+    Scale shape (100 TB): ONE shuffle on user_id serves all three windows
+    (the collapse lag, the closing lead, and the version row_number share
+    the same (user_id; ts, event_id) sort — Catalyst plans a single
+    exchange+sort and evaluates the collapse filter before the second
+    window pass touches only surviving change rows). Per-entity state is
+    bounded by that entity's CHANGE count, never its event count — the
+    collapse happens before interval construction."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ch = (
+        e.withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .drop("prev")
+    )
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from"),
+        F.unix_micros(F.lead("ts").over(w)).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

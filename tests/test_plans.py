@@ -545,3 +545,23 @@ def test_round7_second_batch_plan_shapes(spark, sf_dir):
     assert bm["broadcast_nl_joins"] <= 3  # the 1-row scalar attaches only
     assert "TakeOrderedAndProject" in bm["plan"]
     assert bm["python_rows"] == 0 and bm["arrow_python"] == 0
+
+
+def test_round7_scd2_and_bfs_plan_shapes(spark, sf_dir):
+    """SCD2 build: join-free, every exchange hashes user_id (the collapse
+    lag, the closing lead, and the version number share one exchange+sort),
+    no Python. BFS layers: the per-round expansions are equi-joins on the
+    vertex key — no cartesian/nested-loop anywhere in the unrolled plan —
+    and Python enters only at the declared boundary count of the underlying
+    near-dup similarity join."""
+    sc = plan_of(spark, sf_dir, "incr_scd2_build")
+    assert sc["sortmerge_joins"] == 0 and sc["broadcast_nl_joins"] == 0
+    assert sc["python_rows"] == 0 and sc["arrow_python"] == 0
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", sc["plan"])
+    assert parts and all("user_id" in p for p in parts), sc["plan"]
+
+    bf = plan_of(spark, sf_dir, "graph_bfs_layers")
+    assert "CartesianProduct" not in bf["plan"]
+    assert bf["python_rows"] == 0
