@@ -586,23 +586,33 @@ def graph_bfs_layers(spark, sf_dir):
     sym = edges.select(F.col("a").alias("v"), F.col("b").alias("u")).unionByName(
         edges.select(F.col("b").alias("v"), F.col("a").alias("u"))
     )
-    known = (
-        sym.filter(F.col("v") < 20)
-        .select("v")
-        .distinct()
-        .withColumn("depth", F.lit(0).cast("bigint"))
+    seeds = sym.filter(F.col("v") < 20).select("v").distinct()
+    return bfs_layers(sym, seeds, max_depth=3).select(
+        F.col("v").alias("doc_id"), "depth"
+    )
+
+
+def bfs_layers(sym_edges: DataFrame, seeds: DataFrame, max_depth: int) -> DataFrame:
+    """Layered multi-source BFS over a SYMMETRIC edge list (columns v, u):
+    every vertex reachable from ``seeds`` (column v) within ``max_depth``
+    hops, labeled with its minimum hop distance (column depth, bigint).
+    Each round joins only the CURRENT frontier against the edges and
+    anti-joins the known set — frontier-proportional work, the declarative
+    Pregel step. Property-tested against a pure-Python BFS
+    (tests/test_properties.py); `graph_bfs_layers` hash-checks it against
+    a recursive-CTE oracle on the near-dup graph."""
+    known = seeds.select("v").distinct().withColumn(
+        "depth", F.lit(0).cast("bigint")
     )
     frontier = known
-    for step in (1, 2, 3):
+    for step in range(1, max_depth + 1):
         reached = (
-            frontier.join(sym, "v")
+            frontier.join(sym_edges, "v")
             .select(F.col("u").alias("v"))
             .distinct()
             .withColumn("depth", F.lit(step).cast("bigint"))
         )
         # New frontier = vertices not seen at a smaller depth.
-        frontier = reached.join(
-            known.select("v"), "v", "left_anti"
-        )
+        frontier = reached.join(known.select("v"), "v", "left_anti")
         known = known.unionByName(frontier)
-    return known.select(F.col("v").alias("doc_id"), "depth")
+    return known

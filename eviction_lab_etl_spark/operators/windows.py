@@ -313,27 +313,38 @@ def window_skyline_2d(spark, sf_dir):
         cents("p_retailprice").alias("price_cents"),
         big("p_size").alias("psize"),
     )
+    return skyline_2d(p, "price_cents", "psize", band_width=5000)
+
+
+def skyline_2d(points, x: str, y: str, band_width: int = 5000):
+    """2-D skyline (minimize both integer columns ``x`` and ``y``) via the
+    two-phase banded sweep described in `window_skyline_2d`: local sweep per
+    ``x div band_width`` band, global sweep over the band frontiers. All
+    other columns pass through. Property-tested against a brute-force
+    quadratic dominance check (tests/test_properties.py); the registered
+    query hash-checks it against the NOT-EXISTS oracle on real data."""
+    passthrough = [c for c in points.columns if c not in (x, y)]
 
     def sweep(df, *pkeys):
-        w_eq = Window.partitionBy(*pkeys, "price_cents")
+        w_eq = Window.partitionBy(*pkeys, x)
         w_lt = (
             Window.partitionBy(*pkeys)
-            .orderBy("price_cents")
+            .orderBy(x)
             .rangeBetween(Window.unboundedPreceding, -1)
         )
         return (
-            df.withColumn("min_psize_eq", F.min("psize").over(w_eq))
-            .withColumn("min_psize_lt", F.min("psize").over(w_lt))
+            df.withColumn("_min_y_eq", F.min(y).over(w_eq))
+            .withColumn("_min_y_lt", F.min(y).over(w_lt))
             .filter(
-                (F.col("psize") == F.col("min_psize_eq"))
+                (F.col(y) == F.col("_min_y_eq"))
                 & (
-                    F.col("min_psize_lt").isNull()
-                    | (F.col("psize") < F.col("min_psize_lt"))
+                    F.col("_min_y_lt").isNull()
+                    | (F.col(y) < F.col("_min_y_lt"))
                 )
             )
-            .select("p_partkey", "price_cents", "psize", *pkeys)
+            .select(*passthrough, x, y, *pkeys)
         )
 
-    banded = p.withColumn("band", F.expr("price_cents div 5000"))
-    local = sweep(banded, "band")
-    return sweep(local.drop("band")).select("p_partkey", "price_cents", "psize")
+    banded = points.withColumn("_band", F.expr(f"{x} div {band_width}"))
+    local = sweep(banded, "_band")
+    return sweep(local.drop("_band")).select(*passthrough, x, y)

@@ -556,3 +556,199 @@ def test_hamming_banding_rejects_unsound_configs(spark):
         hamming_near_pairs(df, max_hd=8, bands=8)
     with pytest.raises(ValueError):
         hamming_near_pairs(df, max_hd=2, bands=5)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=-20, max_value=20),
+            st.integers(min_value=-20, max_value=20),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    band=st.sampled_from([1, 3, 7, 5000]),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_skyline_2d_matches_bruteforce(spark, pts, band):
+    """skyline_2d == the quadratic strict-dominance definition for ANY
+    point set (duplicates, negative coords, degenerate single-band) and
+    ANY band width — the banded contraction must be a pure performance
+    knob. Duplicates of a frontier point all survive (no strict
+    dominance between identical points)."""
+    from eviction_lab_etl_spark.operators.windows import skyline_2d
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)], "pid long, x long, y long"
+    )
+    got = sorted(
+        (r.pid, r.x, r.y) for r in skyline_2d(df, "x", "y", band_width=band).collect()
+    )
+    want = sorted(
+        (i, x, y)
+        for i, (x, y) in enumerate(pts)
+        if not any(
+            (bx <= x and by <= y and (bx < x or by < y)) for bx, by in pts
+        )
+    )
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user
+            st.integers(min_value=0, max_value=50),  # ts tick
+            st.integers(min_value=0, max_value=999), # cents value
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ewma_truncated_matches_python_fold(spark, rows):
+    """The 8-term truncated EWMA window expression == a direct Python
+    evaluation of its declared semantics (weights 2^(7-j) over the up-to-8
+    most recent values, integer milli floor-division by the present weight
+    mass) for any per-user sequence, including ties broken by event id."""
+    # unique (user, tick, eid): eid is the list index, the tiebreak.
+    data = [(u, t, i, v) for i, (u, t, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "user_id long, tick long, event_id long, v_cents long")
+    w = Window.partitionBy("user_id").orderBy("tick", "event_id")
+    lags = [F.col("v_cents")] + [F.lag("v_cents", j).over(w) for j in range(1, 8)]
+    weights = [128, 64, 32, 16, 8, 4, 2, 1]
+    num = sum(
+        (F.lit(wt) * F.coalesce(c, F.lit(0)) for wt, c in zip(weights, lags)),
+        F.lit(0),
+    )
+    den = sum(
+        (F.when(c.isNull(), 0).otherwise(wt) for wt, c in zip(weights, lags)),
+        F.lit(0),
+    )
+    got = {
+        r.event_id: r.ewma
+        for r in df.select(
+            "event_id",
+            (num * 1000).cast("bigint").alias("_n"),
+            den.cast("bigint").alias("_d"),
+        )
+        .selectExpr("event_id", "_n div _d AS ewma")
+        .collect()
+    }
+    by_user: dict = {}
+    for u, t, i, v in sorted(data, key=lambda r: (r[1], r[2])):
+        by_user.setdefault(u, []).append((i, v))
+    want = {}
+    for seq in by_user.values():
+        for pos, (eid, _) in enumerate(seq):
+            window = seq[max(0, pos - 7) : pos + 1][::-1]  # newest first
+            n = sum(wt * v for wt, (_, v) in zip(weights, window))
+            d = sum(wt for wt, _ in zip(weights, window))
+            want[eid] = (n * 1000) // d
+    assert got == want
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        max_size=20,
+    ),
+    seeds=st.sets(st.integers(min_value=0, max_value=9), min_size=1, max_size=3),
+    depth=st.integers(min_value=1, max_value=3),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_bfs_layers_matches_python_bfs(spark, edges, seeds, depth):
+    """bfs_layers == a pure-Python BFS for any graph (self-loops, parallel
+    edges, disconnected seeds) — min hop distance, capped depth, seeds at
+    depth 0 even when isolated."""
+    from eviction_lab_etl_spark.operators.clustering import bfs_layers
+
+    sym_pairs = list({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    sym = spark.createDataFrame(sym_pairs or [(None, None)], "v long, u long").filter(
+        F.col("v").isNotNull()
+    )
+    seed_df = spark.createDataFrame([(s,) for s in seeds], "v long")
+    got = {(r.v, r.depth) for r in bfs_layers(sym, seed_df, depth).collect()}
+    adj: dict = {}
+    for a, b in sym_pairs:
+        adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for d in range(1, depth + 1):
+        nxt = {
+            u for v in frontier for u in adj.get(v, ()) if u not in dist
+        }
+        for u in nxt:
+            dist[u] = d
+        frontier = nxt
+    assert got == set(dist.items())
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # user
+            st.integers(min_value=0, max_value=30),    # ts tick
+            st.sampled_from(["A", "B", "C"]),          # state
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_scd2_build_matches_python_fold(spark, rows):
+    """The SCD2 construction (collapse consecutive repeats, close intervals
+    with the next change, version numbers, is_current) == a direct Python
+    fold of the change log, for any state sequence per entity."""
+    data = [(u, t, i, s) for i, (u, t, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "user_id long, tick long, event_id long, state string")
+    w = Window.partitionBy("user_id").orderBy("tick", "event_id")
+    ch = (
+        df.withColumn("prev", F.lag("state").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("state")))
+        .drop("prev")
+    )
+    got = {
+        (r.user_id, r.version): (r.state, r.valid_from, r.valid_to, r.is_current)
+        for r in ch.select(
+            "user_id",
+            "state",
+            F.col("tick").alias("valid_from"),
+            F.lead("tick").over(w).alias("valid_to"),
+            F.row_number().over(w).cast("bigint").alias("version"),
+            F.lead("tick").over(w).isNull().alias("is_current"),
+        ).collect()
+    }
+    want = {}
+    by_user: dict = {}
+    for u, t, i, s in sorted(data, key=lambda r: (r[1], r[2])):
+        by_user.setdefault(u, []).append((t, s))
+    for u, seq in by_user.items():
+        changes = [
+            (t, s)
+            for pos, (t, s) in enumerate(seq)
+            if pos == 0 or seq[pos - 1][1] != s
+        ]
+        for ver, (t, s) in enumerate(changes, 1):
+            nxt = changes[ver][0] if ver < len(changes) else None
+            want[(u, ver)] = (s, t, nxt, nxt is None)
+    assert got == want
