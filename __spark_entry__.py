@@ -78,6 +78,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "io_partitioned_write",    # r7: upgraded rows-only -> routing hash
     "incr_scd2_build",         # NEW r7: SCD2 dimension build from change log
     "graph_bfs_layers",        # NEW r7: bounded multi-source BFS layers
+    "search_hybrid_rrf",       # NEW r7: BM25 + cosine RRF hybrid retrieval
     "join_skew_salted",        # r7: docstring-only change, re-verify cheap
 )
 

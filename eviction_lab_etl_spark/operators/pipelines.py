@@ -659,7 +659,18 @@ def search_bm25_topk(spark, sf_dir):
     co-partitioned key), and the top-10 is TakeOrderedAndProject (per-
     partition heaps + driver merge of 10-row heads), never a global sort."""
     docs = load(spark, sf_dir, "documents")
-    qterms = ("hash", "join", "spark")
+    agg = bm25_scores(docs, ("hash", "join", "spark"))
+    top = agg.orderBy(F.desc("score_micro"), "doc_id").limit(10)
+    w = Window.orderBy(F.desc("score_micro"), "doc_id")
+    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+
+
+def bm25_scores(docs, qterms):
+    """(doc_id, score_micro) under the integer-quantized Okapi BM25 of
+    `search_bm25_topk` over the given corpus frame (doc_id, text) — corpus
+    statistics (N, total tokens, df) are computed over EXACTLY the frame
+    passed in, so callers restrict the candidate universe first.
+    `search_hybrid_rrf` reuses this for its lexical leg."""
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
@@ -699,7 +710,156 @@ def search_bm25_topk(spark, sf_dir):
             ).alias("contrib"),
         )
     )
-    agg = sc.groupBy("doc_id").agg(big(F.sum("contrib")).alias("score_micro"))
-    top = agg.orderBy(F.desc("score_micro"), "doc_id").limit(10)
-    w = Window.orderBy(F.desc("score_micro"), "doc_id")
-    return top.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+    return sc.groupBy("doc_id").agg(big(F.sum("contrib")).alias("score_micro"))
+
+
+@query(
+    "search_hybrid_rrf",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 500 AND doc_id <> 0
+    ),
+    tok2 AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM corpus
+        ) WHERE term <> ''
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok2 GROUP BY doc_id
+    ),
+    scal AS (SELECT CAST(count(*) AS BIGINT) AS n FROM corpus),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok2),
+    qtf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok2
+        WHERE term IN ('hash', 'join', 'spark') GROUP BY doc_id, term
+    ),
+    qdf AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok2
+        WHERE term IN ('hash', 'join', 'spark') GROUP BY term
+    ),
+    idf AS (
+        SELECT term,
+               CAST(floor(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1000000)
+                    AS BIGINT) AS idf_micro
+        FROM qdf, scal
+    ),
+    avg_dl AS (SELECT (100 * t) // n AS a FROM tot, scal),
+    lex AS (
+        SELECT qtf.doc_id,
+               CAST(sum((idf.idf_micro * 22 * avg_dl.a * qtf.tf)
+                        // (10 * avg_dl.a * qtf.tf + 3 * avg_dl.a
+                            + 900 * dl.dl)) AS BIGINT) AS score
+        FROM qtf JOIN idf USING (term) JOIN dl USING (doc_id), avg_dl
+        GROUP BY qtf.doc_id
+    ),
+    lexr AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS BIGINT) AS rank_lex
+        FROM lex QUALIFY rank_lex <= 20
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    semr AS (
+        SELECT vec_id AS doc_id,
+               CAST(row_number() OVER (ORDER BY sim DESC, vec_id)
+                    AS BIGINT) AS rank_sem
+        FROM (
+            SELECT e.vec_id,
+                   list_cosine_similarity(e.embedding, q.embedding) AS sim
+            FROM embeddings e, q WHERE e.vec_id <> 0
+        )
+        QUALIFY rank_sem <= 20
+    ),
+    fused AS (
+        SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+               coalesce(1000000 // (60 + l.rank_lex), 0)
+               + coalesce(1000000 // (60 + s.rank_sem), 0) AS rrf_micro,
+               l.rank_lex, s.rank_sem
+        FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           rank_lex, rank_sem,
+           CAST(row_number() OVER (ORDER BY rrf_micro DESC, doc_id)
+                AS BIGINT) AS rnk
+    FROM fused QUALIFY rnk <= 10
+    """,
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """HYBRID RETRIEVAL with reciprocal-rank fusion — the standard RAG
+    retrieval stack as one plan: a LEXICAL leg (the integer-quantized BM25
+    of `search_bm25_topk` via the shared ``bm25_scores``, over the
+    candidate corpus doc_id < 500 ∖ {0} — the ids that carry embeddings)
+    and a SEMANTIC leg (exact cosine against the query document's vector,
+    vec_id 0, the `sim_knn_cosine` fold), each reduced to its top-20
+    INTEGER rank list, fused by RRF(k=60): score = Σ_legs 10⁶ div
+    (60 + rank), absent legs contributing 0. RRF is the fusion rule of
+    choice precisely because it consumes only ranks — which makes the
+    whole fusion integer-exact across engines; the floats (idf, cosine)
+    never leave their leg, and each leg's float→rank step is already the
+    hash-checked discipline of its parent operator.
+
+    Scale shape (100 TB): each leg ends in a top-k (TakeOrderedAndProject
+    / per-partition heaps) so the fusion joins two 20-row frames — the
+    corpus-sized work is exactly one BM25 pass and one brute-force (or,
+    at scale, `ann_ivf`) cosine pass, both independently scale-profiled;
+    fusion adds nothing data-proportional."""
+    from eviction_lab_etl_spark.operators.dedup_text import _dot
+
+    docs = load(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 500) & (F.col("doc_id") != 0)
+    )
+    lex = bm25_scores(docs, ("hash", "join", "spark"))
+    w_lex = Window.orderBy(F.desc("score_micro"), "doc_id")
+    lexr = (
+        lex.orderBy(F.desc("score_micro"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number().over(w_lex).cast("bigint").alias("rank_lex"),
+        )
+    )
+    emb = load(spark, sf_dir, "embeddings").withColumn(
+        "nrm", F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("pvec"), F.col("nrm").alias("pnrm")
+        )
+    )
+    sem = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (
+                _dot(F.col("pvec"), F.col("embedding"))
+                / (F.col("pnrm") * F.col("nrm"))
+            ).alias("sim"),
+        )
+    )
+    w_sem = Window.orderBy(F.desc("sim"), "doc_id")
+    semr = (
+        sem.orderBy(F.desc("sim"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            F.row_number().over(w_sem).cast("bigint").alias("rank_sem"),
+        )
+    )
+    fused = lexr.join(semr, "doc_id", "full").select(
+        "doc_id",
+        (
+            F.coalesce(F.expr("1000000 div (60 + rank_lex)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + rank_sem)"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("rrf_micro"),
+        "rank_lex",
+        "rank_sem",
+    )
+    w_f = Window.orderBy(F.desc("rrf_micro"), "doc_id")
+    return (
+        fused.orderBy(F.desc("rrf_micro"), "doc_id")
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(w_f).cast("bigint"))
+    )

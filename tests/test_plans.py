@@ -565,3 +565,14 @@ def test_round7_scd2_and_bfs_plan_shapes(spark, sf_dir):
     bf = plan_of(spark, sf_dir, "graph_bfs_layers")
     assert "CartesianProduct" not in bf["plan"]
     assert bf["python_rows"] == 0
+
+
+def test_hybrid_rrf_plan_shape(spark, sf_dir):
+    """Hybrid retrieval: both legs end in TakeOrderedAndProject (the fusion
+    joins two 20-row frames, nothing data-proportional crosses it), the
+    idf/scalar attaches stay 1-row broadcasts, and the whole plan is
+    Python-free."""
+    hy = plan_of(spark, sf_dir, "search_hybrid_rrf")
+    assert "CartesianProduct" not in hy["plan"]
+    assert hy["plan"].count("TakeOrderedAndProject") >= 2
+    assert hy["python_rows"] == 0 and hy["arrow_python"] == 0
