@@ -116,6 +116,9 @@ STRESS = [
     "events_streak_islands",
     "ts_ewma_smooth",
     "search_bm25_topk",
+    # SCD2 build scales with the event change log (graph_bfs_layers and
+    # search_hybrid_rrf cap their universes at doc_id<200 / <500 — constants).
+    "incr_scd2_build",
 ]
 
 
