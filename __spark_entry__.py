@@ -79,6 +79,9 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "incr_scd2_build",         # NEW r7: SCD2 dimension build from change log
     "graph_bfs_layers",        # NEW r7: bounded multi-source BFS layers
     "search_hybrid_rrf",       # NEW r7: BM25 + cosine RRF hybrid retrieval
+    "sim_containment_pairs",   # NEW r7: directed >=0.8 containment pairs
+    "ts_changepoint_shift",    # NEW r7: 7+7-day mean-shift changepoint scan
+    "text_mix_entropy",        # NEW r7: per-source language-mix entropy
     "join_skew_salted",        # r7: docstring-only change, re-verify cheap
 )
 

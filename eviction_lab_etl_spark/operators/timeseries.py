@@ -344,3 +344,89 @@ def ts_ewma_smooth(spark, sf_dir):
         "v_cents",
         F.expr("_num div _den").alias("ewma_milli"),
     )
+
+
+@query(
+    "ts_changepoint_shift",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS v_cents
+        FROM events GROUP BY 1, 2
+    ),
+    sh AS (
+        SELECT event_type, d, v_cents,
+               sum(v_cents) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s_before,
+               count(*) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS c_before,
+               sum(v_cents) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS s_after,
+               count(*) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS c_after
+        FROM daily
+    )
+    SELECT event_type, CAST(d AS VARCHAR) AS day,
+           CAST(abs(s_after - s_before) AS BIGINT) AS shift_cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY abs(s_after - s_before) DESC, d) AS rk
+    FROM sh
+    WHERE c_before = 7 AND c_after = 7
+    QUALIFY rk <= 5
+    """,
+)
+def ts_changepoint_shift(spark, sf_dir):
+    """Two-sample mean-shift changepoint scan: for each (event_type, day),
+    compare total revenue over the 7 observed days strictly before against
+    the 7 strictly after, and rank the largest absolute shifts — the
+    windowed split statistic behind CUSUM-style level-change detection,
+    restated so it IS a plain window expression (the recursive CUSUM
+    s_t = max(0, s_{t-1} + dev_t) resets at zero and is not prefix-sum
+    decomposable — it would force sequential per-key Python state; the
+    two-sided split scan is the standard scan-statistic alternative and
+    stays in whole-stage codegen). Both flanks carry exactly 7 days
+    (boundary days with short flanks are excluded, not zero-padded), so the
+    shift compares equal-support sums directly in cents — no division, no
+    floats anywhere (§2.0 rule 1).
+
+    Scale shape: the daily rollup is one shuffle keyed (event_type, day)
+    with map-side partial aggregation — the data-proportional floor; the
+    four frame aggregates share ONE window sort over the already-collapsed
+    daily series (|types| × |days| rows, microscopic vs the event stream),
+    and the top-5 ranking is InferWindowGroupLimit-eligible. Day ordering
+    is unique per (event_type, day) by construction — no tiebreak needed
+    beyond the day itself (§2.0 rule 3)."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg((F.sum(dec("value")) * 100).cast("bigint").alias("v_cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    before = w.rowsBetween(-7, -1)
+    after = w.rowsBetween(1, 7)
+    sh = daily.select(
+        "event_type",
+        "d",
+        F.sum("v_cents").over(before).alias("s_before"),
+        F.count(F.lit(1)).over(before).alias("c_before"),
+        F.sum("v_cents").over(after).alias("s_after"),
+        F.count(F.lit(1)).over(after).alias("c_after"),
+    ).filter((F.col("c_before") == 7) & (F.col("c_after") == 7))
+    shifted = sh.select(
+        "event_type",
+        "d",
+        F.abs(F.col("s_after") - F.col("s_before")).alias("shift_cents"),
+    )
+    rw = Window.partitionBy("event_type").orderBy(
+        F.col("shift_cents").desc(), "d"
+    )
+    return (
+        shifted.withColumn("rk", F.row_number().over(rw))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "event_type",
+            F.col("d").cast("string").alias("day"),
+            "shift_cents",
+            big("rk").alias("rk"),
+        )
+    )

@@ -78,3 +78,47 @@ def test_idf_micro_floor_margins():
                 assert 0.02 <= fy <= 1 - 0.02, (
                     f"{sf} bm25 term={term!r} df={df} frac={fy}"
                 )
+
+
+def test_entropy_micro_floor_margins():
+    """`text_mix_entropy` floors each per-language entropy contribution
+    `997000 * n_i/n_tot * ln(n_tot/n_i)` to integer quasi-micro-nats and claims both
+    engines land on the same integer. Pin the boundary margin >= 0.02
+    units for EVERY reachable (n_i, n_tot) pair on every fixture scale
+    (the singleton n_i == n_tot contributes ln(1) = 0 exactly and is
+    exempt), so a 1-ulp libm divergence cannot cross a floor boundary."""
+    import math
+    import os
+
+    import duckdb
+
+    base = os.path.dirname(
+        os.environ.get("ELSPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+    )
+    dirs = [
+        d
+        for d in (os.environ.get("ELSPARK_TEST_SF_DIR"),)
+        + tuple(os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1"))
+        if d and os.path.exists(os.path.join(d, "documents.parquet"))
+    ]
+    assert dirs, "no fixture dirs with documents.parquet found"
+    for sf_path in dict.fromkeys(dirs):
+        sf = os.path.basename(sf_path)
+        con = duckdb.connect()
+        docs = os.path.join(sf_path, "documents.parquet")
+        pairs = con.sql(
+            f"""
+            WITH c AS (SELECT source, lang, count(*) AS n_i FROM '{docs}'
+                       GROUP BY 1, 2)
+            SELECT n_i, sum(n_i) OVER (PARTITION BY source) AS n_tot FROM c
+            """
+        ).fetchall()
+        for n_i, n_tot in pairs:
+            n_i, n_tot = int(n_i), int(n_tot)
+            if n_i == n_tot:
+                continue
+            x = 997000.0 * n_i / n_tot * math.log(n_tot / n_i)
+            frac = x - math.floor(x)
+            assert 0.02 <= frac <= 1 - 0.02, (
+                f"{sf} n_i={n_i} n_tot={n_tot} frac={frac}"
+            )
