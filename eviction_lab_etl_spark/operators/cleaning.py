@@ -286,14 +286,15 @@ def text_mix_entropy(spark, sf_dir):
     caps; a sudden entropy drop in a refreshed crawl flags a scraper
     regression.
 
-    Determinism: each per-language term is floored to integer quasi-micro-nat units (quantum 1/997000 nat — the prime-times-1000 multiplier is chosen, and pinned by test, so every reachable (n_i, n_tot) pair on the shipped fixtures sits >= 0.03 units from a floor boundary; the round 1e6 quantum left one sf0.1 pair 0.003 from its boundary)
+    Determinism: each per-language term is floored to integer quasi-micro-nat units (quantum 1/997000 nat — the prime-times-1000 multiplier is chosen so the shipped fixtures clear every floor boundary comfortably, where the round 1e6 quantum left one sf0.1 pair 0.003 away)
     BEFORE the sum (the statistic is DEFINED as the sum of micro-floored
     contributions), so the only float surface is one literal product
-    `1e6·n_i/n_tot · ln(n_tot/n_i)` evaluated left-to-right identically in
-    both engines; tests/test_determinism.py pins every reachable
-    (n_i, n_tot) pair's distance from its floor boundary ≥ 0.02 micro-nats
-    — 1-ulp libm divergence cannot cross a boundary (the idf-margin
-    discipline). Summing AFTER the floor keeps the aggregation
+    `997000·n_i/n_tot · ln(n_tot/n_i)` evaluated left-to-right identically
+    in both engines; tests/test_determinism.py::
+    test_entropy_micro_floor_margins pins every reachable (n_i, n_tot)
+    pair's distance from its floor boundary ≥ 0.02 units (measured ≥ 0.033
+    on the shipped fixtures) — 1-ulp libm divergence cannot cross a
+    boundary (the idf-margin discipline). Summing AFTER the floor keeps the aggregation
     order-independent; p_i = n_i/n_tot means the n_i = n_tot singleton
     contributes exactly ln(1) = 0.
 

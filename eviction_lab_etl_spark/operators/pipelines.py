@@ -766,7 +766,7 @@ def bm25_scores(docs, qterms):
         FROM (
             SELECT e.vec_id,
                    list_cosine_similarity(e.embedding, q.embedding) AS sim
-            FROM embeddings e, q WHERE e.vec_id <> 0
+            FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id < 500
         )
         QUALIFY rank_sem <= 20
     ),
@@ -790,13 +790,21 @@ def search_hybrid_rrf(spark, sf_dir):
     of `search_bm25_topk` via the shared ``bm25_scores``, over the
     candidate corpus doc_id < 500 ∖ {0} — the ids that carry embeddings)
     and a SEMANTIC leg (exact cosine against the query document's vector,
-    vec_id 0, the `sim_knn_cosine` fold), each reduced to its top-20
+    vec_id 0, the `sim_knn_cosine` fold, over the SAME id universe
+    vec_id < 500 ∖ {0} — both legs rank one candidate corpus by
+    construction at every fixture scale, not by fixture accident: sf0.1
+    carries 2000 embeddings, so an unbounded semantic leg would admit ids
+    the lexical leg can never score), each reduced to its top-20
     INTEGER rank list, fused by RRF(k=60): score = Σ_legs 10⁶ div
     (60 + rank), absent legs contributing 0. RRF is the fusion rule of
     choice precisely because it consumes only ranks — which makes the
     whole fusion integer-exact across engines; the floats (idf, cosine)
-    never leave their leg, and each leg's float→rank step is already the
-    hash-checked discipline of its parent operator.
+    never leave their leg; the cosine leg inherits `sim_knn_cosine`'s
+    sequential-fold discipline, and the RESTRICTED-corpus (n, df) idf
+    floor inputs the lexical leg introduces (n=|corpus|-1, df over the
+    bounded ids — pairs the parent operator never reaches) are
+    margin-pinned alongside the full-corpus ones in
+    tests/test_determinism.py::test_idf_micro_floor_margins.
 
     Scale shape (100 TB): each leg ends in a top-k (TakeOrderedAndProject
     / per-partition heaps) so the fusion joins two 20-row frames — the
@@ -827,7 +835,7 @@ def search_hybrid_rrf(spark, sf_dir):
         )
     )
     sem = (
-        emb.filter(F.col("vec_id") != 0)
+        emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") < 500))
         .crossJoin(qv)
         .select(
             F.col("vec_id").alias("doc_id"),

@@ -323,6 +323,13 @@ def skyline_2d(points, x: str, y: str, band_width: int = 5000):
     other columns pass through. Property-tested against a brute-force
     quadratic dominance check (tests/test_properties.py); the registered
     query hash-checks it against the NOT-EXISTS oracle on real data."""
+    reserved = {"_band", "_min_y_eq", "_min_y_lt"}
+    clash = reserved & set(points.columns)
+    if clash:
+        raise ValueError(
+            f"skyline_2d: input columns {sorted(clash)} collide with the "
+            "sweep's working columns — rename them before calling"
+        )
     passthrough = [c for c in points.columns if c not in (x, y)]
 
     def sweep(df, *pkeys):

@@ -78,6 +78,26 @@ def test_idf_micro_floor_margins():
                 assert 0.02 <= fy <= 1 - 0.02, (
                     f"{sf} bm25 term={term!r} df={df} frac={fy}"
                 )
+        # search_hybrid_rrf runs bm25_scores over the RESTRICTED corpus
+        # (doc_id < 500 \ {0}), producing (n, df) floor inputs the
+        # full-corpus loop above never reaches — pin those margins too.
+        n_r = con.sql(
+            f"SELECT count(*) FROM '{docs}' WHERE doc_id < 500 AND doc_id <> 0"
+        ).fetchone()[0]
+        dfs_r = con.sql(
+            f"""
+            WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                         FROM '{docs}' WHERE doc_id < 500 AND doc_id <> 0)
+            SELECT t, count(DISTINCT doc_id) AS df FROM tok
+            WHERE t IN ('hash', 'join', 'spark') GROUP BY t
+            """
+        ).fetchall()
+        for term, df in dfs_r:
+            y = math.log(1 + (n_r - df + 0.5) / (df + 0.5)) * 1_000_000
+            fy = y - math.floor(y)
+            assert 0.02 <= fy <= 1 - 0.02, (
+                f"{sf} hybrid-restricted bm25 term={term!r} df={df} frac={fy}"
+            )
 
 
 def test_entropy_micro_floor_margins():
