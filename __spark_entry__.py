@@ -80,6 +80,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "graph_bfs_layers",        # NEW r7: bounded multi-source BFS layers
     "search_hybrid_rrf",       # NEW r7: BM25 + cosine RRF hybrid retrieval
     "sim_containment_pairs",   # NEW r7: directed >=0.8 containment pairs
+    "sim_containment_prefix",  # NEW r7: one-sided prefix-filtered scale path
     "ts_changepoint_shift",    # NEW r7: 7+7-day mean-shift changepoint scan
     "text_mix_entropy",        # NEW r7: per-source language-mix entropy
     "join_skew_salted",        # r7: docstring-only change, re-verify cheap

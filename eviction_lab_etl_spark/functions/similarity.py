@@ -141,3 +141,85 @@ def fuzzy_blocked_pairs(names: DataFrame, col: str, max_dist: int = 2) -> DataFr
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def containment_pairs_prefix(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "w",
+    threshold: tuple[int, int] = (4, 5),
+    probe_filter=None,
+) -> DataFrame:
+    """All DIRECTED pairs (src, dst) with containment
+    |src ∩ dst| / |src| ≥ num/den — the prefix-filtered scale path for
+    ``sim_containment_pairs``'s naive all-token index.
+
+    Containment's prefix bound is ONE-SIDED: if src misses at most
+    |src| − ⌈t·|src|⌉ of its own tokens from dst, then among src's
+    |src| − ⌈t·|src|⌉ + 1 globally-rarest tokens at least one must appear
+    in dst (pigeonhole). So only the PROBE side (src) is prefix-indexed —
+    the container side has no size constraint of its own and keeps its
+    full token index. The candidate space is |prefix(src)| × f(w) instead
+    of f(w)² per token: the frequent tokens that explode the symmetric
+    join still appear on the dst side, but each pairs only with the few
+    documents rare-prefixed by that token, never with every co-occurrence.
+    Exact verification (full intersection count + integer
+    cross-multiplication) runs only on surviving candidates; every step
+    shuffles on token or doc id — the O(n²) pair space is never built.
+    Identical result set to the naive join (completeness is the pigeonhole
+    above; property-tested against a Python brute force in
+    tests/test_library.py).
+
+    ``tokens``: one row per (document, DISTINCT token). Output:
+    ``src, dst, inter, n_src`` (ints; ratio left to the consumer).
+    ``probe_filter``: optional Column predicate over the aliased ``id``
+    column restricting which documents act as probes (src) — the
+    "find every container of this set" retrieval shape; the container
+    side always ranges over the full index."""
+    num, den = threshold
+    tok = tokens.select(F.col(id_col).alias("id"), F.col(token_col).alias("w"))
+
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+
+    # Probe-side rarity prefix: |A| - ceil(t*|A|) + 1 rarest tokens of A.
+    rarity = Window.partitionBy("id").orderBy("freq", "w")
+    prefix = (
+        tok.join(freq, "w")
+        .withColumn("rnk", F.row_number().over(rarity))
+        .join(sizes, "id")
+        .filter(
+            F.col("rnk")
+            <= F.col("n") - F.expr(f"(({num} * n + {den} - 1) div {den})") + 1
+        )
+        .select("id", "w")
+    )
+    if probe_filter is not None:
+        prefix = prefix.filter(probe_filter)
+
+    cand = (
+        prefix.alias("p")
+        .join(
+            tok.alias("t"),
+            (F.col("p.w") == F.col("t.w")) & (F.col("p.id") != F.col("t.id")),
+        )
+        .select(F.col("p.id").alias("src"), F.col("t.id").alias("dst"))
+        .distinct()
+    )
+
+    inter = (
+        cand.join(tok.alias("t1"), F.col("src") == F.col("t1.id"))
+        .join(
+            tok.alias("t2"),
+            (F.col("dst") == F.col("t2.id")) & (F.col("t1.w") == F.col("t2.w")),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+    sa = sizes.alias("sa")
+    return (
+        inter.join(sa, F.col("src") == F.col("sa.id"))
+        .filter(den * F.col("inter") >= num * F.col("sa.n"))
+        .select("src", "dst", "inter", F.col("sa.n").alias("n_src"))
+    )

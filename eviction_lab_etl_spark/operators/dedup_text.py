@@ -230,6 +230,50 @@ def sim_containment_pairs(spark, sf_dir):
     )
 
 
+@query(
+    "sim_containment_prefix",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pr AS (
+        SELECT t1.doc_id AS src, t2.doc_id AS dst, count(*) AS inter
+        FROM tok t1 JOIN tok t2
+          ON t1.w = t2.w AND t1.doc_id <> t2.doc_id AND t1.doc_id < 50
+        GROUP BY 1, 2
+    )
+    SELECT src, dst, inter, sa.n AS n_src
+    FROM pr
+    JOIN sz sa ON sa.doc_id = src
+    WHERE 10 * inter >= 9 * sa.n
+    """,
+)
+def sim_containment_prefix(spark, sf_dir):
+    """Prefix-filtered containment join — the SCALE PATH for
+    ``sim_containment_pairs``: probe docs (doc_id < 50, the "find every
+    container of these" retrieval shape) against the FULL corpus at
+    containment >= 0.9, with only each probe's one-sided rarity prefix
+    indexed (functions/similarity.containment_pairs_prefix has the
+    pigeonhole completeness argument — the container side carries no size
+    constraint, so the prefix length keys on |src| alone). The oracle is
+    the naive all-token quadratic construction: identical result set by
+    prefix completeness, so the driver's hash pins that equivalence on
+    real data, exactly the `sim_jaccard_prefix` discipline. Integer
+    cross-multiplied threshold (§2.0 rule 1: no floats)."""
+    from eviction_lab_etl_spark.functions.similarity import (
+        containment_pairs_prefix,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    out = containment_pairs_prefix(tok, threshold=(9, 10), probe_filter=F.col("id") < 50)
+    return out.select("src", "dst", "inter", "n_src")
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Sequential left-to-right double fold of a·b (§2.0 rule 6): both engines
     reduce arrays in array order, giving bit-identical IEEE results."""

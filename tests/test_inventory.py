@@ -67,7 +67,7 @@ EXTENSIONS = {
     "pipeline_entity_resolution", "events_streak_islands", "io_schema_evolution", "scalar_variant_shred",
     "window_skyline_2d", "ts_ewma_smooth", "search_bm25_topk", "io_stats_manifest",
     "incr_scd2_build", "graph_bfs_layers", "search_hybrid_rrf",
-    "sim_containment_pairs", "ts_changepoint_shift", "text_mix_entropy",
+    "sim_containment_pairs", "sim_containment_prefix", "ts_changepoint_shift", "text_mix_entropy",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

@@ -432,3 +432,86 @@ def test_length_blocking_is_lossless(spark, names):
         if a < b and _py_lev(a, b) <= d
     }
     assert got == want
+
+
+def test_containment_prefix_equals_naive(spark, sf_dir):
+    """One-sided prefix filtering is an exact optimization: identical
+    directed pair set to the naive all-token inverted-index join at the
+    same threshold and probe restriction."""
+    from eviction_lab_etl_spark.functions.similarity import (
+        containment_pairs_prefix,
+    )
+    from eviction_lab_etl_spark.sources.loader import load
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+    fast = {
+        (r.src, r.dst, r.inter, r.n_src)
+        for r in containment_pairs_prefix(
+            tok, id_col="id", threshold=(9, 10),
+            probe_filter=F.col("id") < 50,
+        ).collect()
+    }
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    t1, t2 = tok.alias("t1"), tok.alias("t2")
+    naive = {
+        (r.src, r.dst, r.inter, r.n_src)
+        for r in (
+            t1.filter(F.col("id") < 50)
+            .join(
+                t2,
+                (F.col("t1.w") == F.col("t2.w"))
+                & (F.col("t1.id") != F.col("t2.id")),
+            )
+            .groupBy(F.col("t1.id").alias("src"), F.col("t2.id").alias("dst"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .join(sizes.alias("sa"), F.col("src") == F.col("sa.id"))
+            .filter(10 * F.col("inter") >= 9 * F.col("sa.n"))
+            .select("src", "dst", "inter", F.col("sa.n").alias("n_src"))
+        ).collect()
+    }
+    assert fast == naive
+
+
+def test_containment_prefix_python_brute_force():
+    """Completeness on adversarial tiny sets: the one-sided prefix must
+    admit every pair the brute-force containment check finds, across
+    random token universes (including heavy-overlap and subset cases)."""
+    import itertools
+    import random
+
+    from pyspark.sql import SparkSession
+
+    from eviction_lab_etl_spark.functions.similarity import (
+        containment_pairs_prefix,
+    )
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
+        "local[4]"
+    ).getOrCreate()
+    rng = random.Random(1234)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = {}
+    for did in range(14):
+        k = rng.randint(1, 8)
+        docs[did] = frozenset(rng.sample(vocab, k))
+    # plant exact subset pairs — the case the operator exists for
+    docs[20] = frozenset(list(docs[0])[: max(1, len(docs[0]) // 2)])
+    docs[21] = docs[1]
+    rows = [(did, w) for did, ws in docs.items() for w in ws]
+    tok = spark.createDataFrame(rows, "id int, w string")
+    got = {
+        (r.src, r.dst)
+        for r in containment_pairs_prefix(
+            tok, id_col="id", threshold=(4, 5)
+        ).collect()
+    }
+    want = {
+        (a, b)
+        for a, b in itertools.permutations(docs, 2)
+        if 5 * len(docs[a] & docs[b]) >= 4 * len(docs[a])
+    }
+    assert got == want
