@@ -79,6 +79,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "incr_scd2_build",         # NEW r7: SCD2 dimension build from change log
     "graph_bfs_layers",        # NEW r7: bounded multi-source BFS layers
     "search_hybrid_rrf",       # NEW r7: BM25 + cosine RRF hybrid retrieval
+    "search_mmr_diverse",      # NEW r7: MMR diversified rerank top-5
     "sim_containment_pairs",   # NEW r7: directed >=0.8 containment pairs
     "sim_containment_prefix",  # NEW r7: one-sided prefix-filtered scale path
     "ts_changepoint_shift",    # NEW r7: 7+7-day mean-shift changepoint scan

@@ -871,3 +871,143 @@ def search_hybrid_rrf(spark, sf_dir):
         .limit(10)
         .withColumn("rnk", F.row_number().over(w_f).cast("bigint"))
     )
+
+
+@query(
+    "search_mmr_diverse",
+    oracle="""
+    WITH u AS (
+        SELECT vec_id AS doc_id, embedding
+        FROM embeddings WHERE vec_id < 500 AND vec_id <> 0
+    ),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    scored AS (
+        SELECT doc_id, embedding,
+               list_cosine_similarity(embedding, qvec) AS rel
+        FROM u, q
+    ),
+    cand AS (
+        SELECT doc_id, embedding, rel,
+               CAST(row_number() OVER (ORDER BY rel DESC, doc_id)
+                    AS BIGINT) AS rel_rank
+        FROM scored ORDER BY rel DESC, doc_id LIMIT 20
+    ),
+    p1 AS (SELECT doc_id, rel_rank FROM cand ORDER BY rel DESC, doc_id LIMIT 1),
+    s1 AS (SELECT doc_id FROM p1),
+    p2 AS (
+        SELECT c.doc_id, c.rel_rank
+        FROM cand c JOIN cand s ON s.doc_id IN (SELECT doc_id FROM s1)
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM s1)
+        GROUP BY c.doc_id, c.rel_rank, c.rel
+        ORDER BY c.rel - max(list_cosine_similarity(c.embedding, s.embedding))
+                 DESC, c.doc_id
+        LIMIT 1
+    ),
+    s2 AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM p2),
+    p3 AS (
+        SELECT c.doc_id, c.rel_rank
+        FROM cand c JOIN cand s ON s.doc_id IN (SELECT doc_id FROM s2)
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM s2)
+        GROUP BY c.doc_id, c.rel_rank, c.rel
+        ORDER BY c.rel - max(list_cosine_similarity(c.embedding, s.embedding))
+                 DESC, c.doc_id
+        LIMIT 1
+    ),
+    s3 AS (SELECT doc_id FROM s2 UNION ALL SELECT doc_id FROM p3),
+    p4 AS (
+        SELECT c.doc_id, c.rel_rank
+        FROM cand c JOIN cand s ON s.doc_id IN (SELECT doc_id FROM s3)
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM s3)
+        GROUP BY c.doc_id, c.rel_rank, c.rel
+        ORDER BY c.rel - max(list_cosine_similarity(c.embedding, s.embedding))
+                 DESC, c.doc_id
+        LIMIT 1
+    ),
+    s4 AS (SELECT doc_id FROM s3 UNION ALL SELECT doc_id FROM p4),
+    p5 AS (
+        SELECT c.doc_id, c.rel_rank
+        FROM cand c JOIN cand s ON s.doc_id IN (SELECT doc_id FROM s4)
+        WHERE c.doc_id NOT IN (SELECT doc_id FROM s4)
+        GROUP BY c.doc_id, c.rel_rank, c.rel
+        ORDER BY c.rel - max(list_cosine_similarity(c.embedding, s.embedding))
+                 DESC, c.doc_id
+        LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS rnk, doc_id, rel_rank FROM p1
+    UNION ALL SELECT CAST(2 AS BIGINT), doc_id, rel_rank FROM p2
+    UNION ALL SELECT CAST(3 AS BIGINT), doc_id, rel_rank FROM p3
+    UNION ALL SELECT CAST(4 AS BIGINT), doc_id, rel_rank FROM p4
+    UNION ALL SELECT CAST(5 AS BIGINT), doc_id, rel_rank FROM p5
+    """,
+)
+def search_mmr_diverse(spark, sf_dir):
+    """MAXIMAL MARGINAL RELEVANCE reranking — the diversification stage a
+    retrieval stack runs AFTER `search_hybrid_rrf`/`sim_knn_cosine`: from
+    the top-20 cosine candidates (universe vec_id < 500 ∖ {0}, the shared
+    retrieval corpus), greedily pick 5 where each pick maximizes
+    rel(d) − max_{s∈S} sim(d, s) — relevance minus redundancy against what
+    is already selected (the λ=1/2 MMR objective up to a monotone factor;
+    Carbonell & Goldstein '98, public algorithm). Output: pick order,
+    doc id, and the candidate's pure-relevance rank — the (rel_rank ≠ rnk)
+    rows ARE the diversification at work.
+
+    Determinism follows the `sim_knn_cosine` discipline, not the floor
+    discipline: scores stay FLOAT and only integer ranks/ids are emitted.
+    Every greedy comparison is decided either by a gap ≥ 7e-4 (measured;
+    engine divergence on the sequential fold vs DuckDB's
+    list_cosine_similarity is ~1e-15) or by an EXACT within-engine tie
+    (duplicate embeddings) broken by doc_id — tests/test_determinism.py::
+    test_mmr_decision_gaps replays the greedy in Python at every fixture
+    scale and pins every decision gap ≥ 1e-9 or exactly 0.
+
+    Scale shape (100 TB): the corpus-sized work is ONE brute-force (or
+    `ann_ivf`) scored pass ending in TakeOrderedAndProject; the greedy
+    operates on the CONSTANT-size 20-row candidate frame — 4 unrolled
+    select steps of broadcast-tiny joins, never data-proportional. The
+    unrolled plan references the candidate subtree ~2^5 times, all
+    20-row."""
+    from eviction_lab_etl_spark.operators.dedup_text import cosine
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qvec")
+        )
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "embedding",
+            cosine(F.col("embedding"), F.col("qvec")).alias("rel"),
+        )
+    )
+    w_rel = Window.orderBy(F.desc("rel"), "doc_id")
+    cand = (
+        scored.orderBy(F.desc("rel"), "doc_id")
+        .limit(20)
+        .withColumn("rel_rank", F.row_number().over(w_rel).cast("bigint"))
+    )
+    sel = (
+        cand.orderBy(F.desc("rel"), "doc_id")
+        .limit(1)
+        .select("doc_id", F.lit(1).cast("bigint").alias("rnk"), "rel_rank")
+    )
+    for k in (2, 3, 4, 5):
+        sel_vecs = cand.join(
+            sel.select("doc_id"), "doc_id"
+        ).select(F.col("embedding").alias("svec"))
+        pick = (
+            cand.join(sel.select("doc_id"), "doc_id", "left_anti")
+            .crossJoin(F.broadcast(sel_vecs))
+            .groupBy("doc_id", "rel", "rel_rank")
+            .agg(F.max(cosine(F.col("embedding"), F.col("svec"))).alias("pen"))
+            .orderBy(F.desc(F.col("rel") - F.col("pen")), "doc_id")
+            .limit(1)
+            .select(
+                "doc_id", F.lit(k).cast("bigint").alias("rnk"), "rel_rank"
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.select("rnk", "doc_id", "rel_rank")

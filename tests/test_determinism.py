@@ -142,3 +142,67 @@ def test_entropy_micro_floor_margins():
             assert 0.02 <= frac <= 1 - 0.02, (
                 f"{sf} n_i={n_i} n_tot={n_tot} frac={frac}"
             )
+
+
+def test_mmr_decision_gaps():
+    """`search_mmr_diverse` compares FLOAT scores (the sim_knn_cosine
+    discipline: floats never emitted, only ranks/ids) — sound only if every
+    comparison the greedy makes is decided by a gap far above cross-engine
+    cosine divergence (~1e-15 on the sequential fold vs DuckDB's
+    list_cosine_similarity) or by an EXACT tie (duplicate embeddings,
+    broken by doc_id). Replay the greedy in Python at every fixture scale
+    and pin: the top-20/21 candidate cut, all adjacent rel_rank gaps, and
+    each pick's winner-vs-runner-up gap, all >= 1e-9 or exactly 0."""
+    import math
+    import os
+
+    import duckdb
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        return dot / (math.sqrt(na) * math.sqrt(nb))
+
+    base = os.path.dirname(
+        os.environ.get("ELSPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+    )
+    dirs = [
+        d
+        for d in (os.environ.get("ELSPARK_TEST_SF_DIR"),)
+        + tuple(os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1"))
+        if d and os.path.exists(os.path.join(d, "embeddings.parquet"))
+    ]
+    assert dirs
+    for sf_path in dict.fromkeys(dirs):
+        sf = os.path.basename(sf_path)
+        emb = dict(
+            duckdb.sql(
+                f"SELECT vec_id, embedding FROM "
+                f"'{os.path.join(sf_path, 'embeddings.parquet')}' "
+                f"WHERE vec_id < 500"
+            ).fetchall()
+        )
+        q = emb[0]
+        rels = {i: cos(v, q) for i, v in emb.items() if i != 0}
+        order = sorted(rels, key=lambda i: (-rels[i], i))
+
+        def ok(gap, what):
+            assert gap >= 1e-9 or gap == 0.0, f"{sf} {what}: gap={gap!r}"
+
+        if len(order) > 20:
+            ok(rels[order[19]] - rels[order[20]], "top-20 cut")
+        cand = order[:20]
+        for i in range(len(cand) - 1):
+            ok(rels[cand[i]] - rels[cand[i + 1]], f"rel_rank adj {i}")
+        sel = [cand[0]]
+        for step in range(4):
+            rem = [c for c in cand if c not in sel]
+            scores = {
+                d: rels[d] - max(cos(emb[d], emb[s]) for s in sel) for d in rem
+            }
+            so = sorted(rem, key=lambda d: (-scores[d], d))
+            ok(scores[so[0]] - scores[so[1]], f"pick {step + 2}")
+            sel.append(so[0])

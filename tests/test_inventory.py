@@ -66,7 +66,7 @@ EXTENSIONS = {
     "text_tfidf_topterms", "incr_compact_roundtrip",
     "pipeline_entity_resolution", "events_streak_islands", "io_schema_evolution", "scalar_variant_shred",
     "window_skyline_2d", "ts_ewma_smooth", "search_bm25_topk", "io_stats_manifest",
-    "incr_scd2_build", "graph_bfs_layers", "search_hybrid_rrf",
+    "incr_scd2_build", "graph_bfs_layers", "search_hybrid_rrf", "search_mmr_diverse",
     "sim_containment_pairs", "sim_containment_prefix", "ts_changepoint_shift", "text_mix_entropy",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
