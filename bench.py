@@ -95,6 +95,12 @@ R7_HEADLINE = [
     "window_skyline_2d",          # banded local sweep + global candidate sweep
     "ts_ewma_smooth",             # 8-lag shared-sort window, all-integer
     "search_bm25_topk",           # early-filtered tf + broadcast idf + top-k
+    "search_hybrid_rrf",          # BM25 + cosine legs fused by integer RRF
+    "search_mmr_diverse",         # unrolled greedy rerank over 20 candidates
+    "sim_containment_prefix",     # one-sided prefix containment vs full corpus
+    "incr_scd2_build",            # change-log -> SCD2 interval dimension
+    "ts_changepoint_shift",       # daily rollup + 4 frame aggs, one sort
+    "text_mix_entropy",           # (source,lang) count + window + micro-floor
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

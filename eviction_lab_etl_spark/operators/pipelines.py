@@ -964,8 +964,12 @@ def search_mmr_diverse(spark, sf_dir):
     `ann_ivf`) scored pass ending in TakeOrderedAndProject; the greedy
     operates on the CONSTANT-size 20-row candidate frame — 4 unrolled
     select steps of broadcast-tiny joins, never data-proportional. The
-    unrolled plan references the candidate subtree ~2^5 times, all
-    20-row."""
+    candidate frame and each growing selection cut lineage
+    (`clustering._truncate`, the repo's iterative-loop discipline) —
+    without it the unrolled plan references the candidate subtree ~2^5
+    times and Catalyst analysis dominates the wall (measured 4.8 s at
+    sf0.1 for ~KB of data)."""
+    from eviction_lab_etl_spark.operators.clustering import _truncate
     from eviction_lab_etl_spark.operators.dedup_text import cosine
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
@@ -984,7 +988,7 @@ def search_mmr_diverse(spark, sf_dir):
         )
     )
     w_rel = Window.orderBy(F.desc("rel"), "doc_id")
-    cand = (
+    cand = _truncate(
         scored.orderBy(F.desc("rel"), "doc_id")
         .limit(20)
         .withColumn("rel_rank", F.row_number().over(w_rel).cast("bigint"))
@@ -1009,5 +1013,5 @@ def search_mmr_diverse(spark, sf_dir):
                 "doc_id", F.lit(k).cast("bigint").alias("rnk"), "rel_rank"
             )
         )
-        sel = sel.unionByName(pick)
+        sel = _truncate(sel.unionByName(pick))
     return sel.select("rnk", "doc_id", "rel_rank")
