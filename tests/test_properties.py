@@ -752,3 +752,46 @@ def test_scd2_build_matches_python_fold(spark, rows):
             nxt = changes[ver][0] if ver < len(changes) else None
             want[(u, ver)] = (s, t, nxt, nxt is None)
     assert got == want
+
+
+def test_changepoint_shift_python_replica(spark, sf_dir):
+    """Third independent implementation of `ts_changepoint_shift`: a plain
+    Python brute force over the same events fixture (Decimal-exact daily
+    cents, explicit 7-before/7-after slices, top-5 by |shift| with day
+    tiebreak). Guards against BOTH engines sharing a frame-semantics
+    misunderstanding (ROWS bounds, boundary-day exclusion) that the
+    cross-engine oracle cannot see."""
+    import collections
+    import os
+    from decimal import Decimal
+
+    import duckdb
+
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    got = {
+        (r.event_type, r.day, r.shift_cents, r.rk)
+        for r in QUERIES["ts_changepoint_shift"](spark, sf_dir).collect()
+    }
+
+    rows = duckdb.sql(
+        f"SELECT event_type, CAST(ts AS DATE), CAST(value AS VARCHAR) FROM "
+        f"'{os.path.join(sf_dir, 'events.parquet')}'"
+    ).fetchall()
+    daily = collections.defaultdict(Decimal)
+    for et, d, v in rows:
+        daily[(et, d)] += Decimal(v).quantize(Decimal("0.01"))
+    want = set()
+    for et in {k[0] for k in daily}:
+        days = sorted(d for e, d in daily if e == et)
+        cents = [int(daily[(et, d)] * 100) for d in days]
+        scored = []
+        for i, d in enumerate(days):
+            if i < 7 or i + 7 >= len(days):
+                continue
+            shift = abs(sum(cents[i + 1 : i + 8]) - sum(cents[i - 7 : i]))
+            scored.append((shift, d))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (shift, d) in enumerate(scored[:5], start=1):
+            want.add((et, str(d), shift, rk))
+    assert got == want

@@ -119,6 +119,9 @@ STRESS = [
     # SCD2 build scales with the event change log (graph_bfs_layers and
     # search_hybrid_rrf cap their universes at doc_id<200 / <500 — constants).
     "incr_scd2_build",
+    # constant probe set (doc_id<50) vs the key-multiplied full corpus —
+    # the container-side token index is the data-proportional floor.
+    "sim_containment_prefix",
 ]
 
 
