@@ -82,10 +82,13 @@ R6_HEADLINE = [
 ]
 
 # Round-7 additions (same seeding rule): the Bloom runtime-filter join,
-# exact k-means, TF-IDF, and the two compositions; incr_compact_roundtrip is
-# deliberately absent (its wall is one sequential table rewrite — an I/O
-# protocol, not a query plan; join_fuzzy_blocked rides inside the ER
-# pipeline's timing).
+# exact k-means, TF-IDF, the compositions (entity resolution, hybrid RRF,
+# MMR rerank), the retrieval/series/mix batch (BM25, skyline, EWMA,
+# streaks, containment prefix, SCD2 build, changepoint, entropy).
+# Deliberately absent: incr_compact_roundtrip (wall is one sequential
+# table rewrite — an I/O protocol, not a query plan), join_fuzzy_blocked
+# (rides inside the ER pipeline's timing), sim_containment_pairs /
+# graph_bfs_layers / io_* (fixture-constant universes or protocol ops).
 R7_HEADLINE = [
     "join_bloom_pruned",          # bloom build + pruned fact scan + exact join
     "embed_kmeans_iter",          # 2 Lloyd iterations, broadcast centroids

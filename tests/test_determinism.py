@@ -19,6 +19,25 @@ from tests.compare import canon_spark
 HASH_QUERIES = sorted(name for name in QUERIES if name in ORACLES)
 
 
+def _fixture_dirs(filename):
+    """Every fixture dir the driver or bench touches that carries
+    ``filename``: the env-pinned dir first, then sf0.001/0.01/0.1 siblings
+    (deduped, order-preserving)."""
+    import os
+
+    base = os.path.dirname(
+        os.environ.get("ELSPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
+    )
+    dirs = [
+        d
+        for d in (os.environ.get("ELSPARK_TEST_SF_DIR"),)
+        + tuple(os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1"))
+        if d and os.path.exists(os.path.join(d, filename))
+    ]
+    assert dirs, f"no fixture dirs with {filename} found"
+    return list(dict.fromkeys(dirs))
+
+
 @pytest.mark.parametrize("name", HASH_QUERIES)
 def test_double_run_identical(spark, sf_dir, name):
     results = []
@@ -43,17 +62,7 @@ def test_idf_micro_floor_margins():
 
     import duckdb
 
-    base = os.path.dirname(
-        os.environ.get("ELSPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
-    )
-    dirs = [
-        d
-        for d in (os.environ.get("ELSPARK_TEST_SF_DIR"),)
-        + tuple(os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1"))
-        if d and os.path.exists(os.path.join(d, "documents.parquet"))
-    ]
-    assert dirs, "no fixture dirs with documents.parquet found"
-    for sf_path in dict.fromkeys(dirs):
+    for sf_path in _fixture_dirs("documents.parquet"):
         sf = os.path.basename(sf_path)
         con = duckdb.connect()
         docs = os.path.join(sf_path, "documents.parquet")
@@ -112,17 +121,7 @@ def test_entropy_micro_floor_margins():
 
     import duckdb
 
-    base = os.path.dirname(
-        os.environ.get("ELSPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
-    )
-    dirs = [
-        d
-        for d in (os.environ.get("ELSPARK_TEST_SF_DIR"),)
-        + tuple(os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1"))
-        if d and os.path.exists(os.path.join(d, "documents.parquet"))
-    ]
-    assert dirs, "no fixture dirs with documents.parquet found"
-    for sf_path in dict.fromkeys(dirs):
+    for sf_path in _fixture_dirs("documents.parquet"):
         sf = os.path.basename(sf_path)
         con = duckdb.connect()
         docs = os.path.join(sf_path, "documents.parquet")
@@ -152,7 +151,8 @@ def test_mmr_decision_gaps():
     list_cosine_similarity) or by an EXACT tie (duplicate embeddings,
     broken by doc_id). Replay the greedy in Python at every fixture scale
     and pin: the top-20/21 candidate cut, all adjacent rel_rank gaps, and
-    each pick's winner-vs-runner-up gap, all >= 1e-9 or exactly 0."""
+    each pick's winner-vs-runner-up gap, all >= 1e-9 — or exactly 0 with
+    the tie verified STRUCTURAL (bitwise-identical embeddings)."""
     import math
     import os
 
@@ -166,17 +166,7 @@ def test_mmr_decision_gaps():
             nb += float(y) * float(y)
         return dot / (math.sqrt(na) * math.sqrt(nb))
 
-    base = os.path.dirname(
-        os.environ.get("ELSPARK_TEST_SF_DIR", "/root/testdata/sf0.001")
-    )
-    dirs = [
-        d
-        for d in (os.environ.get("ELSPARK_TEST_SF_DIR"),)
-        + tuple(os.path.join(base, f"sf{s}") for s in ("0.001", "0.01", "0.1"))
-        if d and os.path.exists(os.path.join(d, "embeddings.parquet"))
-    ]
-    assert dirs
-    for sf_path in dict.fromkeys(dirs):
+    for sf_path in _fixture_dirs("embeddings.parquet"):
         sf = os.path.basename(sf_path)
         emb = dict(
             duckdb.sql(
@@ -189,14 +179,28 @@ def test_mmr_decision_gaps():
         rels = {i: cos(v, q) for i, v in emb.items() if i != 0}
         order = sorted(rels, key=lambda i: (-rels[i], i))
 
-        def ok(gap, what):
-            assert gap >= 1e-9 or gap == 0.0, f"{sf} {what}: gap={gap!r}"
+        def ok(gap, what, a, b):
+            # gap == 0.0 is acceptable ONLY when it is STRUCTURAL — the two
+            # docs carry bitwise-identical embeddings, so each engine
+            # computes exactly equal scores and the id tiebreak decides
+            # identically. A coincidental float tie between distinct
+            # vectors would let the engines' slightly different cosines
+            # order the pair oppositely, so it must fail here.
+            if gap == 0.0:
+                assert list(emb[a]) == list(emb[b]), (
+                    f"{sf} {what}: exact tie between distinct embeddings "
+                    f"{a} and {b}"
+                )
+            else:
+                assert gap >= 1e-9, f"{sf} {what}: gap={gap!r}"
 
         if len(order) > 20:
-            ok(rels[order[19]] - rels[order[20]], "top-20 cut")
+            ok(rels[order[19]] - rels[order[20]], "top-20 cut",
+               order[19], order[20])
         cand = order[:20]
         for i in range(len(cand) - 1):
-            ok(rels[cand[i]] - rels[cand[i + 1]], f"rel_rank adj {i}")
+            ok(rels[cand[i]] - rels[cand[i + 1]], f"rel_rank adj {i}",
+               cand[i], cand[i + 1])
         sel = [cand[0]]
         for step in range(4):
             rem = [c for c in cand if c not in sel]
@@ -204,5 +208,6 @@ def test_mmr_decision_gaps():
                 d: rels[d] - max(cos(emb[d], emb[s]) for s in sel) for d in rem
             }
             so = sorted(rem, key=lambda d: (-scores[d], d))
-            ok(scores[so[0]] - scores[so[1]], f"pick {step + 2}")
+            ok(scores[so[0]] - scores[so[1]], f"pick {step + 2}",
+               so[0], so[1])
             sel.append(so[0])

@@ -476,22 +476,17 @@ def test_containment_prefix_equals_naive(spark, sf_dir):
     assert fast == naive
 
 
-def test_containment_prefix_python_brute_force():
+def test_containment_prefix_python_brute_force(spark):
     """Completeness on adversarial tiny sets: the one-sided prefix must
     admit every pair the brute-force containment check finds, across
     random token universes (including heavy-overlap and subset cases)."""
     import itertools
     import random
 
-    from pyspark.sql import SparkSession
-
     from eviction_lab_etl_spark.functions.similarity import (
         containment_pairs_prefix,
     )
 
-    spark = SparkSession.getActiveSession() or SparkSession.builder.master(
-        "local[4]"
-    ).getOrCreate()
     rng = random.Random(1234)
     vocab = [f"t{i}" for i in range(12)]
     docs = {}
