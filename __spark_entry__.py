@@ -84,6 +84,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "sim_containment_prefix",  # NEW r7: one-sided prefix-filtered scale path
     "ts_changepoint_shift",    # NEW r7: 7+7-day mean-shift changepoint scan
     "text_mix_entropy",        # NEW r7: per-source language-mix entropy
+    "split_cluster_safe",      # NEW r7: near-dup-cluster-safe train split
     "join_skew_salted",        # r7: docstring-only change, re-verify cheap
 )
 

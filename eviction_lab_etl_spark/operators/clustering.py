@@ -625,3 +625,96 @@ def bfs_layers(sym_edges: DataFrame, seeds: DataFrame, max_depth: int) -> DataFr
         )
         known = _truncate(known.unionByName(frontier))
     return known
+
+
+@query(
+    "split_cluster_safe",
+    oracle="""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM documents WHERE doc_id < 200
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    pr AS (
+        SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS inter
+        FROM tok t1 JOIN tok t2 ON t1.w = t2.w AND t1.doc_id < t2.doc_id
+        GROUP BY 1, 2
+    ),
+    edges0 AS (
+        SELECT a, b FROM pr
+        JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        WHERE 10 * inter >= 9 * (sa.n + sb.n - inter)
+    ),
+    edges AS (SELECT a, b FROM edges0 UNION ALL SELECT b AS a, a AS b FROM edges0),
+    walk(v, lbl) AS (
+        SELECT DISTINCT a AS v, a AS lbl FROM edges
+        UNION
+        SELECT e.b AS v, w.lbl FROM walk w JOIN edges e ON e.a = w.v
+    ),
+    comp AS (SELECT v AS doc_id, min(lbl) AS component FROM walk GROUP BY v),
+    labeled AS (
+        SELECT d.doc_id, d.n_chars, c.component,
+               coalesce(c.component, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+        WHERE d.doc_id < 200
+    )
+    SELECT CASE WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < 'c'
+                     THEN 'train'
+                WHEN substr(md5(CAST(cluster AS VARCHAR)), 1, 1) < 'e'
+                     THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           count(DISTINCT cluster) AS n_clusters,
+           count(component) AS n_clustered_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM labeled
+    GROUP BY 1
+    """,
+)
+def split_cluster_safe(spark, sf_dir):
+    """DEDUP-AWARE train/valid/test split — `split_content_hash` keeps
+    EXACT duplicates in one fold (same text, same md5), but a near-dup of
+    a training doc landing in test is still leakage (the standard
+    decontamination failure in LLM data pipelines). This operator folds by
+    NEAR-DUP CLUSTER: docs join the shared Jaccard>=0.9 component labels
+    (the `dedup_cluster_cc` graph, doc_id < 200 universe); unlabeled docs
+    are their own singleton cluster; the fold is the first md5 nibble of
+    the CLUSTER id ('0'..'b' train / 'c'..'d' valid / 'e'..'f' test). By
+    construction no cluster straddles folds — the per-fold ledger
+    (docs, clusters, clustered docs, chars) is the hash-checked surface,
+    and tests/test_library.py asserts the zero-straddle invariant on the
+    row-level frame.
+
+    Scale shape (100 TB): component labels come from the O(log n)
+    lineage-truncated CC fixpoint over the (tiny) near-dup edge list; the
+    corpus side is scan -> broadcast-join labels -> map-side md5 fold ->
+    one partial-agg shuffle. No new shuffle class beyond
+    `dedup_canonical_docs`."""
+    from eviction_lab_etl_spark.sources.loader import load
+
+    labels = connected_components(neardup_edges(spark, sf_dir)).select(
+        F.col("v").alias("doc_id"), F.col("lbl").alias("component")
+    )
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "n_chars")
+    )
+    labeled = docs.join(F.broadcast(labels), "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        "component",
+        F.coalesce("component", "doc_id").alias("cluster"),
+    )
+    nibble = F.substring(F.md5(F.col("cluster").cast("string")), 1, 1)
+    split = (
+        F.when(nibble < "c", "train")
+        .when(nibble < "e", "valid")
+        .otherwise("test")
+    )
+    return labeled.groupBy(split.alias("split")).agg(
+        big(F.count(F.lit(1))).alias("n_docs"),
+        big(F.count_distinct("cluster")).alias("n_clusters"),
+        big(F.count("component")).alias("n_clustered_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

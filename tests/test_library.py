@@ -510,3 +510,41 @@ def test_containment_prefix_python_brute_force(spark):
         if 5 * len(docs[a] & docs[b]) >= 4 * len(docs[a])
     }
     assert got == want
+
+
+def test_split_cluster_safe_zero_straddle(spark, sf_dir):
+    """The leakage invariant `split_cluster_safe` exists for: no near-dup
+    cluster contributes docs to more than one fold, and the fold rule
+    agrees with split_content_hash's nibble convention applied to the
+    cluster id."""
+    from eviction_lab_etl_spark.operators.clustering import (
+        connected_components,
+        neardup_edges,
+    )
+    from eviction_lab_etl_spark.sources.loader import load
+
+    labels = {
+        r.v: r.lbl
+        for r in connected_components(neardup_edges(spark, sf_dir)).collect()
+    }
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+        .collect()
+    )
+    import hashlib
+
+    folds = {}
+    for r in docs:
+        cluster = labels.get(r.doc_id, r.doc_id)
+        nib = hashlib.md5(str(cluster).encode()).hexdigest()[0]
+        fold = "train" if nib < "c" else ("valid" if nib < "e" else "test")
+        folds.setdefault(cluster, set()).add(fold)
+    straddlers = {c: f for c, f in folds.items() if len(f) > 1}
+    assert not straddlers, straddlers
+    # sanity: at least one multi-doc cluster exists, else the test is vacuous
+    from collections import Counter
+
+    sizes = Counter(labels.values())
+    assert any(v >= 2 for v in sizes.values())
