@@ -58,7 +58,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "incr_view_maintain",      # r7: null-safe merge keys (eqNullSafe)
     "dedup_minhash_pairs",     # r7: md5_family NULL-propagation fix
     "dedup_minhash_recall",    # r7: md5_family NULL-propagation fix
-    "pipeline_corpus_clean",   # r7: md5_family NULL-propagation fix (rows-only)
+    "pipeline_corpus_clean",   # UPGRADED r7: rows-only -> full-pipeline hash (md5-family banding oracle)
     # --- Round-7 NEW operators (all oracle-hash-checked):
     "join_bloom_pruned",       # NEW r7: explicit Bloom runtime-filter join
     "join_fuzzy_blocked",      # NEW r7: length-blocked levenshtein<=2 join

@@ -280,7 +280,73 @@ def pipeline_corpus_manifest(spark, sf_dir):
     )
 
 
-@query("pipeline_corpus_clean")  # rows-only: MinHash banding is not SQL-expressible
+_CLEAN_ORACLE = None  # assigned below — needs extensions' MinHash CTE pieces
+
+
+def _clean_oracle() -> str:
+    """Full-pipeline oracle: exact keep-first dedup -> md5-family MinHash
+    banding (the dedup_minhash_pairs CTE pieces, rebuilt over the SURVIVOR
+    token set) -> exact >=0.6 verification -> drop higher ids -> quality
+    gate. Rebuilding signatures in SQL is exactly what upgraded
+    dedup_minhash_pairs from rows-only in r6; this applies the same move to
+    the composed pipeline (its old rows-only tag predated md5_family)."""
+    from eviction_lab_etl_spark.operators.extensions import (
+        _MH_BAND_EQ,
+        _MH_SIG_COLS,
+    )
+
+    return f"""
+    WITH firsts AS (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+                   AS rn
+        FROM documents
+    ),
+    surv AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq,
+               text
+        FROM firsts WHERE rn = 1
+    ),
+    tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM surv
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_MH_SIG_COLS}
+        FROM tok GROUP BY doc_id
+    ),
+    cand AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE {_MH_BAND_EQ}
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+    iv AS (
+        SELECT c.a, c.b, count(*) AS inter
+        FROM cand c
+        JOIN tok t1 ON t1.doc_id = c.a
+        JOIN tok t2 ON t2.doc_id = c.b AND t1.w = t2.w
+        GROUP BY c.a, c.b
+    ),
+    drop_near AS (
+        SELECT DISTINCT iv.b AS doc_id
+        FROM iv
+        JOIN sz sa ON sa.doc_id = iv.a
+        JOIN sz sb ON sb.doc_id = iv.b
+        WHERE 10 * iv.inter >= 6 * (sa.n + sb.n - iv.inter)
+    )
+    SELECT doc_id, lang, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(n_uniq AS BIGINT) AS n_uniq
+    FROM surv
+    WHERE doc_id NOT IN (SELECT doc_id FROM drop_near)
+      AND n_tok >= 20 AND 10 * n_uniq >= 3 * n_tok
+    """
+
+
+@query("pipeline_corpus_clean", oracle=_clean_oracle())
 def pipeline_corpus_clean(spark, sf_dir):
     """The LLM-training-data cleaning flow, end to end as ONE composition:
     exact dedup (md5 keep-first) → MinHash-LSH near-dedup (exact-verified
@@ -288,8 +354,12 @@ def pipeline_corpus_clean(spark, sf_dir):
     (≥20 tokens, type/token ratio ≥ 0.3). Emits one row per surviving doc
     with the applied decisions — the manifest a curation run ships.
 
-    Fully deterministic (hash family is seeded xxhash64, thresholds are
-    integer rationals), so the manifest is reproducible run to run. Each
+    Fully deterministic (seeded md5-prefix hash family — the SAME family
+    `dedup_minhash_pairs` driver-verifies, so the ORACLE rebuilds the
+    banding and this query is hash-checked end to end; its pre-r7
+    rows-only tag predated md5_family; thresholds are integer rationals),
+    so the manifest is reproducible run to run. Banding is the
+    driver-verified 16x3 configuration. Each
     stage is a shuffle on digest / band-bucket / doc_id — no O(n²) stage
     anywhere; the quadratic-looking near-dup step is the banded candidate
     join of functions/minhash.py.
@@ -305,7 +375,10 @@ def pipeline_corpus_clean(spark, sf_dir):
     survivors only, orders of magnitude smaller than the corpus.
     tests/test_plans.py::test_corpus_clean_single_scan_and_tokenize pins
     scan count, tokenize count, and the shuffle budget."""
-    from eviction_lab_etl_spark.functions.minhash import minhash_near_dup_pairs
+    from eviction_lab_etl_spark.functions.minhash import (
+        md5_family as _mh_md5_family,
+        minhash_near_dup_pairs,
+    )
 
     docs = load(spark, sf_dir, "documents")
 
@@ -330,7 +403,13 @@ def pipeline_corpus_clean(spark, sf_dir):
     # 3. near-dedup: drop the higher doc_id of every verified >=0.6 pair
     tokens = survivors.select("doc_id", F.explode("uniq").alias("w"))
     near_pairs = minhash_near_dup_pairs(
-        tokens, id_col="doc_id", token_col="w", threshold=(6, 10)
+        tokens,
+        id_col="doc_id",
+        token_col="w",
+        threshold=(6, 10),
+        bands=16,
+        rows_per_band=3,
+        hash_fn=_mh_md5_family,
     )
     drop_near = F.broadcast(
         near_pairs.select(F.col("b").alias("doc_id")).distinct()
