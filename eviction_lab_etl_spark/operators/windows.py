@@ -304,8 +304,10 @@ def window_skyline_2d(spark, sf_dir):
     full-table global sort are both structurally absent; the result is
     partition-invariant because any partitioning of the input satisfies the
     contraction identity (band width is a tuning knob, not a correctness
-    knob). The same contraction extends to d>2; this is the d=2 workhorse
-    (price/latency, cost/quality frontiers)."""
+    knob). The same contraction for d>2 is implemented by ``skyline_nd``
+    below (anti-join dominance per phase — the window trick is d=2-only);
+    this query is the d=2 workhorse (price/latency, cost/quality
+    frontiers)."""
     from eviction_lab_etl_spark.functions.determinism import cents
 
     p = load(spark, sf_dir, "part").select(
@@ -355,3 +357,56 @@ def skyline_2d(points, x: str, y: str, band_width: int = 5000):
     banded = points.withColumn("_band", F.expr(f"{x} div {band_width}"))
     local = sweep(banded, "_band")
     return sweep(local.drop("_band")).select(*passthrough, x, y)
+
+
+def skyline_nd(points, dims: list[str], band_width: int = 5000):
+    """d-DIMENSIONAL skyline (minimize every integer column in ``dims``) —
+    the d>2 generalization `skyline_2d`'s docstring scopes out, as code.
+
+    Same algebraic contraction (skyline(A ∪ B) = skyline(skyline(A) ∪
+    skyline(B))), different per-phase engine: for d > 2 the cumulative-min
+    window trick no longer decides dominance, so each phase is an ANTI-JOIN
+    against dominators — point p survives unless some q has q.dim <= p.dim
+    on EVERY dim and < on at least one. Phase 1 runs that test only WITHIN
+    each ``dims[0] div band_width`` band (the join carries band equality, so
+    it hash-partitions; per-band cost is |band|², bounded by the banding
+    knob, never |table|²). Phase 2 repeats it over the union of band
+    frontiers — small by construction — WITHOUT the band key, which is
+    exact because a dominator's dims[0] <= p's dims[0] places it in p's
+    band or a lower one, and phase 1 only ever removes dominated points
+    (the contraction identity keeps every true skyline member). Result is
+    partition-invariant; all comparisons are integer.
+
+    At 100 TB: one narrow shuffle on the band key, one tiny candidate
+    shuffle — the quadratic pair space appears only within bands and on
+    the frontier union, both bounded by the band width, not the data."""
+    if len(dims) < 2:
+        raise ValueError("skyline_nd needs at least 2 dims")
+    reserved = {"_band"}
+    clash = reserved & set(points.columns)
+    if clash:
+        raise ValueError(
+            f"skyline_nd: input columns {sorted(clash)} collide with the "
+            "sweep's working columns — rename them before calling"
+        )
+
+    def prune(df, with_band: bool):
+        p = df.alias("p")
+        q = df.alias("q")
+        all_le = None
+        any_lt = None
+        for d in dims:
+            le = F.col(f"q.{d}") <= F.col(f"p.{d}")
+            lt = F.col(f"q.{d}") < F.col(f"p.{d}")
+            all_le = le if all_le is None else (all_le & le)
+            any_lt = lt if any_lt is None else (any_lt | lt)
+        cond = all_le & any_lt
+        if with_band:
+            cond = (F.col("p._band") == F.col("q._band")) & cond
+        return p.join(q, cond, "left_anti").select("p.*")
+
+    banded = points.withColumn(
+        "_band", F.expr(f"{dims[0]} div {band_width}")
+    )
+    local = prune(banded, with_band=True).drop("_band")
+    return prune(local, with_band=False)

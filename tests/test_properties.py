@@ -795,3 +795,57 @@ def test_changepoint_shift_python_replica(spark, sf_dir):
         for rk, (shift, d) in enumerate(scored[:5], start=1):
             want.add((et, str(d), shift, rk))
     assert got == want
+
+
+def test_skyline_nd_brute_force(spark):
+    """`skyline_nd` (d=3) against a Python brute-force dominance check on
+    seeded random points — including planted duplicate and dominated rows."""
+    import random
+
+    from eviction_lab_etl_spark.operators.windows import skyline_nd
+
+    rng = random.Random(77)
+    pts = [
+        (i, rng.randint(0, 20), rng.randint(0, 20), rng.randint(0, 20))
+        for i in range(60)
+    ]
+    pts += [(100, 0, 0, 0), (101, 0, 0, 0), (102, 21, 21, 21)]
+    df = spark.createDataFrame(pts, "pid long, x long, y long, z long")
+    got = {
+        (r.pid, r.x, r.y, r.z)
+        for r in skyline_nd(df, ["x", "y", "z"], band_width=7).collect()
+    }
+    def dominated(p, q):
+        return (
+            all(q[j] <= p[j] for j in (1, 2, 3))
+            and any(q[j] < p[j] for j in (1, 2, 3))
+        )
+    want = {tuple(p) for p in pts if not any(dominated(p, q) for q in pts)}
+    assert got == want
+
+
+def test_skyline_nd_matches_2d(spark, sf_dir):
+    """On the registered query's own fixture frame, `skyline_nd` with two
+    dims returns exactly `skyline_2d`'s frontier."""
+    from eviction_lab_etl_spark.functions.determinism import big, cents
+    from eviction_lab_etl_spark.operators.windows import skyline_2d, skyline_nd
+    from eviction_lab_etl_spark.sources.loader import load
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        cents("p_retailprice").alias("price_cents"),
+        big("p_size").alias("psize"),
+    )
+    a = {
+        tuple(r)
+        for r in skyline_2d(p, "price_cents", "psize", band_width=5000)
+        .select("p_partkey", "price_cents", "psize")
+        .collect()
+    }
+    b = {
+        tuple(r)
+        for r in skyline_nd(p, ["price_cents", "psize"], band_width=5000)
+        .select("p_partkey", "price_cents", "psize")
+        .collect()
+    }
+    assert a == b
