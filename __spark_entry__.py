@@ -85,6 +85,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "ts_changepoint_shift",    # NEW r7: 7+7-day mean-shift changepoint scan
     "text_mix_entropy",        # NEW r7: per-source language-mix entropy
     "split_cluster_safe",      # NEW r7: near-dup-cluster-safe train split
+    "window_skyline_3d",       # NEW r7: d=3 skyline vs quadratic oracle
     "join_skew_salted",        # r7: docstring-only change, re-verify cheap
 )
 

@@ -410,3 +410,53 @@ def skyline_nd(points, dims: list[str], band_width: int = 5000):
     )
     local = prune(banded, with_band=True).drop("_band")
     return prune(local, with_band=False)
+
+
+@query(
+    "window_skyline_3d",
+    oracle="""
+    WITH l AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents,
+               CAST(l_quantity AS BIGINT) AS qty,
+               CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)
+                   AS disc_pct
+        FROM lineitem WHERE l_orderkey < 2000
+    )
+    SELECT l_orderkey, l_linenumber, price_cents, qty, disc_pct
+    FROM l p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM l q
+        WHERE q.price_cents <= p.price_cents
+          AND q.qty <= p.qty
+          AND q.disc_pct <= p.disc_pct
+          AND (q.price_cents < p.price_cents
+               OR q.qty < p.qty
+               OR q.disc_pct < p.disc_pct)
+    )
+    """,
+)
+def window_skyline_3d(spark, sf_dir):
+    """3-D Pareto frontier via ``skyline_nd`` — the driver binding for the
+    d>2 contraction (`window_skyline_2d` covers the window-trick d=2 form):
+    cheapest/smallest/least-discounted line items (minimize price cents,
+    quantity, discount points) over the l_orderkey < 2000 slice — bounded
+    because the ORACLE is the independent quadratic NOT-EXISTS formulation,
+    so the driver hash pins the band-then-merge contraction against the
+    definitional form on real data. Duplicate dimension tuples survive
+    together in both formulations (dominance needs a strict < somewhere).
+    Integer dims throughout (§2.0 rule 1)."""
+    from eviction_lab_etl_spark.functions.determinism import cents
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    pts = li.select(
+        "l_orderkey",
+        big("l_linenumber").alias("l_linenumber"),
+        cents("l_extendedprice").alias("price_cents"),
+        big(F.col("l_quantity").cast("long")).alias("qty"),
+        (dec(F.col("l_discount")).cast("decimal(4,2)") * 100)
+        .cast("bigint")
+        .alias("disc_pct"),
+    )
+    return skyline_nd(pts, ["price_cents", "qty", "disc_pct"], band_width=5000)

@@ -68,7 +68,7 @@ EXTENSIONS = {
     "window_skyline_2d", "ts_ewma_smooth", "search_bm25_topk", "io_stats_manifest",
     "incr_scd2_build", "graph_bfs_layers", "search_hybrid_rrf", "search_mmr_diverse",
     "sim_containment_pairs", "sim_containment_prefix", "ts_changepoint_shift", "text_mix_entropy",
-    "split_cluster_safe",
+    "split_cluster_safe", "window_skyline_3d",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",
