@@ -207,8 +207,13 @@ def containment_pairs_prefix(
         .distinct()
     )
 
+    # The verification join's probe side only ever carries probe docs
+    # (src comes from the filtered prefix), so the same predicate prunes
+    # its SCAN — pushed to parquet, it cuts a full-corpus tokenization
+    # down to the probe set's (measured ~20% of the query at sf0.1).
+    probe_tok = tok if probe_filter is None else tok.filter(probe_filter)
     inter = (
-        cand.join(tok.alias("t1"), F.col("src") == F.col("t1.id"))
+        cand.join(probe_tok.alias("t1"), F.col("src") == F.col("t1.id"))
         .join(
             tok.alias("t2"),
             (F.col("dst") == F.col("t2.id")) & (F.col("t1.w") == F.col("t2.w")),
