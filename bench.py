@@ -212,6 +212,12 @@ def main() -> None:
         for name in tpch_names
     }
     tpch_total = sum(tpch_per_query.values())
+    # Every base key must still name a registered topology (a rename would
+    # otherwise silently orphan its regression row), and any topology
+    # WITHOUT a base is listed so a new one can't dodge tracking forever.
+    stale_base = sorted(set(TPCH_BASE_SEC) - set(tpch_names))
+    assert not stale_base, f"TPCH_BASE_SEC keys missing from registry: {stale_base}"
+    tpch_no_base = sorted(set(tpch_names) - set(TPCH_BASE_SEC))
     tpch_vs_r6 = {
         name: round(sec / TPCH_BASE_SEC[name], 3)
         for name, sec in tpch_per_query.items()
@@ -290,6 +296,7 @@ def main() -> None:
                     "n_queries": len(tpch_names),
                     "per_query": tpch_per_query,
                     "vs_r6": tpch_vs_r6,
+                    "no_base": tpch_no_base,
                     "flagged_over_1.5x": tpch_flagged,
                 },
                 "vs_baseline": vs_baseline,

@@ -48,7 +48,11 @@ def bloom_build(
     """Fold ``keys[key_col]`` (any integral type) into a 1-row Bloom frame
     with column ``__bloom_words: map<int, bigint>`` (dunder-prefixed so it cannot collide with a fact column) — word index -> 64-bit mask,
     words with no set bits omitted. ``m_bits`` must be a multiple of 64."""
-    assert m_bits % _WORD == 0, "m_bits must pack into 64-bit words"
+    if m_bits % _WORD != 0:
+        # A real error, not an assert: build and probe share the same pmod
+        # positions so a violating caller would "work" until the misleading
+        # partial top word surfaced elsewhere — and asserts vanish under -O.
+        raise ValueError(f"m_bits ({m_bits}) must be a multiple of {_WORD}")
     pos = [
         F.expr(p) for p in _positions_sql(key_col, m_bits, tuple(seeds))
     ]
@@ -78,14 +82,18 @@ def bloom_might_contain(
     seeds: tuple[int, ...] = (101, 202, 303),
 ) -> F.Column:
     """Predicate over a frame carrying the ``__bloom_words`` map column: true iff
-    every probe bit of ``key_sql`` is set (i.e. the key MIGHT be present)."""
-    hits = []
-    for p in _positions_sql(key_sql, m_bits, tuple(seeds)):
-        hits.append(
-            f"(shiftright(coalesce(element_at(__bloom_words, CAST({p} / {_WORD} AS INT)),"
-            f" CAST(0 AS BIGINT)), CAST({p} % {_WORD} AS INT)) & 1) = 1"
-        )
-    return F.expr(" AND ".join(hits))
+    every probe bit of ``key_sql`` is set (i.e. the key MIGHT be present).
+
+    Each seed's ``pmod(xxhash64(...))`` position appears ONCE, as an element
+    of the probed array; the ``forall`` lambda derives word index and bit
+    index from that single bound value — 3 hashes per row by construction,
+    instead of 6 and a prayer that codegen subexpression elimination fires."""
+    positions = ", ".join(_positions_sql(key_sql, m_bits, tuple(seeds)))
+    return F.expr(
+        f"forall(array({positions}), p -> "
+        f"(shiftright(coalesce(element_at(__bloom_words, CAST(p div {_WORD} AS INT)),"
+        f" CAST(0 AS BIGINT)), CAST(p % {_WORD} AS INT)) & 1) = 1)"
+    )
 
 
 def bloom_prune(

@@ -81,9 +81,14 @@ def io_csv_roundtrip(spark, sf_dir):
     CSV-on-disk between every Make stage, R4–R7). Hash-checked against the
     SOURCE table: text serialization must preserve every int and name
     byte-for-byte, which pins quoting, header handling, and the declared
-    read schema — not just that "some rows came back"."""
+    read schema — not just that "some rows came back". The write carries
+    EXACTLY the three checked columns (not all four of nation), so the
+    read-back schema maps one-to-one instead of leaning on enforceSchema's
+    positional trailing-column drop."""
     path = _sink_path("nation_csv")
-    load(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
+    load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).write.mode("overwrite").option("header", True).csv(path)
     schema = StructType(
         [
             StructField("n_nationkey", IntegerType()),

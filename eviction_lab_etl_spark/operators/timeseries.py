@@ -310,6 +310,12 @@ def ts_ewma_smooth(spark, sf_dir):
     All-integer arithmetic end to end (cents in, integer-division milli
     out), so the cross-engine hash has no float surface at all.
 
+    INVARIANT: the cross-engine identity (Spark `div` ≡ DuckDB `//`) and
+    the cents() quantization are verified for NON-NEGATIVE values only;
+    events.value >= 0 on every shipped fixture and
+    tests/test_determinism.py::test_ewma_value_sign_invariant fails loudly
+    if a regenerated fixture ever ships a negative amount.
+
     Scale shape: ONE shuffle on user_id; the 7 lag() calls share a single
     window sort — Catalyst evaluates all of them in one pass; per-row cost
     is 8 multiply-adds in codegen. Ordering carries the (ts, event_id)

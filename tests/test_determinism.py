@@ -143,6 +143,26 @@ def test_entropy_micro_floor_margins():
             )
 
 
+def test_ewma_value_sign_invariant():
+    """`ts_ewma_smooth`'s cross-engine identity (Spark `div` ≡ DuckDB `//`)
+    and the cents() quantization are validated for NON-NEGATIVE values only
+    (both truncate toward zero, which differs from floor exactly on
+    negatives). events.value >= 0.01 on every shipped fixture; if a
+    regenerated fixture ever carries a negative amount this fails loudly
+    instead of surfacing as an opaque oracle hash mismatch."""
+    import os
+
+    import duckdb
+
+    for sf_path in _fixture_dirs("events.parquet"):
+        ev = os.path.join(sf_path, "events.parquet")
+        lo = duckdb.sql(f"SELECT min(value) FROM '{ev}'").fetchone()[0]
+        assert lo >= 0, (
+            f"{os.path.basename(sf_path)}: events.value has negative amounts "
+            f"(min={lo}) — the ewma div/cents identity no longer holds"
+        )
+
+
 def test_mmr_decision_gaps():
     """`search_mmr_diverse` compares FLOAT scores (the sim_knn_cosine
     discipline: floats never emitted, only ranks/ids) — sound only if every

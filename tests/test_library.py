@@ -375,6 +375,29 @@ def test_bloom_never_false_negative(spark, members, probes_extra):
     assert set(members) <= kept
 
 
+def test_bloom_build_rejects_unpacked_m_bits(spark):
+    """m_bits must pack into 64-bit words; the contract is a ValueError (an
+    assert would vanish under python -O and the violating build would run
+    with a partial top word)."""
+    import pytest as _pytest
+
+    from eviction_lab_etl_spark.functions.bloom import bloom_build
+
+    keys = spark.range(0, 4).withColumnRenamed("id", "key")
+    with _pytest.raises(ValueError, match="multiple of 64"):
+        bloom_build(keys, "key", m_bits=100)
+
+
+def test_bloom_probe_hashes_each_seed_once(spark):
+    """The probe predicate embeds each seed's xxhash64 position expression
+    exactly once (bound by the forall lambda), so a row costs 3 hashes, not
+    6-and-hope-for-subexpression-elimination."""
+    from eviction_lab_etl_spark.functions.bloom import bloom_might_contain
+
+    expr_sql = str(bloom_might_contain("key")._jc)
+    assert expr_sql.lower().count("xxhash64") == 3, expr_sql
+
+
 def test_bloom_prunes_disjoint_keys(spark):
     """Selectivity: with m=4096 bits / k=3 probes and ~50 member keys, a
     disjoint probe set is mostly rejected (expected FP rate ~(1-e^{-kn/m})^k
