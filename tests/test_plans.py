@@ -261,6 +261,36 @@ def test_corpus_clean_single_scan_and_tokenize(spark, sf_dir):
     assert m["sortmerge_joins"] == 0
 
 
+def test_corpus_clean_cache_pin_is_bounded(spark, sf_dir):
+    """Round-7 verdict item 2: the tokenized-survivor cache (≈ the corpus,
+    token arrays included) must NOT outlive the query result. The weakref
+    finalizer unpersists it when the result handle is dropped, so the pin's
+    lifetime equals the consumer's — a later query in the same session
+    starts with the executor memory back."""
+    import gc
+    import time
+
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    sc = spark.sparkContext
+
+    def n_cached():
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    before = n_cached()
+    df = QUERIES["pipeline_corpus_clean"](spark, sf_dir)
+    df.count()
+    assert n_cached() > before, "diamond was never materialized into cache"
+    del df
+    gc.collect()
+    # unpersist(blocking=False): entry removal is sync, block delete async
+    for _ in range(50):
+        if n_cached() == before:
+            break
+        time.sleep(0.1)
+    assert n_cached() == before, "corpus-sized cache outlived the result"
+
+
 def test_round5_operator_plan_shapes(spark, sf_dir):
     """Round-5 additions keep their declared scale shapes: the funnel walks
     arrays JVM-side with NO Python boundary in 2 shuffles; per-source capping
