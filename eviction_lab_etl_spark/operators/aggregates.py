@@ -246,13 +246,42 @@ def agg_stats(spark, sf_dir):
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL++ differs from DuckDB's sketch by design
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS within_3rsd
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark, sf_dir):
     """Approximate distinct count (HyperLogLog++): the 100 TB path for
-    cardinality estimation where exact count(distinct) would shuffle everything."""
+    cardinality estimation where exact count(distinct) would shuffle
+    everything.
+
+    ERROR CONTRACT, hash-checked (round-7 verdict item 1): the sketch value
+    itself is engine-specific (DuckDB's HLL differs by design), so the
+    emitted surface is the EXACT count plus the measured accuracy verdict
+    ``|approx − exact| ≤ 3·rsd·exact`` (rsd = 0.05, the default the call
+    runs at; HLL++'s standard error, so 3·rsd is a ≥3σ envelope). The
+    oracle asserts the verdict as a literal TRUE: if the estimate ever
+    leaves the envelope the driver's hash goes red instead of recording
+    "ran". Measured error on the shipped fixtures: ≤ 2.7 % at every scale
+    (probe, round-8 log). Both aggregates share one shuffle — the exact
+    count is the verification harness, the approx path is what a 100 TB
+    run would keep."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts")
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey").alias("_approx"),
+    ).select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            F.abs(F.col("_approx") - F.col("exact_parts")) * 20
+            <= 3 * F.col("exact_parts")
+        ).alias("within_3rsd"),
     )
 
 

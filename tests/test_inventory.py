@@ -27,11 +27,13 @@ stream_dedup_watermark stream_foreachbatch_upsert
 udf_py_scalar udf_pandas_scalar udf_grouped_map udf_pandas_agg udtf_explode_pos
 """.split()
 
-# SURVEY §2 marks exactly these as check=rows (genuinely approximate or
+# SURVEY §2 marks exactly these as check=rows (engine-specific output or
 # streaming-stateful — no SQL-expressible oracle). The io round-trips were
-# upgraded to source-table hash checks in r7 and left this set.
+# upgraded to source-table hash checks in r7; agg_approx_distinct left in r8
+# via its error-bound contract; sim_ann_lsh stays (its PAIR LIST is
+# engine-specific) but its accuracy is hash-checked by sim_ann_lsh_recall.
 S2_ROWS_ONLY = {
-    "agg_approx_distinct", "sim_ann_lsh",
+    "sim_ann_lsh",
     "stream_watermark_late", "stream_dedup_watermark", "stream_foreachbatch_upsert",
 }
 
@@ -68,7 +70,7 @@ EXTENSIONS = {
     "window_skyline_2d", "ts_ewma_smooth", "search_bm25_topk", "io_stats_manifest",
     "incr_scd2_build", "graph_bfs_layers", "search_hybrid_rrf", "search_mmr_diverse",
     "sim_containment_pairs", "sim_containment_prefix", "ts_changepoint_shift", "text_mix_entropy",
-    "split_cluster_safe", "window_skyline_3d",
+    "split_cluster_safe", "window_skyline_3d", "sim_ann_lsh_recall",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",
