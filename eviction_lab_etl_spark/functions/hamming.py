@@ -48,6 +48,24 @@ def hamming_near_pairs(
     ``bands`` must exceed ``max_hd`` (the pigeonhole recall guarantee) and
     divide 64 evenly with a whole number of bands per 32-bit half.
     """
+    return _candidate_pairs(hashes, id_col, hi_col, lo_col, max_hd, bands).filter(
+        F.col("hd") <= max_hd
+    ).distinct()
+
+
+def _candidate_pairs(
+    hashes: DataFrame,
+    id_col: str,
+    hi_col: str,
+    lo_col: str,
+    max_hd: int,
+    bands: int,
+) -> DataFrame:
+    """The band-bucket collision frame (a, b, hd) BEFORE the hd filter,
+    multiplicity kept — this is exactly the work the banding admits, which
+    is why the scale harness counts it against the O(n²) pair space
+    (tools/scale_stress.py pruning rows). Private: measurement seam, not a
+    user surface."""
     if bands <= max_hd:
         raise ValueError(
             f"bands ({bands}) must exceed max_hd ({max_hd}) for the "
@@ -88,18 +106,13 @@ def hamming_near_pairs(
     hd = F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi"))) + F.bit_count(
         F.col("a.lo").bitwiseXOR(F.col("b.lo"))
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("a"),
-            F.col("b.id").alias("b"),
-            hd.cast("long").alias("hd"),
-        )
-        .filter(F.col("hd") <= max_hd)
-        .distinct()
+    return a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("a"),
+        F.col("b.id").alias("b"),
+        hd.cast("long").alias("hd"),
     )

@@ -493,6 +493,17 @@ def test_round7_plan_shapes(spark, sf_dir):
     assert pn["arrow_python"] >= 2 and pn["python_rows"] == 0
 
 
+def test_audio_neardup_plan_shape(spark, sf_dir):
+    """multimodal_audio_neardup mirrors the phash shape on the third
+    modality: candidate equi-join on (band, key) — never a nested loop over
+    the O(n²) clip-pair space — and the only Python is the Arrow-batched
+    WAV mint→decode→fingerprint chain."""
+    an = plan_of(spark, sf_dir, "multimodal_audio_neardup")
+    assert "CartesianProduct" not in an["plan"]
+    assert an["broadcast_nl_joins"] == 0
+    assert an["arrow_python"] >= 2 and an["python_rows"] == 0
+
+
 def test_round7_new_operator_plan_shapes(spark, sf_dir):
     """Round-7 additions keep their declared shapes. The Bloom-pruned join
     probes via a SINGLE-row broadcast (its one BroadcastNestedLoopJoin is

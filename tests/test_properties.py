@@ -849,3 +849,49 @@ def test_skyline_nd_matches_2d(spark, sf_dir):
         .collect()
     }
     assert a == b
+
+
+def test_audio_neardup_equals_closed_form_bruteforce(spark, sf_dir):
+    """`multimodal_audio_neardup` (real WAV mint → chunk-walk decode →
+    envelope fingerprint → banded Hamming join) against a THIRD
+    implementation: a pure-Python replica that recomputes every fingerprint
+    bit straight from the PCM pattern's closed form (no codec, no library
+    fingerprint helper) and walks the quadratic pair space. Guards decoder,
+    resampler, bit packing, and banding at once — the same triangulation
+    the phash/changepoint families carry."""
+    import duckdb
+
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    got = {
+        (r.a, r.b, r.hd)
+        for r in QUERIES["multimodal_audio_neardup"](spark, sf_dir).collect()
+    }
+
+    doc_ids = [
+        int(r[0])
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+
+    def fp(d):
+        n = d % 50 + 10
+        s = [((d * 13 + i * 7919) % 65536) - 32768 for i in range(n)]
+        env = [abs(s[(j * n) // 65]) for j in range(65)]
+        bits = 0
+        for j in range(64):
+            bits = (bits << 1) | (1 if env[j] < env[j + 1] else 0)
+        return bits
+
+    fps = {d: fp(d) for d in doc_ids}
+    ids = sorted(doc_ids)
+    want = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a] ^ fps[b]).count("1") <= 6
+    }
+    assert got == want
+    # non-vacuous: the fixture must exercise every admissible distance
+    assert {hd for _, _, hd in want} == set(range(7))

@@ -122,6 +122,12 @@ STRESS = [
     # constant probe set (doc_id<50) vs the key-multiplied full corpus —
     # the container-side token index is the data-proportional floor.
     "sim_containment_prefix",
+    # multimodal_audio_neardup is deliberately ABSENT: the fixture's
+    # 10-59-sample LCG clips make band buckets degenerately dense (any
+    # fingerprint of a 10-sample clip has <=10 independent bits), so a
+    # key-multiplied sweep would time the fixture artifact, not the
+    # algorithm — measure_audio_fp_pruning covers the chain on a realistic
+    # white-noise corpus instead (the sim_jaccard_prefix precedent).
 ]
 
 
@@ -159,6 +165,65 @@ def measure_srp_pruning(spark, sf_dir) -> dict[str, int]:
         emb, _SRP_PLANES, _SRP_BANDS, _SRP_ROWS, id_col="vec_id", vec_col="v"
     ).count()
     return {"n_vectors": n, "cand_pairs": cand, "all_pairs": n * (n - 1) // 2}
+
+
+def measure_audio_fp_pruning(spark, mult: int) -> dict[str, int]:
+    """`multimodal_audio_neardup` scale evidence on a REALISTIC clip corpus
+    (the fixture's 10–59-sample LCG clips are degenerate for ANY
+    fingerprint — see the operator docstring): mult·500 seeded white-noise
+    masters of 2 000 samples, each with two planted re-encodings (re-leveled
+    ×0.9, which preserves every envelope comparison exactly, and ±40
+    amplitude noise), pushed through the REAL encode→decode→fingerprint→
+    banded-join chain. Records band-bucket collisions (multiplicity kept —
+    that IS the admitted work) vs the O(n²) pair space, plus
+    recall/precision of the planted groups at hd ≤ 6."""
+    import random
+
+    from eviction_lab_etl_spark.functions import media_codecs
+    from eviction_lab_etl_spark.functions.hamming import (
+        _candidate_pairs,
+        hamming_near_pairs,
+    )
+    from eviction_lab_etl_spark.operators.multimodal import (
+        _AUDIO_FP_BANDS,
+        _AUDIO_FP_MAX_HD,
+        _audio_fp_from_payloads,
+    )
+
+    n_masters = 500 * mult
+    rows = []
+    for m in range(n_masters):
+        rng = random.Random(m)
+        s = [rng.randint(-32768, 32767) for _ in range(2000)]
+        relevel = [int(x * 0.9) for x in s]
+        noisy = [
+            max(-32768, min(32767, x + rng.randint(-40, 40))) for x in s
+        ]
+        for g, sig in enumerate((s, relevel, noisy)):
+            rows.append((3 * m + g, media_codecs.encode_wav(16000, sig)))
+    payloads = spark.createDataFrame(rows, "doc_id long, payload binary")
+    fp = _audio_fp_from_payloads(payloads).cache()
+    n = fp.count()
+    cand = _candidate_pairs(
+        fp, "doc_id", "hash_hi", "hash_lo", _AUDIO_FP_MAX_HD, _AUDIO_FP_BANDS
+    ).count()
+    adm = hamming_near_pairs(
+        fp, id_col="doc_id", max_hd=_AUDIO_FP_MAX_HD, bands=_AUDIO_FP_BANDS
+    )
+    admitted = adm.count()
+    # planted truth: ids of one master share doc_id div 3
+    true_admitted = adm.filter(
+        F.expr("a div 3") == F.expr("b div 3")
+    ).count()
+    fp.unpersist()
+    return {
+        "n_clips": n,
+        "cand_pairs": cand,
+        "admitted_pairs": admitted,
+        "true_admitted": true_admitted,
+        "true_pairs": 3 * n_masters,
+        "all_pairs": n * (n - 1) // 2,
+    }
 
 
 def measure_cc_stress(spark, mult: int) -> dict:
@@ -519,6 +584,7 @@ def main() -> None:
                     "unit": "sec",
                     "queries": timings,
                     "srp_pruning": measure_srp_pruning(spark, sf_dir),
+                    "audio_fp_pruning": measure_audio_fp_pruning(spark, mult),
                     "base_sf": SRC,
                 }
             ),
