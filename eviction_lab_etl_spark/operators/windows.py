@@ -359,7 +359,13 @@ def skyline_2d(points, x: str, y: str, band_width: int = 5000):
     return sweep(local.drop("_band")).select(*passthrough, x, y)
 
 
-def skyline_nd(points, dims: list[str], band_width: int = 5000):
+def skyline_nd(
+    points,
+    dims: list[str],
+    band_width: int | None = 5000,
+    bands: int = 32,
+    band_cap: int = 4096,
+):
     """d-DIMENSIONAL skyline (minimize every integer column in ``dims``) —
     the d>2 generalization `skyline_2d`'s docstring scopes out, as code.
 
@@ -368,21 +374,36 @@ def skyline_nd(points, dims: list[str], band_width: int = 5000):
     window trick no longer decides dominance, so each phase is an ANTI-JOIN
     against dominators — point p survives unless some q has q.dim <= p.dim
     on EVERY dim and < on at least one. Phase 1 runs that test only WITHIN
-    each ``dims[0] div band_width`` band (the join carries band equality, so
-    it hash-partitions; per-band cost is |band|², bounded by the banding
-    knob, never |table|²). Phase 2 repeats it over the union of band
-    frontiers — small by construction — WITHOUT the band key, which is
-    exact because a dominator's dims[0] <= p's dims[0] places it in p's
-    band or a lower one, and phase 1 only ever removes dominated points
-    (the contraction identity keeps every true skyline member). Result is
+    each band (the join carries band equality, so it hash-partitions;
+    per-band cost is |band|², never |table|²). Phase 2 repeats it over the
+    union of band frontiers — small by construction — WITHOUT the band
+    key, which is exact for ANY partitioning: phase 1 only ever removes
+    dominated points, and the contraction identity keeps every true
+    skyline member regardless of how the input was split. Result is
     partition-invariant; all comparisons are integer.
 
+    Banding (round-7 verdict item 5 — the static knob was the quadratic
+    escape hatch): with ``band_width`` set, bands are the fixed-width
+    ``dims[0] div band_width`` lattice. With ``band_width=None`` the cuts
+    are DATA-DRIVEN: ``bands`` approxQuantile cut points on ``dims[0]``
+    (the `zorder_key_sampled` move), so skewed value ranges still split
+    into even bands — and because quantile cuts cannot split TIES, any
+    band still holding more than ``band_cap`` rows (a 90 %-hot single
+    value, the planted-skew case) is salted into ⌈count/cap⌉ hash
+    sub-buckets. Salting only loosens phase-1 pruning (a dominator in
+    another sub-bucket is simply deferred to phase 2); exactness is the
+    any-partition contraction above, property-tested against a brute force
+    on planted 90 %-skew distributions (tests/test_properties.py). Cost of
+    the data-driven path: one approxQuantile pass plus one ≤``bands``-row
+    count aggregate before the two anti-join phases.
+
     At 100 TB: one narrow shuffle on the band key, one tiny candidate
-    shuffle — the quadratic pair space appears only within bands and on
-    the frontier union, both bounded by the band width, not the data."""
+    shuffle — the quadratic pair space appears only within bands (bounded
+    by ``band_cap`` under the data-driven path) and on the frontier
+    union."""
     if len(dims) < 2:
         raise ValueError("skyline_nd needs at least 2 dims")
-    reserved = {"_band"}
+    reserved = {"_band", "_salt"}
     clash = reserved & set(points.columns)
     if clash:
         raise ValueError(
@@ -390,7 +411,7 @@ def skyline_nd(points, dims: list[str], band_width: int = 5000):
             "sweep's working columns — rename them before calling"
         )
 
-    def prune(df, with_band: bool):
+    def prune(df, band_keys: tuple[str, ...]):
         p = df.alias("p")
         q = df.alias("q")
         all_le = None
@@ -401,15 +422,48 @@ def skyline_nd(points, dims: list[str], band_width: int = 5000):
             all_le = le if all_le is None else (all_le & le)
             any_lt = lt if any_lt is None else (any_lt | lt)
         cond = all_le & any_lt
-        if with_band:
-            cond = (F.col("p._band") == F.col("q._band")) & cond
+        for k in band_keys:
+            cond = (F.col(f"p.{k}") == F.col(f"q.{k}")) & cond
         return p.join(q, cond, "left_anti").select("p.*")
 
-    banded = points.withColumn(
-        "_band", F.expr(f"{dims[0]} div {band_width}")
+    if band_width is not None:
+        banded = points.withColumn(
+            "_band", F.expr(f"{dims[0]} div {band_width}")
+        )
+        local = prune(banded, ("_band",)).drop("_band")
+        return prune(local, ())
+
+    # data-driven path: quantile cuts on dims[0], then tie-skew salting
+    probs = [i / bands for i in range(1, bands)]
+    cuts = sorted(
+        {int(c) for c in points.approxQuantile(dims[0], probs, 0.001)}
     )
-    local = prune(banded, with_band=True).drop("_band")
-    return prune(local, with_band=False)
+    if cuts:
+        cut_arr = F.array(*[F.lit(c).cast("long") for c in cuts])
+        band_col = F.size(
+            F.filter(cut_arr, lambda c: c <= F.col(dims[0]).cast("long"))
+        )
+    else:
+        band_col = F.lit(0)
+    banded = points.withColumn("_band", band_col)
+    counts = {
+        r["_band"]: r["cnt"]
+        for r in banded.groupBy("_band").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    salt_of = {b: -(-c // band_cap) for b, c in counts.items()}
+    if salt_of:
+        salt_map = F.create_map(
+            *[F.lit(x) for b, s in sorted(salt_of.items()) for x in (b, s)]
+        )
+        salt_col = F.pmod(
+            F.xxhash64(*[F.col(d) for d in dims]),
+            F.element_at(salt_map, F.col("_band")),
+        )
+    else:
+        salt_col = F.lit(0)
+    banded = banded.withColumn("_salt", salt_col)
+    local = prune(banded, ("_band", "_salt")).drop("_band", "_salt")
+    return prune(local, ())
 
 
 @query(
@@ -446,7 +500,12 @@ def window_skyline_3d(spark, sf_dir):
     so the driver hash pins the band-then-merge contraction against the
     definitional form on real data. Duplicate dimension tuples survive
     together in both formulations (dominance needs a strict < somewhere).
-    Integer dims throughout (§2.0 rule 1)."""
+    Integer dims throughout (§2.0 rule 1). Since round 8 this binds the
+    DATA-DRIVEN banding path (band_width=None: approxQuantile cuts +
+    tie-skew salting) so the skew-robust variant is driver-checked, not
+    library-only; banding is a performance knob, never a correctness knob
+    (any-partition contraction), which is exactly what the unchanged
+    NOT-EXISTS hash proves."""
     from eviction_lab_etl_spark.functions.determinism import cents
 
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
@@ -459,4 +518,4 @@ def window_skyline_3d(spark, sf_dir):
         .cast("bigint")
         .alias("disc_pct"),
     )
-    return skyline_nd(pts, ["price_cents", "qty", "disc_pct"], band_width=5000)
+    return skyline_nd(pts, ["price_cents", "qty", "disc_pct"], band_width=None)
