@@ -42,51 +42,28 @@ _FLAGSHIP = "agg_sum_groupby"
 # stale queue can never burn a later round's budget re-checking green rows.
 # Bump _QUEUE_AS_OF to the highest CORRECTNESS_r*.json round present whenever
 # the queue is edited.
-_QUEUE_AS_OF = 6
+_QUEUE_AS_OF = 7
 _RECHECK_QUEUE: tuple[str, ...] = (
-    # --- The one red row from CORRECTNESS_r06 leads (round-6 verdict item 1):
-    # agg_collect_sorted ERRORED because its array<string> output column was
-    # unhashable on the driver's pandas canonicalizer; the surface is now the
-    # canonical concat_ws string (identical information, scalar, hashable).
-    "agg_collect_sorted",      # FIXED r7: concat_ws scalar surface
-    # --- Round-7 changes/additions:
-    "io_orc_roundtrip",        # UPGRADED r7: rows-only -> hash-checked
-    "io_bucketed_join",        # UPGRADED r7: rows-only -> hash-checked
-    "multimodal_phash_near",   # NEW r7: banded Hamming hd<=k pHash join
-    "multimodal_phash_dedup",  # r7: hash stage factored into _phash_frame
-    "graph_pagerank",          # r7: persist dropped for ReuseExchange
-    "incr_view_maintain",      # r7: null-safe merge keys (eqNullSafe)
-    "dedup_minhash_pairs",     # r7: md5_family NULL-propagation fix
-    "dedup_minhash_recall",    # r7: md5_family NULL-propagation fix
-    "pipeline_corpus_clean",   # UPGRADED r7: rows-only -> full-pipeline hash (md5-family banding oracle)
-    # --- Round-7 NEW operators (all oracle-hash-checked):
-    "join_bloom_pruned",       # NEW r7: explicit Bloom runtime-filter join
-    "join_fuzzy_blocked",      # NEW r7: length-blocked levenshtein<=2 join
-    "embed_kmeans_iter",       # NEW r7: exact 2-iteration Lloyd's k-means
-    "text_tfidf_topterms",     # NEW r7: integer-quantized TF-IDF top-3
-    "incr_compact_roundtrip",  # NEW r7: content-neutral compaction verify
-    "pipeline_entity_resolution",  # NEW r7: block->match->cluster->canonical
-    "events_streak_islands",   # NEW r7: gaps-and-islands streaks
-    "io_schema_evolution",     # NEW r7: mergeSchema additive-column read
-    "scalar_variant_shred",    # NEW r7: VARIANT parse_json + typed paths
-    "window_skyline_2d",       # NEW r7: distributed 2-phase Pareto skyline
-    "ts_ewma_smooth",          # NEW r7: truncated integer EWMA window
-    "search_bm25_topk",        # NEW r7: BM25 lexical retrieval top-10
-    "io_stats_manifest",       # NEW r7: per-partition zone-map manifest
-    "io_csv_roundtrip",        # r7: upgraded rows-only -> source-table hash
-    "io_json_lines",           # r7: upgraded rows-only -> source-table hash
-    "io_partitioned_write",    # r7: upgraded rows-only -> routing hash
-    "incr_scd2_build",         # NEW r7: SCD2 dimension build from change log
-    "graph_bfs_layers",        # NEW r7: bounded multi-source BFS layers
-    "search_hybrid_rrf",       # NEW r7: BM25 + cosine RRF hybrid retrieval
-    "search_mmr_diverse",      # NEW r7: MMR diversified rerank top-5
-    "sim_containment_pairs",   # NEW r7: directed >=0.8 containment pairs
-    "sim_containment_prefix",  # NEW r7: one-sided prefix-filtered scale path
-    "ts_changepoint_shift",    # NEW r7: 7+7-day mean-shift changepoint scan
-    "text_mix_entropy",        # NEW r7: per-source language-mix entropy
-    "split_cluster_safe",      # NEW r7: near-dup-cluster-safe train split
-    "window_skyline_3d",       # NEW r7: d=3 skyline vs quadratic oracle
-    "join_skew_salted",        # r7: docstring-only change, re-verify cheap
+    # --- Round-7 verdict item 2 leads: the corpus-sized persist is now
+    # bounded to the result handle's lifetime (weakref finalizer); the
+    # returned plan is unchanged but the query body changed, so it re-checks.
+    "pipeline_corpus_clean",    # r8: cache pin bounded to result lifetime
+    # --- Error-bound contracts (r7 verdict item 1): rows-only -> hash via
+    # in-query accuracy verdicts the oracle pins as literal TRUE.
+    "agg_approx_distinct",      # UPGRADED r8: exact + |err|<=3*rsd verdict
+    "agg_approx_quantile",      # UPGRADED r8: rank-error-in-bound verdicts
+    "sketch_hll_partitioned",   # UPGRADED r8: merged-estimate 5% envelope
+    "sim_ann_lsh_recall",       # NEW r8: ml MinHashLSH recall >= 900 pm
+    # --- New/changed operators:
+    "multimodal_audio_neardup", # NEW r8: banded envelope-fp audio near-dup
+    "window_skyline_3d",        # r8: data-driven quantile+salt banding
+    "search_mmr_diverse",       # r8: re-expressed over functions/rerank.py
+    "io_csv_roundtrip",         # r8: writes exactly the checked columns
+    "join_bloom_pruned",        # r8: probe binds each hash position once
+    "sim_ann_lsh",              # r8: pair surface factored into _ann_lsh_pairs
+    "multimodal_audio_decode",  # r8: fp stage shares its decode helpers
+    "multimodal_audio_features",  # r8: same module refactor, re-verify cheap
+    "ts_ewma_smooth",           # r8: sign-invariant note (docstring) — cheap
 )
 
 
