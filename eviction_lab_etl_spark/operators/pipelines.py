@@ -445,6 +445,10 @@ def pipeline_corpus_clean(spark, sf_dir):
     # finalizer holds the only extra reference to `survivors`, fires on the
     # result handle's GC, and is inert at interpreter shutdown (the JVM dies
     # with the session; nothing to clean, and py4j may already be gone).
+    # CALLER CONTRACT: hold (or execute) THIS handle directly. Deriving a new
+    # frame and dropping the original (df2 = fn(...).select(...)) fires the
+    # finalizer before execution — correctness is unaffected, but the diamond
+    # reuse silently degrades to a recompute.
     fin = weakref.finalize(result, _unpersist_quietly, survivors)
     fin.atexit = False
     return result

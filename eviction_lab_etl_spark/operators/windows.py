@@ -400,7 +400,12 @@ def skyline_nd(
     At 100 TB: one narrow shuffle on the band key, one tiny candidate
     shuffle — the quadratic pair space appears only within bands (bounded
     by ``band_cap`` under the data-driven path) and on the frontier
-    union."""
+    union.
+
+    CALLER NOTE: the data-driven path (``band_width=None``) runs TWO eager
+    full-scan driver actions at construction time (approxQuantile + the
+    per-band count collect) — a lazily-built plan should pass ``band_width``
+    explicitly to stay action-free until execution."""
     if len(dims) < 2:
         raise ValueError("skyline_nd needs at least 2 dims")
     reserved = {"_band", "_salt"}
@@ -455,9 +460,13 @@ def skyline_nd(
         salt_map = F.create_map(
             *[F.lit(x) for b, s in sorted(salt_of.items()) for x in (b, s)]
         )
+        # coalesce(..., 1): if the source recomputes non-deterministically a
+        # band value unseen at construction time can appear at execution time;
+        # element_at would yield NULL → NULL salt → those rows skip phase-1
+        # pruning entirely. Salt 1 keeps them in a defined (unsalted) bucket.
         salt_col = F.pmod(
             F.xxhash64(*[F.col(d) for d in dims]),
-            F.element_at(salt_map, F.col("_band")),
+            F.coalesce(F.element_at(salt_map, F.col("_band")), F.lit(1)),
         )
     else:
         salt_col = F.lit(0)

@@ -47,9 +47,15 @@ def test_io_partitioned_write(spark, sf_dir):
 
 
 def test_agg_approx_distinct(spark, sf_dir):
+    """Round-8 surface: (l_returnflag, exact_parts, within_3rsd) — the HLL
+    estimate itself is engine-specific, so the query emits the exact count
+    plus an in-query error verdict. Pin the verdict TRUE for every group."""
     df = QUERIES["agg_approx_distinct"](spark, sf_dir)
-    rows = {r["l_returnflag"]: r["approx_parts"] for r in df.collect()}
-    assert set(rows) == {"A", "N", "R"} and all(v > 0 for v in rows.values())
+    rows = {r["l_returnflag"]: r for r in df.collect()}
+    assert set(rows) == {"A", "N", "R"}
+    for flag, r in rows.items():
+        assert r["exact_parts"] > 0, flag
+        assert r["within_3rsd"] is True, flag
 
 
 def test_sim_ann_lsh_precision_and_recall(spark, ddb, sf_dir):
@@ -84,26 +90,25 @@ def test_sample_stratified_fractions_and_determinism(spark, ddb, sf_dir):
     assert run1 == run2
 
 
-def test_agg_approx_quantile_close_to_exact(spark, ddb, sf_dir):
-    rows = {r["event_type"]: (r["p50"], r["p95"]) for r in QUERIES["agg_approx_quantile"](spark, sf_dir).collect()}
-    exact = ddb.sql(
-        "SELECT event_type, quantile_cont(value, 0.5), quantile_cont(value, 0.95) "
-        "FROM events GROUP BY event_type"
-    ).fetchall()
-    assert set(rows) == {r[0] for r in exact}
-    for etype, p50, p95 in exact:
-        got50, got95 = rows[etype]
-        # percentile_approx returns an order statistic; quantile_cont
-        # interpolates — on small groups adjacent order stats differ at the
-        # tail, so pin to 10% of the exact value, not sketch error alone.
-        assert abs(got50 - p50) <= 0.10 * max(1.0, abs(p50))
-        assert abs(got95 - p95) <= 0.10 * max(1.0, abs(p95))
+def test_agg_approx_quantile_rank_bounds(spark, ddb, sf_dir):
+    """Round-8 surface: (event_type, n, p50_in_bound, p95_in_bound) — the
+    sketch value is engine-specific, so the query verifies the GK rank-error
+    contract in-query (exact integer arithmetic) and emits verdicts. Pin
+    every verdict TRUE and the group counts against DuckDB."""
+    rows = {r["event_type"]: r for r in QUERIES["agg_approx_quantile"](spark, sf_dir).collect()}
+    exact_n = dict(ddb.sql("SELECT event_type, count(*) FROM events GROUP BY 1").fetchall())
+    assert set(rows) == set(exact_n)
+    for etype, r in rows.items():
+        assert r["n"] == exact_n[etype], etype
+        assert r["p50_in_bound"] is True, etype
+        assert r["p95_in_bound"] is True, etype
 
 
 def test_sketch_hll_partitioned_close_to_exact(spark, ddb, sf_dir):
-    """Merged per-slice sketches must estimate within HLL error (~2% at
-    lgK=12; allow 5%) of the exact per-returnflag distinct count."""
-    rows = {r["l_returnflag"]: r["approx_parts"] for r in QUERIES["sketch_hll_partitioned"](spark, sf_dir).collect()}
+    """Round-8 surface: (l_returnflag, exact_parts, within_5pct) — merged
+    per-slice sketches are verified in-query against a 5% envelope. Pin the
+    exact counts against DuckDB and every merge verdict TRUE."""
+    rows = {r["l_returnflag"]: r for r in QUERIES["sketch_hll_partitioned"](spark, sf_dir).collect()}
     exact = dict(
         ddb.sql(
             "SELECT l_returnflag, count(DISTINCT l_partkey) FROM lineitem GROUP BY 1"
@@ -111,7 +116,8 @@ def test_sketch_hll_partitioned_close_to_exact(spark, ddb, sf_dir):
     )
     assert set(rows) == set(exact)
     for flag, n in exact.items():
-        assert abs(rows[flag] - n) <= max(2, 0.05 * n), (flag, rows[flag], n)
+        assert rows[flag]["exact_parts"] == n, (flag, rows[flag], n)
+        assert rows[flag]["within_5pct"] is True, flag
 
 
 def test_stream_watermark_late_matches_batch(spark, ddb, sf_dir):

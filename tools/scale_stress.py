@@ -172,7 +172,9 @@ def measure_audio_fp_pruning(spark, mult: int) -> dict[str, int]:
     (the fixture's 10–59-sample LCG clips are degenerate for ANY
     fingerprint — see the operator docstring): mult·500 seeded white-noise
     masters of 2 000 samples, each with two planted re-encodings (re-leveled
-    ×0.9, which preserves every envelope comparison exactly, and ±40
+    ×0.9, which preserves envelope comparisons except ties created by the
+    int() truncation — floor(0.9a)==floor(0.9b) when |a−b|≤1 can flip a
+    strict-< bit, absorbed by the hd≤6 tolerance — and ±40
     amplitude noise), pushed through the REAL encode→decode→fingerprint→
     banded-join chain. Records band-bucket collisions (multiplicity kept —
     that IS the admitted work) vs the O(n²) pair space, plus
