@@ -617,3 +617,20 @@ def test_hybrid_rrf_plan_shape(spark, sf_dir):
     assert "CartesianProduct" not in hy["plan"]
     assert hy["plan"].count("TakeOrderedAndProject") >= 2
     assert hy["python_rows"] == 0 and hy["arrow_python"] == 0
+
+
+def test_embed_pq_codes_is_map_only(spark, sf_dir):
+    """PQ encoding must be a pure per-row transform: the corpus path is
+    scan → BroadcastNestedLoopJoin(1-row codebook) → project — the only
+    shuffle in the whole plan is the bounded 4-row codebook build's
+    single-partition window, the corpus itself NEVER exchanges, and no
+    Python boundary exists anywhere."""
+    pq = plan_of(spark, sf_dir, "embed_pq_codes")
+    assert pq["broadcast_nl_joins"] == 1, pq["plan"]
+    assert pq["sortmerge_joins"] == 0 and pq["broadcast_joins"] == 0
+    assert pq["python_rows"] == 0 and pq["arrow_python"] == 0
+    assert pq["shuffles"] <= 1, pq["plan"]  # codebook-side only (4 rows)
+    import re as _re
+
+    for part in _re.findall(r"hashpartitioning\(([^)]*)\)", pq["plan"]):
+        raise AssertionError(f"corpus hash exchange leaked: {part}")
