@@ -634,3 +634,24 @@ def test_embed_pq_codes_is_map_only(spark, sf_dir):
 
     for part in _re.findall(r"hashpartitioning\(([^)]*)\)", pq["plan"]):
         raise AssertionError(f"corpus hash exchange leaked: {part}")
+
+
+def test_dedup_semantic_quadratic_is_bucket_scoped(spark, sf_dir):
+    """SemDeDup's scaling claim, structurally: the assignment stage is
+    map-only (1-row centroid broadcast, BNLJ), the pair scan equi-joins on
+    the bucket id — NO CartesianProduct and no nested-loop beyond the
+    codebook attach — and no Python boundary exists."""
+    sd = plan_of(spark, sf_dir, "dedup_semantic")
+    assert "CartesianProduct" not in sd["plan"]
+    # One codebook BNLJ per consumer of the assignment diamond (x1 + the
+    # two self-join sides) — at runtime AQE collapses the self-join legs
+    # via ReuseExchange (measured: 2 ReusedExchange nodes in the final
+    # adaptive plan) and broadcasts the small dup side of the verdict join.
+    assert sd["broadcast_nl_joins"] <= 3, sd["plan"]
+    assert sd["python_rows"] == 0 and sd["arrow_python"] == 0
+    import re as _re
+
+    # the pair scan's exchange hashes the bucket id (cid), the verdict
+    # join hashes vec ids — nothing else may shuffle the corpus.
+    parts = _re.findall(r"hashpartitioning\((\w+)", sd["plan"])
+    assert parts and set(parts) <= {"cid", "vec_id", "dup", "a", "b"}, parts
