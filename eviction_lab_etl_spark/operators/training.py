@@ -637,3 +637,112 @@ def resample_downweight_dups(spark, sf_dir):
         F.lit(1).cast("int").alias("w_num"),
         F.count(F.lit(1)).over(w).alias("w_den"),
     )
+
+
+# --- capacity-respecting sequence packing (next-fit-decreasing per shard) ----
+
+_PACK_CAP = 128     # token capacity per packed training sequence
+_PACK_SHARDS = 8    # independent packing shards (the parallelism unit)
+
+
+def nextfit_pack(docs, capacity: int = _PACK_CAP, shards: int = _PACK_SHARDS):
+    """Capacity-RESPECTING sequence packing: within each shard, documents in
+    (n_tok DESC, doc_id) order fill 128-token bins next-fit — a doc that
+    would overflow the open bin closes it and starts the next; a doc longer
+    than the capacity sits alone in its own (overflowing) bin. The
+    complement of `pack_concat_chunks`: concat-then-chunk maximizes density
+    by letting documents straddle sequence boundaries, next-fit keeps every
+    document intact (the SFT/instruction-tuning constraint, where an
+    example split across sequences is corrupted) at the cost of padding —
+    next-fit-DECREASING ordering is the classic bound (≤2× optimal bins;
+    big docs first so small ones backfill).
+
+    The bin recurrence (fill resets when it would exceed capacity) is a
+    running-reset fold — NOT window-expressible (each reset depends on the
+    previous reset, unlike a plain cumsum), so the greedy runs as a
+    per-shard Arrow-batched applyInPandas. Scale shape at 100 TB: only
+    (doc_id, n_tok) METADATA crosses into Python — 16 bytes/doc, never
+    text — one shuffle on the shard key, and `shards` scales with the
+    cluster so each group's metadata fits an executor (skewless by
+    construction: round-robin doc_id % shards)."""
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tok"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bin_idx, pos, fill = [], [], 0
+        cur_bin = 0
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if not bin_idx:                 # first doc opens bin 0
+                fill, p = n, 0
+            elif fill + n <= capacity:      # fits the open bin
+                fill, p = fill + n, pos[-1] + 1
+            else:                           # close bin, open next
+                cur_bin, fill, p = cur_bin + 1, n, 0
+            bin_idx.append(cur_bin)
+            pos.append(p)
+        pdf["bin_idx"] = bin_idx
+        pdf["pos_in_bin"] = pos
+        return pdf[["doc_id", "shard", "bin_idx", "pos_in_bin", "n_tok"]]
+
+    return toks.groupBy("shard").applyInPandas(
+        pack,
+        schema="doc_id long, shard long, bin_idx long, pos_in_bin long, "
+               "n_tok long",
+    )
+
+
+@query(
+    "pack_bins_nextfit",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    ord AS (
+        SELECT doc_id, shard, n_tok,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY n_tok DESC, doc_id) AS rn
+        FROM toks
+    ),
+    pack AS (
+        SELECT shard, rn, doc_id, n_tok,
+               CAST(0 AS BIGINT) AS bin_idx,
+               n_tok AS fill,
+               CAST(0 AS BIGINT) AS pos_in_bin
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.n_tok,
+               CASE WHEN p.fill + o.n_tok <= {_PACK_CAP}
+                    THEN p.bin_idx ELSE p.bin_idx + 1 END,
+               CASE WHEN p.fill + o.n_tok <= {_PACK_CAP}
+                    THEN p.fill + o.n_tok ELSE o.n_tok END,
+               CASE WHEN p.fill + o.n_tok <= {_PACK_CAP}
+                    THEN p.pos_in_bin + 1 ELSE 0 END
+        FROM pack p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(bin_idx AS BIGINT) AS bin_idx,
+           CAST(pos_in_bin AS BIGINT) AS pos_in_bin,
+           CAST(n_tok AS BIGINT) AS n_tok
+    FROM pack
+    """,
+)
+def pack_bins_nextfit(spark, sf_dir):
+    """Correctness binding for ``nextfit_pack`` over the documents table.
+    The oracle replays the IDENTICAL greedy as a recursive CTE stepping one
+    rank per shard per iteration, so the driver hash pins the ordering, the
+    reset rule, every bin boundary, and every within-bin position — the
+    strongest possible check on a sequential algorithm (the same
+    unrolled-greedy discipline as the MMR and entity-resolution oracles).
+    Ties in (n_tok, doc_id) cannot occur (doc_id is unique), so the
+    sort order is total on both engines."""
+    return nextfit_pack(load(spark, sf_dir, "documents"))

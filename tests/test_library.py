@@ -713,3 +713,31 @@ def test_semantic_dedup_recall_vs_global_exact(spark, sf_dir):
     assert len(dropped) >= len(global_dups) - 1, (
         f"recall gap: global={len(global_dups)} dropped={len(dropped)}"
     )
+
+
+def test_nextfit_pack_invariants(spark, sf_dir):
+    """Structural packing invariants, independent of the oracle replica:
+    no bin exceeds capacity unless it holds exactly one oversize document,
+    within-bin positions are contiguous from 0, and bin indices are
+    contiguous from 0 per shard (next-fit never skips a bin)."""
+    from eviction_lab_etl_spark.operators.training import (
+        _PACK_CAP,
+        nextfit_pack,
+    )
+    from eviction_lab_etl_spark.sources.loader import load
+
+    rows = nextfit_pack(load(spark, sf_dir, "documents")).collect()
+    assert rows
+    bins: dict = {}
+    for r in rows:
+        bins.setdefault((r.shard, r.bin_idx), []).append(r)
+    for (shard, b), docs in bins.items():
+        total = sum(r.n_tok for r in docs)
+        if total > _PACK_CAP:
+            assert len(docs) == 1, (
+                f"overfull multi-doc bin {shard}/{b}: {total}"
+            )
+        assert sorted(r.pos_in_bin for r in docs) == list(range(len(docs)))
+    for shard in {s for s, _ in bins}:
+        idxs = sorted(b for s, b in bins if s == shard)
+        assert idxs == list(range(len(idxs))), f"shard {shard} skips bins"

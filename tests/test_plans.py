@@ -655,3 +655,24 @@ def test_dedup_semantic_quadratic_is_bucket_scoped(spark, sf_dir):
     # join hashes vec ids — nothing else may shuffle the corpus.
     parts = _re.findall(r"hashpartitioning\((\w+)", sd["plan"])
     assert parts and set(parts) <= {"cid", "vec_id", "dup", "a", "b"}, parts
+
+
+def test_pack_bins_nextfit_python_sees_metadata_only(spark, sf_dir):
+    """The packing greedy is a DECLARED Arrow boundary fed metadata only:
+    exactly one grouped-map Python stage, exactly one exchange (the shard
+    key), and the text column must not survive past the token count — the
+    Python stage's input schema carries (doc_id, shard, n_tok), never
+    text."""
+    pk = plan_of(spark, sf_dir, "pack_bins_nextfit")
+    assert pk["arrow_python"] == 1, pk["plan"]
+    assert pk["python_rows"] == 0
+    assert pk["shuffles"] == 1, pk["plan"]
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\((\w+)", pk["plan"])
+    assert parts and set(parts) == {"shard"}, parts
+    # the grouped-map node's child projection is id/shard/token-count only
+    gm = [l for l in pk["plan"].splitlines() if "FlatMapGroupsInPandas" in l
+          or "ArrowGroupedMapPython" in l or "GroupedMapPython" in l]
+    assert gm, pk["plan"]
+    assert "text" not in gm[0], gm[0]
