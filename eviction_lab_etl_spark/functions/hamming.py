@@ -41,16 +41,22 @@ def hamming_near_pairs(
     lo_col: str = "hash_lo",
     max_hd: int = 6,
     bands: int = 8,
+    group_col: str | None = None,
 ) -> DataFrame:
     """All (a, b, hd) with a < b (by ``id_col``) and Hamming distance
     hd ≤ ``max_hd`` between the 64-bit hashes, via banded bucket join.
 
     ``bands`` must exceed ``max_hd`` (the pigeonhole recall guarantee) and
     divide 64 evenly with a whole number of bands per 32-bit half.
-    """
-    return _candidate_pairs(hashes, id_col, hi_col, lo_col, max_hd, bands).filter(
-        F.col("hd") <= max_hd
-    ).distinct()
+
+    ``group_col`` restricts matching to rows sharing an alignment key —
+    e.g. the frame index for per-frame video fingerprints, a time bucket
+    for audio chromaprints — by folding it into the band bucket key (the
+    candidate shuffle stays one equi-join; no post-filter). When set, the
+    output carries the group column first: (group, a, b, hd)."""
+    return _candidate_pairs(
+        hashes, id_col, hi_col, lo_col, max_hd, bands, group_col
+    ).filter(F.col("hd") <= max_hd).distinct()
 
 
 def _candidate_pairs(
@@ -60,6 +66,7 @@ def _candidate_pairs(
     lo_col: str,
     max_hd: int,
     bands: int,
+    group_col: str | None = None,
 ) -> DataFrame:
     """The band-bucket collision frame (a, b, hd) BEFORE the hd filter,
     multiplicity kept — this is exactly the work the banding admits, which
@@ -93,26 +100,38 @@ def _candidate_pairs(
             for b in range(bands)
         ]
     )
+    grp = [F.col(group_col).alias("grp")] if group_col else []
     buckets = hashes.select(
+        *grp,
         F.col(id_col).alias("id"),
         F.col(hi_col).alias("hi"),
         F.col(lo_col).alias("lo"),
         F.explode(band_entries).alias("e"),
     ).select(
-        "id", "hi", "lo", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+        *(["grp"] if group_col else []),
+        "id",
+        "hi",
+        "lo",
+        F.col("e.band").alias("band"),
+        F.col("e.key").alias("key"),
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
     hd = F.bit_count(F.col("a.hi").bitwiseXOR(F.col("b.hi"))) + F.bit_count(
         F.col("a.lo").bitwiseXOR(F.col("b.lo"))
     )
-    return a.join(
-        b,
+    cond = (
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.key") == F.col("b.key"))
-        & (F.col("a.id") < F.col("b.id")),
-    ).select(
+        & (F.col("a.id") < F.col("b.id"))
+    )
+    if group_col:
+        cond = cond & (F.col("a.grp") == F.col("b.grp"))
+    out = [
         F.col("a.id").alias("a"),
         F.col("b.id").alias("b"),
         hd.cast("long").alias("hd"),
-    )
+    ]
+    if group_col:
+        out.insert(0, F.col("a.grp").alias(group_col))
+    return a.join(b, cond).select(*out)

@@ -639,6 +639,27 @@ def multimodal_audio_features(spark, sf_dir):
     )
 
 
+def _mint_video_payload(doc_id: int) -> bytes:
+    """Deterministic VID0 container for doc ``doc_id``: ``doc_id % 6 + 2``
+    PPM frames at the doc's image dimensions, pixel i of frame f =
+    ``(doc_id*31 + f*101 + 7*i) % 256`` — the closed form every video
+    oracle re-derives (shared by multimodal_video_motion and
+    multimodal_video_neardup)."""
+    w, h = _img_dims(doc_id)
+    frames = [
+        (
+            w,
+            h,
+            bytes(
+                (doc_id * 31 + f * 101 + 7 * i) % 256
+                for i in range(3 * w * h)
+            ),
+        )
+        for f in range(doc_id % 6 + 2)
+    ]
+    return media_codecs.encode_video(frames)
+
+
 @query(
     "multimodal_video_motion",
     oracle="""
@@ -685,24 +706,14 @@ def multimodal_video_motion(spark, sf_dir):
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads: list[bytes] = []
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = _img_dims(d)
-                n_frames = d % 6 + 2
-                frames = [
-                    (
-                        w,
-                        h,
-                        bytes(
-                            (d * 31 + f * 101 + 7 * i) % 256
-                            for i in range(3 * w * h)
-                        ),
-                    )
-                    for f in range(n_frames)
-                ]
-                payloads.append(media_codecs.encode_video(frames))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _mint_video_payload(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
 
     def motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -895,4 +906,146 @@ def multimodal_audio_neardup(spark, sf_dir):
         id_col="doc_id",
         max_hd=_AUDIO_FP_MAX_HD,
         bands=_AUDIO_FP_BANDS,
+    )
+
+
+# --- video near-duplicate detection (aligned per-frame dHash) ----------------
+
+_VID_BANDS = 8        # 8 bands x 8 bits over each frame's 64-bit dHash
+_VID_MAX_HD = 6       # pigeonhole: 8 bands > hd 6
+_VID_MIN_FRAMES = 2   # clips match when >= 2 aligned frames near-match
+
+# Closed-form per-(doc, frame) dHash recomputation: _PHASH_HASHES_DUCK with
+# the frame term (f*101) folded into the pattern and a frame axis carried
+# through resample -> luminance -> gradient bits -> bit packing.
+_VID_HASHES_DUCK = """
+    d0 AS (
+        SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h,
+               doc_id % 6 + 2 AS nf
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, tf.f AS f, ty.y AS y, tx.x AS x,
+               (  299 * ((doc_id*31 + tf.f*101 + 7*(3*(w*((ty.y*h)//8) + (tx.x*w)//9) + 0)) % 256)
+                + 587 * ((doc_id*31 + tf.f*101 + 7*(3*(w*((ty.y*h)//8) + (tx.x*w)//9) + 1)) % 256)
+                + 114 * ((doc_id*31 + tf.f*101 + 7*(3*(w*((ty.y*h)//8) + (tx.x*w)//9) + 2)) % 256)
+               ) // 1000 AS gray
+        FROM d0,
+             LATERAL (SELECT unnest(range(0, nf)) AS f) tf,
+             LATERAL (SELECT unnest(range(0, 9)) AS x) tx,
+             LATERAL (SELECT unnest(range(0, 8)) AS y) ty
+    ),
+    bits AS (
+        SELECT a.doc_id, a.f, (8 * a.y + a.x) AS pos,
+               CASE WHEN a.gray < b.gray THEN 1 ELSE 0 END AS bit
+        FROM g a
+        JOIN g b ON b.doc_id = a.doc_id AND b.f = a.f
+                AND b.y = a.y AND b.x = a.x + 1
+        WHERE a.x < 8
+    ),
+    hashes AS (
+        SELECT doc_id, f,
+               CAST(sum(CASE WHEN pos < 32
+                             THEN bit * (CAST(1 AS BIGINT) << (31 - pos)) END)
+                    AS BIGINT) AS hash_hi,
+               CAST(sum(CASE WHEN pos >= 32
+                             THEN bit * (CAST(1 AS BIGINT) << (63 - pos)) END)
+                    AS BIGINT) AS hash_lo
+        FROM bits GROUP BY doc_id, f
+    )
+"""
+
+
+def _video_phash_frame(spark, sf_dir: str) -> DataFrame:
+    """(doc_id, f, hash_hi, hash_lo) over the really-decoded video corpus:
+    mint VID0 payloads, walk the container's frames with the pure-Python
+    decoder, dHash each frame's pixels — one fused Arrow map chain; only
+    ids and 8-byte hash halves survive it (payloads never shuffle)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _mint_video_payload(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    def hash_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "f": [], "hash_hi": [], "hash_lo": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                frames = media_codecs.decode_video(bytes(payload))
+                for f, (w, h, rgb) in enumerate(frames):
+                    hi, lo = _dhash(w, h, rgb)
+                    out["doc_id"].append(int(doc_id))
+                    out["f"].append(f)
+                    out["hash_hi"].append(hi)
+                    out["hash_lo"].append(lo)
+            yield pd.DataFrame(out)
+
+    video = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    return video.mapInPandas(
+        hash_stage, schema="doc_id long, f long, hash_hi long, hash_lo long"
+    )
+
+
+@query(
+    "multimodal_video_neardup",
+    oracle=f"""
+    WITH {_VID_HASHES_DUCK},
+    fp AS (
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               bit_count(xor(a.hash_hi, b.hash_hi))
+               + bit_count(xor(a.hash_lo, b.hash_lo)) AS hd
+        FROM hashes a JOIN hashes b
+          ON a.f = b.f AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+              + bit_count(xor(a.hash_lo, b.hash_lo)) <= {_VID_MAX_HD}
+    )
+    SELECT a, b, CAST(count(*) AS BIGINT) AS n_match,
+           CAST(min(hd) AS BIGINT) AS min_hd
+    FROM fp GROUP BY a, b
+    HAVING count(*) >= {_VID_MIN_FRAMES}
+    """,
+)
+def multimodal_video_neardup(spark, sf_dir):
+    """NEAR-duplicate video clips — the third modality's entry in the
+    near-dup matrix (images: multimodal_phash_near; audio:
+    multimodal_audio_neardup): clips match when >= 2 frame-index-aligned
+    frame pairs sit within Hamming distance 6 of their per-frame 64-bit
+    dHash — the re-encoded/re-leveled copy case a byte digest misses, with
+    the >=2-frame quorum rejecting single-frame coincidences (a shared
+    title card). The per-frame hashing runs the REAL chain (VID0 mint →
+    frame-walking decode → dHash per frame, one fused Arrow map); matching
+    is the banded pigeonhole join with the frame index folded into the
+    bucket key (functions/hamming.py group_col — banding stays exact:
+    8 bands > hd 6 per frame), so candidates shuffle on (f, band, key) —
+    never pixels, never the clip-pair space. The oracle recomputes every
+    frame's every gradient bit from the mint's closed form and walks the
+    aligned quadratic join, pinning decoder, per-frame dHash, banding AND
+    the quorum aggregation at once. Scale: fingerprints are ~36 bytes per
+    frame; a 100 TB video corpus bands in the same plan with the aligned
+    key keeping buckets per-frame sparse."""
+    from eviction_lab_etl_spark.functions.hamming import hamming_near_pairs
+
+    pairs = hamming_near_pairs(
+        _video_phash_frame(spark, sf_dir),
+        id_col="doc_id",
+        max_hd=_VID_MAX_HD,
+        bands=_VID_BANDS,
+        group_col="f",
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n_match"),
+            F.min("hd").alias("min_hd"),
+        )
+        .filter(F.col("n_match") >= _VID_MIN_FRAMES)
     )

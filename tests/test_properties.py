@@ -970,3 +970,42 @@ def test_audio_neardup_equals_closed_form_bruteforce(spark, sf_dir):
     assert got == want
     # non-vacuous: the fixture must exercise every admissible distance
     assert {hd for _, _, hd in want} == set(range(7))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),          # group (frame)
+            st.integers(min_value=0, max_value=(1 << 64) - 1),
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hamming_group_banding_equals_python_bruteforce(spark, rows):
+    """group_col alignment (the multimodal_video_neardup engine): banded
+    matching restricted to rows sharing the group key must EQUAL the exact
+    per-group quadratic hd <= max_hd join — same pigeonhole guarantee, with
+    cross-group pairs structurally excluded however close their hashes."""
+    from eviction_lab_etl_spark.functions.hamming import hamming_near_pairs
+
+    data = [(i, g, h >> 32, h & 0xFFFFFFFF) for i, (g, h) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "doc_id long, f long, hash_hi long, hash_lo long"
+    )
+    got = {
+        (r.f, r.a, r.b, r.hd)
+        for r in hamming_near_pairs(
+            df, id_col="doc_id", max_hd=6, bands=8, group_col="f"
+        ).collect()
+    }
+    want = {
+        (rows[a][0], a, b, bin(rows[a][1] ^ rows[b][1]).count("1"))
+        for a in range(len(rows))
+        for b in range(a + 1, len(rows))
+        if rows[a][0] == rows[b][0]
+        and bin(rows[a][1] ^ rows[b][1]).count("1") <= 6
+    }
+    assert got == want
