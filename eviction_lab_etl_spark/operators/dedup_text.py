@@ -540,3 +540,93 @@ def text_length_hist(spark, sf_dir):
     return docs.groupBy(
         F.expr("(n_chars div 50) * 50").alias("bucket")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# --- inter-document duplicated-span coverage (C4/RefinedWeb-style signal) ----
+
+_SPAN_GRAM = 8  # tokens per span shingle
+
+
+@query(
+    "text_dup_span_coverage",
+    oracle=f"""
+    WITH media AS ({fixtures.DOCUMENTS_WITH_DUPS_SQL}),
+    t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM media
+    ),
+    g AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_slice(toks, i.i, i.i + {_SPAN_GRAM - 1}), ' ') AS gram
+        FROM t, LATERAL (
+            SELECT unnest(range(1, greatest(n - {_SPAN_GRAM - 1}, 0) + 1)) AS i
+        ) i
+    ),
+    sh AS (
+        SELECT gram FROM (
+            SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+        ) WHERE nd >= 2
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(count(sh.gram) AS BIGINT) AS n_dup_grams,
+           CAST((1000 * count(sh.gram)) // count(*) AS BIGINT) AS dup_permille
+    FROM g LEFT JOIN sh ON g.gram = sh.gram
+    GROUP BY g.doc_id
+    """,
+)
+def text_dup_span_coverage(spark, sf_dir):
+    """Inter-document duplicated-SPAN coverage (Lee et al. '22's exact
+    substring signal, span-granular): per document, the fraction of its
+    8-token shingle positions whose shingle also occurs in ANOTHER
+    document — the quality gate that catches boilerplate and partially
+    copied pages which document-level dedup (exact or near) misses, and
+    the complement of `contam_ngram_overlap` (cross-SET) and
+    `text_dedup_repeats` (intra-doc). Integer permille via floor division.
+    Input is the dup-planted corpus (25 verbatim copies → permille 1000 on
+    both sides of each pair; the 31-token fixture vocabulary still leaves
+    8-gram space ≈ 31^8, so organic cross-doc matches stay rare and the
+    signal is non-vacuous in both directions).
+
+    Scale shape: one shuffle on the gram for the document-frequency count
+    (map-side partial agg), one equi-join back on the gram, one per-doc
+    aggregate. Gram STRINGS keep the oracle exact; the 8-byte
+    xxhash64-gram variant (contam_ngram_hashed's move) narrows the
+    shuffle ~4x at 100 TB with the identical plan."""
+    docs = fixtures.documents_with_dups(spark, sf_dir)
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                n >= _SPAN_GRAM,
+                F.transform(
+                    F.sequence(F.lit(1), n - (_SPAN_GRAM - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, _SPAN_GRAM), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    shared = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram", F.lit(1).alias("hit"))
+    )
+    return (
+        grams.join(shared, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            big(F.count(F.lit(1))).alias("n_grams"),
+            big(F.sum(F.coalesce(F.col("hit"), F.lit(0)))).alias("n_dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_dup_grams",
+            F.expr("(1000 * n_dup_grams) div n_grams").alias("dup_permille"),
+        )
+    )

@@ -253,8 +253,12 @@ def embed_kmeans_iter(spark, sf_dir):
 
 _PQ_M, _PQ_K, _PQ_SUB = 4, 4, 16  # 4 subspaces x 16 dims, 4 codewords each
 
-_PQ_ORACLE = f"""
-    WITH q AS (
+# Shared CTE block: quantized corpus -> deterministic codebook -> per-
+# (vec, subspace) sub-distances -> ranked codeword assignment. Both the
+# encoding oracle (embed_pq_codes) and the ADC search oracle
+# (search_pq_adc_topk) build on `a` (rn = 1 rows are the chosen codes).
+_PQ_CTES = f"""
+    q AS (
       SELECT vec_id,
              list_transform(embedding,
                  e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
@@ -280,6 +284,10 @@ _PQ_ORACLE = f"""
              row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
       FROM d
     )
+"""
+
+_PQ_ORACLE = f"""
+    WITH {_PQ_CTES.strip()}
     SELECT CAST(vec_id AS BIGINT) AS vec_id,
            CAST(sum(CASE WHEN m = 0 THEN cid END) AS BIGINT) AS c0,
            CAST(sum(CASE WHEN m = 1 THEN cid END) AS BIGINT) AS c1,
@@ -316,13 +324,30 @@ def embed_pq_codes(spark, sf_dir):
     NO exchange anywhere — the plan a per-row transform should have. The
     only Python-free fold is `aggregate(zip_with(...))` inside whole-stage
     codegen."""
+    out = _pq_encoded(spark, sf_dir)
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        *[F.col(f"b{m}.cid").alias(f"c{m}") for m in range(_PQ_M)],
+        sum(
+            [F.col(f"b{m}.d") for m in range(1, _PQ_M)], F.col("b0.d")
+        ).alias("err_q"),
+    )
+
+
+def _pq_quantized(spark, sf_dir):
+    """(vec_id, q): the corpus on the 1e-3 integer grid."""
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.select(
+    return emb.select(
         "vec_id",
         F.transform(
             "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
         ).alias("q"),
     )
+
+
+def _pq_codebook_wide(q):
+    """The deterministic codebook as ONE wide broadcast row: c_{m}_{i} =
+    subspace-m slice of seed vector i (the 4 lowest vec_ids)."""
     from pyspark.sql import Window
 
     seeds = (
@@ -333,8 +358,7 @@ def embed_pq_codes(spark, sf_dir):
             "q",
         )
     )
-    # One wide row: codeword (i) x subspace (m) -> 16-dim integer array.
-    wide = seeds.groupBy().agg(
+    return seeds.groupBy().agg(
         *[
             F.min(
                 F.when(
@@ -346,19 +370,31 @@ def embed_pq_codes(spark, sf_dir):
         ]
     )
 
-    def sub_dist(m: int, i: int):
-        sub = F.slice("q", m * _PQ_SUB + 1, _PQ_SUB)
-        return F.aggregate(
-            F.zip_with(sub, F.col(f"c_{m}_{i}"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
+
+def _pq_sub_dist(vec_col: str, m: int, i: int):
+    """Integer squared distance between ``vec_col``'s subspace-m slice and
+    codeword i (a c_{m}_{i} column from the broadcast codebook row)."""
+    sub = F.slice(vec_col, m * _PQ_SUB + 1, _PQ_SUB)
+    return F.aggregate(
+        F.zip_with(sub, F.col(f"c_{m}_{i}"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_encoded(spark, sf_dir):
+    """(vec_id, q, b0..b3) — every vector with its per-subspace
+    (distance, codeword) argmin structs; shared by the encoding and the
+    ADC search. Plan: scan → 1-row codebook BNLJ → per-row folds."""
+    q = _pq_quantized(spark, sf_dir)
+    wide = _pq_codebook_wide(q)
 
     def best(m: int):
         cands = F.array(
             *[
                 F.struct(
-                    sub_dist(m, i).alias("d"), F.lit(i).cast("long").alias("cid")
+                    _pq_sub_dist("q", m, i).alias("d"),
+                    F.lit(i).cast("long").alias("cid"),
                 )
                 for i in range(_PQ_K)
             ]
@@ -366,14 +402,8 @@ def embed_pq_codes(spark, sf_dir):
         return F.array_min(cands)
 
     enc = q.join(F.broadcast(wide))
-    picks = [best(m).alias(f"b{m}") for m in range(_PQ_M)]
-    out = enc.select("vec_id", *picks)
-    return out.select(
-        F.col("vec_id").cast("long").alias("vec_id"),
-        *[F.col(f"b{m}.cid").alias(f"c{m}") for m in range(_PQ_M)],
-        sum(
-            [F.col(f"b{m}.d") for m in range(1, _PQ_M)], F.col("b0.d")
-        ).alias("err_q"),
+    return enc.select(
+        "vec_id", "q", *[best(m).alias(f"b{m}") for m in range(_PQ_M)]
     )
 
 
@@ -596,3 +626,84 @@ def dedup_semantic(spark, sf_dir):
     from eviction_lab_etl_spark import fixtures
 
     return semantic_dedup(fixtures.embeddings_with_twins(spark, sf_dir))
+
+
+_PQ_TOPK = 10
+
+
+@query(
+    "search_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CTES.strip()},
+    codes AS (SELECT vec_id, m, cid FROM a WHERE rn = 1),
+    probe AS (SELECT q FROM q WHERE vec_id = 0),
+    tab AS (
+      SELECT s.cid, m.m,
+             list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                 j -> (p.q[m.m * {_PQ_SUB} + j] - s.c[m.m * {_PQ_SUB} + j])
+                    * (p.q[m.m * {_PQ_SUB} + j] - s.c[m.m * {_PQ_SUB} + j])))
+                 AS t
+      FROM probe p,
+           (SELECT unnest(range(0, {_PQ_M})) AS m) m,
+           seeds s
+    ),
+    score AS (
+      SELECT c.vec_id, CAST(sum(tab.t) AS BIGINT) AS adc_q
+      FROM codes c JOIN tab ON tab.m = c.m AND tab.cid = c.cid
+      GROUP BY c.vec_id
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, adc_q,
+           CAST(row_number() OVER (ORDER BY adc_q, vec_id) AS BIGINT) AS rnk
+    FROM score ORDER BY adc_q, vec_id LIMIT {_PQ_TOPK}
+    """,
+)
+def search_pq_adc_topk(spark, sf_dir):
+    """ADC (asymmetric distance computation) top-10 over the PQ codes —
+    the query side of the PQ index `embed_pq_codes` builds: the probe
+    (vec_id 0) precomputes one 4×4 lookup table (probe subvector ↔ each
+    codeword, integer squared distances), and every corpus vector scores
+    as the SUM OF 4 TABLE LOOKUPS on its codes — no per-pair vector
+    arithmetic at all, which is the entire point of PQ search (Jégou et
+    al.: the probe stays full-precision, the corpus is 4 codes, distances
+    come from a KB-sized table). The dominant cost per candidate drops
+    from 64 multiplies to 4 lookups, and the corpus columns read are the
+    codes alone.
+
+    Determinism: every table entry is an integer; rank order is
+    (adc_q, vec_id) — total. Plan shape: codes come from the map-only
+    encoding (1-row codebook BNLJ), the table is a second 1-row broadcast
+    (probe × codebook — both KB-sized), scoring is a per-row CASE fold,
+    and the top-10 is TakeOrderedAndProject — the corpus never exchanges
+    before the cut. The oracle rebuilds codebook, codes, table, and
+    ranking from scratch."""
+    q = _pq_quantized(spark, sf_dir)
+    enc = _pq_encoded(spark, sf_dir)
+    wide = _pq_codebook_wide(q)
+    probe = q.filter(F.col("vec_id") == 0).select(F.col("q").alias("pq"))
+    tabs = probe.join(F.broadcast(wide)).select(
+        *[
+            _pq_sub_dist("pq", m, i).alias(f"t_{m}_{i}")
+            for m in range(_PQ_M)
+            for i in range(_PQ_K)
+        ]
+    )
+    adc_terms = []
+    for m in range(_PQ_M):
+        term = F.lit(None).cast("long")
+        for i in range(_PQ_K):
+            term = F.when(
+                F.col(f"b{m}.cid") == i, F.col(f"t_{m}_{i}")
+            ).otherwise(term)
+        adc_terms.append(term)
+    scored = enc.join(F.broadcast(tabs)).select(
+        "vec_id", sum(adc_terms[1:], adc_terms[0]).alias("adc_q")
+    )
+    top = scored.orderBy("adc_q", "vec_id").limit(_PQ_TOPK)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("adc_q", "vec_id")
+    return top.select(
+        big("vec_id").alias("vec_id"),
+        big("adc_q").alias("adc_q"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )

@@ -73,7 +73,8 @@ EXTENSIONS = {
     "split_cluster_safe", "window_skyline_3d", "sim_ann_lsh_recall",
     "multimodal_audio_neardup",
     "embed_pq_codes", "dedup_semantic", "pack_bins_nextfit",
-    "multimodal_video_neardup",
+    "multimodal_video_neardup", "text_dup_span_coverage",
+    "search_pq_adc_topk",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

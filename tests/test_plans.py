@@ -676,3 +676,31 @@ def test_pack_bins_nextfit_python_sees_metadata_only(spark, sf_dir):
           or "ArrowGroupedMapPython" in l or "GroupedMapPython" in l]
     assert gm, pk["plan"]
     assert "text" not in gm[0], gm[0]
+
+
+def test_search_pq_adc_topk_corpus_never_exchanges_before_cut(spark, sf_dir):
+    """ADC search must keep the PQ promise: the corpus path is map-only
+    folds (codebook + lookup table both ride 1-row broadcasts) ending in
+    TakeOrderedAndProject — no corpus hash exchange before the top-10 cut,
+    no Python anywhere."""
+    ad = plan_of(spark, sf_dir, "search_pq_adc_topk")
+    assert "TakeOrderedAndProject" in ad["plan"]
+    assert ad["python_rows"] == 0 and ad["arrow_python"] == 0
+    assert ad["sortmerge_joins"] == 0 and ad["broadcast_joins"] == 0
+    import re as _re
+
+    for part in _re.findall(r"hashpartitioning\(([^)]*)\)", ad["plan"]):
+        raise AssertionError(f"corpus hash exchange leaked: {part}")
+
+
+def test_text_dup_span_coverage_shape(spark, sf_dir):
+    """Span-coverage: gram strings shuffle once for the document-frequency
+    count, join back on the gram, one per-doc aggregate — no Python, no
+    cartesian, and the doc-frequency side's exchange reuses the gram key."""
+    sp = plan_of(spark, sf_dir, "text_dup_span_coverage")
+    assert "CartesianProduct" not in sp["plan"]
+    assert sp["python_rows"] == 0 and sp["arrow_python"] == 0
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\((\w+)", sp["plan"])
+    assert parts and set(parts) <= {"gram", "doc_id"}, parts
