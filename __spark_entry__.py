@@ -42,28 +42,21 @@ _FLAGSHIP = "agg_sum_groupby"
 # stale queue can never burn a later round's budget re-checking green rows.
 # Bump _QUEUE_AS_OF to the highest CORRECTNESS_r*.json round present whenever
 # the queue is edited.
-_QUEUE_AS_OF = 7
+_QUEUE_AS_OF = 8
 _RECHECK_QUEUE: tuple[str, ...] = (
-    # --- Round-7 verdict item 2 leads: the corpus-sized persist is now
-    # bounded to the result handle's lifetime (weakref finalizer); the
-    # returned plan is unchanged but the query body changed, so it re-checks.
-    "pipeline_corpus_clean",    # r8: cache pin bounded to result lifetime
-    # --- Error-bound contracts (r7 verdict item 1): rows-only -> hash via
-    # in-query accuracy verdicts the oracle pins as literal TRUE.
-    "agg_approx_distinct",      # UPGRADED r8: exact + |err|<=3*rsd verdict
-    "agg_approx_quantile",      # UPGRADED r8: rank-error-in-bound verdicts
-    "sketch_hll_partitioned",   # UPGRADED r8: merged-estimate 5% envelope
-    "sim_ann_lsh_recall",       # NEW r8: ml MinHashLSH recall >= 900 pm
-    # --- New/changed operators:
-    "multimodal_audio_neardup", # NEW r8: banded envelope-fp audio near-dup
-    "window_skyline_3d",        # r8: data-driven quantile+salt banding
-    "search_mmr_diverse",       # r8: re-expressed over functions/rerank.py
-    "io_csv_roundtrip",         # r8: writes exactly the checked columns
-    "join_bloom_pruned",        # r8: probe binds each hash position once
-    "sim_ann_lsh",              # r8: pair surface factored into _ann_lsh_pairs
-    "multimodal_audio_decode",  # r8: fp stage shares its decode helpers
-    "multimodal_audio_features",  # r8: same module refactor, re-verify cheap
-    "ts_ewma_smooth",           # r8: sign-invariant note (docstring) — cheap
+    # --- Round-9 new operators (never driver-checked):
+    "embed_pq_codes",           # NEW r9: PQ encoding, map-only plan
+    "search_pq_adc_topk",       # NEW r9: ADC table-lookup top-10
+    "dedup_semantic",           # NEW r9: SemDeDup cluster-scoped near-dup
+    "pack_bins_nextfit",        # NEW r9: capacity-respecting packing
+    "multimodal_video_neardup", # NEW r9: aligned per-frame dHash quorum
+    "text_dup_span_coverage",   # NEW r9: inter-doc 8-gram span coverage
+    # --- Round-9 changed code paths:
+    "multimodal_video_motion",  # r9: mint factored into _mint_video_payload
+    "multimodal_phash_near",    # r9: hamming._candidate_pairs grew group_col
+    "multimodal_audio_neardup", # r9: same shared banding path, re-verify
+    # --- Changed AFTER the r8 driver run (commit fcb38d6, 04:24 vs 04:01):
+    "window_skyline_3d",        # r8 tail: unseen-band salt coalesce(...,1)
 )
 
 

@@ -106,6 +106,18 @@ R7_HEADLINE = [
     "text_mix_entropy",           # (source,lang) count + window + micro-floor
 ]
 
+# Round-8/9 additions (same seeding rule): the audio/video near-dup banding,
+# the PQ encode/search pair, SemDeDup, packing, and span coverage.
+R9_HEADLINE = [
+    "multimodal_audio_neardup",   # r8: banded envelope-fp over real WAV decode
+    "embed_pq_codes",             # r9: map-only PQ encoding (1-row codebook BNLJ)
+    "search_pq_adc_topk",         # r9: ADC table-lookup scoring + TakeOrdered
+    "dedup_semantic",             # r9: bucket-scoped cosine election, nprobe=2
+    "pack_bins_nextfit",          # r9: per-shard Arrow greedy, metadata-only
+    "multimodal_video_neardup",   # r9: aligned per-frame dHash quorum join
+    "text_dup_span_coverage",     # r9: gram-DF shuffle + join-back coverage
+]
+
 # Per-topology regression base for the TPC-H power family: the round-6
 # per-query warm medians (SCALE.md "TPC-H power" table, sf0.1, local[32]).
 # The 21-query total alone can hide one topology regressing 3x behind noise
@@ -210,7 +222,8 @@ def main() -> None:
         return round(statistics.median(runs), 4)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE + R7_HEADLINE:
+    for name in (HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE
+                 + R7_HEADLINE + R9_HEADLINE):
         timings[name] = warm_median(name)
 
     # TPC-H-shape power total: the 21 complex_* topologies back-to-back
@@ -303,6 +316,7 @@ def main() -> None:
                 "r5_queries": R5_HEADLINE,
                 "r6_queries": R6_HEADLINE,
                 "r7_queries": R7_HEADLINE,
+                "r9_queries": R9_HEADLINE,
                 "tpch_power": {
                     "total_sec": round(tpch_total, 4),
                     "n_queries": len(tpch_names),

@@ -470,32 +470,12 @@ _SEM_ORACLE_BODY = """
 """
 
 
-def semantic_dedup(corpus, k: int = _SEM_K, nprobe: int = 2,
-                   id_col: str = "vec_id", vec_col: str = "v"):
-    """SemDeDup (Abbas et al. '23) as a pure operator: coarse-cluster the
-    embedding corpus, then prune near-duplicates ONLY within cluster
-    buckets — a vector is dropped iff a lower-id vector sharing one of its
-    ``nprobe`` nearest-centroid buckets sits at cosine >= 0.9. The O(n²)
-    global pair space never materializes; the quadratic is confined to
-    per-bucket blocks (Σ|c|² work — the paper's entire scaling argument),
-    the alternative scale path to SRP banding (sim_cosine_neardup) with a
-    keep/drop decision surface instead of a pair list. ``nprobe`` = 2 is
-    the ann_ivf multi-probe move: single-bucket scoping loses exactly the
-    pairs straddling a Voronoi boundary (measured 36/50 twins at nprobe=1
-    on the sf0.01 fixture; 50/50 at nprobe=2 — 49/50 at sf0.001, one
-    residual boundary twin — with the candidate space still 2.2× under
-    the global join even at k=8; pruning scales ~k/nprobe² as k grows).
-
-    Exactness: quantize-once to the 1e-3 integer grid, integer squared
-    distances for assignment (tie → lowest cid), and the cosine test as an
-    integer cross-multiplication (den·dot² >= num·|a|²·|b|² with dot >= 0)
-    — no float ever compared. Assignment is MAP-ONLY: the k centroids ride
-    one broadcast row (the embed_pq_codes pattern), per-row top-nprobe
-    over a k-element struct array; the first corpus exchange is the
-    bucket-keyed self-join itself. At 100 TB: one shuffle on cid (k in the
-    thousands keeps blocks bounded; a hot cluster is capped by
-    re-splitting k, the skyline_nd salting move), one id-keyed join for
-    the verdict."""
+def semantic_buckets(corpus, k: int = _SEM_K, nprobe: int = 2,
+                     id_col: str = "vec_id", vec_col: str = "v"):
+    """The assignment stage of ``semantic_dedup``, exposed for measurement
+    and reuse: (vec_id, q, n2, buckets) with ``buckets`` = the ``nprobe``
+    nearest-centroid (d, cid) structs, ascending. Map-only (one-row
+    codebook broadcast)."""
     q = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.transform(
@@ -540,9 +520,38 @@ def semantic_dedup(corpus, k: int = _SEM_K, nprobe: int = 2,
         ]
     )
     ranked = F.slice(F.array_sort(cands), 1, nprobe)
-    assigned = n.join(F.broadcast(wide)).select(
+    return n.join(F.broadcast(wide)).select(
         "vec_id", "q", "n2", ranked.alias("buckets")
     )
+
+
+def semantic_dedup(corpus, k: int = _SEM_K, nprobe: int = 2,
+                   id_col: str = "vec_id", vec_col: str = "v"):
+    """SemDeDup (Abbas et al. '23) as a pure operator: coarse-cluster the
+    embedding corpus, then prune near-duplicates ONLY within cluster
+    buckets — a vector is dropped iff a lower-id vector sharing one of its
+    ``nprobe`` nearest-centroid buckets sits at cosine >= 0.9. The O(n²)
+    global pair space never materializes; the quadratic is confined to
+    per-bucket blocks (Σ|c|² work — the paper's entire scaling argument),
+    the alternative scale path to SRP banding (sim_cosine_neardup) with a
+    keep/drop decision surface instead of a pair list. ``nprobe`` = 2 is
+    the ann_ivf multi-probe move: single-bucket scoping loses exactly the
+    pairs straddling a Voronoi boundary (measured 36/50 twins at nprobe=1
+    on the sf0.01 fixture; 50/50 at nprobe=2 — 49/50 at sf0.001, one
+    residual boundary twin — with the candidate space still 2.2× under
+    the global join even at k=8; pruning scales ~k/nprobe² as k grows).
+
+    Exactness: quantize-once to the 1e-3 integer grid, integer squared
+    distances for assignment (tie → lowest cid), and the cosine test as an
+    integer cross-multiplication (den·dot² >= num·|a|²·|b|² with dot >= 0)
+    — no float ever compared. Assignment is MAP-ONLY: the k centroids ride
+    one broadcast row (the embed_pq_codes pattern), per-row top-nprobe
+    over a k-element struct array; the first corpus exchange is the
+    bucket-keyed self-join itself. At 100 TB: one shuffle on cid (k in the
+    thousands keeps blocks bounded; a hot cluster is capped by
+    re-splitting k, the skyline_nd salting move), one id-keyed join for
+    the verdict."""
+    assigned = semantic_buckets(corpus, k, nprobe, id_col, vec_col)
     x1 = assigned.select(
         "vec_id", F.element_at("buckets", 1)["cid"].alias("cid")
     )

@@ -128,6 +128,25 @@ STRESS = [
     # key-multiplied sweep would time the fixture artifact, not the
     # algorithm — measure_audio_fp_pruning covers the chain on a realistic
     # white-noise corpus instead (the sim_jaccard_prefix precedent).
+    # Round 9: PQ encode is the map-only per-row transform (embeddings
+    # scale 2k -> 60k), ADC search adds the table-lookup scoring with a
+    # constant top-10 output (the TakeOrdered floor), next-fit packing
+    # scales the per-shard Arrow greedy with the document corpus, and
+    # span coverage scales the gram-DF shuffle. multimodal_video_neardup
+    # is ABSENT for the audio rule: the mint's (doc_id*31 + f*101) % 256
+    # pattern family realizes only ~289 distinct frame hashes, so a
+    # key-multiplied corpus replays the same hashes and the TRUE match
+    # count grows quadratically — output-bound by construction; the
+    # banding engine's pruning is measured on realistic data by
+    # measure_audio_fp_pruning (same functions/hamming.py chain) and the
+    # group-aligned exactness by the brute-force property test.
+    # dedup_semantic's registered binding caps its corpus at vec_id<300
+    # (constant) — measure_semantic_pruning covers the pure operator on
+    # the SCALED full embeddings instead.
+    "embed_pq_codes",
+    "search_pq_adc_topk",
+    "pack_bins_nextfit",
+    "text_dup_span_coverage",
 ]
 
 
@@ -400,6 +419,103 @@ def measure_jaccard_stress(spark, mult: int) -> dict:
     }
 
 
+def measure_semantic_pruning(spark, mult: int) -> dict:
+    """SemDeDup candidate pruning at the PRODUCTION posture: k scales with
+    the corpus (k = 8·mult here, holding bucket size roughly constant the
+    way the paper deploys — the registered dedup_semantic binding pins
+    k=8 on its bounded planted-twins universe), so the bucket-scoped
+    candidate mass grows ~linearly in n while the global pair space grows
+    quadratically. Assignment uses the k-row broadcast + window argmin
+    (the embed_kmeans_iter shape) because a 3-digit k outgrows the
+    one-row-wide codegen fold the bounded binding uses — identical math,
+    the knob the operator docstring names. Reports the candidate mass
+    (what actually shuffles into the verify), the global pair space, and
+    the wall time of the full election (assign → bucket self-join →
+    integer-cosine verdict → dup count)."""
+    from pyspark.sql import Window
+
+    sf_dir = build_scaled(spark, mult)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    k, nprobe = 8 * mult, 2
+    q = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    )
+    n = q.count()
+    seeds = (
+        q.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("long")
+            .alias("cid"),
+            F.col("q").alias("c"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    start = time.perf_counter()
+    x2 = (
+        q.crossJoin(F.broadcast(seeds))
+        .select(
+            "vec_id",
+            "q",
+            "cid",
+            dist.alias("d"),
+            F.aggregate(
+                "q", F.lit(0).cast("long"), lambda acc, v: acc + v * v
+            ).alias("n2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
+        .select("vec_id", "q", "n2", "cid")
+    )
+    pa, pb = x2.alias("pa"), x2.alias("pb")
+    dot = F.aggregate(
+        F.zip_with(F.col("pa.q"), F.col("pb.q"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    dups = (
+        pa.join(
+            pb,
+            (F.col("pa.cid") == F.col("pb.cid"))
+            & (F.col("pa.vec_id") < F.col("pb.vec_id")),
+        )
+        .filter(
+            (dot >= 0)
+            & (F.lit(100) * dot * dot >= F.lit(81) * F.col("pa.n2") * F.col("pb.n2"))
+        )
+        .select(F.col("pb.vec_id").alias("dup"))
+        .distinct()
+        .count()
+    )
+    wall = time.perf_counter() - start
+    # Candidate MASS = what the bucket self-join admits (sum of per-bucket
+    # pair counts over both probe buckets) — arithmetic over group sizes,
+    # no pair materialization needed for the count itself.
+    sizes = x2.groupBy("cid").agg(F.count(F.lit(1)).alias("c"))
+    mass = sizes.select(
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long")
+    ).collect()[0][0]
+    all_pairs = n * (n - 1) // 2
+    return {
+        "vectors": n,
+        "k": k,
+        "candidate_mass": int(mass),
+        "all_pairs": all_pairs,
+        "pruning_x": round(all_pairs / max(int(mass), 1), 1),
+        "dup_ids": dups,
+        "wall_sec": round(wall, 2),
+    }
+
+
 def measure_minhash_stress(spark, mult: int) -> dict:
     """MinHash-LSH banding (functions/minhash.py) on the same kind of
     rarity-structured synthetic corpus as measure_jaccard_stress — the shape
@@ -513,6 +629,7 @@ def main() -> None:
     # re-measure after adding entries, without re-timing the whole list).
     extra_only = "--cc-prefix" in args
     minhash_only = "--minhash" in args
+    semantic_only = "--semantic" in args
     only: set[str] | None = None
     for a in args:
         if a.startswith("--only="):
@@ -526,6 +643,20 @@ def main() -> None:
         app_name="elspark-scale-stress", master="local[32]", shuffle_partitions=32
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if semantic_only:
+        for mult in mults:
+            print(
+                json.dumps(
+                    {
+                        "metric": "scale_stress_semantic",
+                        "mult": mult,
+                        "semantic": measure_semantic_pruning(spark, mult),
+                    }
+                ),
+                flush=True,
+            )
+        return
 
     if minhash_only:
         for mult in mults:
