@@ -382,12 +382,16 @@ def _pq_sub_dist(vec_col: str, m: int, i: int):
     )
 
 
-def _pq_encoded(spark, sf_dir):
+def _pq_encoded(spark, sf_dir, q=None, wide=None):
     """(vec_id, q, b0..b3) — every vector with its per-subspace
     (distance, codeword) argmin structs; shared by the encoding and the
-    ADC search. Plan: scan → 1-row codebook BNLJ → per-row folds."""
-    q = _pq_quantized(spark, sf_dir)
-    wide = _pq_codebook_wide(q)
+    ADC search (which passes its already-built q/wide frames so the
+    codebook subtree is constructed once per query). Plan: scan → 1-row
+    codebook BNLJ → per-row folds."""
+    if q is None:
+        q = _pq_quantized(spark, sf_dir)
+    if wide is None:
+        wide = _pq_codebook_wide(q)
 
     def best(m: int):
         cands = F.array(
@@ -451,7 +455,7 @@ _SEM_ORACLE_BODY = """
       FROM n JOIN ranked r ON n.vec_id = r.vec_id AND r.rn <= {nprobe}
     ),
     pair0 AS (
-      SELECT DISTINCT pa.vec_id AS pa_id, pb.vec_id AS pb_id,
+      SELECT pa.vec_id AS pa_id, pb.vec_id AS pb_id,
              pa.n2 AS na2, pb.n2 AS nb2, pa.q AS qa, pb.q AS qb
       FROM x2 pa JOIN x2 pb ON pa.cid = pb.cid AND pa.vec_id < pb.vec_id
     ),
@@ -471,11 +475,23 @@ _SEM_ORACLE_BODY = """
 
 
 def semantic_buckets(corpus, k: int = _SEM_K, nprobe: int = 2,
-                     id_col: str = "vec_id", vec_col: str = "v"):
+                     id_col: str = "vec_id", vec_col: str = "v",
+                     wide_max_k: int = 16):
     """The assignment stage of ``semantic_dedup``, exposed for measurement
     and reuse: (vec_id, q, n2, buckets) with ``buckets`` = the ``nprobe``
-    nearest-centroid (d, cid) structs, ascending. Map-only (one-row
-    codebook broadcast)."""
+    nearest-centroid (d, cid) structs, ascending.
+
+    Two physically different paths, one semantics (identical integer
+    argmin, tie → lowest cid):
+    - k ≤ ``wide_max_k``: the codebook rides ONE broadcast row and the
+      argmin is a per-row struct-array fold — map-only, zero corpus
+      exchange (the bounded-fixture shape the registered binding pins).
+    - k > ``wide_max_k``: a k-element per-row fold outgrows whole-stage
+      codegen, so the codebook broadcasts as a k-ROW frame and the
+      top-nprobe is a (vec_id)-keyed window + collect — the
+      embed_kmeans_iter assignment shape, one extra corpus exchange.
+      This is the PRODUCTION posture (k scales with the corpus to hold
+      bucket size constant; SCALE.md measures it at k = 8·mult)."""
     q = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.transform(
@@ -495,10 +511,32 @@ def semantic_buckets(corpus, k: int = _SEM_K, nprobe: int = 2,
         q.orderBy("vec_id")
         .limit(k)
         .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("cid"),
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("long")
+            .alias("cid"),
             "q",
         )
     )
+    if k > wide_max_k:
+        cent = seeds.select("cid", F.col("q").alias("c"))
+        dist = F.aggregate(
+            F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "cid")
+        ranked_rows = (
+            n.crossJoin(F.broadcast(cent))
+            .select("vec_id", "q", "n2", "cid", dist.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= nprobe)
+        )
+        return ranked_rows.groupBy("vec_id").agg(
+            F.first("q").alias("q"),
+            F.first("n2").alias("n2"),
+            F.array_sort(F.collect_list(F.struct("d", "cid"))).alias("buckets"),
+        )
+
     wide = seeds.groupBy().agg(
         *[
             F.min(F.when(F.col("cid") == i, F.col("q"))).alias(f"c_{i}")
@@ -562,23 +600,21 @@ def semantic_dedup(corpus, k: int = _SEM_K, nprobe: int = 2,
         F.explode(F.transform("buckets", lambda s: s["cid"])).alias("cid"),
     )
     pa, pb = x2.alias("pa"), x2.alias("pb")
-    # A pair sharing BOTH probe buckets would double-count: dedup the
-    # candidate pair before the dot product so the verify runs once.
-    pairs = (
-        pa.join(
-            pb,
-            (F.col("pa.cid") == F.col("pb.cid"))
-            & (F.col("pa.vec_id") < F.col("pb.vec_id")),
-        )
-        .select(
-            F.col("pa.vec_id").alias("a"),
-            F.col("pb.vec_id").alias("b"),
-            F.col("pa.q").alias("qa"),
-            F.col("pb.q").alias("qb"),
-            F.col("pa.n2").alias("na2"),
-            F.col("pb.n2").alias("nb2"),
-        )
-        .distinct()
+    # A pair sharing BOTH probe buckets is verified twice (rare) — the
+    # verdict's own id-level distinct collapses it. Deduping the pair frame
+    # FIRST would cost a full-width exchange carrying both 64-element
+    # quantized vectors per candidate pair (the widest shuffle in the
+    # operator) to save one 64-multiply fold; strictly worse at scale.
+    pairs = pa.join(
+        pb,
+        (F.col("pa.cid") == F.col("pb.cid"))
+        & (F.col("pa.vec_id") < F.col("pb.vec_id")),
+    ).select(
+        F.col("pb.vec_id").alias("b"),
+        F.col("pa.q").alias("qa"),
+        F.col("pb.q").alias("qb"),
+        F.col("pa.n2").alias("na2"),
+        F.col("pb.n2").alias("nb2"),
     )
     dot = F.aggregate(
         F.zip_with("qa", "qb", lambda a, b: a * b),
@@ -686,8 +722,8 @@ def search_pq_adc_topk(spark, sf_dir):
     before the cut. The oracle rebuilds codebook, codes, table, and
     ranking from scratch."""
     q = _pq_quantized(spark, sf_dir)
-    enc = _pq_encoded(spark, sf_dir)
     wide = _pq_codebook_wide(q)
+    enc = _pq_encoded(spark, sf_dir, q=q, wide=wide)
     probe = q.filter(F.col("vec_id") == 0).select(F.col("q").alias("pq"))
     tabs = probe.join(F.broadcast(wide)).select(
         *[

@@ -660,6 +660,24 @@ def _mint_video_payload(doc_id: int) -> bytes:
     return media_codecs.encode_video(frames)
 
 
+def _video_payload_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload): the minted VID0 corpus as one Arrow encode stage —
+    the shared ingest front of both video operators."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        _mint_video_payload(int(d)) for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
 @query(
     "multimodal_video_motion",
     oracle="""
@@ -704,17 +722,6 @@ def multimodal_video_motion(spark, sf_dir):
     real). One fused mapInPandas chain, zero shuffles."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        _mint_video_payload(int(d)) for d in pdf["doc_id"]
-                    ],
-                }
-            )
-
     def motion(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
@@ -744,7 +751,7 @@ def multimodal_video_motion(spark, sf_dir):
                 )
             yield pd.DataFrame(out)
 
-    video = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    video = _video_payload_frame(docs)
     return video.mapInPandas(
         motion,
         schema="doc_id long, n_frames long, total_sum long, motion long",
@@ -963,17 +970,6 @@ def _video_phash_frame(spark, sf_dir: str) -> DataFrame:
     ids and 8-byte hash halves survive it (payloads never shuffle)."""
     docs = load(spark, sf_dir, "documents").select("doc_id")
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "payload": [
-                        _mint_video_payload(int(d)) for d in pdf["doc_id"]
-                    ],
-                }
-            )
-
     def hash_stage(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
@@ -989,7 +985,7 @@ def _video_phash_frame(spark, sf_dir: str) -> DataFrame:
                     out["hash_lo"].append(lo)
             yield pd.DataFrame(out)
 
-    video = docs.mapInPandas(encode, schema="doc_id long, payload binary")
+    video = _video_payload_frame(docs)
     return video.mapInPandas(
         hash_stage, schema="doc_id long, f long, hash_hi long, hash_lo long"
     )

@@ -274,21 +274,28 @@ def test_corpus_clean_cache_pin_is_bounded(spark, sf_dir):
 
     sc = spark.sparkContext
 
-    def n_cached():
-        return len(sc._jsc.sc().getRDDStorageInfo())
+    def cached_ids():
+        # Track SPECIFIC RDD ids, not counts: the suite session holds other
+        # finalizer-bounded caches whose async unpersists can fire between
+        # our two measurements, making absolute counts race (seen once:
+        # 8 -> 7+1 across the query run).
+        return {info.id() for info in sc._jsc.sc().getRDDStorageInfo()}
 
-    before = n_cached()
+    before = cached_ids()
     df = QUERIES["pipeline_corpus_clean"](spark, sf_dir)
     df.count()
-    assert n_cached() > before, "diamond was never materialized into cache"
+    new_ids = cached_ids() - before
+    assert new_ids, "diamond was never materialized into cache"
     del df
     gc.collect()
     # unpersist(blocking=False): entry removal is sync, block delete async
     for _ in range(50):
-        if n_cached() == before:
+        if not (cached_ids() & new_ids):
             break
         time.sleep(0.1)
-    assert n_cached() == before, "corpus-sized cache outlived the result"
+    assert not (cached_ids() & new_ids), (
+        "corpus-sized cache outlived the result"
+    )
 
 
 def test_round5_operator_plan_shapes(spark, sf_dir):
@@ -652,9 +659,20 @@ def test_dedup_semantic_quadratic_is_bucket_scoped(spark, sf_dir):
     import re as _re
 
     # the pair scan's exchange hashes the bucket id (cid), the verdict
-    # join hashes vec ids — nothing else may shuffle the corpus.
-    parts = _re.findall(r"hashpartitioning\((\w+)", sd["plan"])
-    assert parts and set(parts) <= {"cid", "vec_id", "dup", "a", "b"}, parts
+    # join hashes vec ids — nothing else may shuffle the corpus. Capture
+    # FULL argument lists: a pair-level distinct would smuggle the
+    # 64-element quantized vectors (q) into an exchange behind an
+    # innocuous first key.
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", sd["plan"])
+    assert parts, sd["plan"]
+    for arglist in parts:
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()  # trailing partition count
+        }
+        keys.discard("")
+        assert keys <= {"cid", "vec_id", "dup", "a", "b"}, arglist
 
 
 def test_pack_bins_nextfit_python_sees_metadata_only(spark, sf_dir):

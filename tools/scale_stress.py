@@ -131,22 +131,25 @@ STRESS = [
     # Round 9: PQ encode is the map-only per-row transform (embeddings
     # scale 2k -> 60k), ADC search adds the table-lookup scoring with a
     # constant top-10 output (the TakeOrdered floor), next-fit packing
-    # scales the per-shard Arrow greedy with the document corpus, and
-    # span coverage scales the gram-DF shuffle. multimodal_video_neardup
-    # is ABSENT for the audio rule: the mint's (doc_id*31 + f*101) % 256
-    # pattern family realizes only ~289 distinct frame hashes, so a
-    # key-multiplied corpus replays the same hashes and the TRUE match
-    # count grows quadratically — output-bound by construction; the
-    # banding engine's pruning is measured on realistic data by
-    # measure_audio_fp_pruning (same functions/hamming.py chain) and the
-    # group-aligned exactness by the brute-force property test.
+    # scales the per-shard Arrow greedy with the document corpus.
+    # multimodal_video_neardup is ABSENT for the audio rule: the mint's
+    # (doc_id*31 + f*101) % 256 pattern family realizes only ~289 distinct
+    # frame hashes, so a key-multiplied corpus replays the same hashes and
+    # the TRUE match count grows quadratically — output-bound by
+    # construction; the banding engine's pruning is measured on realistic
+    # data by measure_audio_fp_pruning (same functions/hamming.py chain)
+    # and the group-aligned exactness by the brute-force property test.
+    # text_dup_span_coverage is ABSENT for the verbatim-copy rule: every
+    # multiplied doc gains mult-1 exact copies, so EVERY 8-gram becomes
+    # shared and the true output approaches 100% of positions — the
+    # sim_cosine_neardup_full artifact class (its one-off 1x/10x
+    # measurement and the analysis live in SCALE.md).
     # dedup_semantic's registered binding caps its corpus at vec_id<300
     # (constant) — measure_semantic_pruning covers the pure operator on
-    # the SCALED full embeddings instead.
+    # the SCALED full embeddings instead (--semantic).
     "embed_pq_codes",
     "search_pq_adc_topk",
     "pack_bins_nextfit",
-    "text_dup_span_coverage",
 ]
 
 
@@ -425,78 +428,33 @@ def measure_semantic_pruning(spark, mult: int) -> dict:
     way the paper deploys — the registered dedup_semantic binding pins
     k=8 on its bounded planted-twins universe), so the bucket-scoped
     candidate mass grows ~linearly in n while the global pair space grows
-    quadratically. Assignment uses the k-row broadcast + window argmin
-    (the embed_kmeans_iter shape) because a 3-digit k outgrows the
-    one-row-wide codegen fold the bounded binding uses — identical math,
-    the knob the operator docstring names. Reports the candidate mass
-    (what actually shuffles into the verify), the global pair space, and
-    the wall time of the full election (assign → bucket self-join →
-    integer-cosine verdict → dup count)."""
-    from pyspark.sql import Window
+    quadratically. k > 16 dispatches semantic_buckets onto its k-row
+    broadcast + window argmin branch (a 3-digit k outgrows the
+    one-row-wide codegen fold the bounded binding uses) — the measurement
+    exercises the LIBRARY path, not a harness fork. Reports the candidate
+    mass (what actually shuffles into the verify), the global pair space,
+    and the wall time of the full election (assign → bucket self-join →
+    integer-cosine verdict → drop count)."""
+    from eviction_lab_etl_spark.operators.embeddings import (
+        semantic_buckets,
+        semantic_dedup,
+    )
 
     sf_dir = build_scaled(spark, mult)
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    k, nprobe = 8 * mult, 2
-    q = emb.select(
+    k = 8 * mult
+    corpus = emb.select(
         "vec_id",
-        F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
-        ).alias("q"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
-    n = q.count()
-    seeds = (
-        q.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(Window.orderBy("vec_id")) - 1)
-            .cast("long")
-            .alias("cid"),
-            F.col("q").alias("c"),
-        )
-    )
-    dist = F.aggregate(
-        F.zip_with("q", "c", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    w = Window.partitionBy("vec_id").orderBy("d", "cid")
+    n = corpus.count()
     start = time.perf_counter()
-    x2 = (
-        q.crossJoin(F.broadcast(seeds))
-        .select(
-            "vec_id",
-            "q",
-            "cid",
-            dist.alias("d"),
-            F.aggregate(
-                "q", F.lit(0).cast("long"), lambda acc, v: acc + v * v
-            ).alias("n2"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= nprobe)
-        .select("vec_id", "q", "n2", "cid")
-    )
-    pa, pb = x2.alias("pa"), x2.alias("pb")
-    dot = F.aggregate(
-        F.zip_with(F.col("pa.q"), F.col("pb.q"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    dups = (
-        pa.join(
-            pb,
-            (F.col("pa.cid") == F.col("pb.cid"))
-            & (F.col("pa.vec_id") < F.col("pb.vec_id")),
-        )
-        .filter(
-            (dot >= 0)
-            & (F.lit(100) * dot * dot >= F.lit(81) * F.col("pa.n2") * F.col("pb.n2"))
-        )
-        .select(F.col("pb.vec_id").alias("dup"))
-        .distinct()
-        .count()
-    )
+    dups = semantic_dedup(corpus, k=k).filter(~F.col("kept")).count()
     wall = time.perf_counter() - start
+    x2 = semantic_buckets(corpus, k=k).select(
+        "vec_id",
+        F.explode(F.transform("buckets", lambda s: s["cid"])).alias("cid"),
+    )
     # Candidate MASS = what the bucket self-join admits (sum of per-bucket
     # pair counts over both probe buckets) — arithmetic over group sizes,
     # no pair materialization needed for the count itself.
