@@ -116,6 +116,7 @@ R9_HEADLINE = [
     "pack_bins_nextfit",          # r9: per-shard Arrow greedy, metadata-only
     "multimodal_video_neardup",   # r9: aligned per-frame dHash quorum join
     "text_dup_span_coverage",     # r9: gram-DF shuffle + join-back coverage
+    "text_lm_nll",                # r9: integer-bits bigram LM quality gate
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

@@ -596,9 +596,12 @@ def text_dup_span_coverage(spark, sf_dir):
     xxhash64-gram variant (contam_ngram_hashed's move) narrows the
     shuffle ~4x at 100 TB with the identical plan."""
     docs = fixtures.documents_with_dups(spark, sf_dir)
-    toks = F.split("text", " ")
+    # One split per row (a lambda body referencing the raw split() is
+    # re-inlined per shingle position — no cross-lambda CSE).
+    tokenized = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
-    grams = docs.select(
+    grams = tokenized.select(
         "doc_id",
         F.explode(
             F.when(

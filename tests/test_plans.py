@@ -722,3 +722,26 @@ def test_text_dup_span_coverage_shape(spark, sf_dir):
 
     parts = _re.findall(r"hashpartitioning\((\w+)", sp["plan"])
     assert parts and set(parts) <= {"gram", "doc_id"}, parts
+
+
+def test_text_lm_nll_is_float_free_and_bigram_keyed(spark, sf_dir):
+    """The LM gate's exactness rests on NO float existing anywhere: the
+    plan must contain no log/ln/double cast in any projection, and the
+    corpus-sized exchanges hash only the bigram/context keys and doc_id."""
+    lm = plan_of(spark, sf_dir, "text_lm_nll")
+    assert lm["python_rows"] == 0 and lm["arrow_python"] == 0
+    low = lm["plan"].lower()
+    assert "log(" not in low and " ln(" not in low, "float log leaked in"
+    assert "as double" not in low, "double cast leaked into the LM plan"
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", lm["plan"])
+    assert parts, lm["plan"]
+    for arglist in parts:
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        assert keys <= {"a", "b", "doc_id", "w"}, arglist

@@ -150,6 +150,11 @@ STRESS = [
     "embed_pq_codes",
     "search_pq_adc_topk",
     "pack_bins_nextfit",
+    # text_lm_nll scales cleanly: the bigram stream grows with the corpus,
+    # the LM tables stay vocabulary-bounded, and verbatim copies scale
+    # every count by mult, leaving the x/y ratios (hence output values)
+    # essentially invariant — work linear, output per-doc.
+    "text_lm_nll",
 ]
 
 
