@@ -52,6 +52,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "multimodal_video_neardup", # NEW r9: aligned per-frame dHash quorum
     "text_dup_span_coverage",   # NEW r9: inter-doc 8-gram span coverage
     "text_lm_nll",              # NEW r9: integer-bits bigram LM gate
+    "text_bpe_train",           # NEW r9: 3-merge BPE trainer, replay oracle
     # --- Round-9 changed code paths:
     "multimodal_video_motion",  # r9: mint factored into _mint_video_payload
     "multimodal_phash_near",    # r9: hamming._candidate_pairs grew group_col

@@ -117,6 +117,7 @@ R9_HEADLINE = [
     "multimodal_video_neardup",   # r9: aligned per-frame dHash quorum join
     "text_dup_span_coverage",     # r9: gram-DF shuffle + join-back coverage
     "text_lm_nll",                # r9: integer-bits bigram LM quality gate
+    "text_bpe_train",             # r9: corpus word-count + 3 vocab-frame merges
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

@@ -746,3 +746,207 @@ def pack_bins_nextfit(spark, sf_dir):
     Ties in (n_tok, doc_id) cannot occur (doc_id is unique), so the
     sort order is total on both engines."""
     return nextfit_pack(load(spark, sf_dir, "documents"))
+
+
+
+
+# --- BPE merge-table training (Sennrich et al. '16, K unrolled merges) -------
+
+_BPE_MERGES = 3
+
+# One oracle iteration: given vocab state {st} (word, toks, cnt), emit
+# best{k} (the argmax pair) and state{k} (the merge applied). The walk is a
+# per-word recursive scan carrying (out list, pend token) — pend goes NULL
+# right after a merge, so 'aaa' under (a,a) yields [aa, a], never overlap.
+_BPE_STEP_SQL = """
+    pairs{k} AS (
+        SELECT toks[i.i] AS lhs, toks[i.i + 1] AS rhs, sum(cnt) AS pc
+        FROM {st}, LATERAL (SELECT unnest(range(1, len(toks))) AS i) i
+        GROUP BY lhs, rhs
+    ),
+    best{k} AS (
+        SELECT lhs, rhs, lhs || rhs AS merged, CAST(pc AS BIGINT) AS pc
+        FROM pairs{k} ORDER BY pc DESC, lhs, rhs LIMIT 1
+    ),
+    walk{k} AS (
+        SELECT word, cnt, toks, 1 AS pos,
+               CAST([] AS VARCHAR[]) AS out, toks[1] AS pend
+        FROM {st}
+        UNION ALL
+        SELECT w.word, w.cnt, w.toks, w.pos + 1,
+               CASE WHEN w.pend IS NULL THEN w.out
+                    WHEN w.pend = b.lhs AND w.toks[w.pos + 1] = b.rhs
+                         THEN list_append(w.out, b.merged)
+                    ELSE list_append(w.out, w.pend) END,
+               CASE WHEN w.pend IS NULL THEN w.toks[w.pos + 1]
+                    WHEN w.pend = b.lhs AND w.toks[w.pos + 1] = b.rhs
+                         THEN NULL
+                    ELSE w.toks[w.pos + 1] END
+        FROM walk{k} w, best{k} b WHERE w.pos < len(w.toks)
+    ),
+    state{k} AS (
+        SELECT word, cnt,
+               CASE WHEN pend IS NULL THEN out
+                    ELSE list_append(out, pend) END AS toks
+        FROM walk{k} WHERE pos = len(toks)
+    )
+"""
+
+_BPE_ORACLE = (
+    """
+    WITH RECURSIVE words AS (
+        SELECT w AS word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    state0 AS (
+        SELECT word, cnt,
+               list_transform(range(1, length(word) + 1),
+                              i -> word[i]) AS toks
+        FROM words
+    ),
+"""
+    + ",".join(
+        _BPE_STEP_SQL.format(k=k, st=f"state{k - 1}")
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    + "".join(
+        f"""
+    {"SELECT" if k == 1 else "UNION ALL SELECT"} CAST({k} AS BIGINT) AS step,
+           lhs, rhs, merged, pc FROM best{k}"""
+        for k in range(1, _BPE_MERGES + 1)
+    )
+)
+
+
+def _bpe_merge_fold(toks_col, lhs_col, rhs_col):
+    """Left-to-right NON-OVERLAPPING replacement of adjacent (lhs, rhs)
+    with lhs||rhs — the BPE merge application as a pure JVM fold.
+    Accumulator struct(out: array<string>, pend: string); pend carries the
+    one-token lookbehind and goes NULL immediately after a merge, so
+    'aaa' under (a,a) yields [aa, a], never an overlapped [aa, aa]."""
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+
+    def step(acc, x):
+        merged_here = (
+            acc["pend"].isNotNull()
+            & (acc["pend"] == lhs_col)
+            & (x == rhs_col)
+        )
+        out = (
+            F.when(acc["pend"].isNull(), acc["out"])
+            .when(
+                merged_here,
+                F.array_append(acc["out"], F.concat(lhs_col, rhs_col)),
+            )
+            .otherwise(F.array_append(acc["out"], acc["pend"]))
+        )
+        pend = F.when(merged_here, F.lit(None).cast("string")).otherwise(x)
+        return F.struct(out.alias("out"), pend.alias("pend"))
+
+    def finish(acc):
+        return F.when(acc["pend"].isNull(), acc["out"]).otherwise(
+            F.array_append(acc["out"], acc["pend"])
+        )
+
+    return F.aggregate(toks_col, init, step, finish)
+
+
+def _bpe_pairs(state):
+    """(lhs, rhs, pc): corpus-weighted adjacent-pair counts over the vocab
+    state — ALL adjacent positions count (the naive Sennrich statistic;
+    the non-overlap discipline lives in the APPLICATION fold, not the
+    count)."""
+    t = F.col("toks")
+    return (
+        state.select(
+            "cnt",
+            F.explode(
+                F.when(
+                    F.size(t) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - 1),
+                        lambda i: F.struct(
+                            F.element_at(t, i).alias("lhs"),
+                            F.element_at(t, i + 1).alias("rhs"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<lhs:string,rhs:string>>")
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("cnt").alias("pc"))
+    )
+
+
+@query("text_bpe_train", oracle=_BPE_ORACLE)
+def text_bpe_train(spark, sf_dir):
+    """BPE tokenizer TRAINING (Sennrich et al. '16): learn the first 3
+    merge rules of a byte-pair-encoding vocabulary from the corpus — the
+    step every LLM data pipeline runs before token counting means
+    anything. Classic shape: one corpus-sized pass collapses text to
+    (word, count) — BPE statistics live on the word VOCABULARY, which is
+    what makes training tractable at 100 TB — then each merge iteration
+    runs on the vocab frame alone: corpus-weighted adjacent-pair counts,
+    argmax (ties → lexicographically smallest (lhs, rhs) — deterministic),
+    and the merge applied to every word as a JVM fold (struct accumulator
+    with a one-token lookbehind; left-to-right non-overlapping, so 'aaa'
+    under (a,a) becomes [aa, a]). Surface: the 3-row merge table
+    (step, lhs, rhs, merged, pair_count) — exactly what a tokenizer
+    artifact ships.
+
+    The oracle replays every iteration in SQL: the same pair counts, the
+    same tie-broken argmax, and the merge application as a per-word
+    recursive-CTE walk carrying (out, pend) — the pack_bins_nextfit
+    sequential-replay discipline applied to an iterative algorithm, so
+    the driver hash pins all three merge decisions AND their application.
+
+    Plan: one explode + word-count shuffle (corpus-proportional floor);
+    per iteration one tiny pair aggregate + a 1-row argmax crossJoin
+    (BroadcastNestedLoopJoin by construction) over the vocab frame.
+    Char splitting is substr(word, i, 1) — split-on-empty-pattern edge
+    semantics differ across engines; this cannot."""
+    docs = load(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    state = words.select(
+        "word",
+        "cnt",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("toks"),
+    )
+    bests = []
+    for k in range(1, _BPE_MERGES + 1):
+        best = (
+            _bpe_pairs(state)
+            .orderBy(F.desc("pc"), "lhs", "rhs")
+            .limit(1)
+            .select(
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                big("pc").alias("pc"),
+            )
+        )
+        bests.append(best.select(F.lit(k).cast("long").alias("step"), "*"))
+        state = state.crossJoin(F.broadcast(best)).select(
+            "word",
+            "cnt",
+            _bpe_merge_fold(
+                F.col("toks"), F.col("lhs"), F.col("rhs")
+            ).alias("toks"),
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out

@@ -745,3 +745,27 @@ def test_text_lm_nll_is_float_free_and_bigram_keyed(spark, sf_dir):
         }
         keys.discard("")
         assert keys <= {"a", "b", "doc_id", "w"}, arglist
+
+
+def test_text_bpe_train_iterates_on_the_vocab_frame(spark, sf_dir):
+    """BPE training's scale split: ONE corpus-sized word-count shuffle;
+    every merge iteration then runs on the vocabulary frame — argmax rows
+    attach via 1-row broadcast nested loops (≤ one per unrolled merge
+    appearing per consumer subtree), never a CartesianProduct, and no
+    Python anywhere."""
+    bp = plan_of(spark, sf_dir, "text_bpe_train")
+    assert "CartesianProduct" not in bp["plan"]
+    assert bp["python_rows"] == 0 and bp["arrow_python"] == 0
+    # each unrolled merge's argmax row re-attaches inside every later
+    # iteration's subtree (the kmeans unrolled-lineage shape): bounded by
+    # ~K(K+1)/2 1-row BNLJs for K merges, all broadcast-tiny.
+    assert bp["broadcast_nl_joins"] <= 6, bp["plan"]
+    assert "TakeOrderedAndProject" in bp["plan"]  # the per-merge argmax
+    import re as _re
+
+    # _groupingexpression = the pair-count groupBy's projected (lhs, rhs)
+    # key over the vocab frame.
+    parts = _re.findall(r"hashpartitioning\((\w+)", bp["plan"])
+    assert parts and set(parts) <= {
+        "word", "lhs", "rhs", "_groupingexpression"
+    }, parts

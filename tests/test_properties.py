@@ -1009,3 +1009,41 @@ def test_hamming_group_banding_equals_python_bruteforce(spark, rows):
         and bin(rows[a][1] ^ rows[b][1]).count("1") <= 6
     }
     assert got == want
+
+
+@given(
+    toks=st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=0, max_size=10),
+    pair=st.tuples(
+        st.sampled_from(["a", "b", "c", "ab"]),
+        st.sampled_from(["a", "b", "c", "ab"]),
+    ),
+)
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_merge_fold_equals_python_replica(spark, toks, pair):
+    """The BPE merge-application fold (training._bpe_merge_fold) against a
+    pure-Python left-to-right non-overlapping replace — including the
+    run-of-identical-tokens case ('aaa' under (a,a) → [aa, a]), merges at
+    the array tail, empty arrays, and tokens that already contain prior
+    merges."""
+    from eviction_lab_etl_spark.operators.training import _bpe_merge_fold
+
+    lhs, rhs = pair
+    df = spark.createDataFrame([(toks,)], "toks array<string>")
+    got = df.select(
+        _bpe_merge_fold(F.col("toks"), F.lit(lhs), F.lit(rhs)).alias("m")
+    ).collect()[0]["m"]
+
+    want, pend = [], None
+    for x in toks:
+        if pend is None:
+            pend = x
+        elif pend == lhs and x == rhs:
+            want.append(lhs + rhs)
+            pend = None
+        else:
+            want.append(pend)
+            pend = x
+    if pend is not None:
+        want.append(pend)
+    assert got == want, (toks, pair, got, want)

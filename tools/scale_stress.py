@@ -155,6 +155,9 @@ STRESS = [
     # every count by mult, leaving the x/y ratios (hence output values)
     # essentially invariant — work linear, output per-doc.
     "text_lm_nll",
+    # BPE training: the corpus-sized word count is the floor; the merge
+    # iterations run on the (constant-vocabulary) word frame.
+    "text_bpe_train",
 ]
 
 
