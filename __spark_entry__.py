@@ -55,7 +55,8 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "text_bpe_train",           # NEW r9: 3-merge BPE trainer, replay oracle
     # --- Round-9 changed code paths:
     "multimodal_video_motion",  # r9: mint factored into _mint_video_payload
-    "multimodal_phash_near",    # r9: hamming._candidate_pairs grew group_col
+    "multimodal_phash_near",    # r9: hamming group_col + numpy dHash
+    "multimodal_phash_dedup",   # r9: hash stage moved to _dhash_np
     "multimodal_audio_neardup", # r9: same shared banding path, re-verify
     # --- Changed AFTER the r8 driver run (commit fcb38d6, 04:24 vs 04:01):
     "window_skyline_3d",        # r8 tail: unseen-band salt coalesce(...,1)

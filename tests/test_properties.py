@@ -1047,3 +1047,24 @@ def test_bpe_merge_fold_equals_python_replica(spark, toks, pair):
     if pend is not None:
         want.append(pend)
     assert got == want, (toks, pair, got, want)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=13),
+    h=st.integers(min_value=1, max_value=7),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_dhash_np_equals_pure_python(w, h, seed):
+    """The numpy-vectorized dHash must agree BIT-FOR-BIT with the
+    pure-Python reference on arbitrary rasters (every width/height residue
+    the codecs produce, plus random pixel content): same NN resample
+    indices, same integer luminance floors, same MSB-first row-major
+    packing."""
+    import random
+
+    from eviction_lab_etl_spark.operators.multimodal import _dhash, _dhash_np
+
+    rng = random.Random(seed)
+    rgb = bytes(rng.randrange(256) for _ in range(3 * w * h))
+    assert _dhash_np(w, h, rgb) == _dhash(w, h, rgb)
