@@ -53,6 +53,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "text_dup_span_coverage",   # NEW r9: inter-doc 8-gram span coverage
     "text_lm_nll",              # NEW r9: integer-bits bigram LM gate
     "text_bpe_train",           # NEW r9: 3-merge BPE trainer, replay oracle
+    "sketch_heavy_hitters",     # NEW r9: Misra-Gries containment verdict
     # --- Round-9 changed code paths:
     "multimodal_video_motion",  # r9: mint factored into _mint_video_payload
     "multimodal_phash_near",    # r9: hamming group_col + numpy dHash

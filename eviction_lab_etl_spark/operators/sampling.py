@@ -306,3 +306,123 @@ def sample_weighted_priority(spark, sf_dir):
         draws.withColumn("rk", F.row_number().over(w_rank).cast("long"))
         .filter(F.col("rk") <= 5)
     )
+
+
+# --- Misra-Gries heavy hitters (mergeable frequent-items summary) ------------
+
+_MG_K = 24      # counters per partial summary; error <= n/(k+1) = n/25
+_MG_TOP = 5
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle=f"""
+    WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    w AS (SELECT unnest(ws) AS word FROM t),
+    p AS (
+        SELECT word[i.i] || word[i.i + 1] AS pair
+        FROM w, LATERAL (SELECT unnest(range(1, length(word))) AS i) i
+    ),
+    c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY pair),
+    n AS (SELECT sum(cnt) AS n FROM c),
+    top AS (
+        SELECT pair, cnt,
+               row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+        FROM c
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, pair, CAST(cnt AS BIGINT) AS cnt,
+           ({_MG_K + 1} * cnt > (SELECT n FROM n)) AS qualifies,
+           TRUE AS mg_ok
+    FROM top WHERE rnk <= {_MG_TOP}
+    """,
+)
+def sketch_heavy_hitters(spark, sf_dir):
+    """Frequent-items sketch with a THEOREM-BACKED containment verdict —
+    the Misra-Gries member of the mergeable-summary family next to
+    `sketch_hll_partitioned`: per Arrow batch, a k=24-counter MG summary
+    over the character-pair stream (BPE's first-merge statistic — the
+    sketch finds 'er' online); the union of per-batch survivors must
+    contain EVERY item whose true count exceeds n/(k+1), for ANY
+    partitioning and any batch split (if a global count > n/(k+1), some
+    batch holds > n_batch/(k+1) of it locally and MG cannot decrement it
+    to zero there — Agarwal et al., Mergeable Summaries). The emitted
+    surface is deterministic even though the candidate SET is not: the
+    exact top-5 pairs, their exact counts, the integer qualification test
+    (25·cnt > n), and mg_ok = ¬qualifies ∨ found — the oracle pins mg_ok
+    as a literal TRUE, so a containment failure turns the driver row red
+    (the agg_approx_distinct error-contract pattern; the fixture has
+    exactly ONE qualifying pair at every scale, so the verdict is
+    non-vacuous). The exact pass exists for the verdict; a production
+    run at 100 TB ships ONLY the sketch pass: one Arrow map over the
+    stream, a candidate union measured in k·partitions rows, and exact
+    counting restricted to candidates."""
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    pairs = words.select(
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.concat(
+                        F.col("word").substr(i, F.lit(1)),
+                        F.col("word").substr(i + 1, F.lit(1)),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+
+    def mg(batches):
+        for pdf in batches:
+            counters: dict[str, int] = {}
+            for x in pdf["pair"]:
+                if x in counters:
+                    counters[x] += 1
+                elif len(counters) < _MG_K:
+                    counters[x] = 1
+                else:
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+            yield pd.DataFrame({"pair": list(counters.keys())})
+
+    candidates = (
+        pairs.mapInPandas(mg, schema="pair string")
+        .distinct()
+        .withColumn("found", F.lit(True))
+    )
+    exact = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    nrow = exact.agg(F.sum("cnt").alias("n"))
+    from pyspark.sql import Window
+
+    top = (
+        exact.orderBy(F.desc("cnt"), "pair")
+        .limit(_MG_TOP)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "pair"))
+            .cast("long"),
+        )
+    )
+    qualifies = (F.lit(_MG_K + 1) * F.col("cnt")) > F.col("n")
+    return (
+        top.join(F.broadcast(nrow))
+        .join(candidates, "pair", "left")
+        .select(
+            "rnk",
+            "pair",
+            F.col("cnt").cast("long").alias("cnt"),
+            qualifies.alias("qualifies"),
+            (~qualifies | F.coalesce(F.col("found"), F.lit(False))).alias(
+                "mg_ok"
+            ),
+        )
+    )

@@ -1068,3 +1068,49 @@ def test_dhash_np_equals_pure_python(w, h, seed):
     rng = random.Random(seed)
     rgb = bytes(rng.randrange(256) for _ in range(3 * w * h))
     assert _dhash_np(w, h, rgb) == _dhash(w, h, rgb)
+
+
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=60),
+    cuts=st.lists(st.integers(min_value=0, max_value=59), max_size=3),
+    k=st.sampled_from([2, 3]),
+)
+@settings(max_examples=40, deadline=None)
+def test_misra_gries_union_containment(stream, cuts, k):
+    """The guarantee sketch_heavy_hitters' verdict rests on, adversarially:
+    for ANY stream, ANY batch split, and small k, the UNION of per-batch
+    Misra-Gries survivor sets contains every item whose global count
+    exceeds n/(k+1) — if a global count > n/(k+1), some batch holds more
+    than n_batch/(k+1) locally, and MG cannot decrement it away there."""
+    bounds = sorted({c for c in cuts if c < len(stream)})
+    batches, prev = [], 0
+    for c in bounds:
+        if c > prev:
+            batches.append(stream[prev:c])
+            prev = c
+    batches.append(stream[prev:])
+
+    def mg(batch):
+        counters = {}
+        for x in batch:
+            if x in counters:
+                counters[x] += 1
+            elif len(counters) < k:
+                counters[x] = 1
+            else:
+                dead = []
+                for key in counters:
+                    counters[key] -= 1
+                    if counters[key] == 0:
+                        dead.append(key)
+                for key in dead:
+                    del counters[key]
+        return set(counters)
+
+    survivors = set().union(*(mg(b) for b in batches))
+    n = len(stream)
+    from collections import Counter
+
+    for item, cnt in Counter(stream).items():
+        if cnt * (k + 1) > n:
+            assert item in survivors, (stream, bounds, k, item, cnt)
