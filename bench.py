@@ -118,6 +118,7 @@ R9_HEADLINE = [
     "text_dup_span_coverage",     # r9: gram-DF shuffle + join-back coverage
     "text_lm_nll",                # r9: integer-bits bigram LM quality gate
     "text_bpe_train",             # r9: corpus word-count + 3 vocab-frame merges
+    "sketch_heavy_hitters",       # r9: per-batch MG + containment verdict
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

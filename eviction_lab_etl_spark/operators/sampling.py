@@ -376,22 +376,21 @@ def sketch_heavy_hitters(spark, sf_dir):
     )
 
     def mg(batches):
+        # Summary-of-a-summary form of MG (Agarwal et al. §3.1): the exact
+        # batch Counter is a perfect summary; compress it to k counters by
+        # subtracting the (k+1)-th largest count from every count and
+        # keeping positives — added undercount <= that value
+        # <= n_batch/(k+1), the same bound the per-token decrement loop
+        # gives, at C speed instead of one dict op per token (the 30x
+        # sweep's Python floor: 21.6 s -> stream-count bound).
+        from collections import Counter
+
         for pdf in batches:
-            counters: dict[str, int] = {}
-            for x in pdf["pair"]:
-                if x in counters:
-                    counters[x] += 1
-                elif len(counters) < _MG_K:
-                    counters[x] = 1
-                else:
-                    dead = []
-                    for key in counters:
-                        counters[key] -= 1
-                        if counters[key] == 0:
-                            dead.append(key)
-                    for key in dead:
-                        del counters[key]
-            yield pd.DataFrame({"pair": list(counters.keys())})
+            cnt = Counter(pdf["pair"])
+            if len(cnt) > _MG_K:
+                thr = sorted(cnt.values(), reverse=True)[_MG_K]
+                cnt = {x: c for x, c in cnt.items() if c > thr}
+            yield pd.DataFrame({"pair": list(cnt.keys())})
 
     candidates = (
         pairs.mapInPandas(mg, schema="pair string")

@@ -1114,3 +1114,38 @@ def test_misra_gries_union_containment(stream, cuts, k):
     for item, cnt in Counter(stream).items():
         if cnt * (k + 1) > n:
             assert item in survivors, (stream, bounds, k, item, cnt)
+
+
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=6), min_size=1, max_size=60),
+    cuts=st.lists(st.integers(min_value=0, max_value=59), max_size=3),
+    k=st.sampled_from([2, 3]),
+)
+@settings(max_examples=40, deadline=None)
+def test_misra_gries_counter_reduction_containment(stream, cuts, k):
+    """The OPERATOR's actual per-batch form — exact Counter compressed by
+    subtracting the (k+1)-th largest count — must satisfy the same union
+    containment as the per-token decrement loop: every item with global
+    count > n/(k+1) survives in some batch, for any stream and any cuts."""
+    bounds = sorted({c for c in cuts if c < len(stream)})
+    batches, prev = [], 0
+    for c in bounds:
+        if c > prev:
+            batches.append(stream[prev:c])
+            prev = c
+    batches.append(stream[prev:])
+
+    from collections import Counter
+
+    def mg(batch):
+        cnt = Counter(batch)
+        if len(cnt) > k:
+            thr = sorted(cnt.values(), reverse=True)[k]
+            return {x for x, c in cnt.items() if c > thr}
+        return set(cnt)
+
+    survivors = set().union(*(mg(b) for b in batches))
+    n = len(stream)
+    for item, cnt in Counter(stream).items():
+        if cnt * (k + 1) > n:
+            assert item in survivors, (stream, bounds, k, item, cnt)

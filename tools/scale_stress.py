@@ -158,6 +158,10 @@ STRESS = [
     # BPE training: the corpus-sized word count is the floor; the merge
     # iterations run on the (constant-vocabulary) word frame.
     "text_bpe_train",
+    # MG heavy hitters: the sketch pass scales with the pair stream, the
+    # candidate union stays k x partitions; the exact verdict pass is the
+    # same stream aggregated on an 82-key domain.
+    "sketch_heavy_hitters",
 ]
 
 
