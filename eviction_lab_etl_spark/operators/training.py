@@ -917,13 +917,22 @@ def text_bpe_train(spark, sf_dir):
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    # Guard the char split: sequence(1, 0) DESCENDS to [1, 0], so an
+    # unguarded split turns a zero-length word (consecutive/leading/
+    # trailing spaces) into ['',''] and mints phantom ('','') pairs the
+    # oracle's range(1, length+1) = [] never sees.
     state = words.select(
         "word",
         "cnt",
-        F.transform(
-            F.sequence(F.lit(1), F.length("word")),
-            lambda i: F.col("word").substr(i, F.lit(1)),
-        ).alias("toks"),
+        F.when(
+            F.length("word") >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.length("word")),
+                lambda i: F.col("word").substr(i, F.lit(1)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("toks"),
     )
     bests = []
     for k in range(1, _BPE_MERGES + 1):

@@ -764,8 +764,19 @@ def test_text_bpe_train_iterates_on_the_vocab_frame(spark, sf_dir):
     import re as _re
 
     # _groupingexpression = the pair-count groupBy's projected (lhs, rhs)
-    # key over the vocab frame.
-    parts = _re.findall(r"hashpartitioning\((\w+)", bp["plan"])
-    assert parts and set(parts) <= {
-        "word", "lhs", "rhs", "_groupingexpression"
-    }, parts
+    # key over the vocab frame. Capture FULL argument lists (the lm test's
+    # discipline) so a widened exchange — e.g. hashpartitioning(word, toks)
+    # dragging the char arrays through the shuffle — cannot hide behind an
+    # allowlisted first key.
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", bp["plan"])
+    assert parts, bp["plan"]
+    for arglist in parts:
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        assert keys <= {
+            "word", "lhs", "rhs", "_groupingexpression"
+        }, arglist
