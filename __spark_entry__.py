@@ -54,6 +54,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "text_lm_nll",              # NEW r9: integer-bits bigram LM gate
     "text_bpe_train",           # NEW r9: 3-merge BPE trainer, replay oracle
     "sketch_heavy_hitters",     # NEW r9: Misra-Gries containment verdict
+    "join_interval_overlap",    # NEW r9: time-partitioned interval join
     # --- Round-9 changed code paths:
     "multimodal_video_motion",  # r9: mint factored into _mint_video_payload
     "multimodal_phash_near",    # r9: hamming group_col + numpy dHash

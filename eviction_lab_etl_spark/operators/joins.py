@@ -570,3 +570,90 @@ def join_fuzzy_blocked(spark, sf_dir):
 
     names = load(spark, sf_dir, "part").select("p_name").distinct()
     return fuzzy_blocked_pairs(names, "p_name", max_dist=2)
+
+
+# --- interval-overlap join (time-partitioned, the temporal family's close) ---
+
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS t,
+               CAST(epoch_us(ts) // {_DAY_US} AS BIGINT) AS day
+        FROM events
+    ),
+    i AS (
+        SELECT event_type, day, user_id, min(t) AS s, max(t) AS e
+        FROM e GROUP BY event_type, day, user_id
+    )
+    SELECT a.event_type, a.day,
+           CAST(a.user_id AS BIGINT) AS ua,
+           CAST(b.user_id AS BIGINT) AS ub,
+           CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
+    FROM i a JOIN i b
+      ON a.event_type = b.event_type AND a.day = b.day
+     AND a.user_id < b.user_id
+    WHERE a.s <= b.e AND b.s <= a.e
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """INTERVAL × INTERVAL overlap join — the temporal-join family's
+    missing member (join_asof: point→latest-before; join_range_interval:
+    point-in-interval; join_asof_tolerance: bounded gap): which same-type
+    daily activity windows of two users overlap, and by how much — the
+    concurrency/co-activity primitive behind session-collision analysis,
+    ad-slot contention, and shift-overlap billing. Intervals are per
+    (event_type, day, user) [min ts, max ts] windows; pairs overlap iff
+    a.s ≤ b.e AND b.s ≤ a.e, emitted with the exact overlap duration in
+    integer µs (unix_micros ≡ epoch_us — the cross-engine ts recipe).
+
+    Scale shape — TIME-PARTITIONED interval join, the standard strategy:
+    intervals cannot cross their (type, day) partition by construction,
+    so the non-equi overlap predicate rides INSIDE an equi-join keyed on
+    (event_type, day) — one interval-build shuffle, one bucket-keyed join
+    shuffle (AQE reuses the identical self-join side at runtime), and the
+    quadratic is confined to per-bucket occupancy (~|users active that
+    day|), never the global interval space. A hot bucket is bounded the
+    skyline_nd way: refine the bucket to hours, dedup pairs spanning
+    several — same plan, finer key. The day split is exact here because
+    the windows are day-scoped; for arbitrary intervals the bucketing
+    explodes each interval over the buckets it spans and a DISTINCT
+    collapses multi-bucket pairs."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_micros("ts").alias("t"),
+        )
+        .withColumn("day", F.expr(f"t div {_DAY_US}"))
+    )
+    i = ev.groupBy("event_type", "day", "user_id").agg(
+        F.min("t").alias("s"), F.max("t").alias("e")
+    )
+    a, b = i.alias("a"), i.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") == F.col("b.day"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .filter(
+            (F.col("a.s") <= F.col("b.e")) & (F.col("b.s") <= F.col("a.e"))
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            big(F.col("a.day")).alias("day"),
+            big(F.col("a.user_id")).alias("ua"),
+            big(F.col("b.user_id")).alias("ub"),
+            (
+                F.least(F.col("a.e"), F.col("b.e"))
+                - F.greatest(F.col("a.s"), F.col("b.s"))
+            ).alias("overlap_us"),
+        )
+    )

@@ -75,7 +75,7 @@ EXTENSIONS = {
     "embed_pq_codes", "dedup_semantic", "pack_bins_nextfit",
     "multimodal_video_neardup", "text_dup_span_coverage",
     "search_pq_adc_topk", "text_lm_nll", "text_bpe_train",
-    "sketch_heavy_hitters",
+    "sketch_heavy_hitters", "join_interval_overlap",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

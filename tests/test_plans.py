@@ -780,3 +780,25 @@ def test_text_bpe_train_iterates_on_the_vocab_frame(spark, sf_dir):
         assert keys <= {
             "word", "lhs", "rhs", "_groupingexpression"
         }, arglist
+
+
+def test_join_interval_overlap_is_time_partitioned(spark, sf_dir):
+    """The overlap predicate must ride INSIDE the (event_type, day)
+    equi-join — no CartesianProduct, no nested loop — and every exchange
+    hashes the partition/user keys only (full argument lists captured)."""
+    ov = plan_of(spark, sf_dir, "join_interval_overlap")
+    assert "CartesianProduct" not in ov["plan"]
+    assert ov["broadcast_nl_joins"] == 0, ov["plan"]
+    assert ov["python_rows"] == 0 and ov["arrow_python"] == 0
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", ov["plan"])
+    assert parts, ov["plan"]
+    for arglist in parts:
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        assert keys <= {"event_type", "day", "user_id"}, arglist

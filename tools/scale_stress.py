@@ -162,6 +162,11 @@ STRESS = [
     # candidate union stays k x partitions; the exact verdict pass is the
     # same stream aggregated on an 82-key domain.
     "sketch_heavy_hitters",
+    # Interval-overlap join: users scale with copies, so per-(type, day)
+    # bucket occupancy and the admitted pair set both grow with the data
+    # (output-proportional by design; the per-bucket quadratic is the
+    # declared cost model).
+    "join_interval_overlap",
 ]
 
 
