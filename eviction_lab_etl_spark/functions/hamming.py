@@ -51,9 +51,11 @@ def hamming_near_pairs(
 
     ``group_col`` restricts matching to rows sharing an alignment key —
     e.g. the frame index for per-frame video fingerprints, a time bucket
-    for audio chromaprints — by folding it into the band bucket key (the
-    candidate shuffle stays one equi-join; no post-filter). When set, the
-    output carries the group column first: (group, a, b, hd)."""
+    for audio chromaprints — joined as an ADDITIONAL equi-join key
+    alongside (band, key): Catalyst extracts all three equalities as
+    equi-join keys, so the candidate shuffle stays one equi-join with the
+    group in the shuffle key (no post-filter). When set, the output
+    carries the group column first: (group, a, b, hd)."""
     return _candidate_pairs(
         hashes, id_col, hi_col, lo_col, max_hd, bands, group_col
     ).filter(F.col("hd") <= max_hd).distinct()

@@ -483,9 +483,13 @@ def text_tokenize_topn(spark, sf_dir):
 )
 def text_ngrams(spark, sf_dir):
     """Top-10 bigrams in the English slice (X), built JVM-side with
-    transform(sequence(...)) — no Python UDF in the hot path."""
+    transform(sequence(...)) — no Python UDF in the hot path. The token
+    array is materialized in its own projection first: a lambda referencing
+    the raw ``split()`` gets it re-inlined per bigram position (two
+    ``element_at`` = two splits per position — quadratic in doc length)."""
     docs = load(spark, sf_dir, "documents").filter(F.col("lang") == "en")
-    w = F.split("text", " ")
+    tokenized = docs.select(F.split("text", " ").alias("toks"))
+    w = F.col("toks")
     bigrams = F.when(
         F.size(w) >= 2,
         F.transform(
@@ -494,7 +498,7 @@ def text_ngrams(spark, sf_dir):
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        docs.select(F.explode(bigrams).alias("bigram"))
+        tokenized.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("bigram"))

@@ -673,9 +673,13 @@ def text_fingerprint(spark, sf_dir):
 
     The scan is spread to full parallelism first: ~300 shingle digests per
     row are CPU-bound, and the fixture parquet arrives as one row group
-    (5.4x at sf0.1)."""
+    (5.4x at sf0.1). The token array is materialized in its own projection
+    before the lambda: referencing the raw ``split()`` re-inlines it per
+    shingle position (three ``element_at`` = three splits per position —
+    quadratic in doc length)."""
     docs = spread(load(spark, sf_dir, "documents"))
-    w = F.split("text", " ")
+    tokenized = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    w = F.col("toks")
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), F.size(w) - 2),
         lambda i: F.md5(
@@ -687,7 +691,7 @@ def text_fingerprint(spark, sf_dir):
             )
         ),
     )
-    return docs.select("doc_id", F.array_min(shingle_hashes).alias("fp"))
+    return tokenized.select("doc_id", F.array_min(shingle_hashes).alias("fp"))
 
 
 # --- MinHash + LSH banding (shingle → minhash → band → bucket-join) ----------

@@ -590,7 +590,7 @@ _DAY_US = 86_400_000_000
         SELECT event_type, day, user_id, min(t) AS s, max(t) AS e
         FROM e GROUP BY event_type, day, user_id
     )
-    SELECT a.event_type, a.day,
+    SELECT a.event_type, a.day AS od,
            CAST(a.user_id AS BIGINT) AS ua,
            CAST(b.user_id AS BIGINT) AS ub,
            CAST(least(a.e, b.e) - greatest(a.s, b.s) AS BIGINT) AS overlap_us
@@ -622,7 +622,13 @@ def join_interval_overlap(spark, sf_dir):
     several — same plan, finer key. The day split is exact here because
     the windows are day-scoped; for arbitrary intervals the bucketing
     explodes each interval over the buckets it spans and a DISTINCT
-    collapses multi-bucket pairs."""
+    collapses multi-bucket pairs.
+
+    Day bucketing uses FLOOR-division semantics to match DuckDB's ``//``:
+    Spark's ``div`` truncates toward zero, which would mis-bucket negative
+    (pre-1970) epoch-microsecond timestamps; the ``t % D < 0`` correction
+    makes the two engines agree for all t (identical for the post-1970
+    fixture, so prior driver hashes are unaffected)."""
     ev = (
         load(spark, sf_dir, "events")
         .select(
@@ -630,7 +636,13 @@ def join_interval_overlap(spark, sf_dir):
             "event_type",
             F.unix_micros("ts").alias("t"),
         )
-        .withColumn("day", F.expr(f"t div {_DAY_US}"))
+        .withColumn(
+            "day",
+            F.expr(
+                f"t div {_DAY_US}"
+                f" - (CASE WHEN t % {_DAY_US} < 0 THEN 1 ELSE 0 END)"
+            ),
+        )
     )
     i = ev.groupBy("event_type", "day", "user_id").agg(
         F.min("t").alias("s"), F.max("t").alias("e")
@@ -648,7 +660,7 @@ def join_interval_overlap(spark, sf_dir):
         )
         .select(
             F.col("a.event_type").alias("event_type"),
-            big(F.col("a.day")).alias("day"),
+            big(F.col("a.day")).alias("od"),
             big(F.col("a.user_id")).alias("ua"),
             big(F.col("b.user_id")).alias("ub"),
             (

@@ -87,10 +87,18 @@ def contam_ngram_overlap(spark, sf_dir):
     ~1% of the corpus and broadcasts; the per-doc distinct runs MAP-SIDE
     (``array_distinct`` inside the row, not a corpus-wide (doc_id, gram)
     DISTINCT exchange), so the only corpus shuffle is the final per-doc
-    aggregation."""
+    aggregation.
+
+    The token array is materialized in its OWN projection before the gram
+    lambda references it — a lambda body that references the raw ``split()``
+    expression gets it re-inlined once per gram position (no cross-lambda
+    CSE), turning per-gram work quadratic in document length (r4 profiling:
+    91% of this query's cost; the r9 ``text_lm_nll`` fix measured 9x at
+    10x data)."""
     docs = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    grams = docs.select(
+    tokenized = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    w = F.col("toks")
+    grams = tokenized.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -137,10 +145,14 @@ def contam_ngram_hashed(spark, sf_dir):
     ~n²/2⁶⁵-improbable at any corpus size that fits a cluster, so the
     driver hash pins the collision-free contract rather than settling for
     rows-only. Caveat stands: on adversarial inputs engineered to collide,
-    the knob under-reports by design — use the exact form for audits."""
+    the knob under-reports by design — use the exact form for audits.
+
+    Token array materialized in its own projection before the lambda (same
+    re-inline trap as ``contam_ngram_overlap`` — see that docstring)."""
     docs = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    grams = docs.select(
+    tokenized = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    w = F.col("toks")
+    grams = tokenized.select(
         "doc_id",
         F.explode(
             F.array_distinct(
