@@ -42,26 +42,28 @@ _FLAGSHIP = "agg_sum_groupby"
 # stale queue can never burn a later round's budget re-checking green rows.
 # Bump _QUEUE_AS_OF to the highest CORRECTNESS_r*.json round present whenever
 # the queue is edited.
-_QUEUE_AS_OF = 8
+_QUEUE_AS_OF = 9
 _RECHECK_QUEUE: tuple[str, ...] = (
-    # --- Round-9 new operators (never driver-checked):
-    "embed_pq_codes",           # NEW r9: PQ encoding, map-only plan
-    "search_pq_adc_topk",       # NEW r9: ADC table-lookup top-10
-    "dedup_semantic",           # NEW r9: SemDeDup cluster-scoped near-dup
-    "pack_bins_nextfit",        # NEW r9: capacity-respecting packing
-    "multimodal_video_neardup", # NEW r9: aligned per-frame dHash quorum
-    "text_dup_span_coverage",   # NEW r9: inter-doc 8-gram span coverage
-    "text_lm_nll",              # NEW r9: integer-bits bigram LM gate
-    "text_bpe_train",           # NEW r9: 3-merge BPE trainer, replay oracle
-    "sketch_heavy_hitters",     # NEW r9: Misra-Gries containment verdict
-    "join_interval_overlap",    # NEW r9: time-partitioned interval join
-    # --- Round-9 changed code paths:
-    "multimodal_video_motion",  # r9: mint factored into _mint_video_payload
-    "multimodal_phash_near",    # r9: hamming group_col + numpy dHash
-    "multimodal_phash_dedup",   # r9: hash stage moved to _dhash_np
-    "multimodal_audio_neardup", # r9: same shared banding path, re-verify
-    # --- Changed AFTER the r8 driver run (commit fcb38d6, 04:24 vs 04:01):
-    "window_skyline_3d",        # r8 tail: unseen-band salt coalesce(...,1)
+    # --- Round-10 split-in-lambda retrofits (token array materialized in
+    # its own projection; values unchanged, plan changed):
+    "contam_ngram_overlap",
+    "contam_ngram_hashed",
+    "text_ngrams",
+    "text_fingerprint",
+    # --- Round-10 changed semantics/columns:
+    "join_interval_overlap",    # r10: floor-div day bucketing; 'day' -> 'od'
+    "pack_bins_nextfit",        # r10: refactored through nextfit_pack_counts
+    "text_bpe_train",           # r10: training loop extracted to _bpe_trained_state
+    # --- Round-10 new operators (never driver-checked):
+    "text_bpe_encode",          # NEW r10: BPE train->apply, per-doc token counts
+    "pack_bins_bpe",            # NEW r10: packing on trained-BPE counts
+    "search_ivfpq_topk",        # NEW r10: IVF-scoped ADC search (clustered fixture)
+    "search_ivfpq_recall",      # NEW r10: scoping loss vs full ADC scan
+    "dedup_incremental_batch",  # NEW r10: snapshot-batch near-dup admission gate
+    # --- Round-10 library refactor (band_buckets extracted from
+    # lsh_candidate_pairs — shared code path, values unchanged):
+    "dedup_minhash_pairs",
+    "dedup_minhash_recall",
 )
 
 

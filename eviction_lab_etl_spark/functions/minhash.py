@@ -87,20 +87,17 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
+def band_buckets(
     signatures: DataFrame, bands: int = 32, rows_per_band: int = 3
 ) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing at least one band bucket.
-
-    Each signature splits into ``bands`` slices of ``rows_per_band`` values;
-    docs collide iff some slice matches exactly — the probability
-    amplification that makes LSH work. The bucket key is the STRUCT of the
-    slice's values (rows_per_band × 8 bytes), not a hash of them: the
-    candidate set is then exactly "≥1 equal band" with zero bucket-collision
-    false candidates, which is what makes the banded join reproducible in a
-    value-level SQL oracle. (At extreme scale the key can be hashed back to
-    8 bytes — the 2⁻⁶⁴ false candidates it admits are removed by the exact
-    verification join anyway.)"""
+    """(id, band, key): each signature exploded into its ``bands`` band
+    buckets, the key being the STRUCT of the slice's values (rows_per_band
+    × 8 bytes), not a hash of them — the candidate set downstream is then
+    exactly "≥1 equal band" with zero bucket-collision false candidates,
+    which is what makes a banded join reproducible in a value-level SQL
+    oracle. (At extreme scale the key can be hashed back to 8 bytes — the
+    2⁻⁶⁴ false candidates it admits are removed by the exact verification
+    join anyway.)"""
     band_entries = F.array(
         *[
             F.struct(
@@ -115,9 +112,21 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    buckets = signatures.select("id", F.explode(band_entries).alias("e")).select(
+    return signatures.select("id", F.explode(band_entries).alias("e")).select(
         "id", F.col("e.band").alias("band"), F.col("e.key").alias("key")
     )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 32, rows_per_band: int = 3
+) -> DataFrame:
+    """Distinct candidate pairs (a < b) sharing at least one band bucket.
+
+    Each signature splits into ``bands`` slices of ``rows_per_band`` values;
+    docs collide iff some slice matches exactly — the probability
+    amplification that makes LSH work (see ``band_buckets`` for the
+    bucket-key exactness contract)."""
+    buckets = band_buckets(signatures, bands, rows_per_band)
     b1 = buckets.alias("b1")
     b2 = buckets.alias("b2")
     return (
@@ -167,4 +176,82 @@ def minhash_near_dup_pairs(
         .withColumn("uni", F.col("sa.n") + F.col("sb.n") - F.col("inter"))
         .filter(den * F.col("inter") >= num * F.col("uni"))
         .select("a", "b", "inter", "uni")
+    )
+
+
+def minhash_batch_matches(
+    batch_tokens: DataFrame,
+    corpus_tokens: DataFrame,
+    threshold: tuple[int, int] = (6, 10),
+    bands: int = 32,
+    rows_per_band: int = 3,
+    hash_fn: HashFamily = xxhash_family,
+) -> DataFrame:
+    """ASYMMETRIC near-dup matching — a small new batch against the big
+    committed corpus: every banded candidate pair with its exact
+    verification, as ``(b, a, inter, uni, near)`` where ``b`` is the batch
+    id, ``a`` the corpus id, and ``near`` = cross-multiplied Jaccard ≥
+    ``threshold``. Emitting candidates WITH the verdict (instead of only
+    survivors) lets the caller report both the banding's candidate mass and
+    the admission decision from one frame.
+
+    Both token frames carry (id, w) with ids drawn from disjoint spaces.
+    Scale shape (the incremental-ingest contract): the batch side is small
+    by construction, so its band buckets AND its token set ride broadcasts —
+    candidate generation is a map-side broadcast-hash probe over the corpus
+    buckets, and only candidate-scoped corpus tokens join for verification.
+    The one corpus-sized pass is the signature build (the LSH index); a
+    production table stores it at commit time, so per-batch cost is
+    O(batch + candidates), not O(corpus)."""
+    num, den = threshold
+    n_hashes = bands * rows_per_band
+    btok = batch_tokens.select(F.col("id").alias("bid"), "w")
+    ctok = corpus_tokens.select(F.col("id").alias("cid"), "w")
+    bsig = minhash_signatures(
+        btok.select(F.col("bid").alias("id"), "w"), "id", "w", n_hashes, hash_fn
+    )
+    csig = minhash_signatures(
+        ctok.select(F.col("cid").alias("id"), "w"), "id", "w", n_hashes, hash_fn
+    )
+    bb = band_buckets(bsig, bands, rows_per_band).select(
+        F.col("id").alias("b"), "band", "key"
+    )
+    cb = band_buckets(csig, bands, rows_per_band).select(
+        F.col("id").alias("a"), "band", "key"
+    )
+    cand = (
+        cb.join(F.broadcast(bb), ["band", "key"]).select("b", "a").distinct()
+    )
+    # Candidate pairs and everything derived from them are batch-
+    # proportional: broadcast them onto the corpus-sized frames (tokens,
+    # sizes) so the corpus side never sort-merge-exchanges for the
+    # verification either.
+    inter = (
+        F.broadcast(cand)
+        .join(ctok.alias("ct"), F.col("a") == F.col("ct.cid"))
+        .join(
+            F.broadcast(btok.alias("bt")),
+            (F.col("b") == F.col("bt.bid")) & (F.col("ct.w") == F.col("bt.w")),
+        )
+        .groupBy("b", "a")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    bsz = btok.groupBy(F.col("bid").alias("b")).agg(F.count(F.lit(1)).alias("bn"))
+    csz = ctok.groupBy(F.col("cid").alias("a")).agg(F.count(F.lit(1)).alias("cn"))
+    pairs = (
+        cand.join(F.broadcast(inter), ["b", "a"], "left")
+        .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))
+        .join(F.broadcast(bsz), "b")
+    )
+    return (
+        F.broadcast(pairs)
+        .join(csz, "a")
+        .withColumn("uni", F.col("bn") + F.col("cn") - F.col("inter"))
+        .withColumn(
+            "near",
+            (F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni")).cast(
+                "int"
+            ),
+        )
+        .select("b", "a", "inter", "uni", "near")
     )

@@ -254,15 +254,19 @@ def embed_kmeans_iter(spark, sf_dir):
 _PQ_M, _PQ_K, _PQ_SUB = 4, 4, 16  # 4 subspaces x 16 dims, 4 codewords each
 
 # Shared CTE block: quantized corpus -> deterministic codebook -> per-
-# (vec, subspace) sub-distances -> ranked codeword assignment. Both the
-# encoding oracle (embed_pq_codes) and the ADC search oracle
-# (search_pq_adc_topk) build on `a` (rn = 1 rows are the chosen codes).
-_PQ_CTES = f"""
+# (vec, subspace) sub-distances -> ranked codeword assignment. The
+# encoding oracle (embed_pq_codes), the ADC search oracle
+# (search_pq_adc_topk), and the IVF-PQ oracles (search_ivfpq_*, over the
+# clustered fixture) all build on `a` (rn = 1 rows are the chosen codes).
+def _pq_cte_block(src: str) -> str:
+    """The q/seeds/d/a chain over ``src`` — any FROM-able source providing
+    (vec_id, embedding)."""
+    return f"""
     q AS (
       SELECT vec_id,
              list_transform(embedding,
                  e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
-      FROM embeddings
+      FROM {src}
     ),
     seeds AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid,
@@ -285,6 +289,9 @@ _PQ_CTES = f"""
       FROM d
     )
 """
+
+
+_PQ_CTES = _pq_cte_block("embeddings")
 
 _PQ_ORACLE = f"""
     WITH {_PQ_CTES.strip()}
@@ -751,4 +758,249 @@ def search_pq_adc_topk(spark, sf_dir):
         big("vec_id").alias("vec_id"),
         big("adc_q").alias("adc_q"),
         F.row_number().over(w).cast("long").alias("rnk"),
+    )
+
+# --- IVF-PQ: coarse-cell-scoped ADC search (the production ANN index) --------
+#
+# `ann_ivf` (operators/extensions.py) scopes candidates with a coarse
+# quantizer; `search_pq_adc_topk` above scans ALL codes with ADC. Production
+# ANN at 100 TB is their composition — IVF-PQ (Jégou et al., PAMI'11 §V):
+# restrict the ADC table-lookup scan to the nprobe coarse cells nearest the
+# probe, so per-query work is (corpus/K_coarse)·nprobe table lookups instead
+# of a full-corpus scan. Runs on the CLUSTERED fixture (ann_ivf's rationale:
+# isotropic noise has no neighbor structure a coarse cell can preserve, so
+# recall there measures luck; the planted 50×10 clusters make the recall row
+# a measurement of the quantizer).
+
+_IVFPQ_KC = 8       # coarse cells
+_IVFPQ_NPROBE = 2   # cells probed per query
+
+from eviction_lab_etl_spark import fixtures as _fixtures
+
+_IVFPQ_CTES = f"""
+    WITH {_pq_cte_block(f"({_fixtures.EMBEDDINGS_CLUSTERED_SQL})").strip()},
+    codes AS (SELECT vec_id, m, cid FROM a WHERE rn = 1),
+    coarse AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ccid,
+             q AS cc
+      FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {_IVFPQ_KC})
+    ),
+    cd AS (
+      SELECT v.vec_id, c.ccid,
+             list_sum(list_transform(range(1, {_PQ_M * _PQ_SUB + 1}),
+                 j -> (v.q[j] - c.cc[j]) * (v.q[j] - c.cc[j]))) AS d
+      FROM q v, coarse c
+    ),
+    ca AS (
+      SELECT vec_id, ccid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+      FROM cd
+    ),
+    probe AS (SELECT q FROM q WHERE vec_id = 0),
+    tab AS (
+      SELECT s.cid, m.m,
+             list_sum(list_transform(range(1, {_PQ_SUB + 1}),
+                 j -> (p.q[m.m * {_PQ_SUB} + j] - s.c[m.m * {_PQ_SUB} + j])
+                    * (p.q[m.m * {_PQ_SUB} + j] - s.c[m.m * {_PQ_SUB} + j])))
+                 AS t
+      FROM probe p,
+           (SELECT unnest(range(0, {_PQ_M})) AS m) m,
+           seeds s
+    ),
+    fullscore AS (
+      SELECT c.vec_id, CAST(sum(tab.t) AS BIGINT) AS adc_q
+      FROM codes c JOIN tab ON tab.m = c.m AND tab.cid = c.cid
+      GROUP BY c.vec_id
+    ),
+    pcells AS (
+      SELECT ccid FROM ca WHERE vec_id = 0 AND rn <= {_IVFPQ_NPROBE}
+    ),
+    cells AS (SELECT vec_id, ccid FROM ca WHERE rn = 1),
+    ivfscore AS (
+      SELECT s.vec_id, s.adc_q
+      FROM fullscore s
+      JOIN cells ON cells.vec_id = s.vec_id
+      JOIN pcells p ON p.ccid = cells.ccid
+    )
+"""
+
+
+def _ivfpq_scored(spark, sf_dir):
+    """(vec_id, adc_q, in_probe): full-corpus ADC scores over the clustered
+    fixture with the IVF scoping flag — in_probe is TRUE iff the vector's
+    primary coarse cell is among the probe's nprobe nearest cells. Shared
+    by the search (filters on the flag) and the recall row (compares the
+    flagged top-k against the unflagged).
+
+    Plan, graded for 100 TB: THREE 1-row broadcasts (PQ codebook, coarse
+    codebook, ADC-table+probe-cells), every per-vector step a map-side
+    fold — coarse assignment is an argmin over {_IVFPQ_KC} integer folds,
+    scoping is array_contains against the broadcast cell list, scoring is
+    4 table lookups — so the corpus NEVER exchanges; the only ordering
+    work is the final TakeOrderedAndProject cut. On a real index the
+    in_probe filter is partition pruning (codes bucketed by coarse cell);
+    here it is the same predicate evaluated map-side."""
+    from pyspark.sql import Window
+
+    corpus = _fixtures.embeddings_clustered(spark, sf_dir).select(
+        "vec_id", "embedding"
+    )
+    q = corpus.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    )
+    widep = _pq_codebook_wide(q)
+    seeds_c = (
+        q.orderBy("vec_id")
+        .limit(_IVFPQ_KC)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("ccid"),
+            "q",
+        )
+    )
+    widec = seeds_c.groupBy().agg(
+        *[
+            F.min(F.when(F.col("ccid") == i, F.col("q"))).alias(f"cc_{i}")
+            for i in range(_IVFPQ_KC)
+        ]
+    )
+
+    def coarse_ranked():
+        def dist(i: int):
+            return F.aggregate(
+                F.zip_with("q", F.col(f"cc_{i}"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        # struct sort = (d ASC, ccid ASC) — the oracle's (d, ccid) rank.
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        dist(i).alias("d"), F.lit(i).cast("long").alias("ccid")
+                    )
+                    for i in range(_IVFPQ_KC)
+                ]
+            )
+        )
+
+    enc = _pq_encoded(spark, sf_dir, q=q, wide=widep)
+    assigned = enc.join(F.broadcast(widec)).select(
+        "vec_id",
+        "q",
+        *[f"b{m}" for m in range(_PQ_M)],
+        F.element_at(coarse_ranked(), 1)["ccid"].alias("ccid"),
+    )
+    probe_q = q.filter(F.col("vec_id") == 0)
+    tabs = probe_q.join(F.broadcast(widep)).select(
+        *[
+            _pq_sub_dist("q", m, i).alias(f"t_{m}_{i}")
+            for m in range(_PQ_M)
+            for i in range(_PQ_K)
+        ]
+    )
+    pcells = probe_q.join(F.broadcast(widec)).select(
+        F.transform(
+            F.slice(coarse_ranked(), 1, _IVFPQ_NPROBE), lambda e: e["ccid"]
+        ).alias("pcells")
+    )
+    adc_terms = []
+    for m in range(_PQ_M):
+        term = F.lit(None).cast("long")
+        for i in range(_PQ_K):
+            term = F.when(
+                F.col(f"b{m}.cid") == i, F.col(f"t_{m}_{i}")
+            ).otherwise(term)
+        adc_terms.append(term)
+    return (
+        assigned.join(F.broadcast(pcells))
+        .join(F.broadcast(tabs))
+        .select(
+            "vec_id",
+            sum(adc_terms[1:], adc_terms[0]).alias("adc_q"),
+            F.array_contains("pcells", F.col("ccid")).alias("in_probe"),
+        )
+    )
+
+
+@query(
+    "search_ivfpq_topk",
+    oracle=_IVFPQ_CTES + f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, adc_q,
+           CAST(row_number() OVER (ORDER BY adc_q, vec_id) AS BIGINT) AS rnk
+    FROM ivfscore ORDER BY adc_q, vec_id LIMIT {_PQ_TOPK}
+    """,
+)
+def search_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ top-10: ADC search scoped to the probe's nprobe={_IVFPQ_NPROBE}
+    nearest coarse cells — the composition of `ann_ivf`'s coarse quantizer
+    with `search_pq_adc_topk`'s table-lookup scoring, i.e. the index layout
+    every production retrieval system builds first. Deterministic end to
+    end: integer-grid quantization, lowest-vec_id-seeded codebooks (both
+    levels), (d, cid)-tie-broken argmins, (adc_q, vec_id) rank order — so
+    the oracle re-derives coarse cells, codes, ADC table, scoping, and the
+    final cut, and the driver hash pins the whole approximation (which
+    vectors the IVF filter admits included). Recall vs the unscoped ADC
+    scan is its own driver row (`search_ivfpq_recall`)."""
+    from pyspark.sql import Window
+
+    scored = _ivfpq_scored(spark, sf_dir)
+    top = (
+        scored.filter("in_probe")
+        .select("vec_id", "adc_q")
+        .orderBy("adc_q", "vec_id")
+        .limit(_PQ_TOPK)
+    )
+    w = Window.orderBy("adc_q", "vec_id")
+    return top.select(
+        big("vec_id").alias("vec_id"),
+        big("adc_q").alias("adc_q"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+
+
+@query(
+    "search_ivfpq_recall",
+    oracle=_IVFPQ_CTES + f"""
+    , full10 AS (
+        SELECT vec_id FROM fullscore ORDER BY adc_q, vec_id LIMIT {_PQ_TOPK}
+    ),
+    ivf10 AS (
+        SELECT vec_id FROM ivfscore ORDER BY adc_q, vec_id LIMIT {_PQ_TOPK}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_full,
+           CAST(count(i.vec_id) AS BIGINT) AS n_hits
+    FROM full10 f LEFT JOIN ivf10 i ON i.vec_id = f.vec_id
+    """,
+)
+def search_ivfpq_recall(spark, sf_dir):
+    """Recall@10 of the IVF-scoped ADC search against the UNSCOPED full ADC
+    scan — isolating exactly what the coarse quantizer costs (PQ's own
+    quantization error cancels: both sides score with the same codes).
+    Emitted as the integer (n_full, n_hits) row the ann_ivf_recall pattern
+    established, fully hash-checked because every piece is closed-form.
+    tests pin the measured floor (n_hits >= 9 on the clustered fixture —
+    the probe's cluster co-locates in its coarse cell, which is the
+    entire premise of IVF on structured data)."""
+    full10 = (
+        _ivfpq_scored(spark, sf_dir)
+        .orderBy("adc_q", "vec_id")
+        .limit(_PQ_TOPK)
+        .select("vec_id", "in_probe")
+    )
+    ivf10 = (
+        _ivfpq_scored(spark, sf_dir)
+        .filter("in_probe")
+        .orderBy("adc_q", "vec_id")
+        .limit(_PQ_TOPK)
+        .select(F.col("vec_id").alias("ivid"))
+    )
+    return full10.join(
+        ivf10, full10["vec_id"] == ivf10["ivid"], "left"
+    ).agg(
+        big(F.count(F.lit(1))).alias("n_full"),
+        big(F.count("ivid")).alias("n_hits"),
     )

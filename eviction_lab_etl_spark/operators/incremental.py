@@ -634,3 +634,192 @@ def incr_scd2_build(spark, sf_dir):
         F.row_number().over(w).cast("bigint").alias("version"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+# --- incremental NEAR-dup dedup: new snapshot batch vs committed corpus ------
+#
+# `incr_ingest_dedup` above rejects EXACT re-crawls by digest manifest; real
+# re-crawls mutate (boilerplate drift, timestamps, appended footers), so the
+# ingest gate production actually runs is NEAR-dup: band the new batch's
+# MinHash signatures against the committed corpus and admit only docs with
+# no verified Jaccard-near neighbor in history. The batch arrives through
+# the snapshot table's own commit protocol (sources/snapshot.py) and is
+# recovered as the VERSION FILE DIFF — appends ship their own immutable
+# files, so reading "what changed in v2" costs O(batch), never O(corpus).
+
+from eviction_lab_etl_spark.functions.minhash import (  # noqa: E402
+    md5_family_duck as _ib_duck_hash,
+)
+
+_IB_BANDS = 16
+_IB_ROWS = 3
+_IB_NUM, _IB_DEN = 9, 10  # Jaccard >= 0.9: the near-identical re-crawl gate
+
+_IB_SIG_COLS = ",\n               ".join(
+    f"min({_ib_duck_hash(i)}) AS h{i}" for i in range(_IB_BANDS * _IB_ROWS)
+)
+_IB_BAND_EQ = "\n           OR ".join(
+    "("
+    + " AND ".join(
+        f"a.h{b * _IB_ROWS + j} = b.h{b * _IB_ROWS + j}" for j in range(_IB_ROWS)
+    )
+    + ")"
+    for b in range(_IB_BANDS)
+)
+
+
+def _ingest_snapshot_fixture(spark, sf_dir, prefix: str):
+    """Two real commits: v1 = the committed corpus (doc_id < 400), v2 =
+    v1 + the arriving batch (the fresh tail doc_id >= 400 PLUS near-dup
+    re-crawls of 25 committed docs — same text with one appended revision
+    token under fresh ids, exactly the mutated-re-crawl shape the near-dup
+    gate exists for). Deterministic per-(process, sf_dir) scratch root,
+    rebuilt per invocation (the _replay_snapshot_fixture discipline)."""
+    import hashlib
+    import tempfile
+
+    from eviction_lab_etl_spark.sources.snapshot import SnapshotTable
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") < 25)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat("text", F.lit(" rev2")).alias("text"),
+        )
+        .unionByName(docs.filter(F.col("doc_id") >= 400))
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    root = os.path.join(tempfile.gettempdir(), f"{prefix}_{os.getpid()}_{tag}")
+    table = SnapshotTable(root)
+    if table.latest_version() > 0:
+        table.drop()
+        table = SnapshotTable(root)
+    table.append(docs.filter(F.col("doc_id") < 400))
+    table.append(batch)
+    return table
+
+
+@query(
+    "dedup_incremental_batch",
+    oracle=f"""
+    WITH old AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 400
+    ),
+    batch AS (
+        SELECT doc_id + 200000 AS doc_id, text || ' rev2' AS text
+        FROM documents WHERE doc_id < 25
+        UNION ALL
+        SELECT doc_id, text FROM documents WHERE doc_id >= 400
+    ),
+    otok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM old
+    ),
+    btok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        FROM batch
+    ),
+    osig AS (
+        SELECT doc_id,
+               {_IB_SIG_COLS}
+        FROM otok GROUP BY doc_id
+    ),
+    bsig AS (
+        SELECT doc_id,
+               {_IB_SIG_COLS}
+        FROM btok GROUP BY doc_id
+    ),
+    cand AS (
+        SELECT b.doc_id AS bid, a.doc_id AS oid
+        FROM bsig b JOIN osig a
+          ON {_IB_BAND_EQ}
+    ),
+    osz AS (SELECT doc_id, count(*) AS n FROM otok GROUP BY doc_id),
+    bsz AS (SELECT doc_id, count(*) AS n FROM btok GROUP BY doc_id),
+    iv AS (
+        SELECT c.bid, c.oid, count(*) AS inter
+        FROM cand c
+        JOIN otok t1 ON t1.doc_id = c.oid
+        JOIN btok t2 ON t2.doc_id = c.bid AND t1.w = t2.w
+        GROUP BY c.bid, c.oid
+    ),
+    verd AS (
+        SELECT c.bid, c.oid,
+               CASE WHEN {_IB_DEN} * coalesce(iv.inter, 0)
+                         >= {_IB_NUM} * (osz.n + bsz.n - coalesce(iv.inter, 0))
+                    THEN 1 ELSE 0 END AS near
+        FROM cand c
+        JOIN osz ON osz.doc_id = c.oid
+        JOIN bsz ON bsz.doc_id = c.bid
+        LEFT JOIN iv ON iv.bid = c.bid AND iv.oid = c.oid
+    )
+    SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           CAST(count(v.oid) AS BIGINT) AS n_cand,
+           CAST(coalesce(sum(v.near), 0) AS BIGINT) AS n_near,
+           CAST(CASE WHEN coalesce(sum(v.near), 0) = 0 THEN 1 ELSE 0 END
+                AS BIGINT) AS admitted
+    FROM batch b LEFT JOIN verd v ON v.bid = b.doc_id
+    GROUP BY b.doc_id
+    """,
+)
+def dedup_incremental_batch(spark, sf_dir):
+    """Near-dup admission gate for an arriving snapshot batch: commit the
+    corpus (v1) and the batch (v2) through the real on-disk snapshot
+    protocol, recover the batch as the v1→v2 FILE DIFF (appends ship their
+    own immutable files — an O(batch) read with no corpus scan and no
+    row-level exceptAll), then MinHash-band it against the v1 corpus read
+    by time travel and exact-verify every banded candidate at Jaccard ≥
+    0.9 (functions/minhash.py `minhash_batch_matches`, md5-prefix family —
+    the oracle rebuilds the identical signatures, buckets, misses and
+    verdicts from the `documents` table, so the driver hash pins the
+    snapshot roundtrip AND the approximation). Emits the per-batch-doc
+    admission ledger (banded candidate count, verified near count,
+    admitted flag): 25 planted mutated re-crawls are rejected, the fresh
+    tail admits except organic matches, and within-batch dups stay
+    `dedup_exact`'s job.
+
+    Scale shape at 100 TB: the batch side (buckets, tokens, sizes) rides
+    broadcasts; corpus-side candidate probing is a map-side broadcast-hash
+    join; verification touches only candidate-scoped corpus tokens; the one
+    corpus-sized pass (signature build = the LSH index) is the amortized
+    commit-time artifact, and cost per ingest is O(batch + candidates)."""
+    from eviction_lab_etl_spark.functions.minhash import (
+        md5_family,
+        minhash_batch_matches,
+    )
+
+    table = _ingest_snapshot_fixture(spark, sf_dir, "elspark_ingestnd")
+    assert table.latest_version() == 2
+    old = table.read(spark, version=1)
+    v1_files = set(table.files(1))
+    batch_files = [f for f in table.files(2) if f not in v1_files]
+    batch = spark.read.parquet(*batch_files)
+
+    def toks(df):
+        return df.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+        )
+
+    matches = minhash_batch_matches(
+        toks(batch),
+        toks(old),
+        threshold=(_IB_NUM, _IB_DEN),
+        bands=_IB_BANDS,
+        rows_per_band=_IB_ROWS,
+        hash_fn=md5_family,
+    )
+    return (
+        batch.select("doc_id")
+        .join(F.broadcast(matches), F.col("doc_id") == F.col("b"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("a").cast("bigint").alias("n_cand"),
+            F.coalesce(F.sum("near"), F.lit(0)).cast("bigint").alias("n_near"),
+            F.when(F.coalesce(F.sum("near"), F.lit(0)) == 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("admitted"),
+        )
+    )

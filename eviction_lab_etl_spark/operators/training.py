@@ -677,10 +677,26 @@ def nextfit_pack(docs, capacity: int = _PACK_CAP, shards: int = _PACK_SHARDS):
     text — one shuffle on the shard key, and `shards` scales with the
     cluster so each group's metadata fits an executor (skewless by
     construction: round-robin doc_id % shards)."""
-    toks = docs.select(
+    return nextfit_pack_counts(
+        docs.select(
+            "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+        ),
+        capacity=capacity,
+        shards=shards,
+    )
+
+
+def nextfit_pack_counts(
+    tok_counts, capacity: int = _PACK_CAP, shards: int = _PACK_SHARDS
+):
+    """``nextfit_pack`` over a PRE-COMPUTED (doc_id, n_tok) frame — the seam
+    that lets packing consume any tokenizer's counts (whitespace in
+    `pack_bins_nextfit`, the trained BPE vocabulary in `pack_bins_bpe`)
+    without changing the greedy or its scale shape."""
+    toks = tok_counts.select(
         "doc_id",
         (F.col("doc_id") % shards).alias("shard"),
-        F.size(F.split("text", " ")).alias("n_tok"),
+        F.col("n_tok").cast("long").alias("n_tok"),
     )
 
     def pack(pdf):
@@ -804,7 +820,11 @@ _BPE_STEP_SQL = """
     )
 """
 
-_BPE_ORACLE = (
+# Shared CTE chain: words → char-split state0 → (pairs/best/walk/state)×K.
+# `state{_BPE_MERGES}` is the trained vocabulary (word, cnt, toks) — the
+# train oracle reads the best{k} rows, the encode/pack oracles read the
+# final state. One definition, three driver-hash-checked consumers.
+_BPE_CTES = (
     """
     WITH RECURSIVE words AS (
         SELECT w AS word, count(*) AS cnt
@@ -822,13 +842,70 @@ _BPE_ORACLE = (
         _BPE_STEP_SQL.format(k=k, st=f"state{k - 1}")
         for k in range(1, _BPE_MERGES + 1)
     )
-    + "".join(
-        f"""
+)
+
+_BPE_ORACLE = _BPE_CTES + "".join(
+    f"""
     {"SELECT" if k == 1 else "UNION ALL SELECT"} CAST({k} AS BIGINT) AS step,
            lhs, rhs, merged, pc FROM best{k}"""
-        for k in range(1, _BPE_MERGES + 1)
-    )
+    for k in range(1, _BPE_MERGES + 1)
 )
+
+_BPE_ENCODE_ORACLE = _BPE_CTES + f"""
+    , dw AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(v.toks)) AS BIGINT) AS n_bpe_tok
+    FROM dw d JOIN state{_BPE_MERGES} v ON d.word = v.word
+    GROUP BY d.doc_id
+"""
+
+# dtok/ordb are MATERIALIZED: the packb recursion joins ordb once per rank
+# step, and without the hint DuckDB re-evaluates the entire BPE CTE chain
+# (three recursive merge walks) on every step — measured 349 s vs 5.3 s at
+# sf0.01.
+_PACK_BPE_ORACLE = _BPE_CTES + f"""
+    , dtok AS MATERIALIZED (
+        SELECT d.doc_id,
+               CAST(d.doc_id % {_PACK_SHARDS} AS BIGINT) AS shard,
+               CAST(sum(len(v.toks)) AS BIGINT) AS n_tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+              FROM documents) d
+        JOIN state{_BPE_MERGES} v ON d.word = v.word
+        GROUP BY d.doc_id
+    ),
+    ordb AS MATERIALIZED (
+        SELECT doc_id, shard, n_tok,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY n_tok DESC, doc_id) AS rn
+        FROM dtok
+    ),
+    packb AS (
+        SELECT shard, rn, doc_id, n_tok,
+               CAST(0 AS BIGINT) AS bin_idx,
+               n_tok AS fill,
+               CAST(0 AS BIGINT) AS pos_in_bin
+        FROM ordb WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.n_tok,
+               CASE WHEN p.fill + o.n_tok <= {_PACK_CAP}
+                    THEN p.bin_idx ELSE p.bin_idx + 1 END,
+               CASE WHEN p.fill + o.n_tok <= {_PACK_CAP}
+                    THEN p.fill + o.n_tok ELSE o.n_tok END,
+               CASE WHEN p.fill + o.n_tok <= {_PACK_CAP}
+                    THEN p.pos_in_bin + 1 ELSE 0 END
+        FROM packb p JOIN ordb o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(bin_idx AS BIGINT) AS bin_idx,
+           CAST(pos_in_bin AS BIGINT) AS pos_in_bin,
+           CAST(n_tok AS BIGINT) AS n_tok
+    FROM packb
+"""
 
 
 def _bpe_merge_fold(toks_col, lhs_col, rhs_col):
@@ -923,7 +1000,18 @@ def text_bpe_train(spark, sf_dir):
     (BroadcastNestedLoopJoin by construction) over the vocab frame.
     Char splitting is substr(word, i, 1) — split-on-empty-pattern edge
     semantics differ across engines; this cannot."""
-    docs = load(spark, sf_dir, "documents")
+    _, bests = _bpe_trained_state(load(spark, sf_dir, "documents"))
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def _bpe_trained_state(docs):
+    """Run the `_BPE_MERGES`-step BPE training loop over `docs`; return
+    (final vocab state (word, cnt, toks), [per-step merge-table frames]).
+    Shared by `text_bpe_train` (reads the merge table), `text_bpe_encode`
+    and `pack_bins_bpe` (read the trained vocabulary)."""
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("word"))
         .groupBy("word")
@@ -967,7 +1055,70 @@ def text_bpe_train(spark, sf_dir):
                 F.col("toks"), F.col("lhs"), F.col("rhs")
             ).alias("toks"),
         )
-    out = bests[0]
-    for b in bests[1:]:
-        out = out.unionByName(b)
-    return out
+    return state, bests
+
+
+def _bpe_vocab_lengths(docs):
+    """(word, n_bpe): per-vocabulary-word BPE token count under the trained
+    merge table. The vocab frame is a groupBy aggregate Catalyst cannot
+    size (landmine: it would sort-merge the corpus stream without the
+    hint), and is vocabulary-bounded by construction → explicit
+    F.broadcast at every consumer."""
+    state, _ = _bpe_trained_state(docs)
+    return state.select("word", F.size("toks").alias("n_bpe"))
+
+
+@query("text_bpe_encode", oracle=_BPE_ENCODE_ORACLE)
+def text_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION — the other half of the train→apply
+    lifecycle `text_bpe_train` opens: encode the corpus with the learned
+    3-merge vocabulary and emit the per-document BPE token count next to
+    the whitespace word count (the number every token-budgeted pipeline
+    stage — packing, pricing, context-length filtering — actually needs;
+    whitespace counts are a proxy that drifts with morphology).
+
+    BPE's production shape: tokenization is a pure function of the WORD,
+    so the corpus never re-runs the merge walk — the trained vocabulary
+    (word → token list, bounded by |vocab|, not corpus size) broadcasts,
+    and encoding is a map-side hash join of exploded corpus words against
+    it, followed by one per-doc aggregation shuffle. The inner join is
+    total by construction (the vocabulary was trained on this corpus).
+
+    Oracle: the shared `_BPE_CTES` chain replays training (pair counts,
+    tie-broken argmax, recursive-CTE merge walks) to the same trained
+    state, then joins and aggregates identically — the driver hash pins
+    the merges AND their corpus-wide application."""
+    docs = load(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    return (
+        dw.join(F.broadcast(_bpe_vocab_lengths(docs)), "word")
+        .groupBy("doc_id")
+        .agg(
+            big(F.count(F.lit(1))).alias("n_words"),
+            big(F.sum("n_bpe")).alias("n_bpe_tok"),
+        )
+    )
+
+
+@query("pack_bins_bpe", oracle=_PACK_BPE_ORACLE)
+def pack_bins_bpe(spark, sf_dir):
+    """`pack_bins_nextfit` with REAL token counts: the next-fit-decreasing
+    packing greedy consuming the trained BPE vocabulary's per-doc token
+    counts (`text_bpe_encode`) instead of the whitespace proxy — the
+    composition a training pipeline actually runs, since bins are sized in
+    model tokens, not words. Same greedy, same per-shard Arrow metadata
+    shape (`nextfit_pack_counts`); the count change re-orders the
+    decreasing sort and moves every bin boundary, all of which the
+    recursive-CTE replay oracle re-derives from the trained state."""
+    docs = load(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .join(F.broadcast(_bpe_vocab_lengths(docs)), "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_bpe").alias("n_tok"))
+    )
+    return nextfit_pack_counts(counts)

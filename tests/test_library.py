@@ -741,3 +741,129 @@ def test_nextfit_pack_invariants(spark, sf_dir):
     for shard in {s for s, _ in bins}:
         idxs = sorted(b for s, b in bins if s == shard)
         assert idxs == list(range(len(idxs))), f"shard {shard} skips bins"
+
+
+def test_search_ivfpq_recall_floor(spark, sf_dir):
+    """The IVF scoping must not cost recall on the clustered fixture: the
+    probe's cluster co-locates in its coarse cell (the premise of IVF on
+    structured data), so the scoped ADC top-10 recovers >= 9 of the full
+    ADC scan's top-10 (measured 10/10 at sf0.001 and sf0.01 — the driver
+    hash pins the exact row; this pins the statistical claim)."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    row = QUERIES["search_ivfpq_recall"](spark, sf_dir).collect()[0]
+    assert row.n_full == 10
+    assert row.n_hits >= 9
+
+
+def test_search_ivfpq_topk_is_subset_of_full_adc(spark, sf_dir):
+    """Every IVF-PQ hit must carry the SAME ADC score the unscoped scan
+    assigns it (scoping filters candidates, never rescores), and the probe
+    itself (vec_id 0, ADC 0 against its own codes' table entries... its own
+    cell is always probed) must rank first."""
+    from eviction_lab_etl_spark.operators.embeddings import _ivfpq_scored
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    top = QUERIES["search_ivfpq_topk"](spark, sf_dir).collect()
+    full = {
+        r["vec_id"]: r["adc_q"]
+        for r in _ivfpq_scored(spark, sf_dir).collect()
+    }
+    assert top[0].vec_id == 0  # the probe's own codes minimize its ADC
+    for r in top:
+        assert full[r.vec_id] == r.adc_q
+    assert [r.rnk for r in top] == list(range(1, 11))
+
+
+def test_text_bpe_encode_counts_bounded_by_training(spark, sf_dir):
+    """Per-doc BPE token counts must be >= the whitespace word count (only
+    3 merges trained — most chars stay singleton tokens) and <= the
+    character count, and the encode join must be TOTAL (500 docs out — the
+    vocabulary was trained on this corpus, so no word can miss)."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    enc = QUERIES["text_bpe_encode"](spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("n_chars")
+    )
+    joined = enc.join(docs, "doc_id")
+    bad = joined.filter(
+        (F.col("n_bpe_tok") < F.col("n_words"))
+        | (F.col("n_bpe_tok") > F.col("n_chars"))
+    ).count()
+    assert bad == 0
+    assert enc.count() == docs.count()
+
+
+def test_pack_bins_bpe_respects_capacity_on_bpe_counts(spark, sf_dir):
+    """The BPE-count packing must satisfy the same invariants as the
+    whitespace variant — per (shard, bin) fill <= 128 unless the bin holds
+    a single oversized doc; positions contiguous from 0; bin ids contiguous
+    per shard — but measured on the TRAINED-BPE counts."""
+    from collections import defaultdict
+
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    rows = QUERIES["pack_bins_bpe"](spark, sf_dir).collect()
+    bins = defaultdict(list)
+    for r in rows:
+        bins[(r.shard, r.bin_idx)].append(r)
+    for (shard, b), docs in bins.items():
+        fill = sum(r.n_tok for r in docs)
+        if fill > 128:
+            assert len(docs) == 1, f"bin ({shard},{b}) overfilled with {len(docs)} docs"
+        assert sorted(r.pos_in_bin for r in docs) == list(range(len(docs)))
+    for shard in {s for s, _ in bins}:
+        idxs = sorted(b for s, b in bins if s == shard)
+        assert idxs == list(range(len(idxs))), f"shard {shard} skips bins"
+
+
+def test_dedup_incremental_batch_rejects_planted_recrawls(spark, sf_dir):
+    """All 25 planted mutated re-crawls (same text + one appended token,
+    Jaccard ~ n/(n+1) >> 0.9) must be rejected; every batch doc appears in
+    the ledger exactly once; n_near <= n_cand; admitted == (n_near == 0)."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_incremental_batch"](spark, sf_dir).collect()
+    assert len(rows) == 125
+    assert len({r.doc_id for r in rows}) == 125
+    for r in rows:
+        assert 0 <= r.n_near <= r.n_cand
+        assert r.admitted == (1 if r.n_near == 0 else 0)
+    recrawls = [r for r in rows if r.doc_id >= 200000]
+    assert len(recrawls) == 25
+    assert all(r.admitted == 0 for r in recrawls)
+
+
+def test_minhash_batch_matches_constructed_example(spark):
+    """Asymmetric banding on a constructed corpus: an exact copy and a
+    one-token superset both match (Jaccard 1.0 and n/(n+1)); a disjoint doc
+    yields no candidate at all."""
+    from eviction_lab_etl_spark.functions.minhash import (
+        md5_family,
+        minhash_batch_matches,
+    )
+
+    corpus_words = [f"w{i}" for i in range(30)]
+    corpus = spark.createDataFrame(
+        [(1, w) for w in corpus_words], "id long, w string"
+    )
+    batch = spark.createDataFrame(
+        [(101, w) for w in corpus_words]              # exact copy
+        + [(102, w) for w in corpus_words + ["extra"]]  # near-dup superset
+        + [(103, w) for w in ["x1", "x2", "x3"]],       # disjoint
+        "id long, w string",
+    )
+    out = {
+        (r.b, r.a): (r.inter, r.uni, r.near)
+        for r in minhash_batch_matches(
+            batch, corpus, threshold=(9, 10), bands=16, rows_per_band=3,
+            hash_fn=md5_family,
+        ).collect()
+    }
+    assert out[(101, 1)] == (30, 30, 1)
+    assert out[(102, 1)] == (30, 31, 1)
+    assert not any(b == 103 for b, _ in out)

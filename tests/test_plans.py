@@ -802,3 +802,103 @@ def test_join_interval_overlap_is_time_partitioned(spark, sf_dir):
         }
         keys.discard("")
         assert keys <= {"event_type", "day", "user_id"}, arglist
+
+
+def test_search_ivfpq_is_shuffle_free_and_scoped(spark, sf_dir):
+    """IVF-PQ search must compose both halves' scale promises: all three
+    small artifacts (PQ codebook, coarse codebook, ADC table + probe cells)
+    ride 1-row broadcasts, coarse assignment / scoping / scoring are pure
+    per-row folds, and the only ordering work is the TakeOrderedAndProject
+    cut — ZERO exchanges anywhere (even the fixture build stays broadcast),
+    so the corpus never shuffles. The recall companion keeps the same shape
+    twice over."""
+    import re as _re
+
+    for name in ("search_ivfpq_topk", "search_ivfpq_recall"):
+        iv = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in iv["plan"]
+        assert "CartesianProduct" not in iv["plan"]
+        assert iv["shuffles"] == 0, f"{name}: {iv['shuffles']} shuffles"
+        assert iv["sortmerge_joins"] == 0
+        assert iv["python_rows"] == 0 and iv["arrow_python"] == 0
+        assert not _re.findall(r"hashpartitioning\(", iv["plan"]), name
+
+
+def test_pack_bins_bpe_python_sees_metadata_only(spark, sf_dir):
+    """The BPE-count packing variant must keep pack_bins_nextfit's Arrow
+    contract — exactly one grouped-map Python stage whose input schema is
+    (doc_id, shard, n_tok), never text — and every exchange hashes only the
+    BPE-training keys (word / pair-count grouping), doc_id (the per-doc
+    count), or shard (the packing unit)."""
+    pk = plan_of(spark, sf_dir, "pack_bins_bpe")
+    assert pk["arrow_python"] == 1, pk["plan"]
+    assert pk["python_rows"] == 0
+    gm = [l for l in pk["plan"].splitlines() if "FlatMapGroupsInPandas" in l
+          or "ArrowGroupedMapPython" in l or "GroupedMapPython" in l]
+    assert gm, pk["plan"]
+    assert "text" not in gm[0], gm[0]
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", pk["plan"])
+    assert parts, pk["plan"]
+    for arglist in parts:
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        assert keys <= {
+            "word", "lhs", "rhs", "_groupingexpression", "doc_id", "shard"
+        }, arglist
+
+
+def test_text_bpe_encode_vocab_broadcasts(spark, sf_dir):
+    """Encoding is a map-side hash join of exploded corpus words against the
+    broadcast trained vocabulary: no sort-merge join, no Python, and the
+    corpus-sized exchanges hash only word (the vocab build) and doc_id (the
+    final per-doc aggregate)."""
+    en = plan_of(spark, sf_dir, "text_bpe_encode")
+    assert en["sortmerge_joins"] == 0, en["plan"]
+    assert en["broadcast_joins"] >= 1
+    assert en["python_rows"] == 0 and en["arrow_python"] == 0
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", en["plan"])
+    assert parts, en["plan"]
+    for arglist in parts:
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        assert keys <= {
+            "word", "lhs", "rhs", "_groupingexpression", "doc_id"
+        }, arglist
+
+
+def test_dedup_incremental_batch_side_broadcasts(spark, sf_dir):
+    """The incremental admission gate's O(batch) promise, structurally: the
+    batch's band buckets, token set, candidate pairs, and verdicts all ride
+    broadcasts (no sort-merge join anywhere, no cartesian, no Python), and
+    the only exchanges are the signature/size groupBys (id/doc-keyed — the
+    amortizable index build), the candidate distinct, and the final per-doc
+    ledger aggregate."""
+    db = plan_of(spark, sf_dir, "dedup_incremental_batch")
+    assert "CartesianProduct" not in db["plan"]
+    assert db["sortmerge_joins"] == 0, db["plan"]
+    assert db["broadcast_joins"] >= 6, db["plan"]
+    assert db["python_rows"] == 0 and db["arrow_python"] == 0
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", db["plan"])
+    assert parts, db["plan"]
+    for arglist in parts:
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        assert keys <= {"id", "a", "b", "bid", "cid", "doc_id"}, arglist
