@@ -60,6 +60,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "search_ivfpq_topk",        # NEW r10: IVF-scoped ADC search (clustered fixture)
     "search_ivfpq_recall",      # NEW r10: scoping loss vs full ADC scan
     "dedup_incremental_batch",  # NEW r10: snapshot-batch near-dup admission gate
+    "dedup_semantic_wide",      # NEW r10: k=24 wide-codebook branch binding
     # --- Round-10 library refactor (band_buckets extracted from
     # lsh_candidate_pairs — shared code path, values unchanged):
     "dedup_minhash_pairs",

@@ -680,6 +680,39 @@ def dedup_semantic(spark, sf_dir):
     return semantic_dedup(fixtures.embeddings_with_twins(spark, sf_dir))
 
 
+_SEM_WIDE_K = 24
+
+
+@query(
+    "dedup_semantic_wide",
+    oracle=(
+        "WITH corpus AS ({corpus}),".format(
+            corpus=_fixtures.embeddings_with_twins_sql(_SEM_DIM)
+        )
+        + _SEM_ORACLE_BODY.format(
+            k=_SEM_WIDE_K, dim1=_SEM_DIM + 1, num=_SEM_NUM, den=_SEM_DEN,
+            nprobe=2,
+        )
+    ),
+)
+def dedup_semantic_wide(spark, sf_dir):
+    """``dedup_semantic`` at k=24 — the driver binding for
+    ``semantic_buckets``' k > wide_max_k code path (k-ROW broadcast
+    codebook + vec_id-keyed window top-nprobe instead of the one-row
+    per-row fold), which is the PRODUCTION posture: k scales with the
+    corpus to hold bucket sizes constant, so at 100 TB the wide branch is
+    the one that runs (SCALE.md's --semantic sweep measures it at k=8·mult;
+    this row makes the branch itself driver-hash-checked on a bounded
+    fixture instead of sweep-only evidence). Same oracle body, k
+    substituted — both engines re-derive the 24-cell clustering, blocking,
+    and election."""
+    from eviction_lab_etl_spark import fixtures
+
+    return semantic_dedup(
+        fixtures.embeddings_with_twins(spark, sf_dir), k=_SEM_WIDE_K
+    )
+
+
 _PQ_TOPK = 10
 
 

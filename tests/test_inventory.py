@@ -77,7 +77,7 @@ EXTENSIONS = {
     "search_pq_adc_topk", "text_lm_nll", "text_bpe_train",
     "sketch_heavy_hitters", "join_interval_overlap",
     "text_bpe_encode", "pack_bins_bpe", "search_ivfpq_topk",
-    "search_ivfpq_recall", "dedup_incremental_batch",
+    "search_ivfpq_recall", "dedup_incremental_batch", "dedup_semantic_wide",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

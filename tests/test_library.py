@@ -867,3 +867,26 @@ def test_minhash_batch_matches_constructed_example(spark):
     assert out[(101, 1)] == (30, 30, 1)
     assert out[(102, 1)] == (30, 31, 1)
     assert not any(b == 103 for b, _ in out)
+
+
+def test_dedup_semantic_wide_branch_full_twin_recall(spark, sf_dir):
+    """The k=24 wide-codebook branch (k-row broadcast + window top-nprobe)
+    must behave like the fold branch where it counts: all 50 planted twins
+    dropped at nprobe=2, nothing else dropped (the isotropic base corpus
+    has no organic cos >= 0.9 pairs), and the branch actually taken is the
+    window path (k > wide_max_k)."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    rows = QUERIES["dedup_semantic_wide"](spark, sf_dir)
+    agg = rows.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when((F.col("vec_id") >= 100000) & (~F.col("kept")), 1).otherwise(0)
+        ).alias("twin_drops"),
+        F.sum(F.when(~F.col("kept"), 1).otherwise(0)).alias("total_drops"),
+    ).collect()[0]
+    assert agg.n == 350
+    assert agg.twin_drops == 50
+    assert agg.total_drops == 50
