@@ -61,6 +61,10 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "search_ivfpq_recall",      # NEW r10: scoping loss vs full ADC scan
     "dedup_incremental_batch",  # NEW r10: snapshot-batch near-dup admission gate
     "dedup_semantic_wide",      # NEW r10: k=24 wide-codebook branch binding
+    "contam_bloom_gate",        # NEW r10: bloom-pruned decontamination gate
+    "text_dup_span_remove",     # NEW r10: keep-first exact-substring removal
+    "sketch_countmin",          # NEW r10: Count-Min grid, cell-exact oracle
+    "sketch_heavy_hitters",     # r10: pair stream via shared char_pair_stream
     # --- Round-10 library refactor (band_buckets extracted from
     # lsh_candidate_pairs — shared code path, values unchanged):
     "dedup_minhash_pairs",

@@ -637,3 +637,120 @@ def text_dup_span_coverage(spark, sf_dir):
             F.expr("(1000 * n_dup_grams) div n_grams").alias("dup_permille"),
         )
     )
+
+
+@query(
+    "text_dup_span_remove",
+    oracle=f"""
+    WITH media AS ({fixtures.DOCUMENTS_WITH_DUPS_SQL}),
+    t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM media
+    ),
+    g AS (
+        SELECT doc_id, i.i AS i,
+               array_to_string(
+                   list_slice(toks, i.i, i.i + {_SPAN_GRAM - 1}), ' ') AS gram
+        FROM t, LATERAL (
+            SELECT unnest(range(1, greatest(n - {_SPAN_GRAM - 1}, 0) + 1)) AS i
+        ) i
+    ),
+    own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
+    cov AS (
+        SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + {_SPAN_GRAM})) AS p
+        FROM g JOIN own USING (gram) WHERE own.owner < g.doc_id
+    ),
+    ptok AS (
+        SELECT doc_id, p.p AS p, toks[p.p] AS tok
+        FROM t, LATERAL (SELECT unnest(range(1, n + 1)) AS p) p
+    ),
+    kept AS (
+        SELECT ptok.doc_id, ptok.p, ptok.tok
+        FROM ptok ANTI JOIN cov ON ptok.doc_id = cov.doc_id AND ptok.p = cov.p
+    ),
+    cl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_toks,
+           CAST(t.n - coalesce(cl.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(cl.clean, '') AS clean_text
+    FROM t LEFT JOIN cl USING (doc_id)
+    """,
+)
+def text_dup_span_remove(spark, sf_dir):
+    """ACT on `text_dup_span_coverage`'s findings: exact-substring REMOVAL
+    (the deduplicate-step of Lee et al. '22, span-granular, keep-FIRST) —
+    every token position covered by an 8-token shingle that also occurs in
+    a LOWER-doc_id document is deleted, and the document is re-emitted as
+    its surviving tokens in original order plus the removal ledger
+    (n_toks, n_removed, clean_text). The keep-first discipline makes the
+    output a usable corpus rather than a mutual annihilation: the earliest
+    copy of any span keeps it (verbatim-planted originals pass through
+    unchanged, their +100000-keyed copies collapse to ''), partial copies
+    lose exactly the shared spans, and untouched documents round-trip
+    byte-identical — the same canonical-member rule as `dedup_keep_first`,
+    applied at span granularity. Coverage (the metric) and removal (the
+    action) share the shingle spec via `_SPAN_GRAM`.
+
+    Scale shape: two gram-keyed exchanges (min-owner aggregate + the join
+    back — same key, ReuseExchange-eligible), then everything is keyed by
+    (doc_id, position): the covered-position expand is x8 of FLAGGED
+    positions only (output-proportional), the anti join and the rebuild
+    aggregate shuffle the token stream once each on the doc key. No
+    Python, no window over the corpus, no pair space — the quadratic the
+    reference-free algorithm avoids is the same one coverage avoids: gram
+    equality does the matching, never doc x doc comparison."""
+    docs = fixtures.documents_with_dups(spark, sf_dir)
+    tokenized = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+    base = tokenized.select("doc_id", "toks", n.alias("n"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.col("n") >= _SPAN_GRAM,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - (_SPAN_GRAM - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, _SPAN_GRAM), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("i0", "gram"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "gram")
+    owner = grams.groupBy("gram").agg(F.min("doc_id").alias("owner"))
+    covered = (
+        grams.join(owner, "gram")
+        .filter(F.col("owner") < F.col("doc_id"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (_SPAN_GRAM - 1))
+            ).alias("p"),
+        )
+        .distinct()
+    )
+    ptok = base.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = ptok.join(covered, ["doc_id", "p"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        big(F.count(F.lit(1))).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    return base.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        big(F.col("n")).alias("n_toks"),
+        big(F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean"), F.lit("")).alias("clean_text"),
+    )

@@ -314,6 +314,28 @@ _MG_K = 24      # counters per partial summary; error <= n/(k+1) = n/25
 _MG_TOP = 5
 
 
+def char_pair_stream(docs):
+    """The adjacent-character-pair stream over a (doc_id, text) frame —
+    BPE's first-merge statistic, the shared input of the mergeable-summary
+    sketches (`sketch_heavy_hitters`, `sketch_countmin`): one JVM-side
+    explode per word, no Python, no shuffle."""
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    return words.select(
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.concat(
+                        F.col("word").substr(i, F.lit(1)),
+                        F.col("word").substr(i + 1, F.lit(1)),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair")
+    )
+
+
 @query(
     "sketch_heavy_hitters",
     oracle=f"""
@@ -359,21 +381,7 @@ def sketch_heavy_hitters(spark, sf_dir):
     import pandas as pd
 
     docs = load(spark, sf_dir, "documents")
-    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
-    pairs = words.select(
-        F.explode(
-            F.when(
-                F.length("word") >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.length("word") - 1),
-                    lambda i: F.concat(
-                        F.col("word").substr(i, F.lit(1)),
-                        F.col("word").substr(i + 1, F.lit(1)),
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pair")
-    )
+    pairs = char_pair_stream(docs)
 
     def mg(batches):
         # Summary-of-a-summary form of MG (Agarwal et al. §3.1): the exact
@@ -423,5 +431,155 @@ def sketch_heavy_hitters(spark, sf_dir):
             (~qualifies | F.coalesce(F.col("found"), F.lit(False))).alias(
                 "mg_ok"
             ),
+        )
+    )
+
+
+# --- Count-Min sketch (mergeable frequency-estimate summary) ------------------
+
+_CMS_D = 3       # hash rows (depth): one md5_family seed per row
+_CMS_W = 64      # counters per row (width): overestimate ~ n/W per row
+_CMS_TOP = 5
+
+
+@query(
+    "sketch_countmin",
+    oracle=f"""
+    WITH t AS (SELECT string_split(text, ' ') AS ws FROM documents),
+    w AS (SELECT unnest(ws) AS word FROM t),
+    p AS (
+        SELECT word[i.i] || word[i.i + 1] AS pair
+        FROM w, LATERAL (SELECT unnest(range(1, length(word))) AS i) i
+    ),
+    c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY pair),
+    bk AS (
+        SELECT s.j, c.pair, c.cnt,
+               CAST(CAST('0x' || substr(
+                   md5(CAST(s.j AS VARCHAR) || '|' || c.pair), 1, 15)
+                   AS BIGINT) % {_CMS_W} AS INT) AS b
+        FROM c CROSS JOIN (VALUES (0), (1), (2)) AS s(j)
+    ),
+    cell AS (SELECT j, b, sum(cnt) AS cell_cnt FROM bk GROUP BY j, b),
+    est AS (
+        SELECT bk.pair, min(cell.cell_cnt) AS est_cnt
+        FROM bk JOIN cell USING (j, b) GROUP BY bk.pair
+    ),
+    top AS (
+        SELECT pair, cnt,
+               row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+        FROM c
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, top.pair,
+           CAST(top.cnt AS BIGINT) AS cnt,
+           CAST(est.est_cnt AS BIGINT) AS est_cnt,
+           TRUE AS cms_ok
+    FROM top JOIN est ON top.pair = est.pair
+    WHERE rnk <= {_CMS_TOP}
+    """,
+)
+def sketch_countmin(spark, sf_dir):
+    """Count-Min sketch — the frequency-ESTIMATE member of the mergeable-
+    summary family (`sketch_hll_partitioned` counts distincts,
+    `sketch_heavy_hitters` finds frequent items, this bounds any item's
+    count): per Arrow batch, a d=3 x w=64 counter grid over the character-
+    pair stream, each row hashing with one md5_family seed; per-batch
+    grids MERGE BY ADDITION (Cormode & Muthukrishnan '05 — every cell is a
+    plain sum over colliding pairs, so partial grids sum to the global
+    grid exactly, any partitioning, any batch split). That additivity is
+    what makes the sketch itself hash-checkable, not just bounded: the
+    oracle recomputes every probed cell in closed form (sum of exact
+    counts over md5-colliding pairs) and the emitted estimate must equal
+    it — the driver pins the sketch's VALUES, while the one-sided
+    guarantee est >= true (min over d rows of sums that each include the
+    pair's own count) is pinned as the literal-TRUE `cms_ok` verdict (the
+    `mg_ok` / `agg_approx_distinct` error-contract pattern). The md5
+    family is the repo's cross-engine 60-bit idiom (functions/minhash.py);
+    the Python batch side hashes with hashlib over the same `{{seed}}|token`
+    bytes, so all three engines (Arrow batch, Catalyst probe, DuckDB
+    oracle) agree bit-for-bit.
+
+    Emitted surface: the exact top-5 pairs with true count, CMS estimate,
+    and cms_ok. The exact pass exists for the verdict (the MG contract);
+    a production run ships only the sketch: one Arrow map over the
+    stream, a d*w=192-cell grid per partition, 192 rows shuffled TOTAL
+    regardless of corpus size — the point-query index for "how often does
+    this token/n-gram occur in 100 TB" without a corpus-keyed groupBy."""
+    import hashlib
+
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = char_pair_stream(docs)
+
+    def bucket_py(j: int, pair: str) -> int:
+        h = hashlib.md5(f"{j}|{pair}".encode("utf-8")).hexdigest()[:15]
+        return int(h, 16) % _CMS_W
+
+    def cms(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            cnt = Counter(pdf["pair"])
+            grid: dict[tuple[int, int], int] = {}
+            for pair, c in cnt.items():
+                for j in range(_CMS_D):
+                    key = (j, bucket_py(j, pair))
+                    grid[key] = grid.get(key, 0) + c
+            yield pd.DataFrame(
+                {
+                    "j": [k[0] for k in grid],
+                    "b": [k[1] for k in grid],
+                    "c": list(grid.values()),
+                }
+            )
+
+    merged = (
+        pairs.mapInPandas(cms, schema="j int, b int, c long")
+        .groupBy("j", "b")
+        .agg(F.sum("c").alias("cell_cnt"))
+    )
+    exact = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    from eviction_lab_etl_spark.functions.minhash import md5_family
+
+    top = (
+        exact.orderBy(F.desc("cnt"), "pair")
+        .limit(_CMS_TOP)
+        .withColumn(
+            "rnk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "pair"))
+            .cast("long"),
+        )
+    )
+    probes = top.select(
+        "rnk",
+        "pair",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.pmod(md5_family(j, F.col("pair")), F.lit(_CMS_W))
+                        .cast("int")
+                        .alias("b"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("pr"),
+    ).select("rnk", "pair", "cnt", F.col("pr.j").alias("j"), F.col("pr.b").alias("b"))
+    return (
+        probes.join(F.broadcast(merged), ["j", "b"])
+        .groupBy("rnk", "pair", "cnt")
+        .agg(F.min("cell_cnt").alias("est_cnt"))
+        .select(
+            "rnk",
+            "pair",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("est_cnt").cast("long").alias("est_cnt"),
+            (F.col("est_cnt") >= F.col("cnt")).alias("cms_ok"),
         )
     )

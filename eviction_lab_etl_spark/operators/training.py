@@ -180,6 +180,79 @@ def contam_ngram_hashed(spark, sf_dir):
     )
 
 
+# Bloom gate sizing: 8192 bits over the fixture's ~600 bench grams keeps the
+# false-positive rate low enough that the exact semi-join's input is hits-
+# dominated, while staying 1/16th the size of the hashed gram set it stands
+# in for (the broadcast-size argument the operator exists to make).
+_CONTAM_BLOOM_BITS = 8192
+
+
+@query("contam_bloom_gate", oracle=_CONTAM_ORACLE)
+def contam_bloom_gate(spark, sf_dir):
+    """The 100 TB-SHAPED contamination gate: same answer as
+    ``contam_ngram_overlap`` / ``contam_ngram_hashed`` (identical oracle —
+    the exact string-gram spec, under the hashed form's collision-free
+    contract), but the eval set reaches the corpus as a BLOOM FILTER
+    instead of a broadcast hash set. The two siblings broadcast the bench
+    gram set itself, which works while one benchmark's distinct grams fit
+    an executor; a decontamination run against EVERY eval suite (the
+    production posture — hundreds of millions of grams) cannot broadcast
+    the set, and the fallback is shuffling the full corpus gram stream.
+    This operator is that regime's standard fix, the same semi-join
+    reduction as ``join_bloom_pruned``: fold the bench gram hashes into an
+    m=8192-bit Bloom (functions/bloom.py — ~100-1000x smaller than the
+    hash set at a chosen FP rate, always broadcastable), prune the corpus
+    gram stream MAP-SIDE with the bit test (no Python, no shuffle), and
+    exact-join only the survivors — true hits plus a bounded trickle of
+    false positives, which the exact join then removes, so the result is
+    hash-identical to the un-bloomed spec (the optimization must change
+    I/O, never answers). Per-doc ``n_grams`` comes from a separate
+    pre-prune map-side aggregate (the bloom must not undercount the
+    denominator), and docs whose every gram was pruned re-enter with
+    n_hit=0 via the left join.
+
+    Scale shape: corpus grams flow through ONE doc-keyed aggregation plus
+    ONE survivor-sized exchange; the only broadcasts are the 1-row bloom
+    and the (deliberately un-broadcast-hinted) survivor join's small side
+    at fixture scale. The survivor join is left as a plain equi-join on
+    purpose: at production scale both sides are real and it becomes the
+    shuffle join the plan declares — survivors, not the corpus, pay it."""
+    from eviction_lab_etl_spark.functions.bloom import bloom_build, bloom_prune
+
+    docs = load(spark, sf_dir, "documents")
+    tokenized = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    w = F.col("toks")
+    grams = tokenized.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(w) >= _N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - (_N - 1)),
+                        lambda i: F.xxhash64(F.slice(w, i, _N)),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            )
+        ).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    bloom = bloom_build(bench, "gram", m_bits=_CONTAM_BLOOM_BITS)
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    denom = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    survivors = bloom_prune(train, bloom, "gram", m_bits=_CONTAM_BLOOM_BITS)
+    hits = (
+        survivors.join(bench.withColumn("hit", F.lit(1)), "gram")
+        .groupBy("doc_id")
+        .agg(big(F.sum("hit")).alias("n_hit"))
+    )
+    return denom.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_hit"), F.lit(0).cast("bigint")).alias("n_hit"),
+    )
+
+
 @query(
     "pack_concat_chunks",
     oracle=f"""

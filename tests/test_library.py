@@ -890,3 +890,83 @@ def test_dedup_semantic_wide_branch_full_twin_recall(spark, sf_dir):
     assert agg.n == 350
     assert agg.twin_drops == 50
     assert agg.total_drops == 50
+
+
+def test_contam_bloom_gate_actually_prunes(spark, sf_dir):
+    """The decontamination bloom must do its job on the fixture: the
+    survivor stream entering the exact join is a small fraction of the
+    train gram stream (pruning is the operator's reason to exist), yet
+    still a superset of the true hits (no false negatives — the property
+    that makes the oracle the un-bloomed exact spec)."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.functions.bloom import bloom_build, bloom_prune
+    from eviction_lab_etl_spark.operators.training import (
+        _CONTAM_BLOOM_BITS,
+        _N,
+    )
+    from eviction_lab_etl_spark.sources.loader import load
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.col("toks")
+    grams = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(w) >= _N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - (_N - 1)),
+                        lambda i: F.xxhash64(F.slice(w, i, _N)),
+                    ),
+                ).otherwise(F.array().cast("array<bigint>"))
+            )
+        ).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    train = grams.filter(F.col("doc_id") % 97 != 0)
+    bloom = bloom_build(bench, "gram", m_bits=_CONTAM_BLOOM_BITS)
+    survivors = bloom_prune(train, bloom, "gram", m_bits=_CONTAM_BLOOM_BITS)
+    n_train = train.count()
+    n_surv = survivors.count()
+    n_true = train.join(bench, "gram", "semi").count()
+    assert n_true <= n_surv, "bloom dropped a true hit (false negative)"
+    assert 10 * n_surv < n_train, (
+        f"no pruning: {n_surv} survivors of {n_train} train grams"
+    )
+
+
+def test_span_remove_keep_first_semantics(spark, sf_dir):
+    """The removal ledger honors keep-first: every +100000-keyed verbatim
+    copy collapses to the empty string (all its spans are owned by the
+    original), every original with doc_id < 25 rounds trip unchanged (it
+    OWNS its spans), and totals satisfy n_removed <= n_toks with
+    clean_text's token count = n_toks - n_removed."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    rows = QUERIES["text_dup_span_remove"](spark, sf_dir).collect()
+    by_id = {r.doc_id: r for r in rows}
+    docs = {
+        r.doc_id: r.text
+        for r in __import__(
+            "eviction_lab_etl_spark.fixtures", fromlist=["fixtures"]
+        ).documents_with_dups(spark, sf_dir).collect()
+    }
+    copies = [r for r in rows if r.doc_id >= 100000]
+    assert copies, "fixture lost its planted copies"
+    for r in copies:
+        # a verbatim copy of a >=8-token original loses everything
+        if r.n_toks >= 8:
+            assert r.clean_text == "" and r.n_removed == r.n_toks, r
+    for r in rows:
+        if r.doc_id < 25 and r.n_toks >= 8:
+            # the original owns its spans: untouched unless some OTHER
+            # lower-id doc shares a span organically (doc_id<25 are the
+            # lowest ids, so only another doc_id<25 could — allow it but
+            # require the planted pair rule to hold for the clean ones)
+            if r.n_removed == 0:
+                assert r.clean_text == docs[r.doc_id], r.doc_id
+        n_clean = len(r.clean_text.split(" ")) if r.clean_text else 0
+        assert n_clean == r.n_toks - r.n_removed, r

@@ -902,3 +902,78 @@ def test_dedup_incremental_batch_side_broadcasts(spark, sf_dir):
         }
         keys.discard("")
         assert keys <= {"id", "a", "b", "bid", "cid", "doc_id"}, arglist
+
+
+def test_contam_bloom_gate_plan_shape(spark, sf_dir):
+    """The bloom decontamination gate keeps its declared shape: the bench
+    gram set reaches the corpus ONLY as the 1-row bloom attach (exactly one
+    BroadcastNestedLoopJoin), the bit test runs JVM-side (no Python
+    anywhere), and every exchange is either gram-keyed (bench distinct +
+    survivor join) or doc-keyed (the two per-doc aggregates) — the corpus
+    gram stream itself is never exchanged un-pruned for the hit side."""
+    bg = plan_of(spark, sf_dir, "contam_bloom_gate")
+    assert "CartesianProduct" not in bg["plan"]
+    assert bg["broadcast_nl_joins"] == 1, bg["plan"]  # the 1-row bloom attach
+    assert bg["python_rows"] == 0 and bg["arrow_python"] == 0
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", bg["plan"])
+    assert parts, bg["plan"]
+    for arglist in parts:
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        # `word` is bloom_build's word-index groupBy — at most m_bits/64
+        # (= 128) rows, the filter's own construction, never corpus data.
+        assert keys <= {"gram", "doc_id", "word"}, arglist
+
+
+def test_text_dup_span_remove_plan_shape(spark, sf_dir):
+    """Span removal stays declarative and pair-space-free: no Python, no
+    cartesian, and every exchange is gram-keyed (owner agg + join back) or
+    doc/(doc,p)-keyed (covered distinct, anti join, rebuild agg) — never a
+    doc x doc comparison."""
+    sr = plan_of(spark, sf_dir, "text_dup_span_remove")
+    assert "CartesianProduct" not in sr["plan"]
+    assert sr["python_rows"] == 0 and sr["arrow_python"] == 0
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", sr["plan"])
+    assert parts, sr["plan"]
+    for arglist in parts:
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        assert keys <= {"gram", "doc_id", "p"}, arglist
+
+
+def test_sketch_countmin_plan_shape(spark, sf_dir):
+    """CMS keeps the mergeable-sketch shape: exactly one Arrow boundary
+    (the per-batch grid builder), the merged grid joins the probes by
+    BROADCAST (192 cells, never a shuffle of the probe side against it),
+    no row-Python, no cartesian, and the only corpus-sized exchange is the
+    exact-verdict pass's pair groupBy (documented: production ships only
+    the sketch)."""
+    cm = plan_of(spark, sf_dir, "sketch_countmin")
+    assert "CartesianProduct" not in cm["plan"]
+    assert cm["arrow_python"] == 1, cm["plan"]
+    assert cm["python_rows"] == 0
+    assert cm["broadcast_joins"] >= 1, cm["plan"]
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", cm["plan"])
+    for arglist in parts:
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        # pair = exact verdict pass; (j, b) = the 192-cell grid merge.
+        assert keys <= {"pair", "j", "b"}, arglist

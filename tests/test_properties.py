@@ -1149,3 +1149,50 @@ def test_misra_gries_counter_reduction_containment(stream, cuts, k):
     for item, cnt in Counter(stream).items():
         if cnt * (k + 1) > n:
             assert item in survivors, (stream, bounds, k, item, cnt)
+
+
+@given(
+    stream=st.lists(st.text(alphabet="abcde", min_size=1, max_size=2),
+                    min_size=1, max_size=60),
+    cuts=st.lists(st.integers(min_value=0, max_value=59), max_size=3),
+)
+@settings(max_examples=40, deadline=None)
+def test_countmin_merge_and_overestimate(stream, cuts):
+    """The two properties sketch_countmin's driver hash rests on,
+    adversarially: for ANY stream and ANY batch split, (1) summing
+    per-batch CMS grids gives EXACTLY the whole-stream grid (cells are
+    plain sums — additivity IS mergeability), and (2) the point estimate
+    min_j grid[j][h_j(x)] is >= the true count of every item (each probed
+    cell's sum includes the item's own count)."""
+    import hashlib
+    from collections import Counter
+
+    D, W = 3, 8  # tiny width so collisions actually happen
+
+    def bucket(j, x):
+        return int(hashlib.md5(f"{j}|{x}".encode()).hexdigest()[:15], 16) % W
+
+    def grid_of(batch):
+        g = Counter()
+        for x in batch:
+            for j in range(D):
+                g[(j, bucket(j, x))] += 1
+        return g
+
+    bounds = sorted({c for c in cuts if c < len(stream)})
+    batches, prev = [], 0
+    for c in bounds:
+        if c > prev:
+            batches.append(stream[prev:c])
+            prev = c
+    batches.append(stream[prev:])
+
+    merged = Counter()
+    for b in batches:
+        merged.update(grid_of(b))
+    assert merged == grid_of(stream)  # additivity: partials sum to global
+
+    true = Counter(stream)
+    for x, cnt in true.items():
+        est = min(merged[(j, bucket(j, x))] for j in range(D))
+        assert est >= cnt
