@@ -65,6 +65,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "text_dup_span_remove",     # NEW r10: keep-first exact-substring removal
     "sketch_countmin",          # NEW r10: Count-Min grid, cell-exact oracle
     "sketch_heavy_hitters",     # r10: pair stream via shared char_pair_stream
+    "search_hard_negatives",    # NEW r10: BM25 hard-negative mining
     # --- Round-10 library refactor (band_buckets extracted from
     # lsh_candidate_pairs — shared code path, values unchanged):
     "dedup_minhash_pairs",

@@ -984,6 +984,173 @@ def search_hybrid_rrf(spark, sf_dir):
     )
 
 
+# Hard-negative mining query set: (query_id, terms). Terms are drawn from the
+# fixture vocabulary with verified idf floor margins at every fixture scale
+# (tests/test_determinism.py::test_idf_micro_floor_margins reads THIS constant
+# — 'sort' is excluded there-for: frac 0.0042 at sf0.001).
+HN_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("hash", "join")),
+    (2, ("spark", "stream")),
+    (3, ("scan", "column", "key")),
+)
+
+_HN_VALUES = ", ".join(
+    f"({qid}, '{t}', {len(terms)})"
+    for qid, terms in HN_QUERIES
+    for t in terms
+)
+
+
+@query(
+    "search_hard_negatives",
+    oracle=f"""
+    WITH q(query_id, term, n_terms) AS (VALUES {_HN_VALUES}),
+    tok2 AS (
+        SELECT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents
+        ) WHERE term <> ''
+    ),
+    dl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok2 GROUP BY doc_id
+    ),
+    scal AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM tok2),
+    qtf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok2
+        WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+    ),
+    qdf AS (
+        SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok2
+        WHERE term IN (SELECT term FROM q) GROUP BY term
+    ),
+    idf AS (
+        SELECT term,
+               CAST(floor(ln(1 + (n - df + 0.5) / (df + 0.5)) * 1000000)
+                    AS BIGINT) AS idf_micro
+        FROM qdf, scal
+    ),
+    avg_dl AS (SELECT (100 * t) // n AS a FROM tot, scal),
+    sc AS (
+        SELECT q.query_id, q.n_terms, qtf.doc_id, qtf.term,
+               (idf.idf_micro * 22 * avg_dl.a * qtf.tf)
+               // (10 * avg_dl.a * qtf.tf + 3 * avg_dl.a + 900 * dl.dl)
+                   AS contrib
+        FROM qtf JOIN idf USING (term) JOIN dl USING (doc_id)
+                 JOIN q ON q.term = qtf.term, avg_dl
+    ),
+    agg AS (
+        SELECT query_id, doc_id,
+               CAST(sum(contrib) AS BIGINT) AS score_micro,
+               CAST(count(DISTINCT term) AS BIGINT) AS matched_terms,
+               max(n_terms) AS nt
+        FROM sc GROUP BY query_id, doc_id
+    ),
+    neg AS (SELECT * FROM agg WHERE matched_terms < nt)
+    SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro,
+           matched_terms, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY score_micro DESC, doc_id) AS rnk
+          FROM neg)
+    WHERE rnk <= 5
+    """,
+)
+def search_hard_negatives(spark, sf_dir):
+    """HARD-NEGATIVE MINING for retrieval training (the DPR/contrastive
+    recipe): for each query, the top-5 BM25-scored documents that are NOT
+    positives — lexically close enough to outrank almost everything, yet
+    missing at least one query term. Positive = contains ALL the query's
+    terms (exact containment as the relevance stand-in); a document
+    matching a strict subset is exactly the "looks relevant, isn't"
+    training signal contrastive losses need. Runs ALL queries in one plan:
+    the (query_id, term) table is a broadcast VALUES frame, BM25 integer
+    semantics are `search_bm25_topk`'s verbatim (micro-floored idf —
+    margins for THIS query vocabulary pinned in test_determinism —
+    centi-quantized avgdl, one shared floor division), and the
+    negative filter is matched_terms < n_terms computed in the same
+    aggregate that sums the score.
+
+    Scale shape (100 TB): the token stream is filtered to the query
+    vocabulary BEFORE any shuffle (semi-probe against the broadcast term
+    table); corpus-sized aggregations are doc-keyed (dl) or
+    (doc, term)-keyed (tf); idf/avgdl/N are tiny broadcasts; per-query
+    ranking is a window over the scored-docs frame partitioned by
+    query_id — thousands of queries parallelize as partitions, and no
+    query ever sees the corpus, only its own scored candidates."""
+    docs = load(spark, sf_dir, "documents")
+    qdf_rows = [
+        (qid, t, len(terms)) for qid, terms in HN_QUERIES for t in terms
+    ]
+    q = spark.createDataFrame(
+        qdf_rows, "query_id int, term string, n_terms int"
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = tok.groupBy("doc_id").agg(big(F.count(F.lit(1))).alias("dl"))
+    n = docs.agg(big(F.count(F.lit(1))).alias("n"))
+    t = tok.agg(big(F.count(F.lit(1))).alias("t"))
+    qtok = tok.join(
+        F.broadcast(q.select("term").distinct()), "term", "semi"
+    )
+    qtf = qtok.groupBy("doc_id", "term").agg(
+        big(F.count(F.lit(1))).alias("tf")
+    )
+    qdf = qtok.groupBy("term").agg(
+        big(F.count_distinct("doc_id")).alias("df")
+    )
+    idf = qdf.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.floor(
+            F.log(
+                F.lit(1)
+                + (F.col("n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            )
+            * F.lit(1_000_000)
+        ).cast("bigint").alias("idf_micro"),
+    )
+    avg_dl = t.crossJoin(F.broadcast(n)).select(
+        F.expr("(100 * t) div n").alias("a")
+    )
+    sc = (
+        qtf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(q), "term")
+        .crossJoin(F.broadcast(avg_dl))
+        .select(
+            "query_id",
+            "n_terms",
+            "doc_id",
+            "term",
+            F.expr(
+                "(idf_micro * 22 * a * tf)"
+                " div (10 * a * tf + 3 * a + 900 * dl)"
+            ).alias("contrib"),
+        )
+    )
+    agg = sc.groupBy("query_id", "doc_id").agg(
+        big(F.sum("contrib")).alias("score_micro"),
+        big(F.count_distinct("term")).alias("matched_terms"),
+        F.max("n_terms").alias("nt"),
+    )
+    neg = agg.filter(F.col("matched_terms") < F.col("nt"))
+    w_q = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micro"), "doc_id"
+    )
+    return (
+        neg.withColumn("rnk", F.row_number().over(w_q).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "doc_id",
+            "score_micro",
+            "matched_terms",
+            "rnk",
+        )
+    )
+
+
 @query(
     "search_mmr_diverse",
     oracle="""

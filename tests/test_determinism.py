@@ -81,7 +81,12 @@ def test_idf_micro_floor_margins():
             assert 0.02 <= frac <= 1 - 0.02 or x == 0.0, (
                 f"{sf} tfidf term={term!r} df={df} frac={frac}"
             )
-            if term in ("hash", "join", "spark"):  # bm25 query vocabulary
+            from eviction_lab_etl_spark.operators.pipelines import HN_QUERIES
+
+            bm25_vocab = {"hash", "join", "spark"} | {
+                t for _, terms in HN_QUERIES for t in terms
+            }
+            if term in bm25_vocab:  # bm25 + hard-negative query vocabulary
                 y = math.log(1 + (n - df + 0.5) / (df + 0.5)) * 1_000_000
                 fy = y - math.floor(y)
                 assert 0.02 <= fy <= 1 - 0.02, (

@@ -970,3 +970,36 @@ def test_span_remove_keep_first_semantics(spark, sf_dir):
                 assert r.clean_text == docs[r.doc_id], r.doc_id
         n_clean = len(r.clean_text.split(" ")) if r.clean_text else 0
         assert n_clean == r.n_toks - r.n_removed, r
+
+
+def test_hard_negatives_are_true_negatives(spark, sf_dir):
+    """Every mined hard negative genuinely misses >= 1 of its query's
+    terms (checked against the raw text, not the operator's own matched
+    count), every query emits a full top-5, and the positive filter is
+    non-vacuous: each query has at least one all-terms doc that was
+    therefore excluded."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.operators.pipelines import HN_QUERIES
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    rows = QUERIES["search_hard_negatives"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: set(r.text.split(" "))
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    terms_of = {qid: set(ts) for qid, ts in HN_QUERIES}
+    assert set(by_q) == set(terms_of)
+    for qid, terms in terms_of.items():
+        got = by_q[qid]
+        assert len(got) == 5 and sorted(r.rnk for r in got) == [1, 2, 3, 4, 5]
+        for r in got:
+            missing = terms - docs[r.doc_id]
+            assert missing, f"q{qid} doc{r.doc_id} contains all terms"
+            assert r.matched_terms == len(terms) - len(missing)
+        n_pos = sum(1 for toks in docs.values() if terms <= toks)
+        assert n_pos > 0, f"q{qid}: positive filter vacuous"

@@ -977,3 +977,28 @@ def test_sketch_countmin_plan_shape(spark, sf_dir):
         keys.discard("")
         # pair = exact verdict pass; (j, b) = the 192-cell grid merge.
         assert keys <= {"pair", "j", "b"}, arglist
+
+
+def test_search_hard_negatives_plan_shape(spark, sf_dir):
+    """Hard-negative mining keeps BM25's scale posture with a query
+    dimension added: the token stream is vocabulary-filtered via broadcast
+    semi-probe before any shuffle, idf/avgdl/N/query tables all broadcast,
+    and the only data-sized exchanges are doc- or (doc,term)-keyed (plus
+    the per-query ranking window over scored docs) — never term-keyed over
+    the full stream, never query x corpus."""
+    hn = plan_of(spark, sf_dir, "search_hard_negatives")
+    assert "CartesianProduct" not in hn["plan"]
+    assert hn["python_rows"] == 0 and hn["arrow_python"] == 0
+    assert hn["broadcast_joins"] >= 3, hn["plan"]
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", hn["plan"])
+    assert parts, hn["plan"]
+    for arglist in parts:
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        assert keys <= {"doc_id", "term", "query_id"}, arglist
