@@ -121,6 +121,26 @@ R9_HEADLINE = [
     "sketch_heavy_hitters",       # r9: per-batch MG + containment verdict
 ]
 
+# Round-10 additions (first-measurement pins): the BPE train->apply pair,
+# IVF-scoped ADC, the snapshot admission gate (timing includes its two real
+# on-disk commits — the incr_* precedent), the bloom decontamination gate,
+# span removal, CMS, and hard-negative mining.
+R10_HEADLINE = [
+    "text_bpe_encode",            # r10: broadcast word->BPE-count join
+    "pack_bins_bpe",              # r10: next-fit on trained-BPE counts
+    "search_ivfpq_topk",          # r10: nprobe-scoped ADC, zero shuffles
+    # dedup_incremental_batch is deliberately NOT pinned here: its fixture
+    # commits two real snapshot versions per invocation, so a warm-median
+    # would time the fixture's parquet writes (~90% of its 36 s), not the
+    # probe; tools/scale_stress.py --incremental measures the operator's
+    # real claim (indexed probe cost ~ batch, not corpus) instead.
+    "dedup_semantic_wide",        # r10: k=24 wide-codebook branch
+    "contam_bloom_gate",          # r10: bloom-pruned decontamination
+    "text_dup_span_remove",       # r10: keep-first exact-substring removal
+    "sketch_countmin",            # r10: per-batch CMS grids + closed-form probe
+    "search_hard_negatives",      # r10: multi-query BM25 negative mining
+]
+
 # Per-topology regression base for the TPC-H power family: the round-6
 # per-query warm medians (SCALE.md "TPC-H power" table, sf0.1, local[32]).
 # The 21-query total alone can hide one topology regressing 3x behind noise
@@ -226,7 +246,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in (HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE
-                 + R7_HEADLINE + R9_HEADLINE):
+                 + R7_HEADLINE + R9_HEADLINE + R10_HEADLINE):
         timings[name] = warm_median(name)
 
     # TPC-H-shape power total: the 21 complex_* topologies back-to-back
@@ -320,6 +340,7 @@ def main() -> None:
                 "r6_queries": R6_HEADLINE,
                 "r7_queries": R7_HEADLINE,
                 "r9_queries": R9_HEADLINE,
+                "r10_queries": R10_HEADLINE,
                 "tpch_power": {
                     "total_sec": round(tpch_total, 4),
                     "n_queries": len(tpch_names),

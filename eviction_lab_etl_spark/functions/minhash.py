@@ -179,6 +179,33 @@ def minhash_near_dup_pairs(
     )
 
 
+def corpus_minhash_index(
+    corpus_tokens: DataFrame,
+    bands: int = 32,
+    rows_per_band: int = 3,
+    hash_fn: HashFamily = xxhash_family,
+) -> tuple[DataFrame, DataFrame]:
+    """The COMMIT-TIME LSH index for `minhash_batch_matches`: the corpus's
+    band buckets ``(a, band, key)`` and per-doc token sizes ``(a, cn)`` —
+    the two corpus-sized artifacts the per-batch probe needs. A production
+    snapshot table materializes both when a version commits (one pass over
+    the new files, the same append-only discipline as the data), so that
+    ingest-time admission pays O(batch + candidates), never O(corpus);
+    `tools/scale_stress.py --incremental` measures exactly that split."""
+    ctok = corpus_tokens.select(F.col("id").alias("cid"), "w")
+    csig = minhash_signatures(
+        ctok.select(F.col("cid").alias("id"), "w"),
+        "id", "w", bands * rows_per_band, hash_fn,
+    )
+    cb = band_buckets(csig, bands, rows_per_band).select(
+        F.col("id").alias("a"), "band", "key"
+    )
+    csz = ctok.groupBy(F.col("cid").alias("a")).agg(
+        F.count(F.lit(1)).alias("cn")
+    )
+    return cb, csz
+
+
 def minhash_batch_matches(
     batch_tokens: DataFrame,
     corpus_tokens: DataFrame,
@@ -186,6 +213,7 @@ def minhash_batch_matches(
     bands: int = 32,
     rows_per_band: int = 3,
     hash_fn: HashFamily = xxhash_family,
+    corpus_index: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """ASYMMETRIC near-dup matching — a small new batch against the big
     committed corpus: every banded candidate pair with its exact
@@ -210,15 +238,15 @@ def minhash_batch_matches(
     bsig = minhash_signatures(
         btok.select(F.col("bid").alias("id"), "w"), "id", "w", n_hashes, hash_fn
     )
-    csig = minhash_signatures(
-        ctok.select(F.col("cid").alias("id"), "w"), "id", "w", n_hashes, hash_fn
-    )
     bb = band_buckets(bsig, bands, rows_per_band).select(
         F.col("id").alias("b"), "band", "key"
     )
-    cb = band_buckets(csig, bands, rows_per_band).select(
-        F.col("id").alias("a"), "band", "key"
-    )
+    if corpus_index is None:
+        cb, csz = corpus_minhash_index(
+            corpus_tokens, bands, rows_per_band, hash_fn
+        )
+    else:
+        cb, csz = corpus_index
     cand = (
         cb.join(F.broadcast(bb), ["band", "key"]).select("b", "a").distinct()
     )
@@ -237,7 +265,6 @@ def minhash_batch_matches(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     bsz = btok.groupBy(F.col("bid").alias("b")).agg(F.count(F.lit(1)).alias("bn"))
-    csz = ctok.groupBy(F.col("cid").alias("a")).agg(F.count(F.lit(1)).alias("cn"))
     pairs = (
         cand.join(F.broadcast(inter), ["b", "a"], "left")
         .withColumn("inter", F.coalesce(F.col("inter"), F.lit(0)))

@@ -1003,3 +1003,41 @@ def test_hard_negatives_are_true_negatives(spark, sf_dir):
             assert r.matched_terms == len(terms) - len(missing)
         n_pos = sum(1 for toks in docs.values() if terms <= toks)
         assert n_pos > 0, f"q{qid}: positive filter vacuous"
+
+
+def test_minhash_batch_matches_with_prebuilt_index_identical(spark):
+    """`corpus_minhash_index` is a pure factoring of the inline build: the
+    probe with a pre-built (buckets, sizes) index returns row-identical
+    results to the inline form — the equality that lets a production table
+    store the index at commit time without changing any admission verdict."""
+    from eviction_lab_etl_spark.functions.minhash import (
+        corpus_minhash_index,
+        md5_family,
+        minhash_batch_matches,
+    )
+
+    corpus_words = [f"w{i}" for i in range(30)]
+    corpus = spark.createDataFrame(
+        [(1, w) for w in corpus_words]
+        + [(2, w) for w in ["y1", "y2", "y3", "y4"]],
+        "id long, w string",
+    )
+    batch = spark.createDataFrame(
+        [(101, w) for w in corpus_words + ["extra"]]
+        + [(102, w) for w in ["y1", "y2", "y3"]],
+        "id long, w string",
+    )
+    kw = dict(threshold=(9, 10), bands=16, rows_per_band=3, hash_fn=md5_family)
+    inline = sorted(
+        map(tuple, minhash_batch_matches(batch, corpus, **kw).collect())
+    )
+    idx = corpus_minhash_index(corpus, bands=16, rows_per_band=3,
+                               hash_fn=md5_family)
+    indexed = sorted(
+        map(
+            tuple,
+            minhash_batch_matches(batch, corpus, corpus_index=idx, **kw)
+            .collect(),
+        )
+    )
+    assert inline == indexed and inline  # identical and non-empty

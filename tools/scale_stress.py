@@ -167,6 +167,29 @@ STRESS = [
     # (output-proportional by design; the per-bucket quadratic is the
     # declared cost model).
     "join_interval_overlap",
+    # Round 10: the two older gram queries that received the materialize-
+    # tokens-before-lambda retrofit (their post-fix slope is the round's
+    # regression evidence; the contam pair above covers the other two),
+    # BPE encode (broadcast vocab join; corpus-sized word stream), packing
+    # on BPE counts (same Arrow greedy, heavier count prep), IVF-PQ (the
+    # nprobe scoping must keep the ADC scan sublinear in the corpus), the
+    # bloom decontamination gate (map-side bit test + survivor-sized join),
+    # CMS (two passes over the pair stream, 192-cell grid merge), and
+    # hard-negative mining (BM25 posture with a query dimension).
+    # text_dup_span_remove is ABSENT for text_dup_span_coverage's verbatim-
+    # copy rule: key-multiplied copies make EVERY span shared, so the sweep
+    # would time the output artifact (whole-corpus removal), not the
+    # algorithm. dedup_incremental_batch is ABSENT here because its fixture
+    # commits snapshot tables per run; its batch-vs-corpus scaling is
+    # measured by the dedicated --incremental mode instead.
+    "text_ngrams",
+    "text_fingerprint",
+    "text_bpe_encode",
+    "pack_bins_bpe",
+    "search_ivfpq_topk",
+    "contam_bloom_gate",
+    "sketch_countmin",
+    "search_hard_negatives",
 ]
 
 
@@ -564,6 +587,91 @@ def measure_minhash_stress(spark, mult: int) -> dict:
     }
 
 
+def measure_incremental_ingest(spark, mult: int) -> dict:
+    """The `dedup_incremental_batch` scaling claim measured: a CONSTANT
+    batch (the operator's own shape — 25 near-dup re-crawls + the fresh
+    tail, ids negated to stay disjoint) admitted against a corpus that
+    grows with ``mult``, probed two ways. ``full_sec`` rebuilds the corpus
+    LSH index inline (what the registered query does — its fixture commits
+    both versions per run); ``indexed_sec`` probes against a pre-built
+    `corpus_minhash_index` (the commit-time artifact a production snapshot
+    table stores). The contract: full grows with the corpus (the index IS
+    a corpus pass), indexed stays batch-proportional — its only
+    corpus-sized touch is the candidate-scoped verification scan, which
+    never shuffles. Candidates grow with mult here ONLY because the
+    key-multiplied corpus replays the 25 planted targets mult times
+    (verbatim copies under new ids) — candidate mass per batch doc against
+    DISTINCT corpus content is constant."""
+    from eviction_lab_etl_spark.functions.minhash import (
+        corpus_minhash_index,
+        minhash_batch_matches,
+    )
+
+    sf_dir = build_scaled(spark, mult)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter((F.col("doc_id") % OFFSET) < 400)
+    base = load(spark, SRC, "documents").select("doc_id", "text")
+    batch = (
+        base.filter(F.col("doc_id") < 25)
+        .select(
+            (-(F.col("doc_id") + 1)).alias("doc_id"),
+            F.concat("text", F.lit(" rev2")).alias("text"),
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") >= 400).select(
+                (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
+            )
+        )
+    )
+
+    def toks(df):
+        return df.select(
+            F.col("doc_id").alias("id"),
+            F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+        )
+
+    kw = dict(threshold=(9, 10), bands=16, rows_per_band=3)
+
+    def timed(fn) -> float:
+        fn()  # warm-up
+        runs = []
+        for _ in range(3):
+            start = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - start)
+        return round(statistics.median(runs), 4)
+
+    full_sec = timed(
+        lambda: minhash_batch_matches(toks(batch), toks(corpus), **kw)
+        .write.format("noop").mode("overwrite").save()
+    )
+    cb, csz = corpus_minhash_index(toks(corpus), bands=16, rows_per_band=3)
+    cb = cb.persist()
+    csz = csz.persist()
+    n_buckets, n_corpus = cb.count(), csz.count()  # materialize untimed
+    indexed_sec = timed(
+        lambda: minhash_batch_matches(
+            toks(batch), toks(corpus), corpus_index=(cb, csz), **kw
+        ).write.format("noop").mode("overwrite").save()
+    )
+    matches = minhash_batch_matches(
+        toks(batch), toks(corpus), corpus_index=(cb, csz), **kw
+    )
+    n_cand = matches.count()
+    n_near = matches.filter(F.col("near") == 1).count()
+    cb.unpersist()
+    csz.unpersist()
+    return {
+        "n_corpus": n_corpus,
+        "n_batch": batch.count(),
+        "index_buckets": n_buckets,
+        "candidates": n_cand,
+        "near": n_near,
+        "full_sec": full_sec,
+        "indexed_sec": indexed_sec,
+    }
+
+
 def scaled_dir(mult: int) -> str:
     # source-aware cache key: bench.py builds pairs from whatever
     # SPARK_GRAFT_SF_DIR points at, and an sf0.01-derived x10 must never be
@@ -605,6 +713,7 @@ def main() -> None:
     extra_only = "--cc-prefix" in args
     minhash_only = "--minhash" in args
     semantic_only = "--semantic" in args
+    incremental_only = "--incremental" in args
     only: set[str] | None = None
     for a in args:
         if a.startswith("--only="):
@@ -618,6 +727,20 @@ def main() -> None:
         app_name="elspark-scale-stress", master="local[32]", shuffle_partitions=32
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if incremental_only:
+        for mult in mults:
+            print(
+                json.dumps(
+                    {
+                        "metric": "scale_stress_incremental",
+                        "mult": mult,
+                        "incremental": measure_incremental_ingest(spark, mult),
+                    }
+                ),
+                flush=True,
+            )
+        return
 
     if semantic_only:
         for mult in mults:
