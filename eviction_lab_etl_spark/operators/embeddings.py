@@ -1037,3 +1037,139 @@ def search_ivfpq_recall(spark, sf_dir):
         big(F.count(F.lit(1))).alias("n_full"),
         big(F.count("ivid")).alias("n_hits"),
     )
+
+
+# --- SQ8: scalar (per-dimension) quantization --------------------------------
+#
+# The OTHER standard memory-reduction leg next to PQ: each dimension is
+# linearly mapped onto 0..255 against its own corpus [min, max] range, so a
+# 64-dim float vector ships as 64 bytes (FAISS's SQ8 default). Where PQ buys
+# ~16x compression at codebook-lookup accuracy, SQ8 buys 4x at near-full
+# accuracy with NO codebook to train — the first thing a team reaches for
+# when the index stops fitting in cluster RAM. Same exactness discipline as
+# the PQ block: vectors live on the 1e-3 integer grid, the per-dim ranges
+# are integer min/max, codes are floor((x - mn) * 255 / rng) — the one
+# double division is of exactly-representable integers (correctly-rounded
+# identically in Spark and DuckDB), and everything aggregated is integer.
+
+_SQ_DIM = 64
+_SQ_LEVELS = 255
+_SQ_TOPK = 10
+
+# Shared oracle chain: integer grid -> per-dim ranges -> codes -> integer
+# reconstruction. `recon` carries one row per (vec_id, pos) with the
+# original grid value x and its dequantized value r.
+_SQ_CTES = f"""
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT p.pos, min(q.q[p.pos]) AS mn, max(q.q[p.pos]) AS mx
+      FROM q, (SELECT unnest(range(1, {_SQ_DIM + 1})) AS pos) p
+      GROUP BY p.pos
+    ),
+    codes AS (
+      SELECT v.vec_id, s.pos, v.q[s.pos] AS x, s.mn, s.mx,
+             CASE WHEN s.mx = s.mn THEN 0
+                  ELSE CAST(floor((v.q[s.pos] - s.mn) * {_SQ_LEVELS}
+                                  / (s.mx - s.mn)) AS BIGINT)
+             END AS code
+      FROM q v, stats s
+    ),
+    recon AS (
+      SELECT vec_id, pos, x, code,
+             mn + CAST(floor(code * (mx - mn) / {_SQ_LEVELS}) AS BIGINT) AS r
+      FROM codes
+    )
+"""
+
+
+@query(
+    "embed_sq8_codes",
+    oracle=f"""
+    WITH {_SQ_CTES.strip()}
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(sum(code) AS BIGINT) AS code_sum,
+           CAST(min(code) AS BIGINT) AS code_lo,
+           CAST(max(code) AS BIGINT) AS code_hi,
+           CAST(sum((x - r) * (x - r)) AS BIGINT) AS err_sq8
+    FROM recon
+    GROUP BY vec_id
+    """,
+)
+def embed_sq8_codes(spark, sf_dir):
+    """SQ8 encoding: per-dimension linear quantization of every vector onto
+    0..255 against the corpus's per-dim integer [mn, mx] ranges, emitted as
+    the per-vector code summary (sum/lo/hi of the 64 codes) plus the exact
+    integer reconstruction error — the fidelity monitor an SQ index
+    re-ranges on, and the memory story at 100 TB: float32 corpus -> n x 64
+    bytes. Determinism: codes and dequantized values are integer closed
+    forms of the integer grid (the one double division is of exact
+    integers), so the oracle rebuilds ranges, codes, and reconstruction
+    bit-for-bit and the driver hash pins the whole codec.
+
+    Plan shape, graded for 100 TB: the range frame is a ONE-ROW broadcast
+    (two 64-element arrays) built by a map-side-partial min/max aggregate
+    — no explode, no per-dim shuffle; encoding is then scan -> 1-row BNLJ
+    -> pure per-row array folds inside whole-stage codegen. Two scans of
+    the embedding column total (range pass + encode pass), no exchange of
+    anything corpus-sized."""
+    q = _pq_quantized(spark, sf_dir)
+    stats = q.agg(
+        F.array(
+            *[F.min(F.element_at("q", i + 1)) for i in range(_SQ_DIM)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.element_at("q", i + 1)) for i in range(_SQ_DIM)]
+        ).alias("mx"),
+    )
+    enc = q.join(F.broadcast(stats)).select(
+        "vec_id",
+        "q",
+        _sq8_codes_col().alias("codes"),
+    )
+    rec = enc.join(F.broadcast(stats)).select(
+        "vec_id",
+        "codes",
+        _sq8_recon_col().alias("r"),
+        "q",
+    )
+    zsum = lambda c: F.aggregate(
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return rec.select(
+        big("vec_id").alias("vec_id"),
+        zsum(F.col("codes")).alias("code_sum"),
+        F.array_min("codes").cast("long").alias("code_lo"),
+        F.array_max("codes").cast("long").alias("code_hi"),
+        zsum(
+            F.zip_with("q", "r", lambda x, r: (x - r) * (x - r))
+        ).alias("err_sq8"),
+    )
+
+
+def _sq8_codes_col():
+    """codes[i] from (q, mn, mx) columns: the SQ8 quantizer as a JVM
+    index-aware transform (0-based lambda index -> 1-based element_at)."""
+    def code(x, i):
+        mn = F.element_at("mn", i + 1)
+        rng = F.element_at("mx", i + 1) - mn
+        return F.when(rng == 0, F.lit(0).cast("long")).otherwise(
+            F.floor((x - mn) * _SQ_LEVELS / rng).cast("long")
+        )
+
+    return F.transform("q", code)
+
+
+def _sq8_recon_col():
+    """r[i] = mn[i] + floor(code[i] * rng[i] / 255): the integer
+    dequantizer over (codes, mn, mx) columns."""
+    def recon(c, i):
+        mn = F.element_at("mn", i + 1)
+        rng = F.element_at("mx", i + 1) - mn
+        return mn + F.floor(c * rng / _SQ_LEVELS).cast("long")
+
+    return F.transform("codes", recon)
