@@ -79,7 +79,7 @@ EXTENSIONS = {
     "text_bpe_encode", "pack_bins_bpe", "search_ivfpq_topk",
     "search_ivfpq_recall", "dedup_incremental_batch", "dedup_semantic_wide",
     "contam_bloom_gate", "text_dup_span_remove", "sketch_countmin",
-    "search_hard_negatives",
+    "search_hard_negatives", "embed_sq8_codes",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",
