@@ -42,34 +42,20 @@ _FLAGSHIP = "agg_sum_groupby"
 # stale queue can never burn a later round's budget re-checking green rows.
 # Bump _QUEUE_AS_OF to the highest CORRECTNESS_r*.json round present whenever
 # the queue is edited.
-_QUEUE_AS_OF = 9
+_QUEUE_AS_OF = 10
 _RECHECK_QUEUE: tuple[str, ...] = (
-    # --- Round-10 split-in-lambda retrofits (token array materialized in
-    # its own projection; values unchanged, plan changed):
-    "contam_ngram_overlap",
-    "contam_ngram_hashed",
-    "text_ngrams",
-    "text_fingerprint",
-    # --- Round-10 changed semantics/columns:
-    "join_interval_overlap",    # r10: floor-div day bucketing; 'day' -> 'od'
-    "pack_bins_nextfit",        # r10: refactored through nextfit_pack_counts
-    "text_bpe_train",           # r10: training loop extracted to _bpe_trained_state
-    # --- Round-10 new operators (never driver-checked):
-    "text_bpe_encode",          # NEW r10: BPE train->apply, per-doc token counts
-    "pack_bins_bpe",            # NEW r10: packing on trained-BPE counts
-    "search_ivfpq_topk",        # NEW r10: IVF-scoped ADC search (clustered fixture)
-    "search_ivfpq_recall",      # NEW r10: scoping loss vs full ADC scan
-    "dedup_incremental_batch",  # NEW r10: snapshot-batch near-dup admission gate
-    "dedup_semantic_wide",      # NEW r10: k=24 wide-codebook branch binding
-    "contam_bloom_gate",        # NEW r10: bloom-pruned decontamination gate
-    "text_dup_span_remove",     # NEW r10: keep-first exact-substring removal
-    "sketch_countmin",          # NEW r10: Count-Min grid, cell-exact oracle
-    "sketch_heavy_hitters",     # r10: pair stream via shared char_pair_stream
-    "search_hard_negatives",    # NEW r10: BM25 hard-negative mining
-    # --- Round-10 library refactor (band_buckets extracted from
-    # lsh_candidate_pairs — shared code path, values unchanged):
-    "dedup_minhash_pairs",
-    "dedup_minhash_recall",
+    # --- Round-11 new operators (never driver-checked):
+    "search_sq8_topk",          # NEW r11: asymmetric SQ8 top-k search
+    "search_sq8_recall",        # NEW r11: SQ8 quantization loss vs exact top-k
+    "dedup_incremental_indexed",  # NEW r11: committed-LSH-index probe path
+    "text_normalize_unicode",   # NEW r11: CCNet-style normalize chain
+    "dedup_exact_normalized",   # NEW r11: keep-first dedup over normalized text
+    # --- Round-11 changed plan (single stats join, values unchanged):
+    "embed_sq8_codes",
+    # --- r10 floor-div day bucketing re-verify (VERDICT r10 item 5):
+    "join_interval_overlap",
+    # --- Shares the refactored _ib_* helpers with the indexed binding:
+    "dedup_incremental_batch",
 )
 
 

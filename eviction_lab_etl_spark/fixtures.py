@@ -111,6 +111,37 @@ def documents_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unicode-mess corpus: every doc uppercased with accented vowels (Á É Í Ó),
+# every space turned into a padded ',' run, leading/trailing junk — the
+# byte-level noise (case, diacritics, punctuation, whitespace) that CCNet-
+# style normalization exists to fold away. Constructed so that the repo's
+# normalize chain recovers the ORIGINAL text exactly, which is what makes
+# the normalized-dedup delta measurable: mess(text) never equals text
+# byte-wise, but always equals it normalized.
+DOCUMENTS_MESSY_SQL = """
+        SELECT doc_id,
+               '  ' || replace(translate(upper(text), 'AEIO', 'ÁÉÍÓ'),
+                               ' ', '  ,  ') || ' !!' AS raw
+        FROM documents
+"""
+
+
+def documents_messy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("  "),
+            F.replace(
+                F.translate(F.upper("text"), "AEIO", "ÁÉÍÓ"),
+                F.lit(" "),
+                F.lit("  ,  "),
+            ),
+            F.lit(" !!"),
+        ).alias("raw"),
+    )
+
+
 # --- dup-augmented AND markup-wrapped corpus (pipeline_training_set) ---------
 
 # The end-to-end training pipeline needs an input where BOTH the cleaning

@@ -89,6 +89,104 @@ def text_pii_mask(spark, sf_dir):
     return mask_pii(fixtures.documents_with_pii(spark, sf_dir))
 
 
+# --- Unicode/text normalization (the step AHEAD of dedup/contamination) ------
+#
+# CCNet-style normalization: case fold, diacritic fold, punctuation→space,
+# whitespace collapse. Every gram/token operator downstream splits text on a
+# single space, so this is the canonicalizer that makes those splits mean
+# anything on a real crawl. The fold chain is restricted to constructs with
+# identical semantics in Spark (Java regex / JVM translate) and DuckDB (RE2 /
+# translate), which is what makes it hash-checkable cross-engine; a
+# production deployment widens the translate map (or swaps in an ICU NFKC
+# UDF) without changing the plan shape — still a pure map at scan speed.
+
+_ACCENTS, _FOLDED = "áéíó", "aeio"
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace("
+    f"translate(lower({{col}}), '{_ACCENTS}', '{_FOLDED}'),"
+    " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+
+def normalize_text(col: str = "raw") -> F.Column:
+    """The normalize chain as a pure column expression: lower → fold
+    diacritics → non-alnum to space → collapse runs → trim. All JVM-side
+    string ops inside whole-stage codegen — no Python, no shuffle."""
+    x = F.lower(F.col(col))
+    x = F.translate(x, _ACCENTS, _FOLDED)
+    x = F.regexp_replace(x, "[^a-z0-9 ]", " ")
+    return F.trim(F.regexp_replace(x, " +", " "))
+
+
+@query(
+    "text_normalize_unicode",
+    oracle=f"""
+    WITH raw AS ({fixtures.DOCUMENTS_MESSY_SQL})
+    SELECT doc_id,
+           {_NORM_SQL.format(col="raw")} AS norm,
+           CAST(length(raw) AS BIGINT) AS raw_len,
+           CAST(length({_NORM_SQL.format(col="raw")}) AS BIGINT) AS norm_len
+    FROM raw
+    """,
+)
+def text_normalize_unicode(spark, sf_dir):
+    """Correctness binding for ``normalize_text`` over the fixture-layer
+    messy corpus (uppercase + planted diacritics + comma runs + pad junk on
+    EVERY row, so every fold in the chain fires on every row and the driver
+    hash pins the full normalized text plus the before/after lengths).
+    The messy fixture is built to invert exactly: norm(mess(text)) == text,
+    pinned by tests/test_library.py."""
+    return fixtures.documents_messy(spark, sf_dir).select(
+        "doc_id",
+        normalize_text("raw").alias("norm"),
+        big(F.length("raw")).alias("raw_len"),
+        big(F.length(normalize_text("raw"))).alias("norm_len"),
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle=f"""
+    WITH messy AS ({fixtures.DOCUMENTS_MESSY_SQL}),
+    corpus AS (
+        SELECT doc_id, text AS raw FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, raw FROM messy
+    ),
+    norm AS (
+        SELECT doc_id, {_NORM_SQL.format(col="raw")} AS norm FROM corpus
+    )
+    SELECT md5(norm) AS h, min(doc_id) AS keep,
+           CAST(count(*) AS BIGINT) AS grp_size
+    FROM norm GROUP BY md5(norm) HAVING count(*) > 1
+    """,
+)
+def dedup_exact_normalized(spark, sf_dir):
+    """``dedup_keep_first`` over NORMALIZED text — the delta normalization
+    buys the dedup stage: the corpus is every raw doc plus its messy twin
+    (disjoint id space), byte-exact dedup finds nothing across the pair
+    (case/diacritics/punctuation differ), normalized dedup collapses every
+    twin onto its original (keep = lowest doc_id = always the raw side).
+    Same plan as the exact path — one shuffle on the 16-byte digest of the
+    normalized text, the normalize chain riding map-side in the scan — so
+    at 100 TB normalization costs zero extra passes."""
+    raw = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("raw")
+    )
+    messy = fixtures.documents_messy(spark, sf_dir).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "raw"
+    )
+    corpus = raw.unionByName(messy)
+    return (
+        corpus.groupBy(F.md5(normalize_text("raw")).alias("h"))
+        .agg(
+            F.min("doc_id").alias("keep"),
+            F.count(F.lit(1)).cast("bigint").alias("grp_size"),
+        )
+        .filter(F.col("grp_size") > 1)
+    )
+
+
 @query(
     "resample_cap_source",
     oracle="""

@@ -1118,20 +1118,14 @@ def embed_sq8_codes(spark, sf_dir):
     the embedding column total (range pass + encode pass), no exchange of
     anything corpus-sized."""
     q = _pq_quantized(spark, sf_dir)
-    stats = q.agg(
-        F.array(
-            *[F.min(F.element_at("q", i + 1)) for i in range(_SQ_DIM)]
-        ).alias("mn"),
-        F.array(
-            *[F.max(F.element_at("q", i + 1)) for i in range(_SQ_DIM)]
-        ).alias("mx"),
-    )
-    enc = q.join(F.broadcast(stats)).select(
+    enc = q.join(F.broadcast(_sq8_stats(q))).select(
         "vec_id",
         "q",
+        "mn",
+        "mx",
         _sq8_codes_col().alias("codes"),
     )
-    rec = enc.join(F.broadcast(stats)).select(
+    rec = enc.select(
         "vec_id",
         "codes",
         _sq8_recon_col().alias("r"),
@@ -1173,3 +1167,144 @@ def _sq8_recon_col():
         return mn + F.floor(c * rng / _SQ_LEVELS).cast("long")
 
     return F.transform("codes", recon)
+
+
+def _sq8_stats(q):
+    """Per-dim integer [mn, mx] ranges as ONE wide broadcast row (two
+    64-element arrays) — map-side-partial min/max, no explode, no per-dim
+    shuffle. Shared by the encode row and the search leg."""
+    return q.agg(
+        F.array(
+            *[F.min(F.element_at("q", i + 1)) for i in range(_SQ_DIM)]
+        ).alias("mn"),
+        F.array(
+            *[F.max(F.element_at("q", i + 1)) for i in range(_SQ_DIM)]
+        ).alias("mx"),
+    )
+
+
+def _sq8_scored(spark, sf_dir):
+    """(vec_id, d_sq8, d_exact): asymmetric SQ8 distances of every corpus
+    vector to the probe (vec_id 0) — the probe stays full-precision on the
+    integer grid, the corpus side is dequantized from its 64 SQ8 codes
+    (FAISS's asymmetric SQ scan), plus the exact grid distance for the
+    recall row. Plan shape, graded for 100 TB: two 1-row broadcasts (range
+    frame, probe vector); encode, dequantize, and both distance folds are
+    per-row JVM array lambdas inside whole-stage codegen — the corpus never
+    exchanges; the only ordering work is the callers' TakeOrdered cut."""
+    q = _pq_quantized(spark, sf_dir)
+    probe = q.filter(F.col("vec_id") == 0).select(F.col("q").alias("pq"))
+    enc = q.join(F.broadcast(_sq8_stats(q))).select(
+        "vec_id",
+        "q",
+        "mn",
+        "mx",
+        _sq8_codes_col().alias("codes"),
+    )
+    rec = enc.select("vec_id", "q", _sq8_recon_col().alias("r"))
+    zsum = lambda c: F.aggregate(
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return rec.join(F.broadcast(probe)).select(
+        "vec_id",
+        zsum(F.zip_with("pq", "r", lambda p, r: (p - r) * (p - r))).alias(
+            "d_sq8"
+        ),
+        zsum(F.zip_with("pq", "q", lambda p, x: (p - x) * (p - x))).alias(
+            "d_exact"
+        ),
+    )
+
+
+# Probe-vs-dequantized distances rebuilt on the recon CTE: p.q[pos] is the
+# probe's grid value at the dimension, r the corpus vector's dequantized one.
+_SQ_SEARCH_CTES = f"""
+    probe AS (SELECT q FROM q WHERE vec_id = 0),
+    sqd AS (
+      SELECT r.vec_id,
+             CAST(sum((p.q[r.pos] - r.r) * (p.q[r.pos] - r.r)) AS BIGINT)
+               AS d_sq8,
+             CAST(sum((p.q[r.pos] - r.x) * (p.q[r.pos] - r.x)) AS BIGINT)
+               AS d_exact
+      FROM recon r, probe p
+      GROUP BY r.vec_id
+    )
+"""
+
+
+@query(
+    "search_sq8_topk",
+    oracle=f"""
+    WITH {_SQ_CTES.strip()},
+    {_SQ_SEARCH_CTES.strip()}
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, d_sq8,
+           CAST(row_number() OVER (ORDER BY d_sq8, vec_id) AS BIGINT) AS rnk
+    FROM sqd ORDER BY d_sq8, vec_id LIMIT {_SQ_TOPK}
+    """,
+)
+def search_sq8_topk(spark, sf_dir):
+    """Asymmetric SQ8 top-{_SQ_TOPK}: the query side of the codec
+    `embed_sq8_codes` builds — the probe (vec_id 0) keeps its full grid
+    precision, every corpus vector scores as the squared distance between
+    the probe and its DEQUANTIZED codes (64 bytes/vector is all the index
+    stores), ranked by (d_sq8, vec_id). Completes the SQ8 leg to the PQ
+    precedent (`search_pq_adc_topk`): an index you can't query is half an
+    operator. Determinism: dequantized values are integer closed forms, the
+    distance is an integer fold, the rank order total — the oracle rebuilds
+    ranges, codes, reconstruction, and the cut, and the driver hash pins
+    which vectors the codec admits to the top-k."""
+    from pyspark.sql import Window
+
+    top = (
+        _sq8_scored(spark, sf_dir)
+        .select("vec_id", "d_sq8")
+        .orderBy("d_sq8", "vec_id")
+        .limit(_SQ_TOPK)
+    )
+    w = Window.orderBy("d_sq8", "vec_id")
+    return top.select(
+        big("vec_id").alias("vec_id"),
+        big("d_sq8").alias("d_sq8"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+
+
+@query(
+    "search_sq8_recall",
+    oracle=f"""
+    WITH {_SQ_CTES.strip()},
+    {_SQ_SEARCH_CTES.strip()},
+    ex10 AS (
+      SELECT vec_id FROM sqd ORDER BY d_exact, vec_id LIMIT {_SQ_TOPK}
+    ),
+    sq10 AS (
+      SELECT vec_id FROM sqd ORDER BY d_sq8, vec_id LIMIT {_SQ_TOPK}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(s.vec_id) AS BIGINT) AS n_hits
+    FROM ex10 e LEFT JOIN sq10 s ON s.vec_id = e.vec_id
+    """,
+)
+def search_sq8_recall(spark, sf_dir):
+    """Recall@{_SQ_TOPK} of the SQ8 asymmetric search against the EXACT
+    grid-distance top-{_SQ_TOPK} to the same probe — isolating exactly what
+    per-dimension quantization costs, the fidelity number an SQ index
+    re-ranges on (ann_ivf_recall / search_ivfpq_recall pattern). Both cuts
+    come off ONE scored frame (the scan is shared), the comparison is a
+    {_SQ_TOPK}-row broadcast join, and every piece is closed-form so the
+    row is fully hash-checked; tests pin the measured floor."""
+    scored = _sq8_scored(spark, sf_dir)
+    ex10 = (
+        scored.orderBy("d_exact", "vec_id")
+        .limit(_SQ_TOPK)
+        .select("vec_id")
+    )
+    sq10 = (
+        scored.orderBy("d_sq8", "vec_id")
+        .limit(_SQ_TOPK)
+        .select(F.col("vec_id").alias("sqid"))
+    )
+    return ex10.join(sq10, ex10["vec_id"] == sq10["sqid"], "left").agg(
+        big(F.count(F.lit(1))).alias("n_exact"),
+        big(F.count("sqid")).alias("n_hits"),
+    )

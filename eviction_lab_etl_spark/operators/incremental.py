@@ -700,9 +700,10 @@ def _ingest_snapshot_fixture(spark, sf_dir, prefix: str):
     return table
 
 
-@query(
-    "dedup_incremental_batch",
-    oracle=f"""
+# Shared by the inline-build and committed-index bindings: both compute the
+# IDENTICAL admission ledger (the index changes I/O, never the answer), so
+# one oracle pins both.
+_IB_ORACLE = f"""
     WITH old AS (
         SELECT doc_id, text FROM documents WHERE doc_id < 400
     ),
@@ -761,8 +762,10 @@ def _ingest_snapshot_fixture(spark, sf_dir, prefix: str):
                 AS BIGINT) AS admitted
     FROM batch b LEFT JOIN verd v ON v.bid = b.doc_id
     GROUP BY b.doc_id
-    """,
-)
+    """
+
+
+@query("dedup_incremental_batch", oracle=_IB_ORACLE)
 def dedup_incremental_batch(spark, sf_dir):
     """Near-dup admission gate for an arriving snapshot batch: commit the
     corpus (v1) and the batch (v2) through the real on-disk snapshot
@@ -792,24 +795,37 @@ def dedup_incremental_batch(spark, sf_dir):
     table = _ingest_snapshot_fixture(spark, sf_dir, "elspark_ingestnd")
     assert table.latest_version() == 2
     old = table.read(spark, version=1)
-    v1_files = set(table.files(1))
-    batch_files = [f for f in table.files(2) if f not in v1_files]
-    batch = spark.read.parquet(*batch_files)
-
-    def toks(df):
-        return df.select(
-            F.col("doc_id").alias("id"),
-            F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
-        )
+    batch = _ib_batch_diff(spark, table)
 
     matches = minhash_batch_matches(
-        toks(batch),
-        toks(old),
+        _ib_tokens(batch),
+        _ib_tokens(old),
         threshold=(_IB_NUM, _IB_DEN),
         bands=_IB_BANDS,
         rows_per_band=_IB_ROWS,
         hash_fn=md5_family,
     )
+    return _ib_ledger(batch, matches)
+
+
+def _ib_batch_diff(spark, table):
+    """The arriving batch as the v1→v2 snapshot FILE DIFF — appends ship
+    their own immutable files, so this read is O(batch), never O(corpus)."""
+    v1_files = set(table.files(1))
+    batch_files = [f for f in table.files(2) if f not in v1_files]
+    return spark.read.parquet(*batch_files)
+
+
+def _ib_tokens(df):
+    return df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("w"),
+    )
+
+
+def _ib_ledger(batch, matches):
+    """Per-batch-doc admission ledger off the (b, a, inter, uni, near)
+    match frame: candidate count, verified near count, admitted flag."""
     return (
         batch.select("doc_id")
         .join(F.broadcast(matches), F.col("doc_id") == F.col("b"), "left")
@@ -823,3 +839,56 @@ def dedup_incremental_batch(spark, sf_dir):
             .alias("admitted"),
         )
     )
+
+
+@query("dedup_incremental_indexed", oracle=_IB_ORACLE)
+def dedup_incremental_indexed(spark, sf_dir):
+    """`dedup_incremental_batch` through the COMMIT-TIME LSH INDEX path —
+    the driver binding for `corpus_minhash_index` (functions/minhash.py):
+    the v1 corpus's band buckets and token sizes are MATERIALIZED to
+    parquet next to the snapshot (the artifact a production table writes
+    when the version commits), and the per-batch probe reads the index
+    back instead of rebuilding signatures from the corpus text. Identical
+    answer to the inline-build binding — same oracle, same driver hash —
+    with the I/O contract the incremental design claims: per-ingest cost
+    is O(batch + candidates) reads of two SMALL corpus artifacts (buckets:
+    bands rows/doc; sizes: 1 row/doc), never a corpus text scan.
+    tests/test_library.py pins row identity between the two paths;
+    tools/scale_stress.py --incremental measures the indexed-vs-inline
+    split at multiplied corpus sizes."""
+    from eviction_lab_etl_spark.functions.minhash import (
+        corpus_minhash_index,
+        md5_family,
+        minhash_batch_matches,
+    )
+
+    table = _ingest_snapshot_fixture(spark, sf_dir, "elspark_ingestnd")
+    assert table.latest_version() == 2
+    old = table.read(spark, version=1)
+    batch = _ib_batch_diff(spark, table)
+
+    # Commit-time: build and persist the index off the v1 corpus.
+    cb, csz = corpus_minhash_index(
+        _ib_tokens(old), bands=_IB_BANDS, rows_per_band=_IB_ROWS,
+        hash_fn=md5_family,
+    )
+    idx_root = os.path.join(table.root, "minhash_index_v1")
+    cb.write.mode("overwrite").parquet(os.path.join(idx_root, "buckets"))
+    csz.write.mode("overwrite").parquet(os.path.join(idx_root, "sizes"))
+
+    # Ingest-time: probe the stored index; corpus text joins only for the
+    # candidate-scoped verification inside minhash_batch_matches.
+    index = (
+        spark.read.parquet(os.path.join(idx_root, "buckets")),
+        spark.read.parquet(os.path.join(idx_root, "sizes")),
+    )
+    matches = minhash_batch_matches(
+        _ib_tokens(batch),
+        _ib_tokens(old),
+        threshold=(_IB_NUM, _IB_DEN),
+        bands=_IB_BANDS,
+        rows_per_band=_IB_ROWS,
+        hash_fn=md5_family,
+        corpus_index=index,
+    )
+    return _ib_ledger(batch, matches)

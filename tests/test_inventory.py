@@ -80,6 +80,8 @@ EXTENSIONS = {
     "search_ivfpq_recall", "dedup_incremental_batch", "dedup_semantic_wide",
     "contam_bloom_gate", "text_dup_span_remove", "sketch_countmin",
     "search_hard_negatives", "embed_sq8_codes",
+    "search_sq8_topk", "search_sq8_recall", "dedup_incremental_indexed",
+    "text_normalize_unicode", "dedup_exact_normalized",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

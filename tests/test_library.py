@@ -775,6 +775,90 @@ def test_search_ivfpq_topk_is_subset_of_full_adc(spark, sf_dir):
     assert [r.rnk for r in top] == list(range(1, 11))
 
 
+def test_normalize_inverts_messy_fixture(spark, sf_dir):
+    """The messy fixture is built so the normalize chain recovers the
+    ORIGINAL text exactly (norm ∘ mess = id) — every fold (case, diacritic,
+    punctuation, whitespace) must fire and fully undo; one surviving comma
+    or double space breaks equality on every row."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark import fixtures
+    from eviction_lab_etl_spark.operators.cleaning import normalize_text
+    from eviction_lab_etl_spark.sources.loader import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = fixtures.documents_messy(spark, sf_dir).select(
+        "doc_id", normalize_text("raw").alias("norm")
+    )
+    bad = (
+        docs.join(norm, "doc_id")
+        .filter(F.col("norm") != F.col("text"))
+        .count()
+    )
+    assert bad == 0
+    assert norm.count() == docs.count()
+
+
+def test_dedup_exact_normalized_collapses_every_twin(spark, sf_dir):
+    """Every normalized group must keep a RAW-side doc (keep < 100000: the
+    messy twin can never win the min-id election) and cover the full
+    corpus: sum of group sizes == n_raw + n_messy (no orphan singletons —
+    each messy doc collapses onto at least its own original)."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    n_docs = load(spark, sf_dir, "documents").count()
+    grps = QUERIES["dedup_exact_normalized"](spark, sf_dir)
+    agg = grps.agg(
+        F.max("keep").alias("mx"), F.sum("grp_size").alias("covered")
+    ).collect()[0]
+    assert agg.mx < 100000
+    assert agg.covered == 2 * n_docs
+
+
+def test_dedup_incremental_indexed_matches_inline(spark, sf_dir):
+    """The committed-index probe path must be answer-identical to the
+    inline-build path — the index changes I/O, never the ledger (same
+    oracle pins both driver rows; this pins them against each other
+    row-for-row)."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    inline = sorted(
+        map(tuple, QUERIES["dedup_incremental_batch"](spark, sf_dir).collect())
+    )
+    indexed = sorted(
+        map(tuple, QUERIES["dedup_incremental_indexed"](spark, sf_dir).collect())
+    )
+    assert inline == indexed
+    assert len(inline) > 0
+
+
+def test_search_sq8_recall_floor(spark, sf_dir):
+    """SQ8 is the near-full-accuracy codec (255 levels per dim vs PQ's 4
+    codewords per subspace), so the asymmetric scan must recover >= 9 of
+    the exact top-10 (measured 10/10 at sf0.001, 9/10 at sf0.01 — the
+    driver hash pins the exact row; this pins the statistical claim)."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    row = QUERIES["search_sq8_recall"](spark, sf_dir).collect()[0]
+    assert row.n_exact == 10
+    assert row.n_hits >= 9
+
+
+def test_search_sq8_topk_probe_ranks_first(spark, sf_dir):
+    """The probe's distance to its own dequantized codes is the pure
+    reconstruction error — the corpus minimum (every other vector adds a
+    true-distance term on top), so vec_id 0 must rank first and the rnk
+    column must be the dense 1..10."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    top = QUERIES["search_sq8_topk"](spark, sf_dir).collect()
+    assert top[0].vec_id == 0
+    assert [r.rnk for r in top] == list(range(1, 11))
+
+
 def test_text_bpe_encode_counts_bounded_by_training(spark, sf_dir):
     """Per-doc BPE token counts must be >= the whitespace word count (only
     3 merges trained — most chars stay singleton tokens) and <= the
