@@ -711,6 +711,45 @@ def test_search_pq_adc_topk_corpus_never_exchanges_before_cut(spark, sf_dir):
         raise AssertionError(f"corpus hash exchange leaked: {part}")
 
 
+def test_search_sq8_topk_corpus_never_exchanges_before_cut(spark, sf_dir):
+    """SQ8 asymmetric search must keep the same promise as the PQ leg:
+    range frame and probe both ride 1-row broadcasts, encode/dequantize/
+    distance are per-row JVM array folds, and the corpus path ends in
+    TakeOrderedAndProject with no hash exchange and no Python anywhere."""
+    sq = plan_of(spark, sf_dir, "search_sq8_topk")
+    assert "TakeOrderedAndProject" in sq["plan"]
+    assert sq["python_rows"] == 0 and sq["arrow_python"] == 0
+    assert sq["sortmerge_joins"] == 0 and sq["broadcast_joins"] == 0
+    import re as _re
+
+    for part in _re.findall(r"hashpartitioning\(([^)]*)\)", sq["plan"]):
+        raise AssertionError(f"corpus hash exchange leaked: {part}")
+
+
+def test_text_normalize_unicode_is_map_only(spark, sf_dir):
+    """The normalize chain must run at scan speed: no shuffle, no join, no
+    Python — a pure projection over the corpus scan."""
+    nm = plan_of(spark, sf_dir, "text_normalize_unicode")
+    assert nm["shuffles"] == 0, nm["plan"]
+    assert nm["python_rows"] == 0 and nm["arrow_python"] == 0
+    assert nm["sortmerge_joins"] == 0 and nm["broadcast_joins"] == 0
+
+
+def test_dedup_exact_normalized_single_digest_shuffle(spark, sf_dir):
+    """Normalized dedup must cost exactly what exact dedup costs: the
+    normalize chain rides map-side inside the scan projection, and the only
+    exchange hashes the 16-byte digest of the normalized text."""
+    dd = plan_of(spark, sf_dir, "dedup_exact_normalized")
+    assert dd["python_rows"] == 0 and dd["arrow_python"] == 0
+    import re as _re
+
+    # Catalyst names the md5(...) groupBy key `_groupingexpression`; either
+    # way the plan must carry exactly one corpus exchange on that digest.
+    parts = _re.findall(r"hashpartitioning\((\w+)", dd["plan"])
+    assert parts and set(parts) <= {"h", "_groupingexpression"}, parts
+    assert dd["shuffles"] == 1, dd["plan"]
+
+
 def test_text_dup_span_coverage_shape(spark, sf_dir):
     """Span-coverage: gram strings shuffle once for the document-frequency
     count, join back on the gram, one per-doc aggregate — no Python, no
