@@ -141,6 +141,16 @@ R10_HEADLINE = [
     "search_hard_negatives",      # r10: multi-query BM25 negative mining
 ]
 
+# Round-11 additions (first-measurement pins): the SQ8 search leg and the
+# normalization pair. dedup_incremental_indexed is NOT pinned for the same
+# reason as dedup_incremental_batch (its fixture commits snapshot tables per
+# run; --incremental measures the real claim).
+R11_HEADLINE = [
+    "search_sq8_topk",            # r11: asymmetric SQ8 scan + TakeOrdered
+    "text_normalize_unicode",     # r11: map-only CCNet-style normalize chain
+    "dedup_exact_normalized",     # r11: digest shuffle over normalized text
+]
+
 # Per-topology regression base for the TPC-H power family: the round-6
 # per-query warm medians (SCALE.md "TPC-H power" table, sf0.1, local[32]).
 # The 21-query total alone can hide one topology regressing 3x behind noise
@@ -246,7 +256,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in (HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE
-                 + R7_HEADLINE + R9_HEADLINE + R10_HEADLINE):
+                 + R7_HEADLINE + R9_HEADLINE + R10_HEADLINE + R11_HEADLINE):
         timings[name] = warm_median(name)
 
     # TPC-H-shape power total: the 21 complex_* topologies back-to-back
@@ -341,6 +351,7 @@ def main() -> None:
                 "r7_queries": R7_HEADLINE,
                 "r9_queries": R9_HEADLINE,
                 "r10_queries": R10_HEADLINE,
+                "r11_queries": R11_HEADLINE,
                 "tpch_power": {
                     "total_sec": round(tpch_total, 4),
                     "n_queries": len(tpch_names),

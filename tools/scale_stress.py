@@ -589,19 +589,26 @@ def measure_minhash_stress(spark, mult: int) -> dict:
 
 def measure_incremental_ingest(spark, mult: int) -> dict:
     """The `dedup_incremental_batch` scaling claim measured: a CONSTANT
-    batch (the operator's own shape — 25 near-dup re-crawls + the fresh
-    tail, ids negated to stay disjoint) admitted against a corpus that
-    grows with ``mult``, probed two ways. ``full_sec`` rebuilds the corpus
-    LSH index inline (what the registered query does — its fixture commits
-    both versions per run); ``indexed_sec`` probes against a pre-built
-    `corpus_minhash_index` (the commit-time artifact a production snapshot
-    table stores). The contract: full grows with the corpus (the index IS
-    a corpus pass), indexed stays batch-proportional — its only
-    corpus-sized touch is the candidate-scoped verification scan, which
-    never shuffles. Candidates grow with mult here ONLY because the
-    key-multiplied corpus replays the 25 planted targets mult times
-    (verbatim copies under new ids) — candidate mass per batch doc against
-    DISTINCT corpus content is constant."""
+    SMALL batch (the operator's real contract — 25 near-dup re-crawls +
+    a 200-doc fresh slice, ids negated to stay disjoint) admitted against
+    a corpus that grows with ``mult``, probed two ways. ``full_sec``
+    rebuilds the corpus LSH index inline (what the registered query does —
+    its fixture commits both versions per run); ``indexed_sec`` probes
+    against a pre-built `corpus_minhash_index` (the commit-time artifact a
+    production snapshot table stores). The contract: full grows with the
+    corpus (the index IS a corpus pass), indexed pays only
+    batch + candidates — its one corpus-sized touch is the candidate-
+    scoped verification scan, which never shuffles.
+
+    The batch MUST stay small relative to the corpus: the r10 harness
+    used the whole doc_id>=400 tail (4 625 docs vs a 400-doc 1x corpus,
+    1.6 M banded candidates on the 31-token fixture vocabulary), which
+    made candidate verification — identical in both paths — drown the
+    full-vs-indexed split it exists to measure, and put multi-million-row
+    frames on the batch-side broadcasts. Candidates still grow with mult
+    here ONLY because the key-multiplied corpus replays the same content
+    mult times (verbatim copies under new ids) — candidate mass per batch
+    doc against DISTINCT corpus content is constant."""
     from eviction_lab_etl_spark.functions.minhash import (
         corpus_minhash_index,
         minhash_batch_matches,
@@ -618,9 +625,9 @@ def measure_incremental_ingest(spark, mult: int) -> dict:
             F.concat("text", F.lit(" rev2")).alias("text"),
         )
         .unionByName(
-            base.filter(F.col("doc_id") >= 400).select(
-                (-(F.col("doc_id") + 1)).alias("doc_id"), "text"
-            )
+            base.filter(
+                (F.col("doc_id") >= 400) & (F.col("doc_id") < 600)
+            ).select((-(F.col("doc_id") + 1)).alias("doc_id"), "text")
         )
     )
 
