@@ -37,10 +37,17 @@ DEFAULT_SUSPECTS = [
     "complex_sole_discount_supplier",
     "complex_top_supplier",
 ]
-R6_BASE = {  # bench.py TPCH_BASE_SEC
+R6_BASE = {  # bench.py TPCH_BASE_SEC (suspects + non-flagged controls)
     "complex_small_qty_revenue": 0.50,
     "complex_sole_discount_supplier": 0.82,
     "complex_top_supplier": 0.34,
+    # controls: multi-join topologies that did NOT flag in r10 — if these
+    # also run ~1.4x their r6 pins on the same session, the shift is
+    # host-class shuffle overhead, not a query-specific regression
+    "complex_returned_revenue": 0.61,
+    "complex_market_share": 0.82,
+    "complex_min_cost_supplier": 1.03,
+    "complex_parts_supplier_cnt": 0.52,
 }
 
 
@@ -50,7 +57,16 @@ def main() -> None:
     suspects = [a for a in args if not a.isdigit()] or DEFAULT_SUSPECTS
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = build_session(f"local[{cpus}]")
+    # Replicate bench.py's session EXACTLY (master + shuffle_partitions=cores):
+    # the r6 bases were measured under these confs, and the suspects are
+    # shuffle-heavy — comparing a 200-partition run against a 32-partition pin
+    # measures task-scheduling overhead, not the query (this tool's first run
+    # did exactly that; see BASELINE.md "tpch_power A/B").
+    spark = build_session(
+        app_name="elspark-tpch-ab",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
     registry.load_all_operators()
 
     def one(name: str) -> float:
