@@ -281,9 +281,19 @@ def main() -> None:
         for name, sec in tpch_per_query.items()
         if name in TPCH_BASE_SEC
     }
-    # Any topology >1.5x its r6 median is a called-out regression candidate
-    # (subject to the uniform-host-shift caveat above).
-    tpch_flagged = sorted(n for n, r in tpch_vs_r6.items() if r > 1.5)
+    # Flag against the FAMILY-normalized ratio, not the raw one: the r11 A/B
+    # (BASELINE.md "tpch_power A/B") showed the whole multi-join family's
+    # vs_r6 shifts 1.2-1.5x with the host's compute/shuffle balance (which
+    # the fleet-median normalization, built from compute-bound headliners,
+    # cannot see), and BENCH_r10's >2x flags were the sorted loop's LAST
+    # THREE queries — positional end-of-run drift. Dividing by the family
+    # median cancels both; a genuine topology regression still stands out
+    # as moving ALONE. Raw ratios stay emitted for cross-round reading.
+    tpch_family_median = statistics.median(tpch_vs_r6.values())
+    tpch_vs_family = {
+        n: round(r / tpch_family_median, 3) for n, r in tpch_vs_r6.items()
+    }
+    tpch_flagged = sorted(n for n, r in tpch_vs_family.items() if r > 1.5)
 
     vs_baseline = {
         name: round(timings[name] / BASELINE_SEC[name], 3)
@@ -357,8 +367,10 @@ def main() -> None:
                     "n_queries": len(tpch_names),
                     "per_query": tpch_per_query,
                     "vs_r6": tpch_vs_r6,
+                    "family_median_ratio": round(tpch_family_median, 3),
+                    "vs_r6_family_norm": tpch_vs_family,
                     "no_base": tpch_no_base,
-                    "flagged_over_1.5x": tpch_flagged,
+                    "flagged_over_1.5x_family_norm": tpch_flagged,
                 },
                 "vs_baseline": vs_baseline,
                 "vs_run_median": vs_run_median,
