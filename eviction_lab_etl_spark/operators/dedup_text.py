@@ -546,6 +546,121 @@ def text_length_hist(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("cnt"))
 
 
+# --- PMI collocation mining (phrase discovery for tokenizer/vocab prep) -----
+#
+# Pointwise mutual information over adjacent token pairs — the standard
+# phrase-discovery statistic (word2vec's phrase pass, tokenizer vocab prep,
+# multi-word-expression extraction). PMI = log p(xy)/(p(x)p(y)) is a float,
+# so the DETERMINISTIC form ranks by the log's argument as a scaled integer:
+# score = (n_bigrams * c(xy) * 10^4) div (c(x) * c(y)) — all-positive integer
+# division (truncation ≡ floor), identical in Spark `div` and DuckDB `//`.
+# Marginals are contingency-table counts (c(x) = bigrams with left x, c(y) =
+# bigrams with right y), so every input to the division is a bigram-stream
+# count. Overflow bound: n * max(c_xy) * 10^4 < 2^63 holds through the 30x
+# stress envelope (~15 M bigrams); a 100 TB deployment switches the RANKING
+# to float PMI (order-stable enough for discovery) or shards the statistic —
+# the plan shape below is unchanged either way.
+
+_PMI_TOPK = 20
+_PMI_MINSUP = 5        # a collocation seen < 5 times is a fluke, not a phrase
+_PMI_SCALE = 10_000
+
+
+@query(
+    "text_pmi_collocations",
+    oracle=f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS ts FROM documents
+    ),
+    big AS (
+        SELECT ts[i] AS x, ts[i + 1] AS y
+        FROM toks CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(ts))) AS i
+        ) p
+    ),
+    cxy AS (SELECT x, y, count(*) AS c_xy FROM big GROUP BY x, y),
+    cx AS (SELECT x, sum(c_xy) AS c_x FROM cxy GROUP BY x),
+    cy AS (SELECT y, sum(c_xy) AS c_y FROM cxy GROUP BY y),
+    n AS (SELECT sum(c_xy) AS n_big FROM cxy),
+    scored AS (
+        SELECT cxy.x, cxy.y, CAST(cxy.c_xy AS BIGINT) AS c_xy,
+               CAST((n.n_big * cxy.c_xy * {_PMI_SCALE}) // (cx.c_x * cy.c_y)
+                    AS BIGINT) AS pmi_x1e4
+        FROM cxy
+        JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN n
+        WHERE cxy.c_xy >= {_PMI_MINSUP}
+    )
+    SELECT x, y, c_xy, pmi_x1e4,
+           CAST(row_number() OVER (ORDER BY pmi_x1e4 DESC, x, y) AS BIGINT)
+             AS rnk
+    FROM scored ORDER BY pmi_x1e4 DESC, x, y LIMIT {_PMI_TOPK}
+    """,
+)
+def text_pmi_collocations(spark, sf_dir):
+    """Top-{_PMI_TOPK} collocations by integer-scaled PMI over adjacent
+    token pairs (min support {_PMI_MINSUP}) — the phrase-discovery pass a
+    tokenizer/vocabulary pipeline runs before training (word2vec's phrase
+    step; merges 'new york'-class pairs into vocab candidates). Ranked by
+    the PMI log-argument as a scaled integer (header comment), tie-broken
+    (x, y) — total order, so the driver hash pins counts, scores, and the
+    cut.
+
+    Scale shape, graded for 100 TB: the bigram stream shuffles ONCE (the
+    gram-keyed pair count — the data-proportional floor shared with
+    text_ngrams); both marginals AND the total derive from the pair-count
+    frame (vocabulary²-bounded, NOT corpus-sized) and ride back as
+    broadcasts, so the corpus is scanned once and exchanged once. The
+    token array is materialized in its own projection before the lambda
+    (the no-cross-lambda-CSE rule, SCALE.md r9)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tokenized = docs.select(F.split("text", " ").alias("toks"))
+    w = F.col("toks")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("x"),
+                F.element_at(w, i + 1).alias("y"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    cxy = (
+        tokenized.select(F.explode(pairs).alias("b"))
+        .select(F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    cx = cxy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    cy = cxy.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    n = cxy.agg(F.sum("c_xy").alias("n_big"))
+    scored = (
+        cxy.filter(F.col("c_xy") >= _PMI_MINSUP)
+        .join(F.broadcast(cx), "x")
+        .join(F.broadcast(cy), "y")
+        .join(F.broadcast(n))
+        .select(
+            "x",
+            "y",
+            big("c_xy").alias("c_xy"),
+            F.expr(f"(n_big * c_xy * {_PMI_SCALE}) div (c_x * c_y)")
+            .cast("long")
+            .alias("pmi_x1e4"),
+        )
+    )
+    top = scored.orderBy(F.col("pmi_x1e4").desc(), "x", "y").limit(_PMI_TOPK)
+    rw = Window.orderBy(F.col("pmi_x1e4").desc(), "x", "y")
+    return top.select(
+        "x",
+        "y",
+        "c_xy",
+        "pmi_x1e4",
+        F.row_number().over(rw).cast("long").alias("rnk"),
+    )
+
+
 # --- inter-document duplicated-span coverage (C4/RefinedWeb-style signal) ----
 
 _SPAN_GRAM = 8  # tokens per span shingle

@@ -750,6 +750,29 @@ def test_dedup_exact_normalized_single_digest_shuffle(spark, sf_dir):
     assert dd["shuffles"] == 1, dd["plan"]
 
 
+def test_text_pmi_collocations_single_corpus_shuffle(spark, sf_dir):
+    """PMI mining must exchange the corpus ONCE (the (x, y) pair count);
+    marginals and the total derive from the vocabulary²-bounded pair-count
+    frame and ride back as broadcasts — their exchanges re-key that small
+    frame (x / y / singleton), never the bigram stream. No Python, no
+    cartesian."""
+    pm = plan_of(spark, sf_dir, "text_pmi_collocations")
+    assert "CartesianProduct" not in pm["plan"]
+    assert pm["python_rows"] == 0 and pm["arrow_python"] == 0
+    assert "TakeOrderedAndProject" in pm["plan"]
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", pm["plan"])
+    for arglist in parts:
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        assert keys <= {"x", "y"}, arglist
+
+
 def test_text_dup_span_coverage_shape(spark, sf_dir):
     """Span-coverage: gram strings shuffle once for the document-frequency
     count, join back on the gram, one per-doc aggregate — no Python, no

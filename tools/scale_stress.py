@@ -190,6 +190,18 @@ STRESS = [
     "contam_bloom_gate",
     "sketch_countmin",
     "search_hard_negatives",
+    # Round 11: asymmetric SQ8 scan (corpus-scaled codes, constant top-k),
+    # the map-only normalize chain, and normalized exact dedup (digest
+    # shuffle; the messy-twin corpus doubles with the documents table).
+    # dedup_incremental_indexed is ABSENT per the dedup_incremental_batch
+    # rule (snapshot-commit fixture; --incremental measures the claim);
+    # search_sq8_recall shares search_sq8_topk's scored frame.
+    "search_sq8_topk",
+    "text_normalize_unicode",
+    "dedup_exact_normalized",
+    # PMI phrase mining: one gram-keyed pair-count shuffle (the
+    # text_ngrams floor); marginals stay vocabulary-bounded.
+    "text_pmi_collocations",
 ]
 
 
