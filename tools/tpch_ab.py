@@ -48,6 +48,9 @@ R6_BASE = {  # bench.py TPCH_BASE_SEC (suspects + non-flagged controls)
     "complex_market_share": 0.82,
     "complex_min_cost_supplier": 1.03,
     "complex_parts_supplier_cnt": 0.52,
+    # non-tpch suspects (BASELINE_SEC pins) the A/B protocol also serves:
+    "events_type_transitions": 0.3199,
+    "incr_snapshot_time_travel": 0.9247,
 }
 
 
