@@ -1196,3 +1196,110 @@ def test_countmin_merge_and_overestimate(stream, cuts):
     for x, cnt in true.items():
         est = min(merged[(j, bucket(j, x))] for j in range(D))
         assert est >= cnt
+
+
+TOKENS = st.sampled_from(["a", "b", "cc", "dd", "e"])
+docs_strategy = st.lists(
+    st.lists(TOKENS, min_size=0, max_size=8).map(lambda ts: " ".join(ts)),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(texts=docs_strategy)
+@SETTINGS
+def test_pmi_scores_match_python_replica(spark, texts):
+    """text_pmi_collocations' integer-scaled PMI must equal a direct Python
+    recomputation for ANY corpus: bigram counts from adjacent pairs,
+    marginals from the pair table, score = (n*c_xy*10000) // (c_x*c_y),
+    min-support filter — the whole statistic, not just the fixture draw."""
+    from collections import Counter
+
+    from eviction_lab_etl_spark.operators.dedup_text import (
+        _PMI_MINSUP,
+        _PMI_SCALE,
+    )
+
+    cxy = Counter()
+    for t in texts:
+        ts = t.split(" ")
+        for i in range(len(ts) - 1):
+            cxy[(ts[i], ts[i + 1])] += 1
+    cx, cy = Counter(), Counter()
+    for (x, y), c in cxy.items():
+        cx[x] += c
+        cy[y] += c
+    n = sum(cxy.values())
+    expect = {
+        (x, y): (c, (n * c * _PMI_SCALE) // (cx[x] * cy[y]))
+        for (x, y), c in cxy.items()
+        if c >= _PMI_MINSUP
+    }
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)] or [(0, "")],
+        "doc_id long, text string",
+    )
+    toks = df.select(F.split("text", " ").alias("toks"))
+    w = F.col("toks")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.struct(
+                F.element_at(w, i).alias("x"),
+                F.element_at(w, i + 1).alias("y"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    pc = (
+        toks.select(F.explode(pairs).alias("b"))
+        .select(F.col("b.x").alias("x"), F.col("b.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+    )
+    cx_df = pc.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    cy_df = pc.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    n_df = pc.agg(F.sum("c_xy").alias("n_big"))
+    got = {
+        (r["x"], r["y"]): (r["c_xy"], r["score"])
+        for r in pc.filter(F.col("c_xy") >= _PMI_MINSUP)
+        .join(cx_df, "x")
+        .join(cy_df, "y")
+        .join(n_df)
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            F.expr(f"(n_big * c_xy * {_PMI_SCALE}) div (c_x * c_y)")
+            .cast("long")
+            .alias("score"),
+        )
+        .collect()
+    }
+    assert got == expect
+
+
+MESSY = st.text(
+    alphabet="aZ á,.É !x9", min_size=0, max_size=40
+)
+
+
+@given(raw=MESSY)
+@SETTINGS
+def test_normalize_text_idempotent_and_canonical(spark, raw):
+    """normalize_text must be IDEMPOTENT (norm∘norm = norm — a normalizer
+    that keeps changing its own output corrupts digest-keyed dedup) and its
+    output must match the canonical alphabet: lowercase alnum words joined
+    by single spaces, no edge spaces."""
+    import re
+
+    from eviction_lab_etl_spark.operators.cleaning import normalize_text
+
+    df = spark.createDataFrame([(0, raw)], "doc_id long, raw string")
+    once = df.select(normalize_text("raw").alias("raw"))
+    twice = once.select(normalize_text("raw").alias("n2"))
+    v1 = once.collect()[0]["raw"]
+    v2 = twice.collect()[0]["n2"]
+    assert v1 == v2
+    assert re.fullmatch(r"([a-z0-9]+( [a-z0-9]+)*)?", v1), v1
