@@ -51,6 +51,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "text_normalize_unicode",   # NEW r11: CCNet-style normalize chain
     "dedup_exact_normalized",   # NEW r11: keep-first dedup over normalized text
     "text_pmi_collocations",    # NEW r11: integer-scaled PMI phrase mining
+    "sketch_quantile_mergeable",  # NEW r11: deterministic compactor quantile summary
     # --- Round-11 changed plan (single stats join, values unchanged):
     "embed_sq8_codes",
     # --- r10 floor-div day bucketing re-verify (VERDICT r10 item 5):

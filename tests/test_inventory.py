@@ -82,7 +82,7 @@ EXTENSIONS = {
     "search_hard_negatives", "embed_sq8_codes",
     "search_sq8_topk", "search_sq8_recall", "dedup_incremental_indexed",
     "text_normalize_unicode", "dedup_exact_normalized",
-    "text_pmi_collocations",
+    "text_pmi_collocations", "sketch_quantile_mergeable",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

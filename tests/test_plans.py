@@ -773,6 +773,18 @@ def test_text_pmi_collocations_single_corpus_shuffle(spark, sf_dir):
         assert keys <= {"x", "y"}, arglist
 
 
+def test_sketch_quantile_mergeable_two_arrow_stages(spark, sf_dir):
+    """The quantile summary must be the DECLARED two-phase Arrow shape:
+    one mapInPandas partial per partition + one grouped merge — exactly two
+    Arrow boundaries, zero row-wise Python. (The exact-quantile and
+    rank-verification legs are JVM joins/aggregates over the value scan —
+    verification-side, hash-checked.)"""
+    qs = plan_of(spark, sf_dir, "sketch_quantile_mergeable")
+    assert qs["arrow_python"] == 2, qs["plan"]
+    assert qs["python_rows"] == 0
+    assert "CartesianProduct" not in qs["plan"]
+
+
 def test_text_dup_span_coverage_shape(spark, sf_dir):
     """Span-coverage: gram strings shuffle once for the document-frequency
     count, join back on the gram, one per-doc aggregate — no Python, no
