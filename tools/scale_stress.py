@@ -202,6 +202,9 @@ STRESS = [
     # PMI phrase mining: one gram-keyed pair-count shuffle (the
     # text_ngrams floor); marginals stay vocabulary-bounded.
     "text_pmi_collocations",
+    # Mergeable quantile summary: per-partition Arrow compactor + one
+    # KB-sized merge; the two verification scans are JVM-side.
+    "sketch_quantile_mergeable",
 ]
 
 
