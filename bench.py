@@ -149,6 +149,8 @@ R11_HEADLINE = [
     "search_sq8_topk",            # r11: asymmetric SQ8 scan + TakeOrdered
     "text_normalize_unicode",     # r11: map-only CCNet-style normalize chain
     "dedup_exact_normalized",     # r11: digest shuffle over normalized text
+    "text_pmi_collocations",      # r11: one gram shuffle + broadcast marginals
+    "sketch_quantile_mergeable",  # r11: Arrow compactor partials + KB merge
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6
