@@ -1059,12 +1059,18 @@ _SQ_TOPK = 10
 # Shared oracle chain: integer grid -> per-dim ranges -> codes -> integer
 # reconstruction. `recon` carries one row per (vec_id, pos) with the
 # original grid value x and its dequantized value r.
-_SQ_CTES = f"""
+
+
+def _sq_cte_block(src: str) -> str:
+    """The q/stats/codes/recon chain over ``src`` — any FROM-able source
+    providing (vec_id, embedding). The IVF-SQ composition re-runs it on
+    the clustered fixture (the _pq_cte_block precedent)."""
+    return f"""
     q AS (
       SELECT vec_id,
              list_transform(embedding,
                  e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
-      FROM embeddings
+      FROM {src}
     ),
     stats AS (
       SELECT p.pos, min(q.q[p.pos]) AS mn, max(q.q[p.pos]) AS mx
@@ -1085,6 +1091,9 @@ _SQ_CTES = f"""
       FROM codes
     )
 """
+
+
+_SQ_CTES = _sq_cte_block("embeddings")
 
 
 @query(
@@ -1307,4 +1316,226 @@ def search_sq8_recall(spark, sf_dir):
     return ex10.join(sq10, ex10["vec_id"] == sq10["sqid"], "left").agg(
         big(F.count(F.lit(1))).alias("n_exact"),
         big(F.count("sqid")).alias("n_hits"),
+    )
+
+
+# --- IVF-SQ: coarse-cell-scoped asymmetric SQ8 search -------------------------
+#
+# The remaining cell of the index matrix: flat ADC over PQ codes
+# (`search_pq_adc_topk`), IVF×PQ (`search_ivfpq_topk`), flat asymmetric SQ8
+# (`search_sq8_topk`) — and now IVF×SQ, FAISS's IVFSQ: restrict the SQ8
+# asymmetric scan to the probe's nprobe nearest coarse cells. The trade vs
+# IVF-PQ is memory-for-accuracy (64 bytes/vector at near-full fidelity vs 4
+# codes at codebook fidelity) with the same scoping math. Runs on the
+# CLUSTERED fixture for the same reason as ann_ivf / IVF-PQ: recall against
+# isotropic noise measures luck, recall against planted clusters measures
+# the quantizer.
+
+_IVFSQ_KC = 8
+_IVFSQ_NPROBE = 2
+
+_IVFSQ_CTES = f"""
+    WITH {_sq_cte_block(f"({_fixtures.EMBEDDINGS_CLUSTERED_SQL})").strip()},
+    coarse AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ccid,
+             q AS cc
+      FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {_IVFSQ_KC})
+    ),
+    cd AS (
+      SELECT v.vec_id, c.ccid,
+             list_sum(list_transform(range(1, {_SQ_DIM + 1}),
+                 j -> (v.q[j] - c.cc[j]) * (v.q[j] - c.cc[j]))) AS d
+      FROM q v, coarse c
+    ),
+    ca AS (
+      SELECT vec_id, ccid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+      FROM cd
+    ),
+    probe AS (SELECT q FROM q WHERE vec_id = 0),
+    sqd AS (
+      SELECT r.vec_id,
+             CAST(sum((p.q[r.pos] - r.r) * (p.q[r.pos] - r.r)) AS BIGINT)
+               AS d_sq8
+      FROM recon r, probe p
+      GROUP BY r.vec_id
+    ),
+    pcells AS (
+      SELECT ccid FROM ca WHERE vec_id = 0 AND rn <= {_IVFSQ_NPROBE}
+    ),
+    cells AS (SELECT vec_id, ccid FROM ca WHERE rn = 1),
+    ivfd AS (
+      SELECT s.vec_id, s.d_sq8
+      FROM sqd s
+      JOIN cells ON cells.vec_id = s.vec_id
+      JOIN pcells p ON p.ccid = cells.ccid
+    )
+"""
+
+
+def _ivfsq_scored(spark, sf_dir):
+    """(vec_id, d_sq8, in_probe) over the clustered fixture: asymmetric SQ8
+    distance of every vector to the probe (vec_id 0), flagged by whether
+    its primary coarse cell is among the probe's nprobe nearest. Plan
+    shape, graded for 100 TB: THREE 1-row broadcasts (SQ8 range frame,
+    coarse codebook, probe vector + its cell list); coarse assignment is a
+    {_IVFSQ_KC}-fold integer argmin, encode/dequantize/distance are per-row
+    JVM array lambdas, scoping is array_contains — the corpus NEVER
+    exchanges; the only ordering work is the callers' TakeOrdered cut. On
+    a real index the in_probe filter is partition pruning (codes bucketed
+    by coarse cell)."""
+    from pyspark.sql import Window
+
+    corpus = _fixtures.embeddings_clustered(spark, sf_dir).select(
+        "vec_id", "embedding"
+    )
+    q = corpus.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    )
+    seeds_c = (
+        q.orderBy("vec_id")
+        .limit(_IVFSQ_KC)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("ccid"),
+            "q",
+        )
+    )
+    widec = seeds_c.groupBy().agg(
+        *[
+            F.min(F.when(F.col("ccid") == i, F.col("q"))).alias(f"cc_{i}")
+            for i in range(_IVFSQ_KC)
+        ]
+    )
+
+    def coarse_ranked():
+        def dist(i: int):
+            return F.aggregate(
+                F.zip_with("q", F.col(f"cc_{i}"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+
+        return F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        dist(i).alias("d"), F.lit(i).cast("long").alias("ccid")
+                    )
+                    for i in range(_IVFSQ_KC)
+                ]
+            )
+        )
+
+    probe_q = q.filter(F.col("vec_id") == 0)
+    probe = probe_q.select(F.col("q").alias("pq"))
+    pcells = probe_q.join(F.broadcast(widec)).select(
+        F.transform(
+            F.slice(coarse_ranked(), 1, _IVFSQ_NPROBE), lambda e: e["ccid"]
+        ).alias("pcells")
+    )
+    enc = q.join(F.broadcast(_sq8_stats(q))).select(
+        "vec_id",
+        "q",
+        "mn",
+        "mx",
+        _sq8_codes_col().alias("codes"),
+    )
+    rec = enc.select("vec_id", "q", _sq8_recon_col().alias("r"))
+    assigned = rec.join(F.broadcast(widec)).select(
+        "vec_id",
+        "r",
+        F.element_at(coarse_ranked(), 1)["ccid"].alias("ccid"),
+    )
+    zsum = lambda c: F.aggregate(
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return (
+        assigned.join(F.broadcast(probe))
+        .join(F.broadcast(pcells))
+        .select(
+            "vec_id",
+            zsum(F.zip_with("pq", "r", lambda p, r: (p - r) * (p - r))).alias(
+                "d_sq8"
+            ),
+            F.array_contains("pcells", F.col("ccid")).alias("in_probe"),
+        )
+    )
+
+
+@query(
+    "search_ivfsq_topk",
+    oracle=_IVFSQ_CTES + f"""
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, d_sq8,
+           CAST(row_number() OVER (ORDER BY d_sq8, vec_id) AS BIGINT) AS rnk
+    FROM ivfd ORDER BY d_sq8, vec_id LIMIT {_SQ_TOPK}
+    """,
+)
+def search_ivfsq_topk(spark, sf_dir):
+    """IVF-SQ top-{_SQ_TOPK}: the asymmetric SQ8 scan scoped to the probe's
+    nprobe={_IVFSQ_NPROBE} nearest coarse cells — FAISS's IVFSQ layout, the
+    memory-accuracy counterpart to `search_ivfpq_topk` (same coarse
+    quantizer discipline: lowest-vec_id seeds, (d, ccid)-tie-broken
+    argmin; SQ8 scoring instead of ADC tables). Deterministic end to end,
+    so the oracle re-derives ranges, codes, reconstruction, coarse cells,
+    scoping and the cut, and the driver hash pins the whole approximation —
+    which vectors the IVF filter admits included. Scoping loss is its own
+    driver row (`search_ivfsq_recall`)."""
+    from pyspark.sql import Window
+
+    top = (
+        _ivfsq_scored(spark, sf_dir)
+        .filter("in_probe")
+        .select("vec_id", "d_sq8")
+        .orderBy("d_sq8", "vec_id")
+        .limit(_SQ_TOPK)
+    )
+    w = Window.orderBy("d_sq8", "vec_id")
+    return top.select(
+        big("vec_id").alias("vec_id"),
+        big("d_sq8").alias("d_sq8"),
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+
+
+@query(
+    "search_ivfsq_recall",
+    oracle=_IVFSQ_CTES + f"""
+    , full10 AS (
+        SELECT vec_id FROM sqd ORDER BY d_sq8, vec_id LIMIT {_SQ_TOPK}
+    ),
+    ivf10 AS (
+        SELECT vec_id FROM ivfd ORDER BY d_sq8, vec_id LIMIT {_SQ_TOPK}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_full,
+           CAST(count(i.vec_id) AS BIGINT) AS n_hits
+    FROM full10 f LEFT JOIN ivf10 i ON i.vec_id = f.vec_id
+    """,
+)
+def search_ivfsq_recall(spark, sf_dir):
+    """Recall@{_SQ_TOPK} of the IVF-scoped SQ8 search against the UNSCOPED
+    asymmetric SQ8 scan — isolating exactly what the coarse quantizer
+    costs (SQ8's own quantization error cancels: both sides score with
+    the same codes; the `search_ivfpq_recall` pattern). Fully hash-checked
+    (n_full, n_hits) row; tests pin the measured floor."""
+    full10 = (
+        _ivfsq_scored(spark, sf_dir)
+        .orderBy("d_sq8", "vec_id")
+        .limit(_SQ_TOPK)
+        .select("vec_id", "in_probe")
+    )
+    ivf10 = (
+        _ivfsq_scored(spark, sf_dir)
+        .filter("in_probe")
+        .orderBy("d_sq8", "vec_id")
+        .limit(_SQ_TOPK)
+        .select(F.col("vec_id").alias("ivid"))
+    )
+    return full10.join(
+        ivf10, full10["vec_id"] == ivf10["ivid"], "left"
+    ).agg(
+        big(F.count(F.lit(1))).alias("n_full"),
+        big(F.count("ivid")).alias("n_hits"),
     )

@@ -859,6 +859,37 @@ def test_search_sq8_topk_probe_ranks_first(spark, sf_dir):
     assert [r.rnk for r in top] == list(range(1, 11))
 
 
+def test_search_ivfsq_recall_floor(spark, sf_dir):
+    """The IVF scoping must not cost recall on the clustered fixture (the
+    search_ivfpq_recall premise, SQ8 scoring): measured 10/10 at sf0.001
+    and sf0.01 — the driver hash pins the exact row; this pins the
+    statistical claim at >= 9."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    row = QUERIES["search_ivfsq_recall"](spark, sf_dir).collect()[0]
+    assert row.n_full == 10
+    assert row.n_hits >= 9
+
+
+def test_search_ivfsq_topk_is_subset_of_full_scan(spark, sf_dir):
+    """Every IVF-SQ hit must carry the SAME asymmetric SQ8 distance the
+    unscoped scan assigns it (scoping filters candidates, never rescores),
+    and the probe must rank first (its own cell is always probed; its
+    distance to its own codes is the pure reconstruction error)."""
+    from eviction_lab_etl_spark.operators.embeddings import _ivfsq_scored
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    top = QUERIES["search_ivfsq_topk"](spark, sf_dir).collect()
+    full = {
+        r["vec_id"]: r["d_sq8"]
+        for r in _ivfsq_scored(spark, sf_dir).collect()
+    }
+    assert top[0].vec_id == 0
+    for r in top:
+        assert full[r.vec_id] == r.d_sq8
+    assert [r.rnk for r in top] == list(range(1, 11))
+
+
 def test_text_bpe_encode_counts_bounded_by_training(spark, sf_dir):
     """Per-doc BPE token counts must be >= the whitespace word count (only
     3 merges trained — most chars stay singleton tokens) and <= the
