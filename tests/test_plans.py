@@ -898,6 +898,27 @@ def test_search_ivfpq_is_shuffle_free_and_scoped(spark, sf_dir):
         assert not _re.findall(r"hashpartitioning\(", iv["plan"]), name
 
 
+def test_search_ivfsq_is_shuffle_free_and_scoped(spark, sf_dir):
+    """IVF-SQ must keep the IVF-PQ pin with SQ8 scoring: the range frame,
+    coarse codebook, and probe artifacts ride 1-row broadcasts; encode /
+    dequantize / assignment / scoping / distance are per-row folds; the
+    only ordering work is the TakeOrderedAndProject cut. Unlike PQ (whose
+    codebook is 4 seed rows), SQ8's range frame is a global min/max
+    AGGREGATE — its final reduction is one SinglePartition exchange of one
+    partial row per task, the only exchange allowed; the corpus itself
+    never hash-shuffles. Same shape for the recall companion."""
+    import re as _re
+
+    for name in ("search_ivfsq_topk", "search_ivfsq_recall"):
+        iv = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in iv["plan"]
+        assert "CartesianProduct" not in iv["plan"]
+        assert iv["shuffles"] <= 2, f"{name}: {iv['shuffles']} shuffles"
+        assert iv["sortmerge_joins"] == 0
+        assert iv["python_rows"] == 0 and iv["arrow_python"] == 0
+        assert not _re.findall(r"hashpartitioning\(", iv["plan"]), name
+
+
 def test_pack_bins_bpe_python_sees_metadata_only(spark, sf_dir):
     """The BPE-count packing variant must keep pack_bins_nextfit's Arrow
     contract — exactly one grouped-map Python stage whose input schema is
