@@ -54,6 +54,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "sketch_quantile_mergeable",  # NEW r11: deterministic compactor quantile summary
     "search_ivfsq_topk",        # NEW r11: IVF-scoped asymmetric SQ8 search
     "search_ivfsq_recall",      # NEW r11: IVF-SQ scoping loss vs full SQ8 scan
+    "contam_normalized",        # NEW r11: normalize-before-decontaminate delta ledger
     # --- Round-11 changed plan (single stats join, values unchanged):
     "embed_sq8_codes",
     # --- r10 floor-div day bucketing re-verify (VERDICT r10 item 5):

@@ -253,6 +253,160 @@ def contam_bloom_gate(spark, sf_dir):
     )
 
 
+# DuckDB side of the shared gram stream: distinct 5-grams per doc from a
+# token-list column `l` (the _CONTAM_ORACLE pattern, parametrized).
+_CN_GRAMS = f"""
+        SELECT DISTINCT doc_id,
+               array_to_string(l[i : i + {_N - 1}], ' ') AS gram
+        FROM (SELECT doc_id, l,
+                     unnest(range(1, greatest(len(l) - {_N - 1}, 0) + 1)) AS i
+              FROM {{src}})
+"""
+
+# The repo's normalize chain (operators/cleaning.py _NORM_SQL), inlined so
+# this oracle stays self-contained for the driver.
+_CN_NORM = (
+    "trim(regexp_replace(regexp_replace("
+    "translate(lower({col}), 'áéíó', 'aeio'),"
+    " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+
+@query(
+    "contam_normalized",
+    oracle=f"""
+    WITH messy AS ({fixtures.DOCUMENTS_MESSY_SQL}),
+    train AS (
+        SELECT doc_id, raw FROM messy WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, raw
+        FROM messy WHERE doc_id % 97 = 0
+    ),
+    btoks AS (
+        SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    bench AS (
+        SELECT DISTINCT gram FROM ({_CN_GRAMS.format(src="btoks")})
+    ),
+    ntoks AS (
+        SELECT doc_id, string_split({_CN_NORM.format(col="raw")}, ' ') AS l
+        FROM train
+    ),
+    ngrams AS ({_CN_GRAMS.format(src="ntoks")}),
+    rtoks AS (
+        SELECT doc_id, string_split(raw, ' ') AS l FROM train
+    ),
+    rgrams AS ({_CN_GRAMS.format(src="rtoks")}),
+    nled AS (
+        SELECT g.doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit_norm
+        FROM ngrams g LEFT JOIN bench b ON g.gram = b.gram
+        GROUP BY g.doc_id
+    ),
+    rled AS (
+        SELECT g.doc_id,
+               CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit_raw
+        FROM rgrams g LEFT JOIN bench b ON g.gram = b.gram
+        GROUP BY g.doc_id
+    )
+    SELECT n.doc_id, n.n_grams, n.n_hit_norm,
+           CAST(coalesce(r.n_hit_raw, 0) AS BIGINT) AS n_hit_raw
+    FROM nled n LEFT JOIN rled r ON r.doc_id = n.doc_id
+    """,
+)
+def contam_normalized(spark, sf_dir):
+    """Contamination screening THROUGH the normalize chain — the
+    integration `text_normalize_unicode` exists for: the benchmark is the
+    clean eval slice (doc_id % 97 == 0, `contam_ngram_overlap`'s split),
+    the training corpus is the MESSY CRAWL (fixtures.documents_messy:
+    case/diacritic/punctuation/whitespace noise on every doc) PLUS the
+    planted contamination every real gate exists to catch — the bench
+    docs' own messy re-crawls under fresh ids (+300000): a benchmark
+    document that re-entered the crawl with formatting noise. The ledger
+    carries BOTH overlap counts per training doc: raw-gram hits
+    (byte-exact matching on the crawl — structurally zero, every gram
+    differs by case or an injected comma token, so the planted
+    contamination SAILS THROUGH an unnormalized gate) and normalized-gram
+    hits (norm(mess(x)) == x, so every planted doc scores n_hit_norm ==
+    n_grams and is caught). The column pair IS the case for normalizing
+    before decontamination, hash-checked end to end.
+
+    Scale shape: identical to `contam_ngram_overlap` twice over — bench
+    grams broadcast, per-doc distinct runs map-side inside the row, the
+    only corpus shuffles are the two per-doc ledger aggregations (on a
+    real pipeline the raw leg is dropped and the cost is exactly the
+    normalized sibling's: the normalize chain rides the scan). Token
+    arrays materialize in their own projection before the gram lambda
+    (the no-cross-lambda-CSE rule)."""
+    from eviction_lab_etl_spark.operators.cleaning import normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+
+    def gram_stream(tok_df):
+        w = F.col("toks")
+        return tok_df.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.when(
+                        F.size(w) >= _N,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(w) - (_N - 1)),
+                            lambda i: F.array_join(F.slice(w, i, _N), " "),
+                        ),
+                    ).otherwise(F.array().cast("array<string>"))
+                )
+            ).alias("gram"),
+        )
+
+    bench = (
+        gram_stream(
+            docs.filter(F.col("doc_id") % 97 == 0).select(
+                "doc_id", F.split("text", " ").alias("toks")
+            )
+        )
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    messy = fixtures.documents_messy(spark, sf_dir)
+    train = messy.filter(F.col("doc_id") % 97 != 0).unionByName(
+        messy.filter(F.col("doc_id") % 97 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"), "raw"
+        )
+    )
+    ngrams = gram_stream(
+        train.select("doc_id", F.split(normalize_text("raw"), " ").alias("toks"))
+    )
+    rgrams = gram_stream(
+        train.select("doc_id", F.split("raw", " ").alias("toks"))
+    )
+    nled = (
+        ngrams.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            big(F.sum(F.coalesce(F.col("hit"), F.lit(0)))).alias("n_hit_norm"),
+        )
+    )
+    rled = (
+        rgrams.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(big(F.sum(F.coalesce(F.col("hit"), F.lit(0)))).alias("n_hit_raw"))
+    )
+    return nled.join(rled, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "n_hit_norm",
+        F.coalesce(F.col("n_hit_raw"), F.lit(0).cast("bigint")).alias(
+            "n_hit_raw"
+        ),
+    )
+
+
 @query(
     "pack_concat_chunks",
     oracle=f"""

@@ -83,7 +83,7 @@ EXTENSIONS = {
     "search_sq8_topk", "search_sq8_recall", "dedup_incremental_indexed",
     "text_normalize_unicode", "dedup_exact_normalized",
     "text_pmi_collocations", "sketch_quantile_mergeable",
-    "search_ivfsq_topk", "search_ivfsq_recall",
+    "search_ivfsq_topk", "search_ivfsq_recall", "contam_normalized",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

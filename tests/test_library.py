@@ -859,6 +859,30 @@ def test_search_sq8_topk_probe_ranks_first(spark, sf_dir):
     assert [r.rnk for r in top] == list(range(1, 11))
 
 
+def test_contam_normalized_catches_planted_missed_raw(spark, sf_dir):
+    """The planted contamination (bench docs' messy re-crawls, ids
+    >= 300000) must be FULLY caught by the normalized gate (n_hit_norm ==
+    n_grams on every planted doc) and completely missed by the raw-gram
+    gate (n_hit_raw == 0 corpus-wide: every messy gram differs from every
+    clean gram by case or an injected token) — the delta the operator
+    exists to demonstrate."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    df = QUERIES["contam_normalized"](spark, sf_dir)
+    planted = df.filter(F.col("doc_id") >= 300000)
+    agg = planted.agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(
+            (F.col("n_hit_norm") == F.col("n_grams")).cast("int")
+        ).alias("full"),
+    ).collect()[0]
+    assert agg.docs > 0
+    assert agg.full == agg.docs
+    assert df.agg(F.sum("n_hit_raw")).collect()[0][0] == 0
+
+
 def test_search_ivfsq_recall_floor(spark, sf_dir):
     """The IVF scoping must not cost recall on the clustered fixture (the
     search_ivfpq_recall premise, SQ8 scoring): measured 10/10 at sf0.001
