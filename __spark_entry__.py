@@ -42,25 +42,15 @@ _FLAGSHIP = "agg_sum_groupby"
 # stale queue can never burn a later round's budget re-checking green rows.
 # Bump _QUEUE_AS_OF to the highest CORRECTNESS_r*.json round present whenever
 # the queue is edited.
-_QUEUE_AS_OF = 10
+_QUEUE_AS_OF = 11
 _RECHECK_QUEUE: tuple[str, ...] = (
-    # --- Round-11 new operators (never driver-checked):
-    "search_sq8_topk",          # NEW r11: asymmetric SQ8 top-k search
-    "search_sq8_recall",        # NEW r11: SQ8 quantization loss vs exact top-k
-    "dedup_incremental_indexed",  # NEW r11: committed-LSH-index probe path
-    "text_normalize_unicode",   # NEW r11: CCNet-style normalize chain
-    "dedup_exact_normalized",   # NEW r11: keep-first dedup over normalized text
-    "text_pmi_collocations",    # NEW r11: integer-scaled PMI phrase mining
-    "sketch_quantile_mergeable",  # NEW r11: deterministic compactor quantile summary
-    "search_ivfsq_topk",        # NEW r11: IVF-scoped asymmetric SQ8 search
-    "search_ivfsq_recall",      # NEW r11: IVF-SQ scoping loss vs full SQ8 scan
-    "contam_normalized",        # NEW r11: normalize-before-decontaminate delta ledger
-    # --- Round-11 changed plan (single stats join, values unchanged):
-    "embed_sq8_codes",
-    # --- r10 floor-div day bucketing re-verify (VERDICT r10 item 5):
-    "join_interval_overlap",
-    # --- Shares the refactored _ib_* helpers with the indexed binding:
-    "dedup_incremental_batch",
+    # --- Round-12 fold-table widening (cleaning._FOLD_1TO1/_EXPAND/_COMBINING
+    # grew from the 4-char demo to full Latin-1 + Latin Extended-A + NFKC
+    # full-width/ligature/ß + combining-mark deletion; fixtures.documents_messy
+    # plants a case per fold class, so BOTH sides of each hash changed):
+    "text_normalize_unicode",
+    "dedup_exact_normalized",
+    "contam_normalized",        # oracle now imports cleaning._NORM_SQL
 )
 
 

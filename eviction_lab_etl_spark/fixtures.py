@@ -111,32 +111,48 @@ def documents_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Unicode-mess corpus: every doc uppercased with accented vowels (Á É Í Ó),
-# every space turned into a padded ',' run, leading/trailing junk — the
-# byte-level noise (case, diacritics, punctuation, whitespace) that CCNet-
-# style normalization exists to fold away. Constructed so that the repo's
-# normalize chain recovers the ORIGINAL text exactly, which is what makes
-# the normalized-dedup delta measurable: mess(text) never equals text
-# byte-wise, but always equals it normalized.
+# Unicode-mess corpus: the byte-level noise (case, diacritics, compatibility
+# forms, punctuation, whitespace) that CCNet-style normalization exists to
+# fold away — one planted case per fold CLASS of cleaning.py's table:
+#   - case:            the whole doc uppercased
+#   - Latin-1:         A E I O Y N C -> À É Î Õ Ý Ñ Ç
+#   - Latin Ext-A:     U -> Ū (macron), L -> Ł (stroke)
+#   - NFKC full-width: W -> Ｗ
+#   - NFKC ligature:   FI -> ﬁ (fires on every "filter")
+#   - decomposed mark: D -> D + U+0301 (combining acute — NFKD residue)
+#   - punct/space:     every space turned into a padded ',' run, junk edges
+# Constructed so the repo's normalize chain recovers the ORIGINAL text
+# exactly, which is what makes the normalized-dedup delta measurable:
+# mess(text) never equals text byte-wise, but always equals it normalized.
+# (Expansion folds with no fixture digraph — ß æ œ ĳ þ — are pinned
+# cross-engine over a crafted probe in tests/test_library.py instead.)
 DOCUMENTS_MESSY_SQL = """
         SELECT doc_id,
-               '  ' || replace(translate(upper(text), 'AEIO', 'ÁÉÍÓ'),
-                               ' ', '  ,  ') || ' !!' AS raw
+               '  ' || replace(translate(
+                           replace(replace(upper(text), 'FI', 'ﬁ'),
+                                   'D', 'D\u0301'),
+                           'AEIOUYNCLW', 'ÀÉÎÕŪÝÑÇŁＷ'),
+                       ' ', '  ,  ') || ' !!' AS raw
         FROM documents
 """
 
 
 def documents_messy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    messed = F.translate(
+        F.replace(
+            F.replace(F.upper("text"), F.lit("FI"), F.lit("ﬁ")),
+            F.lit("D"),
+            F.lit("D\u0301"),
+        ),
+        "AEIOUYNCLW",
+        "ÀÉÎÕŪÝÑÇŁＷ",
+    )
     return docs.select(
         "doc_id",
         F.concat(
             F.lit("  "),
-            F.replace(
-                F.translate(F.upper("text"), "AEIO", "ÁÉÍÓ"),
-                F.lit(" "),
-                F.lit("  ,  "),
-            ),
+            F.replace(messed, F.lit(" "), F.lit("  ,  ")),
             F.lit(" !!"),
         ).alias("raw"),
     )

@@ -91,28 +91,91 @@ def text_pii_mask(spark, sf_dir):
 
 # --- Unicode/text normalization (the step AHEAD of dedup/contamination) ------
 #
-# CCNet-style normalization: case fold, diacritic fold, punctuation→space,
-# whitespace collapse. Every gram/token operator downstream splits text on a
-# single space, so this is the canonicalizer that makes those splits mean
-# anything on a real crawl. The fold chain is restricted to constructs with
-# identical semantics in Spark (Java regex / JVM translate) and DuckDB (RE2 /
-# translate), which is what makes it hash-checkable cross-engine; a
-# production deployment widens the translate map (or swaps in an ICU NFKC
-# UDF) without changing the plan shape — still a pure map at scan speed.
+# CCNet-style normalization: case fold, diacritic/compatibility fold,
+# punctuation→space, whitespace collapse. Every gram/token operator
+# downstream splits text on a single space, so this is the canonicalizer
+# that makes those splits mean anything on a real crawl. The fold chain is
+# restricted to constructs with identical semantics in Spark (Java regex /
+# JVM translate/replace) and DuckDB (RE2 / utf8proc translate/replace),
+# which is what makes it hash-checkable cross-engine — every primitive
+# (full-width lower-fold, translate deletion of extra `from` chars,
+# multi-byte replace) is pinned engine-vs-engine over the FULL map by
+# tests/test_library.py::test_normalize_fold_table_cross_engine.
+#
+# Three fold classes, applied lower() first so the tables only need
+# lowercase forms (both engines' lower() is Unicode-aware, incl. full-width
+# Ａ→ａ):
+#   1. _EXPAND: one-to-many NFKC-compatibility/casefold expansions
+#      (ß→ss, ligatures æ/œ/ﬁ/ﬂ/ĳ, þ→th, ŉ→n) — a replace() chain.
+#   2. _FOLD_1TO1: one-to-one diacritic strips over the full Latin-1
+#      Supplement + Latin Extended-A lowercase ranges, plus the NFKC
+#      full-width→ASCII letters and digits — one translate().
+#   3. _COMBINING: bare combining marks (grave/acute/circumflex/tilde/
+#      macron/diaeresis/caron — what NFKD leaves behind on decomposed
+#      input) — DELETED by the same translate() (`from` chars with no
+#      `to` counterpart are removed; identical rule in both engines).
 
-_ACCENTS, _FOLDED = "áéíó", "aeio"
+_EXPAND = {
+    "ß": "ss", "æ": "ae", "œ": "oe", "ﬁ": "fi", "ﬂ": "fl",
+    "ĳ": "ij", "þ": "th", "ŉ": "n",
+}
+_FOLD_1TO1 = {
+    # Latin-1 Supplement
+    "à": "a", "á": "a", "â": "a", "ã": "a", "ä": "a", "å": "a",
+    "è": "e", "é": "e", "ê": "e", "ë": "e",
+    "ì": "i", "í": "i", "î": "i", "ï": "i",
+    "ò": "o", "ó": "o", "ô": "o", "õ": "o", "ö": "o", "ø": "o",
+    "ù": "u", "ú": "u", "û": "u", "ü": "u",
+    "ý": "y", "ÿ": "y", "ñ": "n", "ç": "c", "ð": "d",
+    # Latin Extended-A
+    "ā": "a", "ă": "a", "ą": "a",
+    "ć": "c", "ĉ": "c", "ċ": "c", "č": "c",
+    "ď": "d", "đ": "d",
+    "ē": "e", "ĕ": "e", "ė": "e", "ę": "e", "ě": "e",
+    "ĝ": "g", "ğ": "g", "ġ": "g", "ģ": "g",
+    "ĥ": "h", "ħ": "h",
+    "ĩ": "i", "ī": "i", "ĭ": "i", "į": "i", "ı": "i",
+    "ĵ": "j", "ķ": "k",
+    "ĺ": "l", "ļ": "l", "ľ": "l", "ŀ": "l", "ł": "l",
+    "ń": "n", "ņ": "n", "ň": "n", "ŋ": "n",
+    "ō": "o", "ŏ": "o", "ő": "o",
+    "ŕ": "r", "ŗ": "r", "ř": "r",
+    "ś": "s", "ŝ": "s", "ş": "s", "š": "s", "ſ": "s",
+    "ţ": "t", "ť": "t", "ŧ": "t",
+    "ũ": "u", "ū": "u", "ŭ": "u", "ů": "u", "ű": "u", "ų": "u",
+    "ŵ": "w", "ŷ": "y",
+    "ź": "z", "ż": "z", "ž": "z",
+    # NFKC full-width forms -> ASCII
+    **{chr(0xFF41 + i): chr(ord("a") + i) for i in range(26)},
+    **{chr(0xFF10 + i): chr(ord("0") + i) for i in range(10)},
+}
+# grave, acute, circumflex, tilde, macron, diaeresis, caron (escapes — the
+# bare marks are invisible / combine with the quote in an editor)
+_COMBINING = "\u0300\u0301\u0302\u0303\u0304\u0308\u030c"
+_ACCENTS = "".join(_FOLD_1TO1) + _COMBINING
+_FOLDED = "".join(_FOLD_1TO1.values())
+
+# The chain as a DuckDB SQL template ({col} = input column) — composed at
+# import time from the SAME tables the Spark side uses, so oracle and
+# operator can never drift (the string stays self-contained for the driver).
+_norm_inner = "lower({col})"
+for _k, _v in _EXPAND.items():
+    _norm_inner = f"replace({_norm_inner}, '{_k}', '{_v}')"
 _NORM_SQL = (
     "trim(regexp_replace(regexp_replace("
-    f"translate(lower({{col}}), '{_ACCENTS}', '{_FOLDED}'),"
+    f"translate({_norm_inner}, '{_ACCENTS}', '{_FOLDED}'),"
     " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 )
 
 
 def normalize_text(col: str = "raw") -> F.Column:
-    """The normalize chain as a pure column expression: lower → fold
-    diacritics → non-alnum to space → collapse runs → trim. All JVM-side
-    string ops inside whole-stage codegen — no Python, no shuffle."""
+    """The normalize chain as a pure column expression: lower → expand
+    compatibility folds (ß/ligatures) → strip diacritics + delete combining
+    marks (one translate) → non-alnum to space → collapse runs → trim. All
+    JVM-side string ops inside whole-stage codegen — no Python, no shuffle."""
     x = F.lower(F.col(col))
+    for k, v in _EXPAND.items():
+        x = F.replace(x, F.lit(k), F.lit(v))
     x = F.translate(x, _ACCENTS, _FOLDED)
     x = F.regexp_replace(x, "[^a-z0-9 ]", " ")
     return F.trim(F.regexp_replace(x, " +", " "))

@@ -263,13 +263,11 @@ _CN_GRAMS = f"""
               FROM {{src}})
 """
 
-# The repo's normalize chain (operators/cleaning.py _NORM_SQL), inlined so
-# this oracle stays self-contained for the driver.
-_CN_NORM = (
-    "trim(regexp_replace(regexp_replace("
-    "translate(lower({col}), 'áéíó', 'aeio'),"
-    " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
-)
+# The repo's normalize chain — IMPORTED from operators/cleaning (the SQL
+# template is composed at import time from the same fold tables the Spark
+# side uses, so the oracle string is still self-contained for the driver
+# and can never drift from normalize_text when the fold map widens).
+from eviction_lab_etl_spark.operators.cleaning import _NORM_SQL as _CN_NORM
 
 
 @query(

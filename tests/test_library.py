@@ -799,6 +799,43 @@ def test_normalize_inverts_messy_fixture(spark, sf_dir):
     assert norm.count() == docs.count()
 
 
+def test_normalize_fold_table_cross_engine(spark):
+    """Pin the FULL fold table engine-vs-engine: a crafted probe containing
+    every _EXPAND key, every _FOLD_1TO1 key, every _COMBINING mark (planted
+    after an ASCII letter, NFKD-style), and the uppercase forms of a
+    representative fold set must normalize to the identical string in Spark
+    (normalize_text) and DuckDB (_NORM_SQL) AND to the expectation computed
+    straight from the tables — the fixture can only plant what its
+    vocabulary contains; this is the coverage pin for the rest of the map
+    (ß, æ, œ, ĳ, þ, the full Latin ranges, full-width digits)."""
+    import duckdb
+
+    from eviction_lab_etl_spark.operators import cleaning as C
+
+    probe = " ".join(
+        list(C._EXPAND)
+        + list(C._FOLD_1TO1)
+        + ["x" + m for m in C._COMBINING]
+        + ["ÀÉÎÕŪÝÑÇŁＷ５"]  # uppercase / full-width forms (lower() leg)
+    )
+    expect = " ".join(
+        list(C._EXPAND.values())
+        + list(C._FOLD_1TO1.values())
+        + ["x"] * len(C._COMBINING)
+        + ["aeiouynclw5"]
+    )
+    df = spark.createDataFrame([(probe,)], "raw string")
+    got_spark = df.select(C.normalize_text("raw").alias("n")).collect()[0].n
+    con = duckdb.connect()
+    got_duck = con.execute(
+        f"SELECT {C._NORM_SQL.format(col='?')}"  # noqa: S608
+        .replace("lower(?)", "lower($probe)"),
+        {"probe": probe},
+    ).fetchone()[0]
+    assert got_spark == expect
+    assert got_duck == expect
+
+
 def test_dedup_exact_normalized_collapses_every_twin(spark, sf_dir):
     """Every normalized group must keep a RAW-side doc (keep < 100000: the
     messy twin can never win the min-id election) and cover the full

@@ -46,6 +46,11 @@ R6_BASE = {  # bench.py TPCH_BASE_SEC (suspects + non-flagged controls)
     # host-class shuffle overhead, not a query-specific regression
     "complex_returned_revenue": 0.61,
     "complex_market_share": 0.82,
+    # r12: important_stock promoted from implicit to listed — it and
+    # market_share are this round's SUSPECTS (flagged by the driver's
+    # family-norm two rounds running; r11 only ever ran market_share as a
+    # CONTROL), with returned_revenue/min_cost_supplier as the controls.
+    "complex_important_stock": 0.58,
     "complex_min_cost_supplier": 1.03,
     "complex_parts_supplier_cnt": 0.52,
     # non-tpch suspects (BASELINE_SEC pins) the A/B protocol also serves:
