@@ -51,6 +51,9 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "text_normalize_unicode",
     "dedup_exact_normalized",
     "contam_normalized",        # oracle now imports cleaning._NORM_SQL
+    # --- Round-12 overflow hardening (Spark-side products now DECIMAL(38,0);
+    # values identical inside the old envelope, expression changed):
+    "text_pmi_collocations",
 )
 
 

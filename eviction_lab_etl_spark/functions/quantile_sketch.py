@@ -94,8 +94,17 @@ class CompactorSketch:
 
     def rank_query(self, target_rank: int) -> int:
         """Smallest summary value whose cumulative weight reaches
-        ``target_rank`` (1-based)."""
+        ``target_rank`` (1-based). Precondition: the summary is non-empty
+        (``total_weight() > 0``) — a quantile of zero values is undefined,
+        so an empty state (no inserts, or a merge of all-empty partials,
+        e.g. an all-empty-partition corpus) raises instead of crashing with
+        a bare IndexError deep in the pairs list."""
         pairs = sorted(self.summary())
+        if not pairs:
+            raise ValueError(
+                "rank_query on an empty summary (no values inserted/merged);"
+                " check total_weight() > 0 before querying"
+            )
         cum = 0
         for v, w in pairs:
             cum += w

@@ -556,10 +556,15 @@ def text_length_hist(spark, sf_dir):
 # division (truncation ≡ floor), identical in Spark `div` and DuckDB `//`.
 # Marginals are contingency-table counts (c(x) = bigrams with left x, c(y) =
 # bigrams with right y), so every input to the division is a bigram-stream
-# count. Overflow bound: n * max(c_xy) * 10^4 < 2^63 holds through the 30x
-# stress envelope (~15 M bigrams); a 100 TB deployment switches the RANKING
-# to float PMI (order-stable enough for discovery) or shards the statistic —
-# the plan shape below is unchanged either way.
+# count. The numerator/denominator products are computed in DECIMAL(38,0)
+# (128-bit, matching DuckDB's HUGEINT sum results), so the score cannot
+# silently wrap at any reachable corpus size: overflow would need
+# n * c_xy * 10^4 >= 10^38, i.e. ~10^17 bigrams even when the top pair is
+# the whole stream — far past any 100 TB corpus (the r11 long-arithmetic
+# form wrapped silently past ~15 M bigrams with ANSI off). The quotient
+# itself is bounded by n * 10^4 / minsup < 2^63 at those scales, so the
+# final `div` lands in a long exactly; the decimal math runs on the
+# vocabulary²-bounded pair frame, never the corpus stream.
 
 _PMI_TOPK = 20
 _PMI_MINSUP = 5        # a collocation seen < 5 times is a fluke, not a phrase
@@ -645,7 +650,12 @@ def text_pmi_collocations(spark, sf_dir):
             "x",
             "y",
             big("c_xy").alias("c_xy"),
-            F.expr(f"(n_big * c_xy * {_PMI_SCALE}) div (c_x * c_y)")
+            # 128-bit products (header comment): a long product here wraps
+            # silently once n_big*c_xy exceeds ~9.2e14 with ANSI off.
+            F.expr(
+                f"(CAST(n_big AS DECIMAL(38,0)) * c_xy * {_PMI_SCALE})"
+                " div (CAST(c_x AS DECIMAL(38,0)) * c_y)"
+            )
             .cast("long")
             .alias("pmi_x1e4"),
         )

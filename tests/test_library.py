@@ -1258,3 +1258,31 @@ def test_compactor_sketch_bound_any_split_any_order():
             le = bisect.bisect_right(srt, est)
             assert 20 * (lt + 1) <= 20 * target + n
             assert 20 * le >= 20 * target - n
+
+
+def test_compactor_sketch_empty_summary_raises_cleanly():
+    """rank_query on an empty state (no inserts, or a merge of zero/all-empty
+    partials — an all-empty-partition corpus) must raise a contract
+    ValueError, not an IndexError from pairs[-1] (r11 ADVICE); the empty
+    state itself must be well-formed (total_weight() == 0, summary [])."""
+    import pytest
+
+    from eviction_lab_etl_spark.functions.quantile_sketch import (
+        CompactorSketch,
+        merge_summaries,
+        summarize_values,
+    )
+
+    sk = CompactorSketch()
+    assert sk.total_weight() == 0 and sk.summary() == []
+    with pytest.raises(ValueError, match="empty summary"):
+        sk.rank_query(1)
+    assert summarize_values([]) == []
+    assert merge_summaries([]) == []
+    merged = merge_summaries(p for s in [summarize_values([])] * 3 for p in s)
+    assert merged == []
+    sk2 = CompactorSketch()
+    for v, w in merged:
+        sk2.insert_weighted(v, w)
+    with pytest.raises(ValueError, match="empty summary"):
+        sk2.rank_query(1)

@@ -1271,12 +1271,45 @@ def test_pmi_scores_match_python_replica(spark, texts):
             "x",
             "y",
             "c_xy",
-            F.expr(f"(n_big * c_xy * {_PMI_SCALE}) div (c_x * c_y)")
+            F.expr(
+                f"(CAST(n_big AS DECIMAL(38,0)) * c_xy * {_PMI_SCALE})"
+                " div (CAST(c_x AS DECIMAL(38,0)) * c_y)"
+            )
             .cast("long")
             .alias("score"),
         )
         .collect()
     }
+    assert got == expect
+
+
+def test_pmi_decimal_products_exact_past_long_wrap(spark):
+    """The PMI score's 128-bit product path (r12): counts big enough that
+    the OLD long arithmetic (n_big * c_xy * 10^4) wraps 2^63 must still
+    produce the exact Python-bigint quotient — a silent wrap corrupts the
+    ranking with no red signal (the r11 ADVICE finding)."""
+    from eviction_lab_etl_spark.operators.dedup_text import _PMI_SCALE
+
+    cases = [  # (n_big, c_xy, c_x, c_y) — first two wrap a long product
+        (10**10, 10**8, 10**9, 10**9),
+        (10**12, 10**6, 10**7, 10**12),
+        (3_456_789, 1234, 56_789, 98_765),  # sanity: inside the old envelope
+    ]
+    df = spark.createDataFrame(
+        cases, "n_big long, c_xy long, c_x long, c_y long"
+    )
+    got = [
+        r.score
+        for r in df.select(
+            F.expr(
+                f"(CAST(n_big AS DECIMAL(38,0)) * c_xy * {_PMI_SCALE})"
+                " div (CAST(c_x AS DECIMAL(38,0)) * c_y)"
+            )
+            .cast("long")
+            .alias("score")
+        ).collect()
+    ]
+    expect = [(n * c * _PMI_SCALE) // (x * y) for n, c, x, y in cases]
     assert got == expect
 
 
