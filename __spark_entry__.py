@@ -54,6 +54,9 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     # --- Round-12 overflow hardening (Spark-side products now DECIMAL(38,0);
     # values identical inside the old envelope, expression changed):
     "text_pmi_collocations",
+    # --- Round-12 new operator (never driver-checked): hash-checked batch
+    # companion for the rows-only stream_static_enrich
+    "stream_static_enrich_batch",
 )
 
 

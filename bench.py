@@ -4,11 +4,26 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "sec", "queries": {name: sec}, "sf": ...}
 
-Timing protocol mirrors BASELINE.md: per query, one untimed warm-up run
-(JVM/code paths warm, parquet footers cached), then the median of three timed
-runs (single-run local[*] timings jitter ±30% from GC/scheduling noise; the
-median is still a "warm single run" in BASELINE.md's sense, just a stable
-one). Session startup (~5 s) is excluded, as in BASELINE.md.
+Timing protocol (r12 revision of the BASELINE.md protocol): one untimed
+warm-up pass over every tracked query in fixed order (plan compile + JIT +
+IO cache), then THREE timed passes where each pass visits every query once
+in a SEEDED-SHUFFLED order (different permutation per pass, deterministic
+seed); a query's reported time is the median of its per-pass runs. Session
+startup (~5 s) is excluded, as in BASELINE.md.
+
+Why shuffled passes instead of per-query back-to-back reps (the r1-r11
+protocol): two rounds of driver benches produced tpch_power flags that
+root-caused to MEASUREMENT POSITION, not queries — BENCH_r10's >2x flags
+were the last three of the alphabetically-ordered loop (end-of-run JVM/GC
+drift), and the r12 A/B showed the two recurring family-norm flags
+(complex_market_share / complex_important_stock) were exactly the two
+complex_* queries timed in the HEADLINER loop (mixed-query context) while
+their 19 family siblings were timed back-to-back in the tpch loop
+(market_share: 2.2-2.7 s interleaved vs 1.1-1.2 s back-to-back in the same
+session — BASELINE.md r12 addendum). Shuffled passes give every query the
+SAME context distribution, so position and neighbor effects cancel in the
+median instead of being normalized after the fact; the family-norm flag
+machinery stays as a backstop.
 
 Two-point scaling (round-4 advice item 6): the seven §2 headliners are ALSO
 timed at 1x and 10x of the primary SF dir (tools/scale_stress.build_scaled,
@@ -23,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import re
 import statistics
 import sys
@@ -240,37 +256,57 @@ def main() -> None:
 
     # Overhead-bound bounded queries have a wide per-run band (individual
     # simhash runs span 0.79-2.08 s on an idle host — BASELINE.md r8), so
-    # their 3-run median is itself noisy; take extra reps for those.
+    # their 3-pass median is itself noisy; such queries get EXTRA shuffled
+    # mini-passes (7 samples total) after the global passes.
     extra_reps = {"dedup_simhash_pairs": 7}
+    n_passes = 3
 
-    def warm_median(name: str) -> float:
-        """The ONE timing protocol (BASELINE.md): untimed warm-up, then the
-        median of three timed runs on fresh DataFrames (no shuffle reuse) —
-        seven runs for the queries listed in ``extra_reps``."""
-        fn = registry.QUERIES[name]
-        fn(spark, sf_dir).collect()  # warm-up: plan + JIT + IO cache
-        runs = []
-        for _ in range(extra_reps.get(name, 3)):
-            start = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            runs.append(time.perf_counter() - start)
-        return round(statistics.median(runs), 4)
-
-    timings: dict[str, float] = {}
-    for name in (HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE
-                 + R7_HEADLINE + R9_HEADLINE + R10_HEADLINE + R11_HEADLINE):
-        timings[name] = warm_median(name)
-
-    # TPC-H-shape power total: the 21 complex_* topologies back-to-back
-    # (single-stream, same warm-median protocol) — one number for the whole
-    # reference-class analytical family, tracked round-over-round next to
-    # the per-operator headliners. ~13 s at sf0.1 in r5 (SCALE.md table).
-    # Names the headliner loop already timed reuse that measurement.
     tpch_names = sorted(n for n in registry.QUERIES if n.startswith("complex_"))
-    tpch_per_query = {
-        name: timings[name] if name in timings else warm_median(name)
-        for name in tpch_names
+    # ONE measurement universe: headliners + the whole tpch_power family,
+    # every query sampled under the same shuffled-context protocol (a family
+    # member timed in a different loop than its siblings gets a different
+    # neighbor/position distribution and false-flags against them — the
+    # r10/r11 lesson).
+    universe = list(
+        dict.fromkeys(
+            HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE + R7_HEADLINE
+            + R9_HEADLINE + R10_HEADLINE + R11_HEADLINE + tpch_names
+        )
+    )
+
+    def time_once(name: str) -> float:
+        fn = registry.QUERIES[name]  # fresh DataFrame: no shuffle-reuse flattery
+        start = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        return time.perf_counter() - start
+
+    rng = random.Random(0x5F12)  # fixed seed: runs are reproducible
+    for name in universe:  # warm-up pass, fixed order, untimed
+        time_once(name)
+    samples: dict[str, list[float]] = {name: [] for name in universe}
+    for _ in range(n_passes):
+        order = universe[:]
+        rng.shuffle(order)
+        for name in order:
+            samples[name].append(time_once(name))
+    max_extra = max(extra_reps.values(), default=n_passes) - n_passes
+    for extra_pass in range(max_extra):
+        order = [
+            n for n in universe
+            if extra_reps.get(n, n_passes) > n_passes + extra_pass
+        ]
+        rng.shuffle(order)
+        for name in order:
+            samples[name].append(time_once(name))
+    timings = {
+        name: round(statistics.median(runs), 4)
+        for name, runs in samples.items()
     }
+
+    # TPC-H-shape power total: the 21 complex_* topologies — one number for
+    # the whole reference-class analytical family, tracked round-over-round
+    # next to the per-operator headliners. ~13 s at sf0.1 in r5 (SCALE.md).
+    tpch_per_query = {name: timings[name] for name in tpch_names}
     tpch_total = sum(tpch_per_query.values())
     # Every base key must still name a registered topology (a rename would
     # otherwise silently orphan its regression row), and any topology
@@ -309,6 +345,14 @@ def main() -> None:
     vs_run_median = {
         name: round(ratio / run_median, 3) for name, ratio in vs_baseline.items()
     }
+    # Backstop for the family-norm flag's blind spot (r11 ADVICE): dividing
+    # each topology by the family median cancels a GENUINE uniform regression
+    # of the whole multi-join family (a planner/shuffle change slowing every
+    # complex_* together) just as well as it cancels host drift. Cross-check
+    # the family median against the fleet's: host drift moves both together
+    # (ratio ~1), a family-wide real regression moves the family alone.
+    tpch_family_vs_fleet = round(tpch_family_median / run_median, 3)
+    tpch_family_flagged = tpch_family_vs_fleet > 1.8
 
     scale_pair: dict[str, dict] = {}
     scale_mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "10"))
@@ -373,6 +417,8 @@ def main() -> None:
                     "vs_r6_family_norm": tpch_vs_family,
                     "no_base": tpch_no_base,
                     "flagged_over_1.5x_family_norm": tpch_flagged,
+                    "family_vs_fleet": tpch_family_vs_fleet,
+                    "family_flagged_over_1.8x_fleet": tpch_family_flagged,
                 },
                 "vs_baseline": vs_baseline,
                 "vs_run_median": vs_run_median,

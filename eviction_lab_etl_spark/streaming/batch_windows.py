@@ -297,6 +297,36 @@ def stream_stream_join_batch(spark, sf_dir):
 
 
 @query(
+    "stream_static_enrich_batch",
+    oracle="""
+    SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+           count(*) AS n_events
+    FROM events LEFT JOIN customer ON c_custkey = user_id
+    GROUP BY 1
+    """,
+)
+def stream_static_enrich_batch(spark, sf_dir):
+    """Hash-checked companion to ``stream_static_enrich``: with a STATIC
+    dimension and a complete availableNow replay, the stream-static join's
+    per-segment counts are exactly this batch left join + aggregate
+    (tests/test_rows_only.py asserts the set equality), so the driver's
+    value-hash on this query pins the streaming operator's numbers too —
+    shrinking the rows-only-without-companion set to the four
+    watermark-semantics ops whose late/dedup behavior a batch query cannot
+    express. Same plan either way: the dimension broadcasts, the aggregate
+    is map-side partial over |segments| groups."""
+    events = load(spark, sf_dir, "events")
+    segments = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        events.join(F.broadcast(segments), "user_id", "left")
+        .groupBy(F.coalesce("c_mktsegment", F.lit("UNKNOWN")).alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@query(
     "stream_session_dynamic",
     oracle="""
     WITH g AS (

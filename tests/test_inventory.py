@@ -48,6 +48,7 @@ EXTENSIONS = {
     "pipeline_corpus_manifest",
     "stream_stateful_counter", "stream_stream_join",
     "stream_stateful_counter_batch", "stream_stream_join_batch",
+    "stream_static_enrich_batch",
     "stream_session_dynamic", "stream_session_skewsafe",
     "split_content_hash", "sample_stratified",
     "agg_approx_quantile", "sketch_hll_partitioned",
