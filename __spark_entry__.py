@@ -57,6 +57,9 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     # --- Round-12 new operator (never driver-checked): hash-checked batch
     # companion for the rows-only stream_static_enrich
     "stream_static_enrich_batch",
+    # --- Round-12 changed plan (top-k leg drops the unused exact-distance
+    # fold via _sq8_scored(with_exact=False); values unchanged):
+    "search_sq8_topk",
 )
 
 

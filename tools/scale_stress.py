@@ -205,6 +205,12 @@ STRESS = [
     # Mergeable quantile summary: per-partition Arrow compactor + one
     # KB-sized merge; the two verification scans are JVM-side.
     "sketch_quantile_mergeable",
+    # Round 12: normalize-then-decontaminate ledger — the docstring claims
+    # "contam_ngram_overlap twice over" (two per-doc ledger aggregations,
+    # one normalized leg + one raw leg); this row measures that claim
+    # against the contam_ngram_overlap entry above. The messy/bench split
+    # keys on doc_id, which KEYS multiplies, so both legs scale.
+    "contam_normalized",
 ]
 
 
