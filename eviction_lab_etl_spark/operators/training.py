@@ -332,11 +332,16 @@ def contam_normalized(spark, sf_dir):
     n_grams and is caught). The column pair IS the case for normalizing
     before decontamination, hash-checked end to end.
 
-    Scale shape: identical to `contam_ngram_overlap` twice over — bench
-    grams broadcast, per-doc distinct runs map-side inside the row, the
-    only corpus shuffles are the two per-doc ledger aggregations (on a
-    real pipeline the raw leg is dropped and the cost is exactly the
-    normalized sibling's: the normalize chain rides the scan). Token
+    Scale shape: `contam_ngram_overlap`'s plan twice over — bench grams
+    broadcast, per-doc distinct runs map-side inside the row, the only
+    corpus shuffles are the two per-doc ledger aggregations. Measured
+    (SCALE.md round-12 rows): sublinear 20.5× wall at 30× data, at
+    2.1×→3.9× the single-leg gate's wall — the raw leg tokenizes the
+    MESSY byte stream (~2.7× the characters, split(' ') keeps the
+    empty/comma tokens) so its gram volume is ~4× the normalized leg's.
+    On a real pipeline the raw leg exists only to measure what
+    normalization buys; deployments run the normalized leg alone, whose
+    cost is the single-leg gate + the scan-speed normalize map. Token
     arrays materialize in their own projection before the gram lambda
     (the no-cross-lambda-CSE rule)."""
     from eviction_lab_etl_spark.operators.cleaning import normalize_text
