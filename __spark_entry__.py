@@ -60,6 +60,10 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     # --- Round-12 changed plan (top-k leg drops the unused exact-distance
     # fold via _sq8_scored(with_exact=False); values unchanged):
     "search_sq8_topk",
+    # --- Round-12 new operators (never driver-checked): two-stage SQ8 +
+    # exact rerank retrieval
+    "search_sq8_rerank",
+    "search_sq8_rerank_recall",
 )
 
 

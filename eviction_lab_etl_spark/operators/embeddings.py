@@ -1325,6 +1325,126 @@ def search_sq8_recall(spark, sf_dir):
     )
 
 
+# --- SQ8 + exact rerank: the two-stage retrieval pattern ----------------------
+#
+# What a production vector deployment actually runs (FAISS's refine /
+# DiskANN's in-memory-PQ + SSD-full-precision split): the compressed index
+# answers with a candidate list C ≫ k, then full-precision vectors are
+# fetched FOR THE CANDIDATES ONLY and re-scored exactly. The compressed scan
+# bounds I/O and compute over the corpus; the rerank repairs exactly the
+# quantization error `search_sq8_recall` measures, at the price of C random
+# reads instead of n.
+
+_SQ_RERANK_C = 50
+
+
+@query(
+    "search_sq8_rerank",
+    oracle=f"""
+    WITH {_SQ_CTES.strip()},
+    {_SQ_SEARCH_CTES.strip()},
+    cand AS (
+      SELECT vec_id, d_exact FROM sqd ORDER BY d_sq8, vec_id LIMIT {_SQ_RERANK_C}
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(d_exact AS BIGINT) AS d_exact,
+           CAST(row_number() OVER (ORDER BY d_exact, vec_id) AS BIGINT) AS rnk
+    FROM cand ORDER BY d_exact, vec_id LIMIT {_SQ_TOPK}
+    """,
+)
+def search_sq8_rerank(spark, sf_dir):
+    """Two-stage retrieval: the SQ8 asymmetric scan nominates the top-
+    {_SQ_RERANK_C} candidates by compressed distance, then ONLY those rows
+    are re-scored against their full-precision grid vectors and the final
+    top-{_SQ_TOPK} is cut on the exact distance. The Spark plan is the
+    honest production shape, not the oracle's compute-everything spec: the
+    corpus-wide stage touches nothing but codes (``_sq8_scored`` with the
+    exact fold OFF), the candidate list collapses to a {_SQ_RERANK_C}-row
+    broadcast, and the exact fold runs inside a broadcast-hash semi-probe of
+    the raw vectors — at 100 TB that second stage is C point lookups, never
+    a second corpus scan's worth of arithmetic. Determinism: both distances
+    are integer folds on the integer grid, both cuts tie-break on vec_id,
+    so the oracle (which CAN afford to score everything) pins the identical
+    candidate set and final ranking."""
+    from pyspark.sql import Window
+
+    cand = (
+        _sq8_scored(spark, sf_dir, with_exact=False)
+        .orderBy("d_sq8", "vec_id")
+        .limit(_SQ_RERANK_C)
+        .select("vec_id")
+    )
+    q = _pq_quantized(spark, sf_dir)
+    probe = q.filter(F.col("vec_id") == 0).select(F.col("q").alias("pq"))
+    zsum = lambda c: F.aggregate(
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    exact = (
+        q.join(F.broadcast(cand), "vec_id")
+        .join(F.broadcast(probe))
+        .select(
+            "vec_id",
+            zsum(F.zip_with("pq", "q", lambda p, x: (p - x) * (p - x))).alias(
+                "d_exact"
+            ),
+        )
+    )
+    w = Window.orderBy("d_exact", "vec_id")
+    return (
+        exact.orderBy("d_exact", "vec_id")
+        .limit(_SQ_TOPK)
+        .select(
+            big("vec_id").alias("vec_id"),
+            big("d_exact").alias("d_exact"),
+            F.row_number().over(w).cast("long").alias("rnk"),
+        )
+    )
+
+
+@query(
+    "search_sq8_rerank_recall",
+    oracle=f"""
+    WITH {_SQ_CTES.strip()},
+    {_SQ_SEARCH_CTES.strip()},
+    ex10 AS (
+      SELECT vec_id FROM sqd ORDER BY d_exact, vec_id LIMIT {_SQ_TOPK}
+    ),
+    cand AS (
+      SELECT vec_id, d_exact FROM sqd ORDER BY d_sq8, vec_id LIMIT {_SQ_RERANK_C}
+    ),
+    rr10 AS (
+      SELECT vec_id FROM cand ORDER BY d_exact, vec_id LIMIT {_SQ_TOPK}
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(r.vec_id) AS BIGINT) AS n_hits
+    FROM ex10 e LEFT JOIN rr10 r ON r.vec_id = e.vec_id
+    """,
+)
+def search_sq8_rerank_recall(spark, sf_dir):
+    """Recall@{_SQ_TOPK} of the reranked two-stage search against the exact
+    top-{_SQ_TOPK} — the number that justifies the pattern: rerank recall is
+    bounded below by the plain SQ8 recall (`search_sq8_recall`) and reaches
+    {_SQ_TOPK}/{_SQ_TOPK} exactly when the compressed top-{_SQ_RERANK_C}
+    covers the true top-{_SQ_TOPK} (the standard C≫k margin argument). Both
+    cuts come off one scored frame; tests pin the measured value and the
+    dominance over the unreranked recall."""
+    scored = _sq8_scored(spark, sf_dir)
+    ex10 = (
+        scored.orderBy("d_exact", "vec_id").limit(_SQ_TOPK).select("vec_id")
+    )
+    rr10 = (
+        scored.orderBy("d_sq8", "vec_id")
+        .limit(_SQ_RERANK_C)
+        .orderBy("d_exact", "vec_id")
+        .limit(_SQ_TOPK)
+        .select(F.col("vec_id").alias("rid"))
+    )
+    return ex10.join(rr10, ex10["vec_id"] == rr10["rid"], "left").agg(
+        big(F.count(F.lit(1))).alias("n_exact"),
+        big(F.count("rid")).alias("n_hits"),
+    )
+
+
 # --- IVF-SQ: coarse-cell-scoped asymmetric SQ8 search -------------------------
 #
 # The remaining cell of the index matrix: flat ADC over PQ codes

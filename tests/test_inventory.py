@@ -85,6 +85,7 @@ EXTENSIONS = {
     "text_normalize_unicode", "dedup_exact_normalized",
     "text_pmi_collocations", "sketch_quantile_mergeable",
     "search_ivfsq_topk", "search_ivfsq_recall", "contam_normalized",
+    "search_sq8_rerank", "search_sq8_rerank_recall",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

@@ -884,6 +884,25 @@ def test_search_sq8_recall_floor(spark, sf_dir):
     assert row.n_hits >= 9
 
 
+def test_search_sq8_rerank_repairs_recall(spark, sf_dir):
+    """The two-stage rerank must dominate the plain SQ8 cut: rerank
+    recall@10 >= plain recall@10, and on this fixture it reaches 10/10
+    where the plain scan measures 9/10 (the rerank recovers exactly the
+    one vector quantization error displaced out of the top-10 — the C≫k
+    margin argument made measurable). Also pins that the reranked top-k's
+    final ordering is by exact distance: rnk is dense 1..10."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    rr = QUERIES["search_sq8_rerank_recall"](spark, sf_dir).collect()[0]
+    plain = QUERIES["search_sq8_recall"](spark, sf_dir).collect()[0]
+    assert rr.n_exact == 10
+    assert rr.n_hits >= plain.n_hits
+    assert rr.n_hits == 10
+    top = QUERIES["search_sq8_rerank"](spark, sf_dir).collect()
+    assert [r.rnk for r in top] == list(range(1, 11))
+    assert top[0].vec_id == 0
+
+
 def test_search_sq8_topk_probe_ranks_first(spark, sf_dir):
     """The probe's distance to its own dequantized codes is the pure
     reconstruction error — the corpus minimum (every other vector adds a

@@ -726,6 +726,23 @@ def test_search_sq8_topk_corpus_never_exchanges_before_cut(spark, sf_dir):
         raise AssertionError(f"corpus hash exchange leaked: {part}")
 
 
+def test_search_sq8_rerank_exact_stage_is_candidate_scoped(spark, sf_dir):
+    """Two-stage retrieval must keep the rerank promise: the corpus-wide
+    stage is the code scan (no exact fold — _sq8_scored(with_exact=False)),
+    the candidate list reaches the raw vectors as a BROADCAST probe (never
+    a corpus-side shuffle), and the whole plan stays JVM-side with no
+    corpus hash exchange and no sort-merge join."""
+    rr = plan_of(spark, sf_dir, "search_sq8_rerank")
+    assert "TakeOrderedAndProject" in rr["plan"]
+    assert rr["python_rows"] == 0 and rr["arrow_python"] == 0
+    assert rr["sortmerge_joins"] == 0
+    assert rr["broadcast_joins"] >= 1, rr["plan"]
+    import re as _re
+
+    for part in _re.findall(r"hashpartitioning\(([^)]*)\)", rr["plan"]):
+        raise AssertionError(f"corpus hash exchange leaked: {part}")
+
+
 def test_text_normalize_unicode_is_map_only(spark, sf_dir):
     """The normalize chain must run at scan speed: no shuffle, no join, no
     Python — a pure projection over the corpus scan."""
