@@ -64,6 +64,15 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     # exact rerank retrieval
     "search_sq8_rerank",
     "search_sq8_rerank_recall",
+    # --- Round-12 new operators: corpus-wide line dedup, KMV/theta sketch,
+    # near-dup decontamination, trained NB quality gate
+    "dedup_lines_global",
+    "sketch_theta_kmv",
+    "contam_neardup",
+    "text_quality_classifier",
+    "ts_seasonal_profile",
+    "search_rp_topk",
+    "search_rp_recall",
 )
 
 

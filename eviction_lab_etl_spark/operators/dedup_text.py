@@ -879,3 +879,105 @@ def text_dup_span_remove(spark, sf_dir):
         ),
         F.coalesce(F.col("clean"), F.lit("")).alias("clean_text"),
     )
+
+
+# --- Global line-level dedup (the CCNet/RefinedWeb line dedup pass) ----------
+
+_LINE_LEN = 12  # tokens per pseudo-line (the fixture corpus has no newlines)
+
+
+@query(
+    "dedup_lines_global",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, i.i AS line_no,
+               array_to_string(
+                   w[(i.i - 1) * {_LINE_LEN} + 1 : (i.i - 1) * {_LINE_LEN} + {_LINE_LEN}],
+                   ' ') AS line
+        FROM t, LATERAL (
+            SELECT unnest(range(1, (n + {_LINE_LEN} - 1) // {_LINE_LEN} + 1)) AS i
+        ) i
+    ),
+    ranked AS (
+        SELECT doc_id, line_no, line,
+               row_number() OVER (
+                   PARTITION BY line ORDER BY doc_id, line_no
+               ) AS rk
+        FROM lines
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE rk = 1) AS BIGINT) AS n_kept,
+           coalesce(string_agg(line, ' ' ORDER BY line_no)
+                        FILTER (WHERE rk = 1), '') AS new_text
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def dedup_lines_global(spark, sf_dir):
+    """CORPUS-WIDE line-level dedup (the CCNet / RefinedWeb line pass):
+    every document splits into lines, a line instance survives only if it
+    is the FIRST occurrence of its content anywhere in the corpus (ordered
+    by (doc_id, line_no) — within-doc repeats drop too), and each document
+    is reassembled from its surviving lines. This is the pass that strips
+    cross-site boilerplate (cookie banners, nav text) BEFORE document-level
+    dedup, where it would otherwise glue unrelated pages into one near-dup
+    cluster. The fixture corpus has no newlines, so a "line" here is a
+    {_LINE_LEN}-token block — in production the splitter is
+    ``split(text, '\\n')`` and every plan shape below is unchanged.
+
+    Scale shape, chosen FOR the hot keys: boilerplate lines are by
+    definition massively repeated, so the naive window
+    (``row_number() OVER (PARTITION BY line ...)``) would ship every copy
+    of the hottest line to one reducer. Instead the first owner per line is
+    a ``min(struct(doc_id, line_no))`` AGGREGATE — map-side partial
+    collapse absorbs the skew before the exchange — and instances re-join
+    the 1-row-per-line owner table on the line key (AQE skew-split handles
+    the probe side). One more shuffle reassembles documents. Everything is
+    JVM-side; the oracle states the same spec in window form."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    w = F.col("toks")
+    nb = F.expr(f"(size(toks) + {_LINE_LEN - 1}) div {_LINE_LEN}")
+    lines = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), nb),
+                lambda i: F.struct(
+                    i.cast("long").alias("line_no"),
+                    F.array_join(
+                        F.slice(w, (i - 1) * _LINE_LEN + 1, _LINE_LEN), " "
+                    ).alias("line"),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.line_no").alias("line_no"), F.col("e.line").alias("line"))
+    first = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("own")
+    )
+    joined = lines.join(first, "line").withColumn(
+        "keep",
+        (F.col("doc_id") == F.col("own.doc_id"))
+        & (F.col("line_no") == F.col("own.line_no")),
+    )
+    return joined.groupBy("doc_id").agg(
+        big(F.count(F.lit(1))).alias("n_lines"),
+        big(F.count_if("keep")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("line_no", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )

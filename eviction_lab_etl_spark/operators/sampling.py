@@ -30,6 +30,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from eviction_lab_etl_spark.functions.determinism import big
+from eviction_lab_etl_spark.functions.minhash import (
+    md5_family as _mh_spark_family,
+    md5_family_duck as _mh_duck_hash,
+)
 from eviction_lab_etl_spark.registry import query
 from eviction_lab_etl_spark.sources.loader import load
 
@@ -751,4 +756,198 @@ def sketch_quantile_mergeable(spark, sf_dir):
             (20 * (F.col("_lt") + 1) <= 20 * target + F.col("n"))
             & (20 * F.col("_le") >= 20 * target - F.col("n"))
         ).alias("within_5pct"),
+    )
+
+
+# --- KMV / theta sketch: mergeable distinct-count SET ALGEBRA -----------------
+#
+# HLL (`sketch_hll_partitioned`) answers |A| and |A ∪ B| (HLL union is
+# lossless) but cannot intersect. The KMV/theta family (Bar-Yossef '02;
+# Dasgupta et al.'s theta sketch) keeps the K smallest distinct hash values
+# as a uniform sample of the hash space, which makes INTERSECTION (and
+# difference) estimable: below theta = min(theta_A, theta_B) the sketches
+# are exact membership oracles, so |{h in sketch_A ∩ sketch_B : h < theta}|
+# scaled by W/theta estimates |A ∩ B|. That is the missing piece for
+# dedup-planning questions like "how much does crawl B overlap crawl A"
+# without a corpus join.
+
+_KMV_K = 128
+_KMV_SEED = 7
+_KMV_W = 1 << 60  # md5_family hash space: [0, 2^60)
+
+
+def _kmv_est_sql(vk: str, kk: str, engine: str) -> str:
+    """(K-1)·W / v_k when the sketch is full, else the exact sample size —
+    the product needs 127·2^60 ≈ 2^67, so it runs in DECIMAL(38,0) (Spark)
+    / HUGEINT (DuckDB), the text_pmi_collocations discipline."""
+    if engine == "spark":
+        full = f"(CAST({_KMV_K - 1} AS DECIMAL(38,0)) * {_KMV_W}) div {vk}"
+    else:
+        full = f"CAST({_KMV_K - 1} AS HUGEINT) * {_KMV_W} // {vk}"
+    return (
+        f"CASE WHEN {kk} >= {_KMV_K} THEN CAST(({full}) AS BIGINT) "
+        f"ELSE CAST({kk} AS BIGINT) END"
+    )
+
+
+def _kmv_inter_est_sql(m: str, theta: str, engine: str) -> str:
+    if engine == "spark":
+        return (
+            f"CAST((CAST({m} AS DECIMAL(38,0)) * {_KMV_W}) div {theta} "
+            "AS BIGINT)"
+        )
+    return f"CAST(CAST({m} AS HUGEINT) * {_KMV_W} // {theta} AS BIGINT)"
+
+
+@query(
+    "sketch_theta_kmv",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT doc_id % 2 AS side,
+               unnest(list_distinct(
+                   list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(w[i:i+2], ' ')))) AS g
+        FROM docs
+    ),
+    d AS (
+        SELECT DISTINCT side,
+               {_mh_duck_hash(_KMV_SEED, "g")} AS h
+        FROM grams
+    ),
+    da AS (SELECT h FROM d WHERE side = 0),
+    db AS (SELECT h FROM d WHERE side = 1),
+    ka AS (SELECT h FROM da ORDER BY h LIMIT {_KMV_K}),
+    kb AS (SELECT h FROM db ORDER BY h LIMIT {_KMV_K}),
+    sa AS (SELECT max(h) AS vk_a, count(*) AS k_a FROM ka),
+    sb AS (SELECT max(h) AS vk_b, count(*) AS k_b FROM kb),
+    th AS (
+        SELECT least(
+            CASE WHEN sa.k_a >= {_KMV_K} THEN sa.vk_a ELSE {_KMV_W} END,
+            CASE WHEN sb.k_b >= {_KMV_K} THEN sb.vk_b ELSE {_KMV_W} END
+        ) AS theta
+        FROM sa, sb
+    ),
+    ku AS (
+        SELECT DISTINCT h FROM (
+            SELECT h FROM ka UNION ALL SELECT h FROM kb
+        ) ORDER BY h LIMIT {_KMV_K}
+    ),
+    su AS (SELECT max(h) AS vk_u, count(*) AS k_u FROM ku),
+    im AS (
+        SELECT count(*) AS m
+        FROM ka JOIN kb USING (h), th WHERE ka.h < th.theta
+    ),
+    xa AS (SELECT count(*) AS exact_a FROM da),
+    xb AS (SELECT count(*) AS exact_b FROM db),
+    xu AS (SELECT count(DISTINCT h) AS exact_union FROM d),
+    xi AS (SELECT count(*) AS exact_inter FROM da JOIN db USING (h))
+    SELECT
+        {_kmv_est_sql("sa.vk_a", "sa.k_a", "duck")} AS est_a,
+        {_kmv_est_sql("sb.vk_b", "sb.k_b", "duck")} AS est_b,
+        {_kmv_est_sql("su.vk_u", "su.k_u", "duck")} AS est_union,
+        {_kmv_inter_est_sql("im.m", "th.theta", "duck")} AS est_inter,
+        CAST(xa.exact_a AS BIGINT) AS exact_a,
+        CAST(xb.exact_b AS BIGINT) AS exact_b,
+        CAST(xu.exact_union AS BIGINT) AS exact_union,
+        CAST(xi.exact_inter AS BIGINT) AS exact_inter
+    FROM sa, sb, su, im, th, xa, xb, xu, xi
+    """,
+)
+def sketch_theta_kmv(spark, sf_dir):
+    """KMV/theta distinct sketch with SET ALGEBRA: the corpus's distinct
+    3-gram space split into two crawls (doc_id parity), a K=128
+    bottom-K sketch built per side, and |A|, |B|, |A ∪ B|, |A ∩ B| all
+    estimated FROM THE SKETCHES — plus the exact values as verification
+    columns (a deployment skips those scans; the sketch_quantile_mergeable
+    precedent). Estimator: (K−1)·W / v_K for cardinalities (Bar-Yossef
+    '02), sample-count · W/theta below theta = min(theta_A, theta_B) for
+    the intersection (theta sketch semantics: below both thresholds the
+    samples are exact membership oracles). RSE ≈ 1/√(K−2) ≈ 8.9%;
+    tests/test_library.py pins the measured error.
+
+    Determinism: the hash is the shared md5-prefix 60-bit family, bottom-K
+    is a total order (distinct values), every estimate is integer
+    closed-form (127·2^60 runs in DECIMAL(38,0)/HUGEINT — the PMI overflow
+    discipline) — both engines agree bit-for-bit, so the driver hash pins
+    the sketch ALGORITHM, not just its accuracy.
+
+    Scale shape: per side, one distinct shuffle over gram hashes (map-side
+    partial dedup collapses repeats before the exchange) feeding a
+    TakeOrdered bottom-K — Spark's TakeOrdered IS the mergeable execution:
+    per-partition bottom-K, merged on the driver, exactly how per-shard
+    sketches union in a deployment. Everything after is K-row frames. The
+    exact_* columns are the verification scans (one distinct count + one
+    sketch-sized join); production drops them and touches only sketches."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    w = F.col("w")
+    gram_arr = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select(
+        (F.col("doc_id") % 2).alias("side"), F.explode(gram_arr).alias("g")
+    )
+    d = grams.select(
+        "side", _mh_spark_family(_KMV_SEED, F.col("g")).alias("h")
+    ).distinct()
+    da = d.filter(F.col("side") == 0).select("h")
+    db = d.filter(F.col("side") == 1).select("h")
+    ka = da.orderBy("h").limit(_KMV_K)
+    kb = db.orderBy("h").limit(_KMV_K)
+    sa = ka.agg(F.max("h").alias("vk_a"), F.count(F.lit(1)).alias("k_a"))
+    sb = kb.agg(F.max("h").alias("vk_b"), F.count(F.lit(1)).alias("k_b"))
+    th = (
+        sa.crossJoin(sb)
+        .select(
+            F.least(
+                F.when(F.col("k_a") >= _KMV_K, F.col("vk_a")).otherwise(
+                    F.lit(_KMV_W)
+                ),
+                F.when(F.col("k_b") >= _KMV_K, F.col("vk_b")).otherwise(
+                    F.lit(_KMV_W)
+                ),
+            ).alias("theta")
+        )
+    )
+    ku = ka.unionByName(kb).distinct().orderBy("h").limit(_KMV_K)
+    su = ku.agg(F.max("h").alias("vk_u"), F.count(F.lit(1)).alias("k_u"))
+    im = (
+        ka.join(kb, "h")
+        .crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    xa = da.agg(F.count(F.lit(1)).alias("exact_a"))
+    xb = db.agg(F.count(F.lit(1)).alias("exact_b"))
+    xu = d.select("h").distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+    xi = da.join(db, "h").agg(F.count(F.lit(1)).alias("exact_inter"))
+    one = (
+        sa.crossJoin(sb)
+        .crossJoin(su)
+        .crossJoin(F.broadcast(im))
+        .crossJoin(F.broadcast(th))
+        .crossJoin(F.broadcast(xa))
+        .crossJoin(F.broadcast(xb))
+        .crossJoin(F.broadcast(xu))
+        .crossJoin(F.broadcast(xi))
+    )
+    return one.select(
+        F.expr(_kmv_est_sql("vk_a", "k_a", "spark")).alias("est_a"),
+        F.expr(_kmv_est_sql("vk_b", "k_b", "spark")).alias("est_b"),
+        F.expr(_kmv_est_sql("vk_u", "k_u", "spark")).alias("est_union"),
+        F.expr(_kmv_inter_est_sql("m", "theta", "spark")).alias("est_inter"),
+        big("exact_a").alias("exact_a"),
+        big("exact_b").alias("exact_b"),
+        big("exact_union").alias("exact_union"),
+        big("exact_inter").alias("exact_inter"),
     )

@@ -436,3 +436,85 @@ def ts_changepoint_shift(spark, sf_dir):
             big("rk").alias("rk"),
         )
     )
+
+
+# --- seasonal profile (additive-decomposition lite, ratio form) --------------
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(hour(ts) AS BIGINT) AS hr,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+        FROM events
+    ),
+    h AS (
+        SELECT event_type, hr,
+               count(*) AS n, sum(v_cents) AS sum_cents
+        FROM e GROUP BY event_type, hr
+    ),
+    t AS (
+        SELECT event_type, hr, n, sum_cents,
+               sum(n) OVER (PARTITION BY event_type) AS n_t,
+               sum(sum_cents) OVER (PARTITION BY event_type) AS sum_t
+        FROM h
+    )
+    SELECT event_type, hr,
+           CAST(n AS BIGINT) AS n,
+           CAST(sum_cents AS BIGINT) AS sum_cents,
+           CAST((CAST(1000 AS HUGEINT) * sum_cents * n_t)
+                // (CAST(n AS HUGEINT) * sum_t) AS BIGINT) AS ratio_permille
+    FROM t
+    """,
+)
+def ts_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonal profile per event type (the additive-
+    decomposition diagnostic a metrics pipeline watches): for each
+    (event_type, hour-of-day) cell, the event count, exact cents total,
+    and the SEASONAL RATIO — cell mean over the type's overall mean, in
+    permille, as one all-positive integer cross-multiplication
+    (1000·sum_h·n_t) / (n_h·sum_t), so 1000 = an average hour and the
+    division is truncation-safe in both engines (`div` ≡ `//` needs
+    non-negative operands — the ts_ewma_smooth rule; an OFFSET form
+    mean_h − mean_t would go negative). Products run in
+    DECIMAL(38,0)/HUGEINT per the PMI overflow discipline: at a 30×
+    stress, 1000·sum_h·n_t clears the int64 envelope.
+
+    Scale shape: one (type, hour)-keyed aggregate over the fact stream
+    with map-side partial collapse (the scan-proportional floor, output
+    |types|·24 rows), then a window over the collapsed cells — nothing
+    corpus-sized moves after the first exchange. Exact cents arithmetic
+    end to end; no float ever aggregates."""
+    from eviction_lab_etl_spark.functions.determinism import cents
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        cents("value").alias("v_cents"),
+    )
+    h = e.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v_cents").alias("sum_cents")
+    )
+    from pyspark.sql import Window
+
+    wt = Window.partitionBy("event_type")
+    t = h.select(
+        "event_type",
+        "hr",
+        "n",
+        "sum_cents",
+        F.sum("n").over(wt).alias("n_t"),
+        F.sum("sum_cents").over(wt).alias("sum_t"),
+    )
+    return t.select(
+        "event_type",
+        "hr",
+        big("n").alias("n"),
+        big("sum_cents").alias("sum_cents"),
+        F.expr(
+            "CAST((CAST(1000 AS DECIMAL(38,0)) * sum_cents * n_t)"
+            " div (CAST(n AS DECIMAL(38,0)) * sum_t) AS BIGINT)"
+        ).alias("ratio_permille"),
+    )

@@ -1352,3 +1352,276 @@ def pack_bins_bpe(spark, sf_dir):
         .agg(F.sum("n_bpe").alias("n_tok"))
     )
     return nextfit_pack_counts(counts)
+
+
+# --- near-duplicate decontamination (the GPT-3 "dirty document" pass) --------
+#
+# The gram-overlap gates above count CONTAMINATED GRAMS per training doc; the
+# production companion decision (GPT-3 App. C, The Pile, FineWeb) is
+# WHOLE-DOCUMENT: a training doc that is a near-duplicate of any benchmark
+# doc is removed outright, catching light paraphrases/re-crawls whose
+# per-gram overlap might dodge a threshold. Implemented as the asymmetric
+# MinHash-banding match (functions/minhash.py `minhash_batch_matches`) with
+# the benchmark side as the broadcast-sized batch, over 5-gram shingle sets,
+# with the md5-prefix hash family so the DuckDB oracle reproduces the
+# banding itself (the dedup_minhash_pairs contract).
+
+_CND_PLANT_BASE = 200000  # planted near-copies: distinct from +100000 (dups)
+#                           and +300000 (messy re-crawls) id spaces
+
+
+def _cnd_oracle() -> str:
+    """Oracle composed at import time from the SAME banding constants the
+    Spark side uses (extensions._MH_SIG_COLS/_MH_BAND_EQ over the md5-prefix
+    family) — oracle and operator cannot drift (the cleaning._NORM_SQL rule).
+    The gram token column is aliased `w` because the shared sig SQL hashes
+    the expression `w`."""
+    from eviction_lab_etl_spark.operators.extensions import (
+        _MH_BAND_EQ,
+        _MH_DEN,
+        _MH_NUM,
+        _MH_SIG_COLS,
+    )
+
+    return f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {_CND_PLANT_BASE} AS doc_id,
+               text || ' zq zq zq' AS text
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM corpus),
+    grams AS (
+        SELECT DISTINCT doc_id, array_to_string(l[i : i + {_N - 1}], ' ') AS w
+        FROM (SELECT doc_id, l,
+                     unnest(range(1, greatest(len(l) - {_N - 1}, 0) + 1)) AS i
+              FROM toks)
+    ),
+    bsig AS (
+        SELECT doc_id,
+               {_MH_SIG_COLS}
+        FROM grams WHERE doc_id % 97 = 0 GROUP BY doc_id
+    ),
+    csig AS (
+        SELECT doc_id,
+               {_MH_SIG_COLS}
+        FROM grams WHERE doc_id % 97 <> 0 GROUP BY doc_id
+    ),
+    cand AS (
+        SELECT b.doc_id AS bench_id, a.doc_id AS train_id
+        FROM csig a JOIN bsig b ON
+           {_MH_BAND_EQ}
+    ),
+    sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+    iv AS (
+        SELECT c.bench_id, c.train_id, count(t2.w) AS inter
+        FROM cand c
+        JOIN grams t1 ON t1.doc_id = c.bench_id
+        LEFT JOIN grams t2 ON t2.doc_id = c.train_id AND t2.w = t1.w
+        GROUP BY c.bench_id, c.train_id
+    )
+    SELECT iv.bench_id, iv.train_id,
+           CAST(iv.inter AS BIGINT) AS inter,
+           CAST(sb.n + st.n - iv.inter AS BIGINT) AS uni,
+           CAST(CASE WHEN {_MH_DEN} * iv.inter
+                          >= {_MH_NUM} * (sb.n + st.n - iv.inter)
+                THEN 1 ELSE 0 END AS BIGINT) AS near
+    FROM iv
+    JOIN sz sb ON sb.doc_id = iv.bench_id
+    JOIN sz st ON st.doc_id = iv.train_id
+    """
+
+
+@query("contam_neardup", oracle=_cnd_oracle())
+def contam_neardup(spark, sf_dir):
+    """WHOLE-DOCUMENT near-dup decontamination: every (benchmark doc,
+    training doc) banding candidate with its exact 5-gram-Jaccard verdict
+    (`near` = J >= 0.6, integer cross-multiplied). The fixture plants a
+    near-copy of every benchmark doc on the training side (original text +
+    3 junk tokens, id + 200000): exact-hash dedup misses all of them (the
+    text differs), this gate flags every one (J ~ 0.98), pinned by
+    tests/test_library.py. Emitting candidates WITH the verdict keeps both
+    the banding mass and the removal decision in one auditable frame.
+
+    Scale shape (the minhash_batch_matches contract): the benchmark side is
+    tiny by construction, so its band buckets AND gram sets ride
+    broadcasts; the training corpus pays one signature build (48 min-hash
+    longs per doc in a single grouped aggregation — the commit-time LSH
+    index a snapshot table materializes once), a map-side broadcast probe
+    for candidates, and verification scoped to candidate gram sets. The
+    corpus never joins the corpus. Determinism: md5-prefix hash family, so
+    the oracle rebuilds the identical signatures, bands, candidate set, and
+    verdicts — banding false negatives included."""
+    from eviction_lab_etl_spark.functions.minhash import minhash_batch_matches
+    from eviction_lab_etl_spark.operators.extensions import (
+        _MH_BANDS,
+        _MH_DEN,
+        _MH_NUM,
+        _MH_ROWS,
+        _mh_spark_family,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") % 97 == 0).select(
+            (F.col("doc_id") + _CND_PLANT_BASE).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq zq zq")).alias("text"),
+        )
+    )
+    tokenized = corpus.select("doc_id", F.split("text", " ").alias("toks"))
+    w = F.col("toks")
+    grams = tokenized.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(w) >= _N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - (_N - 1)),
+                        lambda i: F.array_join(F.slice(w, i, _N), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("w"),
+    )
+    bench_tok = grams.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("id"), "w"
+    )
+    train_tok = grams.filter(F.col("doc_id") % 97 != 0).select(
+        F.col("doc_id").alias("id"), "w"
+    )
+    res = minhash_batch_matches(
+        bench_tok,
+        train_tok,
+        threshold=(_MH_NUM, _MH_DEN),
+        bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS,
+        hash_fn=_mh_spark_family,
+    )
+    return res.select(
+        F.col("b").alias("bench_id"),
+        F.col("a").alias("train_id"),
+        big("inter").alias("inter"),
+        big("uni").alias("uni"),
+        big("near").alias("near"),
+    )
+
+
+# --- trained quality classifier (the fastText/CCNet filter's role) -----------
+
+# Per-token log-odds quantum: floor(11767*ln(x/y)). Whole-bit integer
+# quantization (the text_lm_nll trick) was measured DEGENERATE here: the
+# class distributions differ by ~0.008 bits/token, so flooring each token to
+# whole bits collapses every weight to 0/-1 and every doc to pred=0. The
+# micro-floor discipline (text_mix_entropy) applies instead: one float
+# surface `11767.0 * ln(x/y)` floored per TOKEN WEIGHT (vocabulary-sized,
+# not corpus-sized), with the multiplier 11767 searched so every reachable
+# (x, y) pair on every shipped fixture sits >= 0.0447 from its floor
+# boundary (tests/test_determinism.py pins >= 0.02) -- a 1-ulp libm
+# divergence cannot cross. Per-doc scores are integer SUMS of the floored
+# weights, so aggregation order cannot move them.
+_NBQ_SCALE = "11767.0"
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    c AS (
+        SELECT w,
+               count(*) FILTER (WHERE lang = 'en') AS cp,
+               count(*) FILTER (WHERE lang <> 'en') AS cn
+        FROM tok WHERE doc_id % 10 < 3 GROUP BY w
+    ),
+    tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM c),
+    wt AS (
+        SELECT w,
+               CAST((cp + 1) * (tn + v) AS BIGINT) AS x,
+               CAST((cn + 1) * (tp + v) AS BIGINT) AS y
+        FROM c, tot
+    ),
+    wb AS (
+        SELECT w,
+               CAST(floor({_NBQ_SCALE} * ln(CAST(x AS DOUBLE) / y))
+                    AS BIGINT) AS wq
+        FROM wt
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           CAST(sum(wb.wq) AS BIGINT) AS score_q,
+           CAST(CASE WHEN sum(wb.wq) >= 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS pred_en
+    FROM tok t JOIN wb ON wb.w = t.w
+    GROUP BY t.doc_id
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """TRAINED quality/domain classifier (the fastText filter's role in
+    CCNet/FineWeb: score every crawl doc by a linear model trained
+    "target domain vs rest", gate on the score): Naive Bayes over token
+    counts, trained on the 30% labeled split (doc_id % 10 < 3; positive
+    class = lang 'en'), applied to the FULL corpus. Per-token weight =
+    floor(11767*ln(P(w|pos)/P(w|neg))) Laplace-smoothed, quantum 1/11767
+    nat -- the text_mix_entropy micro-floor discipline (see _NBQ_SCALE: the
+    only float surface is one vocabulary-sized weight table whose floor
+    margins are pinned per fixture; per-doc scores are integer sums). Per
+    doc: token count, summed log-odds quanta, and the NB decision
+    (score >= 0). Unseen-at-train tokens are out of spec by construction
+    here (one shared vocabulary); a production apply left-joins and
+    coalesces to the smoothing-only weight.
+
+    Scale shape: the MODEL IS A TABLE — class-conditional counts collapse
+    to one vocabulary-bounded frame (one shuffle over the labeled
+    subset's tokens with map-side partial agg), the totals are a 1-row
+    broadcast, and scoring is a broadcast-hash join riding the corpus
+    token stream into one per-doc aggregate. Exactly how a shipped
+    fastText/NB model deploys on a cluster: broadcast the weights, never
+    shuffle the corpus against them."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    c = (
+        tok.filter(F.col("doc_id") % 10 < 3)
+        .groupBy("w")
+        .agg(
+            F.count_if(F.col("lang") == "en").alias("cp"),
+            F.count_if(F.col("lang") != "en").alias("cn"),
+        )
+    )
+    tot = c.agg(
+        F.sum("cp").alias("tp"),
+        F.sum("cn").alias("tn"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    wt = c.join(F.broadcast(tot)).select(
+        "w",
+        ((F.col("cp") + 1) * (F.col("tn") + F.col("v")))
+        .cast("long")
+        .alias("x"),
+        ((F.col("cn") + 1) * (F.col("tp") + F.col("v")))
+        .cast("long")
+        .alias("y"),
+    )
+    wb = wt.select(
+        "w",
+        F.expr(
+            f"CAST(floor({_NBQ_SCALE} * ln(CAST(x AS DOUBLE) / y)) AS BIGINT)"
+        ).alias("wq"),
+    )
+    return (
+        tok.join(F.broadcast(wb), "w")
+        .groupBy("doc_id")
+        .agg(
+            big(F.count(F.lit(1))).alias("n_toks"),
+            big(F.sum("wq")).alias("score_q"),
+            F.when(F.sum("wq") >= 0, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("pred_en"),
+        )
+    )

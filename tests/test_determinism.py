@@ -236,3 +236,42 @@ def test_mmr_decision_gaps():
             ok(scores[so[0]] - scores[so[1]], f"pick {step + 2}",
                so[0], so[1])
             sel.append(so[0])
+
+
+def test_quality_classifier_floor_margins():
+    """`text_quality_classifier` floors each token's log-odds weight
+    `11767 * ln(x/y)` (the only float surface — a vocabulary-sized table).
+    Pin the boundary margin >= 0.02 quanta for EVERY reachable (x, y)
+    product pair on every fixture scale (multiplier searched over the
+    shipped fixtures; measured worst margin 0.0447), so a 1-ulp libm
+    divergence cannot cross a floor boundary."""
+    import math
+    import os
+
+    import duckdb
+
+    for sf_path in _fixture_dirs("documents.parquet"):
+        sf = os.path.basename(sf_path)
+        con = duckdb.connect()
+        docs = os.path.join(sf_path, "documents.parquet")
+        pairs = con.sql(
+            f"""
+            WITH tok AS (
+                SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                FROM '{docs}'
+            ),
+            c AS (
+                SELECT w,
+                       count(*) FILTER (WHERE lang = 'en') AS cp,
+                       count(*) FILTER (WHERE lang <> 'en') AS cn
+                FROM tok WHERE doc_id % 10 < 3 GROUP BY w
+            ),
+            tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM c)
+            SELECT (cp + 1) * (tn + v), (cn + 1) * (tp + v) FROM c, tot
+            """
+        ).fetchall()
+        assert pairs
+        for x, y in pairs:
+            val = 11767.0 * math.log(int(x) / int(y))
+            frac = val - math.floor(val)
+            assert 0.02 <= frac <= 1 - 0.02, f"{sf} x={x} y={y} frac={frac}"

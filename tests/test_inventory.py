@@ -86,6 +86,9 @@ EXTENSIONS = {
     "text_pmi_collocations", "sketch_quantile_mergeable",
     "search_ivfsq_topk", "search_ivfsq_recall", "contam_normalized",
     "search_sq8_rerank", "search_sq8_rerank_recall",
+    "dedup_lines_global", "sketch_theta_kmv",
+    "contam_neardup", "text_quality_classifier", "ts_seasonal_profile",
+    "search_rp_topk", "search_rp_recall",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

@@ -1305,3 +1305,138 @@ def test_compactor_sketch_empty_summary_raises_cleanly():
         sk2.insert_weighted(v, w)
     with pytest.raises(ValueError, match="empty summary"):
         sk2.rank_query(1)
+
+
+def test_sketch_theta_kmv_error_contract(spark, sf_dir):
+    """KMV/theta estimates must land within 15% of exact on all four set
+    cardinalities (theory: RSE ≈ 1/√(K−2) ≈ 8.9% at K=128; measured ≤ 6%
+    on both shipped fixtures — the driver hash pins the exact row, this
+    pins the statistical claim), and both sides must genuinely overlap
+    (exact_inter > 0) so the intersection estimator is exercised."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    row = QUERIES["sketch_theta_kmv"](spark, sf_dir).collect()[0]
+    assert row.exact_inter > 0
+    for est, exact in [
+        (row.est_a, row.exact_a),
+        (row.est_b, row.exact_b),
+        (row.est_union, row.exact_union),
+        (row.est_inter, row.exact_inter),
+    ]:
+        assert abs(est - exact) * 100 <= 15 * exact, row
+
+
+def test_kmv_bottom_k_is_mergeable():
+    """The KMV merge contract Spark's TakeOrdered relies on: the bottom-K
+    of a union of per-partition bottom-Ks equals the bottom-K of the whole
+    stream, for any partitioning — sketches built per shard merge losslessly."""
+    import random
+
+    rng = random.Random(7)
+    k = 16
+    values = [rng.randrange(1 << 60) for _ in range(500)]
+    for n_parts in (1, 2, 5, 13):
+        parts = [values[i::n_parts] for i in range(n_parts)]
+        merged = sorted(
+            {v for p in parts for v in sorted(set(p))[:k]}
+        )[:k]
+        assert merged == sorted(set(values))[:k]
+
+
+def test_dedup_lines_global_invariants(spark, sf_dir):
+    """Sharp invariant of keep-first line dedup: every distinct line content
+    survives EXACTLY once corpus-wide, so Σ n_kept == |distinct lines|.
+    Also: the dedup must actually fire on the fixture (Σ n_kept < Σ n_lines)
+    and no document keeps more lines than it has."""
+    from eviction_lab_etl_spark.operators.dedup_text import _LINE_LEN
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    out = QUERIES["dedup_lines_global"](spark, sf_dir)
+    agg = out.agg(
+        F.sum("n_lines").alias("tl"),
+        F.sum("n_kept").alias("tk"),
+        F.max((F.col("n_kept") > F.col("n_lines")).cast("int")).alias("bad"),
+    ).collect()[0]
+    assert agg.bad == 0
+    assert agg.tk < agg.tl, "line dedup never fired on the fixture"
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    nb = F.expr(f"(size(toks) + {_LINE_LEN - 1}) div {_LINE_LEN}")
+    distinct_lines = (
+        docs.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), nb),
+                    lambda i: F.array_join(
+                        F.slice(F.col("toks"), (i - 1) * _LINE_LEN + 1, _LINE_LEN),
+                        " ",
+                    ),
+                )
+            ).alias("line")
+        )
+        .distinct()
+        .count()
+    )
+    assert agg.tk == distinct_lines
+
+
+def test_contam_neardup_flags_every_plant(spark, sf_dir):
+    """Every planted near-copy (bench text + 3 junk tokens, id+200000) must
+    be flagged near=1 AGAINST ITS OWN ORIGIN — exact-hash dedup misses all
+    plants (text differs), so any missed plant means the near-dup gate
+    regressed to exact matching. Organic near=1 rows are allowed (short
+    fixture docs can genuinely clear J >= 0.6 — verification is exact) but
+    must never involve a planted id on the bench side."""
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    rows = QUERIES["contam_neardup"](spark, sf_dir).collect()
+    near = {(r.bench_id, r.train_id) for r in rows if r.near == 1}
+    bench_ids = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    assert bench_ids
+    for bench_id in bench_ids:
+        assert (bench_id, bench_id + 200000) in near, bench_id
+    assert all(b < 200000 for b, _ in near)
+
+
+def test_text_quality_classifier_separates_classes(spark, sf_dir):
+    """The trained NB gate must actually discriminate: mean score of the
+    positive class (lang 'en') exceeds the negative class's mean by >= 2000
+    quanta (~0.17 nat/doc; measured 2635 at sf0.001, 4046 at sf0.01), and
+    the decision column is non-degenerate (both classes predicted)."""
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    out = QUERIES["text_quality_classifier"](spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = out.join(docs, "doc_id")
+    agg = j.groupBy((F.col("lang") == "en").alias("is_en")).agg(
+        F.avg("score_q").alias("m"), F.sum("pred_en").alias("p"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()
+    by = {r.is_en: r for r in agg}
+    assert by[True].m - by[False].m >= 2000
+    preds = {int(r.p > 0) for r in agg}
+    total_pos = sum(r.p for r in agg)
+    assert 0 < total_pos < sum(r.n for r in agg)
+
+
+def test_search_rp_recall_floor(spark, sf_dir):
+    """The 16-dim JL projection must preserve the clustered fixture's
+    neighbourhood: recall@10 vs the exact 64-dim ranking >= 9 (measured
+    10/10 at sf0.001 and sf0.01 — the probe's planted 10-member cluster
+    survives the 4x dimension cut; the driver hash pins the exact row)."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    row = QUERIES["search_rp_recall"](spark, sf_dir).collect()[0]
+    assert row.n_exact == 10
+    assert row.n_hits >= 9

@@ -1114,3 +1114,18 @@ def test_search_hard_negatives_plan_shape(spark, sf_dir):
         }
         keys.discard("")
         assert keys <= {"doc_id", "term", "query_id"}, arglist
+
+
+def test_search_rp_topk_corpus_never_exchanges_before_cut(spark, sf_dir):
+    """The JL-projected search must keep the PQ/SQ8 promise at a quarter
+    the fold width: projection is a literal-matrix map fold, the probe's
+    projected row is a 1-row broadcast, and the corpus path ends in
+    TakeOrderedAndProject with no hash exchange and no Python anywhere."""
+    rp = plan_of(spark, sf_dir, "search_rp_topk")
+    assert "TakeOrderedAndProject" in rp["plan"]
+    assert rp["python_rows"] == 0 and rp["arrow_python"] == 0
+    assert rp["sortmerge_joins"] == 0
+    import re as _re
+
+    for part in _re.findall(r"hashpartitioning\(([^)]*)\)", rp["plan"]):
+        raise AssertionError(f"corpus hash exchange leaked: {part}")

@@ -211,6 +211,24 @@ STRESS = [
     # against the contam_ngram_overlap entry above. The messy/bench split
     # keys on doc_id, which KEYS multiplies, so both legs scale.
     "contam_normalized",
+    # Round 12 (second batch): global line dedup (line stream scales; the
+    # agg+join form's map-side partial collapse is exactly what the
+    # verbatim copies stress — every copy's lines are dups of the
+    # original's), the KMV/theta sketch (the corpus-sized scan + partial-
+    # distinct is the floor; copies add no NEW grams so the distinct
+    # output stays constant — that collapse is the point), near-dup
+    # decontamination (corpus-side signature build scales; multiplied
+    # copies of bench docs are true J=1 matches, so output grows
+    # output-proportionally by design), the trained NB gate (token stream
+    # scales, weight table stays vocabulary-bounded, count ratios
+    # mult-invariant per the text_lm_nll note), and the two-stage rerank
+    # (corpus-scaled code scan, constant candidate stage).
+    # search_sq8_rerank_recall is ABSENT: shares the rerank's scored frame.
+    "dedup_lines_global",
+    "sketch_theta_kmv",
+    "contam_neardup",
+    "text_quality_classifier",
+    "search_sq8_rerank",
 ]
 
 
