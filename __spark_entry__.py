@@ -73,6 +73,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "ts_seasonal_profile",
     "search_rp_topk",
     "search_rp_recall",
+    "join_asof_nearest",
 )
 
 

@@ -169,6 +169,20 @@ R11_HEADLINE = [
     "sketch_quantile_mergeable",  # r11: Arrow compactor partials + KB merge
 ]
 
+# Round-12 additions (first-measurement pins). The recall companions
+# (search_sq8_rerank_recall, search_rp_recall) are not pinned separately:
+# each shares its search leg's scored frame and adds only K-row work.
+R12_HEADLINE = [
+    "search_sq8_rerank",          # r12: SQ8 coarse scan + candidate-only rerank
+    "dedup_lines_global",         # r12: corpus-wide keep-first line dedup
+    "sketch_theta_kmv",           # r12: bottom-K distinct sketch + set algebra
+    "contam_neardup",             # r12: asymmetric MinHash decontamination
+    "text_quality_classifier",    # r12: NB weight-table broadcast apply
+    "ts_seasonal_profile",        # r12: (type, hour) cells + window ratios
+    "search_rp_topk",             # r12: 16-dim JL literal-fold scan
+    "join_asof_nearest",          # r12: union-window nearest temporal match
+]
+
 # Per-topology regression base for the TPC-H power family: the round-6
 # per-query warm medians (SCALE.md "TPC-H power" table, sf0.1, local[32]).
 # The 21-query total alone can hide one topology regressing 3x behind noise
@@ -270,7 +284,8 @@ def main() -> None:
     universe = list(
         dict.fromkeys(
             HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE + R7_HEADLINE
-            + R9_HEADLINE + R10_HEADLINE + R11_HEADLINE + tpch_names
+            + R9_HEADLINE + R10_HEADLINE + R11_HEADLINE + R12_HEADLINE
+            + tpch_names
         )
     )
 
@@ -408,6 +423,7 @@ def main() -> None:
                 "r9_queries": R9_HEADLINE,
                 "r10_queries": R10_HEADLINE,
                 "r11_queries": R11_HEADLINE,
+                "r12_queries": R12_HEADLINE,
                 "tpch_power": {
                     "total_sec": round(tpch_total, 4),
                     "n_queries": len(tpch_names),

@@ -669,3 +669,110 @@ def join_interval_overlap(spark, sf_dir):
             ).alias("overlap_us"),
         )
     )
+
+
+# --- nearest-direction as-of join (pandas merge_asof direction='nearest') ----
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, epoch_us(ts) AS us, event_id,
+               CASE WHEN event_type = 'signup' THEN 0 ELSE 1 END AS tag
+        FROM events WHERE event_type IN ('signup', 'purchase')
+    ),
+    w AS (
+        SELECT user_id, ts, us, event_id, tag,
+               last_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS)
+                   OVER back AS b_us,
+               last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+                   OVER back AS b_id,
+               first_value(CASE WHEN tag = 0 THEN us END IGNORE NULLS)
+                   OVER fwd AS f_us,
+               first_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+                   OVER fwd AS f_id
+        FROM tagged
+        WINDOW
+          back AS (PARTITION BY user_id ORDER BY us, tag, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          fwd AS (PARTITION BY user_id ORDER BY us, tag, event_id
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN b_us IS NOT NULL
+                     AND (f_us IS NULL OR us - b_us <= f_us - us)
+                THEN b_id ELSE f_id END AS signup_id,
+           CASE WHEN b_us IS NOT NULL
+                     AND (f_us IS NULL OR us - b_us <= f_us - us)
+                THEN us - b_us ELSE f_us - us END AS dist_us
+    FROM w WHERE tag = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """NEAREST-direction as-of join (pandas ``merge_asof(direction=
+    'nearest')`` / kdb-style temporal matching): every purchase matched to
+    the signup of the same user MINIMIZING |Δts|, ties resolved BACKWARD
+    (the pandas rule), microsecond-exact. Completes the temporal-join
+    family's direction axis: `join_asof` (backward), `join_asof_tolerance`
+    (backward + bound), `join_range_interval` / `join_interval_overlap`
+    (windows) — nearest is the one a sensor/feature-alignment pipeline
+    reaches for when the reference stream samples AROUND the probe times
+    rather than before them.
+
+    Implemented as the UNION-WINDOW form, not a join: both event streams
+    tag into one frame, ONE shuffle on user_id orders it, and two frames
+    over the same sort (running last signup / upcoming first signup) give
+    each purchase its backward and forward candidate — O(n log n) per
+    user, no per-row subquery, no range join. Same-ts signups sort BEFORE
+    the purchase (tag 0 < 1) so a distance-0 match lands on the backward
+    leg; equal-ts signup ties resolve by event_id through the shared sort
+    key. At 100 TB this is the sessionize shape: one exchange, windows
+    reuse the partitioning, nothing corpus-sized moves twice."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("signup", "purchase")
+    )
+    tagged = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", 0).otherwise(1).alias("tag"),
+    )
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "tag", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    sig_us = F.when(F.col("tag") == 0, F.col("us"))
+    sig_id = F.when(F.col("tag") == 0, F.col("event_id"))
+    w = tagged.select(
+        "user_id",
+        "us",
+        "event_id",
+        "tag",
+        F.last(sig_us, ignorenulls=True).over(back).alias("b_us"),
+        F.last(sig_id, ignorenulls=True).over(back).alias("b_id"),
+        F.first(sig_us, ignorenulls=True).over(fwd).alias("f_us"),
+        F.first(sig_id, ignorenulls=True).over(fwd).alias("f_id"),
+    )
+    take_back = F.col("b_us").isNotNull() & (
+        F.col("f_us").isNull()
+        | (F.col("us") - F.col("b_us") <= F.col("f_us") - F.col("us"))
+    )
+    return w.filter(F.col("tag") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(take_back, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "signup_id"
+        ),
+        F.when(take_back, F.col("us") - F.col("b_us"))
+        .otherwise(F.col("f_us") - F.col("us"))
+        .alias("dist_us"),
+    )

@@ -1440,3 +1440,54 @@ def test_search_rp_recall_floor(spark, sf_dir):
     row = QUERIES["search_rp_recall"](spark, sf_dir).collect()[0]
     assert row.n_exact == 10
     assert row.n_hits >= 9
+
+
+def test_join_asof_nearest_matches_bruteforce(spark, sf_dir):
+    """The union-window nearest join must equal the brute-force spec: for
+    every purchase, min |Δts| over the user's signups (backward on ties),
+    computed here as an explicit join + rank. Pins direction semantics and
+    the tie rule, independently of the driver's oracle hash."""
+    from pyspark.sql import Window
+
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    out = {
+        r.purchase_id: (r.signup_id, r.dist_us)
+        for r in QUERIES["join_asof_nearest"](spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.unix_micros("ts").alias("pus"),
+    )
+    sig = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("sid"),
+        F.unix_micros("ts").alias("sus"),
+    )
+    j = pur.join(sig, "user_id").select(
+        "pid",
+        "sid",
+        F.abs(F.col("pus") - F.col("sus")).alias("dist"),
+        # backward-on-tie: among equal distances prefer sus <= pus, then the
+        # operator's event_id rule (max id backward, min id forward)
+        F.when(F.col("sus") <= F.col("pus"), 0).otherwise(1).alias("dirn"),
+        F.when(F.col("sus") <= F.col("pus"), -F.col("sid")).otherwise(
+            F.col("sid")
+        ).alias("tie"),
+    )
+    w = Window.partitionBy("pid").orderBy("dist", "dirn", "tie")
+    brute = {
+        r.pid: (r.sid, r.dist)
+        for r in j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    # purchases with no signup for the user: operator emits NULL signup
+    for pid, (sid, dist) in brute.items():
+        assert out[pid] == (sid, dist), (pid, out[pid], (sid, dist))
+    for pid, (sid, dist) in out.items():
+        if sid is not None:
+            assert pid in brute

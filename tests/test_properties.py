@@ -1336,3 +1336,32 @@ def test_normalize_text_idempotent_and_canonical(spark, raw):
     v2 = twice.collect()[0]["n2"]
     assert v1 == v2
     assert re.fullmatch(r"([a-z0-9]+( [a-z0-9]+)*)?", v1), v1
+
+
+# --- KMV/theta estimator: statistical contract over random universes ---------
+
+
+@given(
+    st.integers(min_value=200, max_value=4000),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_kmv_estimator_error_bound(n_distinct, seed):
+    """Pure-Python replica of sketch_theta_kmv's cardinality estimator
+    ((K−1)·W / v_K over K=128 smallest of uniform 60-bit hashes): the
+    estimate must land within 5·RSE = 44% of the true cardinality for any
+    universe size and hash seed — the loose bound that catches an off-by-one
+    (K vs K−1, v_K vs v_{K+1}) or a wrong-width hash space, which bias the
+    estimator far beyond 44%, without flaking on legitimate tail draws."""
+    import hashlib
+
+    K, W = 128, 1 << 60
+    hashes = sorted(
+        int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16)
+        for i in range(n_distinct)
+    )
+    if n_distinct >= K:
+        est = (K - 1) * W // hashes[K - 1]
+    else:
+        est = n_distinct
+    assert abs(est - n_distinct) <= 0.44 * n_distinct, (n_distinct, est)
