@@ -74,6 +74,7 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "search_rp_topk",
     "search_rp_recall",
     "join_asof_nearest",
+    "sketch_kmv_partitioned",
 )
 
 

@@ -951,3 +951,118 @@ def sketch_theta_kmv(spark, sf_dir):
         big("exact_union").alias("exact_union"),
         big("exact_inter").alias("exact_inter"),
     )
+
+
+@query(
+    "sketch_kmv_partitioned",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    grams AS (
+        SELECT source,
+               unnest(list_distinct(
+                   list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(w[i:i+2], ' ')))) AS g
+        FROM docs
+    ),
+    d AS (
+        SELECT DISTINCT source,
+               {_mh_duck_hash(_KMV_SEED, "g")} AS h
+        FROM grams
+    ),
+    rn AS (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM d
+    ),
+    sk AS (SELECT source, h FROM rn WHERE rk <= {_KMV_K}),
+    per AS (
+        SELECT source, max(h) AS vk, count(*) AS k FROM sk GROUP BY source
+    ),
+    mg AS (
+        SELECT h FROM (SELECT DISTINCT h FROM sk) ORDER BY h LIMIT {_KMV_K}
+    ),
+    su AS (SELECT max(h) AS vk, count(*) AS k FROM mg),
+    dr AS (
+        SELECT h FROM (SELECT DISTINCT h FROM d) ORDER BY h LIMIT {_KMV_K}
+    ),
+    sd AS (SELECT max(h) AS vk, count(*) AS k FROM dr)
+    SELECT source, CAST(k AS BIGINT) AS k, vk,
+           {_kmv_est_sql("vk", "k", "duck")} AS est
+    FROM per
+    UNION ALL
+    SELECT '__merged__' AS source, CAST(k AS BIGINT) AS k, vk,
+           {_kmv_est_sql("vk", "k", "duck")} AS est
+    FROM su
+    UNION ALL
+    SELECT '__direct__' AS source, CAST(k AS BIGINT) AS k, vk,
+           {_kmv_est_sql("vk", "k", "duck")} AS est
+    FROM sd
+    """,
+)
+def sketch_kmv_partitioned(spark, sf_dir):
+    """Two-level KMV rollup (the sketch_hll_partitioned pattern on the KMV
+    family): a bottom-128 distinct sketch of the 3-gram space built PER
+    SOURCE, each source's cardinality estimated from its own sketch, and
+    the GLOBAL estimate computed by MERGING the 20 per-source sketches —
+    never rescanning the facts. The emitted '__merged__' row must equal the
+    '__direct__' row (the sketch built from the full stream) EXACTLY:
+    bottom-K of a union of per-partition bottom-Ks is the global bottom-K
+    (the KMV merge identity, property-tested in tests/test_library.py) —
+    so the driver hash pins losslessness of the rollup, not an
+    approximation of it. This is how cardinality dashboards roll per-shard
+    sketches to any coarser grain at 100 TB: per-day sketch tables are KB,
+    merges never touch the facts.
+
+    Plan: one distinct shuffle over (source, gram-hash) with map-side
+    partial dedup, a per-source window on the collapsed distinct frame
+    (sources are bounded; at extreme per-source cardinality the two-level
+    mapInPandas compactor pattern of functions/quantile_sketch.py applies),
+    then K-row frames. Estimates share sketch_theta_kmv's closed form
+    (DECIMAL(38,0)/HUGEINT products)."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("w")
+    )
+    w = F.col("w")
+    gram_arr = F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 2),
+                lambda i: F.concat_ws(" ", F.slice(w, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = docs.select("source", F.explode(gram_arr).alias("g"))
+    d = grams.select(
+        "source", _mh_spark_family(_KMV_SEED, F.col("g")).alias("h")
+    ).distinct()
+    rk = F.row_number().over(Window.partitionBy("source").orderBy("h"))
+    sk = d.withColumn("rk", rk).filter(F.col("rk") <= _KMV_K).select(
+        "source", "h"
+    )
+    per = sk.groupBy("source").agg(
+        F.max("h").alias("vk"), F.count(F.lit(1)).alias("k")
+    )
+    mg = sk.select("h").distinct().orderBy("h").limit(_KMV_K)
+    su = mg.agg(F.max("h").alias("vk"), F.count(F.lit(1)).alias("k"))
+    dr = d.select("h").distinct().orderBy("h").limit(_KMV_K)
+    sd = dr.agg(F.max("h").alias("vk"), F.count(F.lit(1)).alias("k"))
+
+    def row(frame, label=None):
+        src = F.col("source") if label is None else F.lit(label)
+        return frame.select(
+            src.alias("source"),
+            big("k").alias("k"),
+            F.col("vk"),
+            F.expr(_kmv_est_sql("vk", "k", "spark")).alias("est"),
+        )
+
+    return (
+        row(per)
+        .unionByName(row(su, "__merged__"))
+        .unionByName(row(sd, "__direct__"))
+    )

@@ -1491,3 +1491,20 @@ def test_join_asof_nearest_matches_bruteforce(spark, sf_dir):
     for pid, (sid, dist) in out.items():
         if sid is not None:
             assert pid in brute
+
+
+def test_sketch_kmv_partitioned_merge_is_lossless(spark, sf_dir):
+    """The rollup's core claim, asserted directly: the '__merged__' row
+    (global sketch from merging per-source sketches) must EQUAL the
+    '__direct__' row (global sketch from the full stream) — bottom-K of a
+    union of per-partition bottom-Ks IS the global bottom-K. Also: every
+    per-source estimate is positive and the merged estimate is >= the
+    largest single source's (supersets can't shrink)."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    rows = {r.source: r for r in QUERIES["sketch_kmv_partitioned"](spark, sf_dir).collect()}
+    m, d = rows["__merged__"], rows["__direct__"]
+    assert (m.k, m.vk, m.est) == (d.k, d.vk, d.est)
+    per = [r for s, r in rows.items() if not s.startswith("__")]
+    assert per and all(r.est > 0 for r in per)
+    assert m.est >= max(r.est for r in per)
