@@ -75,6 +75,8 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "search_rp_recall",
     "join_asof_nearest",
     "sketch_kmv_partitioned",
+    "contam_span_remove",
+    "prune_prototypes",
 )
 
 

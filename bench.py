@@ -181,6 +181,9 @@ R12_HEADLINE = [
     "ts_seasonal_profile",        # r12: (type, hour) cells + window ratios
     "search_rp_topk",             # r12: 16-dim JL literal-fold scan
     "join_asof_nearest",          # r12: union-window nearest temporal match
+    "sketch_kmv_partitioned",     # r12: per-source bottom-K rollup + merge
+    "contam_span_remove",         # r12: broadcast bench grams, span surgery
+    "prune_prototypes",           # r12: argmin assignment + mean-ratio flag
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

@@ -1857,3 +1857,153 @@ def search_rp_recall(spark, sf_dir):
         big(F.count(F.lit(1))).alias("n_exact"),
         big(F.count("rid")).alias("n_hits"),
     )
+
+
+# --- prototype-distance data pruning (SSL-prototypes, Sorscher et al. '22) ----
+#
+# The typicality axis of data pruning, complementing the redundancy axis
+# (`dedup_semantic`/SemDeDup): score every example by its distance to its
+# assigned prototype (coarse centroid); examples FAR from every prototype
+# are outliers/noise candidates, examples extremely close are redundant
+# easy ones — which tail to prune is a policy knob, so the operator emits
+# the scored frame with the ratio statistic and the far-tail flag rather
+# than hard-dropping. Prototypes follow the IVF convention (the 8
+# lowest-vec_id vectors of the clustered corpus; a production run feeds
+# k-means centroids — embed_kmeans_iter — through the same frame).
+
+_PP_KC = 8
+
+
+@query(
+    "prune_prototypes",
+    oracle=f"""
+    WITH clustered AS ({_fixtures.EMBEDDINGS_CLUSTERED_SQL}),
+    src AS (
+      SELECT vec_id, embedding FROM clustered
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(embedding,
+                 e -> 3.0 * CAST(e AS DOUBLE)) AS embedding
+      FROM embeddings WHERE vec_id >= 50 AND vec_id < 70
+    ),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM src
+    ),
+    coarse AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS ccid,
+             q AS cc
+      FROM (SELECT vec_id, q FROM q ORDER BY vec_id LIMIT {_PP_KC})
+    ),
+    cd AS (
+      SELECT v.vec_id, c.ccid,
+             list_sum(list_transform(range(1, {_SQ_DIM + 1}),
+                 j -> (v.q[j] - c.cc[j]) * (v.q[j] - c.cc[j]))) AS d
+      FROM q v, coarse c
+    ),
+    cells AS (
+      SELECT vec_id, ccid, d
+      FROM (SELECT vec_id, ccid, d,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d, ccid) AS rn
+            FROM cd)
+      WHERE rn = 1
+    ),
+    cstat AS (
+      SELECT ccid, count(*) AS n_c, sum(d) AS sum_d
+      FROM cells GROUP BY ccid
+    )
+    SELECT cells.vec_id, cells.ccid,
+           CAST(cells.d AS BIGINT) AS d,
+           CAST(CAST(1000 AS HUGEINT) * cells.d * cstat.n_c
+                // cstat.sum_d AS BIGINT) AS ratio_permille,
+           CAST(CASE WHEN CAST(1000 AS HUGEINT) * cells.d * cstat.n_c
+                          // cstat.sum_d > 2000
+                THEN 1 ELSE 0 END AS BIGINT) AS prune_far
+    FROM cells JOIN cstat USING (ccid)
+    """,
+)
+def prune_prototypes(spark, sf_dir):
+    """Prototype-distance scoring of every vector: assignment to the
+    nearest of {_PP_KC} prototypes (argmin over squared grid distance,
+    tie → lowest ccid), the per-cell mean-relative distance ratio in
+    permille (1000·d·n_c / Σd — all-positive cross-multiplication in
+    HUGEINT/DECIMAL(38,0)), and the far-tail flag (ratio > 2× the cell
+    mean). The corpus is the clustered fixture PLUS 20 planted outliers
+    (3x-amplified raw vectors, id+10000): the organic cells are tight
+    (measured ratio <= 1793 permille at sf0.01), so the far flag fires on
+    exactly the planted noise -- tests pin that every plant is flagged.
+    Fully integer, fully hash-checked over all rows.
+
+    Scale shape — deliberately NO per-cell rank: a percentile-rank form
+    would shuffle the corpus on {_PP_KC} hot cell keys; the mean-ratio
+    statistic needs only per-cell (count, Σd) — map-side-partial
+    aggregates over a KB frame — broadcast back onto the scored stream.
+    Assignment is a broadcast nested-loop over the {_PP_KC}-row prototype
+    frame with an argmin collapse keyed vec_id (partials collapse map-side
+    — the exchange carries one row per vector). A deployment that wants a
+    true quantile threshold swaps the mean ratio for
+    functions/quantile_sketch's mergeable summary per cell — same plan
+    shape, one extra Arrow pass."""
+    clustered = _fixtures.embeddings_clustered(spark, sf_dir).select(
+        "vec_id", "embedding"
+    )
+    outliers = (
+        load(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") >= 50) & (F.col("vec_id") < 70))
+        .select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: F.lit(3.0) * x.cast("double")
+            ).alias("embedding"),
+        )
+    )
+    src = clustered.unionByName(outliers)
+    q = src.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    )
+    from pyspark.sql import Window
+
+    coarse = (
+        q.orderBy("vec_id")
+        .limit(_PP_KC)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("long")
+            .alias("ccid"),
+            F.col("q").alias("cc"),
+        )
+    )
+    zsum = lambda c: F.aggregate(
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    cd = q.crossJoin(F.broadcast(coarse)).select(
+        "vec_id",
+        "ccid",
+        zsum(F.zip_with("q", "cc", lambda a, b: (a - b) * (a - b))).alias(
+            "d"
+        ),
+    )
+    cells = (
+        cd.groupBy("vec_id")
+        .agg(F.min(F.struct("d", "ccid")).alias("m"))
+        .select("vec_id", F.col("m.ccid").alias("ccid"), F.col("m.d").alias("d"))
+    )
+    cstat = cells.groupBy("ccid").agg(
+        F.count(F.lit(1)).alias("n_c"), F.sum("d").alias("sum_d")
+    )
+    ratio = F.expr(
+        "CAST((CAST(1000 AS DECIMAL(38,0)) * d * n_c) div sum_d AS BIGINT)"
+    )
+    return cells.join(F.broadcast(cstat), "ccid").select(
+        "vec_id",
+        "ccid",
+        big("d").alias("d"),
+        ratio.alias("ratio_permille"),
+        (ratio > 2000).cast("long").alias("prune_far"),
+    )

@@ -1625,3 +1625,122 @@ def text_quality_classifier(spark, sf_dir):
             .alias("pred_en"),
         )
     )
+
+
+# --- surgical span-level decontamination --------------------------------------
+
+
+@query(
+    "contam_span_remove",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i.i AS i,
+               array_to_string(
+                   list_slice(toks, i.i, i.i + {_N - 1}), ' ') AS gram
+        FROM t, LATERAL (
+            SELECT unnest(range(1, greatest(n - {_N - 1}, 0) + 1)) AS i
+        ) i
+    ),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    cov AS (
+        SELECT DISTINCT g.doc_id, unnest(range(g.i, g.i + {_N})) AS p
+        FROM g JOIN bench USING (gram) WHERE g.doc_id % 97 <> 0
+    ),
+    ptok AS (
+        SELECT doc_id, p.p AS p, toks[p.p] AS tok
+        FROM t, LATERAL (SELECT unnest(range(1, n + 1)) AS p) p
+        WHERE doc_id % 97 <> 0
+    ),
+    kept AS (
+        SELECT ptok.doc_id, ptok.p, ptok.tok
+        FROM ptok ANTI JOIN cov ON ptok.doc_id = cov.doc_id AND ptok.p = cov.p
+    ),
+    cl AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+               string_agg(tok, ' ' ORDER BY p) AS clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n AS BIGINT) AS n_toks,
+           CAST(t.n - coalesce(cl.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(cl.clean, '') AS clean_text
+    FROM t LEFT JOIN cl USING (doc_id)
+    WHERE t.doc_id % 97 <> 0
+    """,
+)
+def contam_span_remove(spark, sf_dir):
+    """SURGICAL decontamination: instead of dropping a contaminated
+    training document (`contam_neardup`) or merely counting its
+    contaminated grams (`contam_ngram_overlap`), delete exactly the token
+    positions covered by a 5-gram that occurs anywhere in the eval set
+    (doc_id % 97 == 0), and re-emit the document from its surviving tokens
+    — the span-granular removal some pipelines prefer when a doc is mostly
+    clean (the Lee et al. machinery of `text_dup_span_remove`, re-aimed
+    from intra-corpus dups to the train/eval boundary; same `_N` spec as
+    the contam family, so ledger and removal can never disagree about what
+    counts as contaminated).
+
+    Scale shape — BETTER than the dup-span sibling because the span source
+    is the tiny side: the bench gram set BROADCASTS (no gram-keyed corpus
+    exchange at all; the dup form needs two), the hit test rides map-side
+    over the training gram stream, the covered-position expand is ×5 of
+    FLAGGED positions only (output-proportional), and the anti join +
+    rebuild shuffle the token stream on the doc key. No Python, no
+    window, no pair space."""
+    docs = load(spark, sf_dir, "documents")
+    tokenized = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
+    base = tokenized.select("doc_id", "toks", F.size(toks).alias("n"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.col("n") >= _N,
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n") - (_N - 1)),
+                    lambda i: F.array_join(F.slice(toks, i, _N), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("i0", "gram"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "gram")
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    covered = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("i"), F.col("i") + (_N - 1))).alias(
+                "p"
+            ),
+        )
+        .distinct()
+    )
+    train_base = base.filter(F.col("doc_id") % 97 != 0)
+    ptok = train_base.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    kept = ptok.join(covered, ["doc_id", "p"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        big(F.count(F.lit(1))).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    return train_base.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        big(F.col("n")).alias("n_toks"),
+        big(F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean"), F.lit("")).alias("clean_text"),
+    )

@@ -89,7 +89,7 @@ EXTENSIONS = {
     "dedup_lines_global", "sketch_theta_kmv",
     "contam_neardup", "text_quality_classifier", "ts_seasonal_profile",
     "search_rp_topk", "search_rp_recall", "join_asof_nearest",
-    "sketch_kmv_partitioned",
+    "sketch_kmv_partitioned", "contam_span_remove", "prune_prototypes",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

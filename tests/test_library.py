@@ -1508,3 +1508,52 @@ def test_sketch_kmv_partitioned_merge_is_lossless(spark, sf_dir):
     per = [r for s, r in rows.items() if not s.startswith("__")]
     assert per and all(r.est > 0 for r in per)
     assert m.est >= max(r.est for r in per)
+
+
+def test_contam_span_remove_consistent_with_ledger(spark, sf_dir):
+    """Cross-operator consistency: the surgical removal and the counting
+    ledger share the 5-gram spec, so a training doc with n_hit == 0 in
+    contam_ngram_overlap must round-trip byte-identical (n_removed == 0),
+    and every doc with n_hit > 0 must lose at least one token. Removal
+    must actually fire somewhere on the fixture."""
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    removed = {
+        r.doc_id: r for r in QUERIES["contam_span_remove"](spark, sf_dir).collect()
+    }
+    hits = {
+        r.doc_id: r.n_hit
+        for r in QUERIES["contam_ngram_overlap"](spark, sf_dir).collect()
+    }
+    original = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 97 != 0)
+        .collect()
+    }
+    assert any(r.n_removed > 0 for r in removed.values())
+    for doc_id, r in removed.items():
+        # ledger only emits docs with >=1 gram (n >= 5); short docs have no
+        # grams, hence nothing removable
+        n_hit = hits.get(doc_id, 0)
+        if n_hit == 0:
+            assert r.n_removed == 0, doc_id
+            assert r.clean_text == original[doc_id], doc_id
+        else:
+            assert r.n_removed > 0, doc_id
+
+
+def test_prune_prototypes_flags_exactly_the_plants(spark, sf_dir):
+    """Every planted outlier (3x-amplified vector, id+10000) must be
+    flagged prune_far=1 and no organic clustered vector may be flagged
+    (measured organic max ratio 1793 permille < the 2000 threshold at both
+    fixture scales) — the far-tail flag detects exactly the planted noise."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    rows = QUERIES["prune_prototypes"](spark, sf_dir).collect()
+    plants = [r for r in rows if r.vec_id >= 10000]
+    organics = [r for r in rows if r.vec_id < 10000]
+    assert len(plants) == 20
+    assert all(r.prune_far == 1 for r in plants)
+    assert all(r.prune_far == 0 for r in organics)

@@ -229,6 +229,15 @@ STRESS = [
     "contam_neardup",
     "text_quality_classifier",
     "search_sq8_rerank",
+    # Surgical decontamination: bench gram set stays broadcast-sized under
+    # KEYS multiplication (copy ids land off the %97 residue), the training
+    # gram stream scales, covered-position work is hit-proportional.
+    # sketch_kmv_partitioned follows sketch_theta_kmv's reading (same
+    # distinct floor, window on the collapsed frame); prune_prototypes is
+    # ABSENT by the join_fuzzy_blocked rule (the clustered fixture caps at
+    # 500+20 vectors — a constant under KEYS multiplication).
+    "contam_span_remove",
+    "sketch_kmv_partitioned",
 ]
 
 
