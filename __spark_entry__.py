@@ -77,6 +77,15 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "sketch_kmv_partitioned",
     "contam_span_remove",
     "prune_prototypes",
+    # --- Round-12 third batch (never driver-checked): the URL stage, OHLC
+    # bars, nucleus vocab cut, budget apportionment, source interleave
+    "web_url_canonicalize",
+    "dedup_url_keep_first",
+    "web_domain_cap",
+    "ts_resample_ohlc",
+    "text_vocab_nucleus",
+    "mix_budget_alloc",
+    "pack_interleave_sources",
 )
 
 

@@ -184,6 +184,14 @@ R12_HEADLINE = [
     "sketch_kmv_partitioned",     # r12: per-source bottom-K rollup + merge
     "contam_span_remove",         # r12: broadcast bench grams, span surgery
     "prune_prototypes",           # r12: argmin assignment + mean-ratio flag
+    # Third batch (web/URL stage + assembly): web_url_canonicalize is not
+    # pinned separately (map-only; it IS the projection inside the dedup
+    # leg), nor mix_budget_alloc (agg_sum_groupby floor + an 18-row frame).
+    "dedup_url_keep_first",       # r12: canonical-URL keep-first shuffle
+    "web_domain_cap",             # r12: per-host head-of-sequence cap
+    "ts_resample_ohlc",           # r12: hourly OHLC bars, agg-only min_by form
+    "text_vocab_nucleus",         # r12: top-p vocab cut on the count frame
+    "pack_interleave_sources",    # r12: two-phase skew-safe interleave rank
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

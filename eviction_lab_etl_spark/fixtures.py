@@ -329,3 +329,59 @@ def embeddings_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cid"),
         )
     )
+
+
+# --- documents with synthetic crawl URLs (web-stage operators) ----------------
+
+# RefinedWeb/CCNet stage-1 runs on URLs before any document byte is read:
+# canonicalize, dedup by canonical form, cap per-domain volume. The fixture
+# corpus has no URL column, so one is synthesized deterministically from
+# (doc_id, source) carrying every noise axis the canonicalizer must fold —
+# scheme variants, `www.`, host case, trailing slash, utm_* tracking params in
+# BOTH positions (leading and trailing inside the query string), fragments —
+# while meaningful params (`page=`, `id=`) must SURVIVE canonicalization.
+# Canonical collisions are guaranteed (path = doc_id % 50 within a source, and
+# the kept-param residue is itself periodic), so the URL dedup decides real
+# groups at every SF.
+DOCUMENTS_WITH_URLS_SQL = """
+        SELECT doc_id, source,
+               (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+               || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+               || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
+               || '.example.com/docs/' || CAST(doc_id % 50 AS VARCHAR)
+               || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 4 = 0
+                        THEN '?utm_source=feed&page=' || CAST(doc_id % 3 AS VARCHAR)
+                        WHEN doc_id % 4 = 2
+                        THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
+                             || '&utm_campaign=mail'
+                        ELSE '' END)
+               || (CASE WHEN doc_id % 11 = 0 THEN '#top' ELSE '' END) AS url
+        FROM documents
+"""
+
+
+def documents_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.when(d % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(d % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com/docs/"),
+        (d % 50).cast("string"),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("?utm_source=feed&page="), (d % 3).cast("string")),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("?id="), (d % 50).cast("string"), F.lit("&utm_campaign=mail")
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("#top")).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", "source", url.alias("url"))

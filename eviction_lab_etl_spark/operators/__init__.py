@@ -29,5 +29,6 @@ from eviction_lab_etl_spark.operators import (  # noqa: F401
     tpch_shapes,
     training,
     udfs,
+    web,
     windows,
 )

@@ -981,3 +981,72 @@ def dedup_lines_global(spark, sf_dir):
             " ",
         ).alias("new_text"),
     )
+
+
+# --- nucleus (top-p) vocabulary cut ------------------------------------------
+
+_NUCLEUS_PERMILLE = 900  # keep the minimal head covering >= 90% of token mass
+
+
+@query(
+    "text_vocab_nucleus",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    counts AS (
+        SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks GROUP BY lang, tok
+    ),
+    ranked AS (
+        SELECT lang, tok, c,
+               CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS t,
+               CAST(sum(c) OVER (PARTITION BY lang ORDER BY c DESC, tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok)
+                    AS BIGINT) AS rnk
+        FROM counts
+    )
+    SELECT lang, tok, c, cum, rnk FROM ranked
+    WHERE (cum - c) * 1000 < t * {_NUCLEUS_PERMILLE}
+    """,
+)
+def text_vocab_nucleus(spark, sf_dir):
+    """Per-language nucleus (top-p) vocabulary: the minimal frequency-ranked
+    prefix of the token distribution covering >= 90% of each language's
+    token mass — how a tokenizer pipeline sizes its language-specific vocab
+    budget and what an OOV-rate monitor alerts on. The cut is the top-p rule
+    (keep while the mass BEFORE the token is under the threshold, so the
+    boundary token is included and coverage is guaranteed), evaluated as one
+    all-integer cross-multiplication — no ratio, no float, no engine
+    divergence; ties at equal count break on the token itself, making the
+    kept set a total-order prefix the driver hash can pin.
+
+    Scale shape: the token stream collapses to the (lang, token) count frame
+    in one gram-keyed exchange with map-side combine (the text_ngrams
+    floor); both windows and the threshold run on that VOCABULARY-bounded
+    frame partitioned by language — nothing corpus-sized moves past the
+    first shuffle, and per-lang window keys are as coarse as the final
+    output demands (a per-lang result is per-lang ordered by definition)."""
+    from pyspark.sql import Window
+
+    counts = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wt = Window.partitionBy("lang")
+    wc = Window.partitionBy("lang").orderBy(F.col("c").desc(), "tok")
+    ranked = counts.select(
+        "lang",
+        "tok",
+        "c",
+        F.sum("c").over(wt).alias("t"),
+        F.sum("c").over(wc.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.row_number().over(wc).cast("long").alias("rnk"),
+    )
+    return ranked.filter(
+        (F.col("cum") - F.col("c")) * 1000 < F.col("t") * _NUCLEUS_PERMILLE
+    ).select("lang", "tok", "c", "cum", "rnk")

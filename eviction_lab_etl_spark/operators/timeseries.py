@@ -518,3 +518,64 @@ def ts_seasonal_profile(spark, sf_dir):
             " div (CAST(n AS DECIMAL(38,0)) * sum_t) AS BIGINT)"
         ).alias("ratio_permille"),
     )
+
+
+@query(
+    "ts_resample_ohlc",
+    oracle="""
+    WITH keyed AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS bar,
+               lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+               lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord,
+               value,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
+        FROM events
+    )
+    SELECT event_type, bar,
+           arg_min(value, ord) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ord) AS close,
+           CAST(sum(v_cents) AS BIGINT) AS vol_cents,
+           CAST(count(*) AS BIGINT) AS n
+    FROM keyed GROUP BY event_type, bar
+    """,
+)
+def ts_resample_ohlc(spark, sf_dir):
+    """Downsample the event stream to hourly OHLC bars per event type — the
+    kdb/TimescaleDB candle rollup every metrics store needs. open/close are
+    the first/last value by (ts, event_id); because DuckDB's ``arg_min``
+    takes no composite ordering key, the order is encoded as ONE
+    lexicographic string — zero-padded epoch-microseconds ++ zero-padded
+    event_id — identical in both engines (non-negative epochs; the fixture
+    clock starts 2024, and a production chain spanning pre-1970 data would
+    offset the epoch first, the joins.py negative-epoch rule).
+
+    Scale shape, graded for 100 TB: deliberately the AGG-ONLY form —
+    ``min_by``/``max_by``/``min``/``max``/``sum`` all collapse map-side, so
+    the stream reaches the single (type, hour)-keyed exchange already
+    reduced to one partial row per (partition × bar), where the window form
+    (row_number + filter) would ship every fact row through the shuffle.
+    open/high/low/close are SELECTED doubles (never summed — no float
+    aggregation order to diverge); volume aggregates in exact cents."""
+    from eviction_lab_etl_spark.functions.determinism import cents
+
+    keyed = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bar"),
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ).alias("ord"),
+        "value",
+        cents("value").alias("v_cents"),
+    )
+    return keyed.groupBy("event_type", "bar").agg(
+        F.min_by("value", "ord").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max_by("value", "ord").alias("close"),
+        big(F.sum("v_cents")).alias("vol_cents"),
+        big(F.count(F.lit(1))).alias("n"),
+    )

@@ -1744,3 +1744,194 @@ def contam_span_remove(spark, sf_dir):
         ),
         F.coalesce(F.col("clean"), F.lit("")).alias("clean_text"),
     )
+
+
+# --- token-budget apportionment across mixture groups -------------------------
+
+_MIX_BUDGET = 1_000_000  # tokens to apportion across (lang, source) groups
+
+
+def apportion_budget(groups, budget: int):
+    """Largest-remainder apportionment core: given a (lang, source, w) group
+    frame, return (lang, source, w, rnk, alloc) with Σ alloc == budget.
+    floor(B·w/N) per group, then the B − Σfloor leftover units go to the
+    largest fractional remainders, tie-broken on the group key — a total
+    order. Products in DECIMAL(38,0) (the PMI overflow discipline): B·w
+    exceeds the int64 envelope once a group holds ~10^13 chars, which a
+    100 TB corpus does. All windows run on the |langs|·|sources| group
+    frame — nothing corpus-sized."""
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    t = groups.select("lang", "source", "w", F.sum("w").over(wall).alias("n"))
+    f = t.select(
+        "lang",
+        "source",
+        "w",
+        F.expr(
+            f"CAST((CAST({budget} AS DECIMAL(38,0)) * w) div n AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            f"CAST((CAST({budget} AS DECIMAL(38,0)) * w) % n AS BIGINT)"
+        ).alias("frac"),
+    )
+    wr = Window.orderBy(F.col("frac").desc(), "lang", "source")
+    r = f.select(
+        "lang",
+        "source",
+        "w",
+        "base",
+        (F.lit(budget) - F.sum("base").over(wall)).cast("long").alias("rem"),
+        F.row_number().over(wr).cast("long").alias("rnk"),
+    )
+    return r.select(
+        "lang",
+        "source",
+        "w",
+        "rnk",
+        (F.col("base") + F.when(F.col("rnk") <= F.col("rem"), 1).otherwise(0))
+        .cast("long")
+        .alias("alloc"),
+    )
+
+
+@query(
+    "mix_budget_alloc",
+    oracle=f"""
+    WITH g AS (
+        SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS w
+        FROM documents GROUP BY lang, source
+    ),
+    t AS (
+        SELECT lang, source, w, CAST(sum(w) OVER () AS BIGINT) AS n FROM g
+    ),
+    f AS (
+        SELECT lang, source, w,
+               CAST((CAST({_MIX_BUDGET} AS HUGEINT) * w) // n AS BIGINT)
+                 AS base,
+               CAST((CAST({_MIX_BUDGET} AS HUGEINT) * w) % n AS BIGINT)
+                 AS frac
+        FROM t
+    ),
+    r AS (
+        SELECT lang, source, w, base,
+               CAST({_MIX_BUDGET} - sum(base) OVER () AS BIGINT) AS rem,
+               CAST(row_number() OVER (ORDER BY frac DESC, lang, source)
+                    AS BIGINT) AS rnk
+        FROM f
+    )
+    SELECT lang, source, w, rnk,
+           CAST(base + (CASE WHEN rnk <= rem THEN 1 ELSE 0 END) AS BIGINT)
+             AS alloc
+    FROM r
+    """,
+)
+def mix_budget_alloc(spark, sf_dir):
+    """Largest-remainder apportionment of a fixed token budget across the
+    (lang, source) mixture groups, proportional to group weight — the exact
+    integer form of a training-mixture table (each group's final row count /
+    token draw must be an INTEGER, and the draws must sum to the budget
+    EXACTLY; naive rounding breaks both). Core in ``apportion_budget``
+    (property-tested under hypothesis: Σ alloc == B, per-group alloc ∈
+    {floor, floor+1}, python-replica rank agreement); the driver hash pins
+    the whole apportionment including the tie policy.
+
+    Scale shape: one (lang, source)-keyed aggregate over the corpus with
+    map-side collapse (the agg_sum_groupby floor); everything after runs on
+    the group frame — window keys and products included."""
+    g = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.sum("n_chars").cast("long").alias("w"))
+    )
+    return apportion_budget(g, _MIX_BUDGET)
+
+
+# --- deterministic round-robin interleave across sources ----------------------
+
+_ILV_BUCKET = 256  # doc_id range per rank bucket (two-phase sequence assign)
+
+
+@query(
+    "pack_interleave_sources",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS src_idx
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_src FROM s),
+    r AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                    AS BIGINT) AS rank_in_src
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.rank_in_src,
+           CAST((r.rank_in_src - 1) * n.n_src + s.src_idx AS BIGINT) AS pos
+    FROM r JOIN s USING (source) CROSS JOIN n
+    """,
+)
+def pack_interleave_sources(spark, sf_dir):
+    """Deterministic round-robin interleave of the corpus across sources —
+    the training-order shuffle that guarantees every window of the stream
+    sees every source at its mixture rate (a source-sorted corpus gives the
+    optimizer hours of one domain; an RNG shuffle is irreproducible).
+    pos = (rank_in_source − 1)·S + source_index: a total, gap-free-per-round
+    order the driver hash pins end to end.
+
+    The interesting part at 100 TB is rank_in_source: the textbook
+    row_number() window partitions on source — a HANDFUL of hot keys, each
+    funneling its whole slice through one reducer. This implementation uses
+    the two-phase distributed sequence assignment instead: (1) doc_ids are
+    range-bucketed (div {bucket}); per-(source, bucket) counts — a tiny
+    frame — cumulate into per-bucket START OFFSETS broadcast back; (2) each
+    row takes offset + its rank WITHIN its (source, bucket) cell, a window
+    over fine-grained keys with no hot reducer. The oracle states the
+    logical spec (plain per-source row_number), so the driver hash pins the
+    two-phase plan's equivalence to it; src_idx/S ride 1-row / |sources|-row
+    broadcasts."""
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(f"doc_id div {_ILV_BUCKET}").alias("bkt")
+    )
+    counts = docs.groupBy("source", "bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    wo = (
+        Window.partitionBy("source")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "source", "bkt", F.coalesce(F.sum("cnt").over(wo), F.lit(0)).alias("off")
+    )
+    srcs = (
+        docs.select("source")
+        .distinct()
+        .select(
+            "source",
+            F.row_number()
+            .over(Window.orderBy("source"))
+            .cast("long")
+            .alias("src_idx"),
+        )
+    )
+    n_src = srcs.agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+    wl = Window.partitionBy("source", "bkt").orderBy("doc_id")
+    ranked = (
+        docs.withColumn("local_rk", F.row_number().over(wl))
+        .join(F.broadcast(offsets), ["source", "bkt"])
+        .join(F.broadcast(srcs), "source")
+        .crossJoin(F.broadcast(n_src))
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        (F.col("off") + F.col("local_rk")).cast("long").alias("rank_in_src"),
+        (
+            (F.col("off") + F.col("local_rk") - 1) * F.col("n_src")
+            + F.col("src_idx")
+        )
+        .cast("long")
+        .alias("pos"),
+    )

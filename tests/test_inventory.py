@@ -90,6 +90,9 @@ EXTENSIONS = {
     "contam_neardup", "text_quality_classifier", "ts_seasonal_profile",
     "search_rp_topk", "search_rp_recall", "join_asof_nearest",
     "sketch_kmv_partitioned", "contam_span_remove", "prune_prototypes",
+    "web_url_canonicalize", "dedup_url_keep_first", "web_domain_cap",
+    "ts_resample_ohlc", "text_vocab_nucleus", "mix_budget_alloc",
+    "pack_interleave_sources",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

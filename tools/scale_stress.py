@@ -238,6 +238,26 @@ STRESS = [
     # 500+20 vectors — a constant under KEYS multiplication).
     "contam_span_remove",
     "sketch_kmv_partitioned",
+    # Round-12 third batch: URL dedup (canonical-key shuffle with map-side
+    # collapse — canonical key space is residue-bounded, so copies are pure
+    # dup mass, exactly what the partial aggregation must absorb;
+    # web_url_canonicalize itself is ABSENT as the map-only floor measured
+    # inside this leg), the domain cap (deliberately the hot-key window —
+    # hosts stay ~20 under KEYS multiplication while rows grow, measuring
+    # the skew the docstring concedes; output stays cap×hosts), OHLC bars
+    # ((type, hour)-keyed agg with min_by/max_by partial collapse — events
+    # and bar keys both scale), the nucleus cut (token stream scales,
+    # count frame vocabulary-bounded — the text_tfidf_topterms class), and
+    # the two-phase interleave rank (the skew-safe sequence assignment's
+    # whole point is surviving this sweep; counts frame = sources×buckets
+    # grows only with the doc_id RANGE). mix_budget_alloc is ABSENT by the
+    # ts_seasonal_profile rule (agg_sum_groupby floor + windows on the
+    # |langs|·|sources| frame — a sweep would re-time that floor).
+    "dedup_url_keep_first",
+    "web_domain_cap",
+    "ts_resample_ohlc",
+    "text_vocab_nucleus",
+    "pack_interleave_sources",
 ]
 
 
