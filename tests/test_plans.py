@@ -1129,3 +1129,66 @@ def test_search_rp_topk_corpus_never_exchanges_before_cut(spark, sf_dir):
 
     for part in _re.findall(r"hashpartitioning\(([^)]*)\)", rp["plan"]):
         raise AssertionError(f"corpus hash exchange leaked: {part}")
+
+
+def test_round12_web_and_assembly_plan_shapes(spark, sf_dir):
+    """Round-12 third batch scale pins.
+
+    - dedup_url_keep_first: the canonicalizer is a scan-projection regex
+      chain (no Python), and the keep-first collapses map-side — exactly one
+      data-sized hash exchange, keyed on the canonical URL.
+    - ts_resample_ohlc: the agg-only OHLC form — every exchange keyed
+      (event_type, bar); no sort-merge join, no window over the fact stream.
+    - text_vocab_nucleus: the token stream collapses on (lang, tok); the
+      windows run per-lang on the collapsed count frame — no other keys.
+    - pack_interleave_sources: the two-phase rank never hash-exchanges on
+      the bare hot source key for the DOC stream (only (source, bkt) fine
+      keys); offsets/src-index/n_src sides all broadcast.
+    """
+    url = plan_of(spark, sf_dir, "dedup_url_keep_first")
+    assert url["python_rows"] == 0 and url["arrow_python"] == 0
+    import re as _re
+
+    url_parts = _re.findall(r"hashpartitioning\(([^)]*)\)", url["plan"])
+    assert url_parts, url["plan"]
+    for arglist in url_parts:
+        assert "canon_url" in arglist, arglist
+
+    ohlc = plan_of(spark, sf_dir, "ts_resample_ohlc")
+    assert ohlc["python_rows"] == 0 and ohlc["arrow_python"] == 0
+    assert ohlc["sortmerge_joins"] == 0
+    assert "Window" not in ohlc["plan"], "OHLC must stay agg-only"
+    for arglist in _re.findall(r"hashpartitioning\(([^)]*)\)", ohlc["plan"]):
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        assert keys <= {"event_type", "bar"}, arglist
+
+    nuc = plan_of(spark, sf_dir, "text_vocab_nucleus")
+    assert nuc["python_rows"] == 0 and nuc["arrow_python"] == 0
+    for arglist in _re.findall(r"hashpartitioning\(([^)]*)\)", nuc["plan"]):
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        assert keys <= {"lang", "tok"}, arglist
+
+    ilv = plan_of(spark, sf_dir, "pack_interleave_sources")
+    assert ilv["python_rows"] == 0 and ilv["arrow_python"] == 0
+    assert ilv["sortmerge_joins"] == 0
+    assert ilv["broadcast_joins"] >= 2, ilv["plan"]
+    doc_stream_parts = [
+        arglist
+        for arglist in _re.findall(r"hashpartitioning\(([^)]*)\)", ilv["plan"])
+        if "doc_id" in arglist or "bkt" in arglist
+    ]
+    # The doc stream may exchange only on the fine (source, bkt) key (its
+    # local-rank window); the bare-source exchanges in the plan belong to
+    # the tiny counts/offsets frame (cumulative window), never the stream.
+    for arglist in doc_stream_parts:
+        assert "bkt" in arglist, arglist
