@@ -86,6 +86,11 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "text_vocab_nucleus",
     "mix_budget_alloc",
     "pack_interleave_sources",
+    # --- Round-12 fourth batch (never driver-checked): filtered retrieval,
+    # last-touch attribution, count-frame exact median
+    "search_filtered_topk",
+    "events_attribution_last_touch",
+    "agg_median_countframe",
 )
 
 

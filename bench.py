@@ -192,6 +192,10 @@ R12_HEADLINE = [
     "ts_resample_ohlc",           # r12: hourly OHLC bars, agg-only min_by form
     "text_vocab_nucleus",         # r12: top-p vocab cut on the count frame
     "pack_interleave_sources",    # r12: two-phase skew-safe interleave rank
+    # Fourth batch: agg_median_countframe is not pinned (count-frame collapse
+    # = the agg_sum_groupby floor + a window on the collapsed frame).
+    "search_filtered_topk",       # r12: pushed-predicate exact retrieval
+    "events_attribution_last_touch",  # r12: ignore-nulls window attribution
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

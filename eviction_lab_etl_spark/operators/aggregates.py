@@ -466,3 +466,71 @@ def agg_percentiles_by_lang(spark, sf_dir):
         F.floor(F.percentile(n, F.lit(0.5))).cast("long").alias("p50"),
         F.floor(F.percentile(n, F.lit(0.75))).cast("long").alias("p75"),
     )
+
+
+@query(
+    "agg_median_countframe",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        FROM events
+    ),
+    c AS (SELECT event_type, v, count(*) AS cnt FROM e GROUP BY event_type, v),
+    r AS (
+        SELECT event_type, v,
+               CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS t
+        FROM c
+    )
+    SELECT event_type,
+           CAST(min(t) AS BIGINT) AS n,
+           CAST(min(v) AS BIGINT) AS median_cents
+    FROM r WHERE 2 * cum >= t GROUP BY event_type
+    """,
+)
+def agg_median_countframe(spark, sf_dir):
+    """Exact grouped median via the distinct-value COUNT FRAME — the
+    100-TB-scalable exact algorithm, in deliberate contrast to
+    ``agg_percentiles_by_lang``'s ``percentile()`` (which buffers every
+    group's values in executor memory for the per-group sort: fine for
+    per-stratum stats, an OOM at a billion rows per group). Here the fact
+    stream collapses to (group, value, count) in one exchange with map-side
+    combine — bounded by the value DOMAIN (cents in a known range), not the
+    row count — and the median is read off the cumulative frame as the
+    smallest value whose doubled running count reaches the total (the exact
+    lower median; all-integer, no interpolation, no engine divergence).
+    The same frame answers any quantile and costs one window over the
+    collapsed counts."""
+    from pyspark.sql import Window
+
+    from eviction_lab_etl_spark.functions.determinism import cents
+
+    c = (
+        load(spark, sf_dir, "events")
+        .select("event_type", cents("value").alias("v"))
+        .groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    r = c.select(
+        "event_type",
+        "v",
+        F.sum("cnt").over(wc).cast("long").alias("cum"),
+        F.sum("cnt").over(wt).cast("long").alias("t"),
+    )
+    return (
+        r.filter(2 * F.col("cum") >= F.col("t"))
+        .groupBy("event_type")
+        .agg(
+            F.min("t").cast("long").alias("n"),
+            F.min("v").cast("long").alias("median_cents"),
+        )
+    )

@@ -2007,3 +2007,62 @@ def prune_prototypes(spark, sf_dir):
         ratio.alias("ratio_permille"),
         (ratio > 2000).cast("long").alias("prune_far"),
     )
+
+
+# --- metadata-filtered exact retrieval ----------------------------------------
+
+_FILT_LABEL = 3
+_FILT_TOPK = 10
+
+
+@query(
+    "search_filtered_topk",
+    oracle=f"""
+    WITH p AS (SELECT embedding AS pv FROM embeddings WHERE vec_id = 0),
+    s AS (
+        SELECT e.vec_id,
+               list_cosine_similarity(e.embedding, p.pv) AS sim
+        FROM embeddings e, p
+        WHERE e.label = {_FILT_LABEL} AND e.vec_id <> 0
+    )
+    SELECT CAST(vec_id AS BIGINT) AS nbr,
+           CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rk
+    FROM s ORDER BY sim DESC, vec_id LIMIT {_FILT_TOPK}
+    """,
+)
+def search_filtered_topk(spark, sf_dir):
+    """Metadata-filtered vector search — the "filtered ANN" surface every
+    retrieval stack needs (tenant / language / license scoping): top-k by
+    cosine among ONLY the corpus rows whose label matches the predicate.
+    The deciding design point at 100 TB is WHERE the filter runs: here it
+    is a plain column predicate on the corpus scan, so Catalyst pushes it
+    to the parquet reader (row-group stats skip non-matching groups
+    entirely) and the cosine fold runs on survivors only — pre-filtering,
+    the posture FAISS cannot take (it post-filters candidate lists and
+    loses recall under selective predicates). Plan-pinned: label reaches
+    PushedFilters, the corpus never hash-exchanges, and the cut is
+    TakeOrderedAndProject. Probe rides a 1-row broadcast; output is
+    integer ids + rank only (§2.0 rule 6 — raw float scores never hashed);
+    ordering ties break on vec_id. Exact within the filtered set — the
+    IVF/SQ8 variants compose with the same pushed predicate."""
+    from pyspark.sql import Window
+
+    from eviction_lab_etl_spark.operators.dedup_text import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("pv"))
+    )
+    scored = (
+        emb.filter((F.col("label") == _FILT_LABEL) & (F.col("vec_id") != 0))
+        .join(probe)
+        .select(
+            "vec_id", cosine(F.col("embedding"), F.col("pv")).alias("sim")
+        )
+    )
+    top = scored.orderBy(F.col("sim").desc(), "vec_id").limit(_FILT_TOPK)
+    w = Window.orderBy(F.col("sim").desc(), "vec_id")
+    return top.select(
+        big("vec_id").alias("nbr"),
+        F.row_number().over(w).cast("long").alias("rk"),
+    )

@@ -352,3 +352,67 @@ def events_streak_islands(spark, sf_dir):
         F.max("run_len").cast("long").alias("max_streak"),
         F.count(F.lit(1)).cast("long").alias("n_islands"),
     )
+
+
+@query(
+    "events_attribution_last_touch",
+    oracle="""
+    WITH attributed AS (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_id END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_id,
+               last_value(CASE WHEN event_type IN ('click', 'view')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS touch_type
+        FROM events
+    )
+    SELECT user_id, event_id AS purchase_id, touch_id, touch_type
+    FROM attributed WHERE event_type = 'purchase'
+    """,
+)
+def events_attribution_last_touch(spark, sf_dir):
+    """Last-touch attribution: every purchase is credited to the user's most
+    recent preceding marketing touch (click or view) — the conversion-
+    attribution join every growth-analytics store runs. NULL touch = an
+    unattributed (organic / first-event) purchase, kept on purpose: the
+    unattributed rate is itself the metric. Expressed as ONE pass over the
+    user-keyed window (ignore-nulls last_value over a 1-PRECEDING frame),
+    not an asof self-join — same answer, half the exchanges.
+
+    Scale shape: one user-keyed exchange (millions of user keys — no hot
+    reducer), two frame-sharing window expressions over the same sort, then
+    a purchase filter; output is purchase-proportional. The (ts, event_id)
+    ordering is total per user, so ties cannot flip attribution between
+    engines."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_id")
+    )
+    touch_t = F.when(
+        F.col("event_type").isin("click", "view"), F.col("event_type")
+    )
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.last(touch, ignorenulls=True).over(w).alias("touch_id"),
+        F.last(touch_t, ignorenulls=True).over(w).alias("touch_type"),
+    )
+    return ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        "touch_id",
+        "touch_type",
+    )

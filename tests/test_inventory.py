@@ -93,6 +93,8 @@ EXTENSIONS = {
     "web_url_canonicalize", "dedup_url_keep_first", "web_domain_cap",
     "ts_resample_ohlc", "text_vocab_nucleus", "mix_budget_alloc",
     "pack_interleave_sources",
+    "search_filtered_topk", "events_attribution_last_touch",
+    "agg_median_countframe",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

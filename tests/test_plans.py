@@ -1192,3 +1192,44 @@ def test_round12_web_and_assembly_plan_shapes(spark, sf_dir):
     # the tiny counts/offsets frame (cumulative window), never the stream.
     for arglist in doc_stream_parts:
         assert "bkt" in arglist, arglist
+
+
+def test_search_filtered_topk_predicate_pushed_no_exchange(spark, sf_dir):
+    """The filtered-retrieval promise: the label predicate reaches the
+    parquet scan (PushedFilters — row-group stats can skip), the corpus
+    path never hash-exchanges (1-row probe broadcast + TakeOrdered cut),
+    and the fold stays JVM-side."""
+    info = plan_of(spark, sf_dir, "search_filtered_topk")
+    assert any("label" in p for p in info["pushed_filters"]), info["pushed_filters"]
+    assert "TakeOrderedAndProject" in info["plan"]
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0
+    import re as _re
+
+    for part in _re.findall(r"hashpartitioning\(([^)]*)\)", info["plan"]):
+        raise AssertionError(f"corpus hash exchange leaked: {part}")
+
+
+def test_attribution_and_median_single_user_or_domain_keyed(spark, sf_dir):
+    """events_attribution_last_touch: exactly one user-keyed exchange (both
+    ignore-nulls windows share the sort), purchase filter after. The
+    count-frame median: the fact stream exchanges only on (event_type, v)
+    — the collapse — plus event_type for the frame windows; never wider."""
+    import re as _re
+
+    att = plan_of(spark, sf_dir, "events_attribution_last_touch")
+    assert att["python_rows"] == 0 and att["arrow_python"] == 0
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", att["plan"])
+    assert len(parts) == 1, parts
+    assert "user_id" in parts[0]
+    assert att["plan"].count("Window") <= 2, "windows must share one sort"
+
+    med = plan_of(spark, sf_dir, "agg_median_countframe")
+    assert med["python_rows"] == 0 and med["arrow_python"] == 0
+    for arglist in _re.findall(r"hashpartitioning\(([^)]*)\)", med["plan"]):
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        assert keys <= {"event_type", "v"}, arglist

@@ -258,6 +258,16 @@ STRESS = [
     "ts_resample_ohlc",
     "text_vocab_nucleus",
     "pack_interleave_sources",
+    # Round-12 fourth batch: last-touch attribution (user-keyed window over
+    # the scaled event stream — users multiply with copies, so per-key state
+    # stays constant while keys grow: the skew-free growth axis).
+    # search_filtered_topk is ABSENT: its corpus path is a strict subset of
+    # sim_knn_cosine's measured floor (1 probe vs 10, label-filtered scan,
+    # same TakeOrdered cut) — a sweep would re-time less than that row.
+    # agg_median_countframe is ABSENT by the ts_seasonal_profile rule: the
+    # (type, cents)-keyed collapse is the agg_sum_groupby floor; the windows
+    # run on the value-domain-bounded count frame, constant under scaling.
+    "events_attribution_last_touch",
 ]
 
 
