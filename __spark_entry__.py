@@ -91,6 +91,12 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "search_filtered_topk",
     "events_attribution_last_touch",
     "agg_median_countframe",
+    # --- Round-12 fifth batch (never driver-checked): URL scalar parts, the
+    # web-ingest funnel composition, windowed top-k, parquet bloom round-trip
+    "scalar_url_parts",
+    "pipeline_web_ingest",
+    "stream_tumbling_topk",
+    "io_parquet_bloom_roundtrip",
 )
 
 

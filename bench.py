@@ -196,6 +196,11 @@ R12_HEADLINE = [
     # = the agg_sum_groupby floor + a window on the collapsed frame).
     "search_filtered_topk",       # r12: pushed-predicate exact retrieval
     "events_attribution_last_touch",  # r12: ignore-nulls window attribution
+    # Fifth batch: scalar_url_parts is not pinned (map-only scan projection,
+    # the web_url_canonicalize rule); io_parquet_bloom_roundtrip is not
+    # pinned (its wall is the fixture's parquet write, the incr_* rule).
+    "pipeline_web_ingest",        # r12: URL funnel -> normalize composition
+    "stream_tumbling_topk",       # r12: windowed top-k on collapsed counts
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

@@ -1279,3 +1279,96 @@ def search_mmr_diverse(spark, sf_dir):
     return sel.join(
         F.broadcast(cand.select("doc_id", "rel_rank")), "doc_id"
     ).select("rnk", "doc_id", "rel_rank")
+
+
+# --- end-to-end web-ingest funnel ---------------------------------------------
+
+
+def _web_ingest_oracle() -> str:
+    from eviction_lab_etl_spark.operators import cleaning, web
+
+    return f"""
+    WITH {web._CANON_CTE},
+    uniq AS (
+        SELECT canon_url, min(host) AS host, min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM canon GROUP BY canon_url
+    ),
+    capped AS (
+        SELECT host, keep_id, n_copies,
+               row_number() OVER (PARTITION BY host ORDER BY keep_id) AS rk
+        FROM uniq
+    ),
+    final AS (
+        SELECT c.host, c.keep_id,
+               length({cleaning._NORM_SQL.format(col="d.text")}) AS norm_len
+        FROM capped c JOIN documents d ON d.doc_id = c.keep_id
+        WHERE c.rk <= {web._DOMAIN_CAP}
+    ),
+    hostmass AS (
+        SELECT host,
+               CAST(sum(n_copies) AS BIGINT) AS n_urls,
+               CAST(count(*) AS BIGINT) AS n_unique
+        FROM uniq GROUP BY host
+    )
+    SELECT f.host, h.n_urls, h.n_unique,
+           CAST(count(*) AS BIGINT) AS n_final,
+           CAST(sum(f.norm_len) AS BIGINT) AS chars_final
+    FROM final f JOIN hostmass h ON h.host = f.host
+    GROUP BY f.host, h.n_urls, h.n_unique
+    """
+
+
+from eviction_lab_etl_spark.operators import cleaning as _cleaning  # noqa: E402
+from eviction_lab_etl_spark.operators import web as _web  # noqa: E402
+
+
+@query("pipeline_web_ingest", oracle=_web_ingest_oracle())
+def pipeline_web_ingest(spark, sf_dir):
+    """End-to-end web-ingest funnel — the composition a crawl pipeline runs
+    BEFORE any quality gate, chaining this repo's URL stage into the
+    normalize stage: canonicalize URLs → keep-first dedup on the canonical
+    form → per-domain volume cap ({cap} pages/host, crawl order) → fetch
+    the surviving documents' text → CCNet-normalize → per-host funnel
+    report (raw crawl rows, unique pages, post-cap survivors, normalized
+    character volume). The driver hash pins the whole composition, stage
+    boundaries included: n_urls ≥ n_unique ≥ n_final holds row by row (the
+    funnel can only shrink).
+
+    Scale shape: the URL side collapses to unique canonical pages in ONE
+    canonical-key exchange (map-side min/count); the cap window runs on the
+    collapsed per-host page frame (not the raw crawl); the text join keys
+    on doc_id (the fact table's own key — co-partitioned with any doc-keyed
+    downstream stage); normalize rides the join projection. Caveat per
+    web_domain_cap's docstring: sum(n_copies) counts every RAW crawl row,
+    so the report conserves total crawl mass across the funnel."""
+    from pyspark.sql import Window
+
+    canon = _web._canon_frame(spark, sf_dir)
+    uniq = canon.groupBy("canon_url").agg(
+        F.min("host").alias("host"),
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    w = Window.partitionBy("host").orderBy("keep_id")
+    capped = uniq.withColumn("rk", F.row_number().over(w))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    final = (
+        capped.filter(F.col("rk") <= _web._DOMAIN_CAP)
+        .join(docs, F.col("keep_id") == F.col("doc_id"))
+        .select(
+            "host",
+            F.length(_cleaning.normalize_text("text")).alias("norm_len"),
+        )
+    )
+    hostmass = uniq.groupBy("host").agg(
+        big(F.sum("n_copies")).alias("n_urls"),
+        big(F.count(F.lit(1))).alias("n_unique"),
+    )
+    report = final.groupBy("host").agg(
+        big(F.count(F.lit(1))).alias("n_final"),
+        big(F.sum("norm_len")).alias("chars_final"),
+    )
+    return report.join(F.broadcast(hostmass), "host").select(
+        "host", "n_urls", "n_unique", "n_final", "chars_final"
+    )

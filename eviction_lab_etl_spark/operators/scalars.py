@@ -14,6 +14,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from eviction_lab_etl_spark import fixtures
+
 from eviction_lab_etl_spark.functions.determinism import big, dec, to_dbl
 from eviction_lab_etl_spark.registry import query
 from eviction_lab_etl_spark.sources.loader import load
@@ -311,4 +313,57 @@ def scalar_variant_shred(spark, sf_dir):
         F.max(F.when(missing.isNull(), 0).otherwise(1))
         .cast("long")
         .alias("any_missing_path"),
+    )
+
+
+# --- URL component extraction --------------------------------------------------
+
+# Shared with operators/web.py's canonical chain philosophy: only constructs
+# with identical Java-regex/RE2 semantics, no lookarounds; both engines
+# return '' for a non-matching regexp_extract, so absent components are
+# empty strings (never NULL) on both sides by construction.
+_URL_SCHEME_RE = "^([a-z]+)://"
+_URL_STRIP_SCHEME_RE = "^[a-z]+://"
+_URL_HOST_RE = "^([^/?#]+)"
+_URL_PATH_RE = "(/[^?#]*)"
+_URL_QUERY_RE = "[?]([^#]*)"
+_URL_FRAG_RE = "#(.*)$"
+
+
+@query(
+    "scalar_url_parts",
+    oracle=f"""
+    WITH urls AS ({fixtures.DOCUMENTS_WITH_URLS_SQL}),
+    s AS (
+        SELECT doc_id, url,
+               regexp_replace(url, '{_URL_STRIP_SCHEME_RE}', '') AS rest
+        FROM urls
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, '{_URL_SCHEME_RE}', 1) AS scheme,
+           regexp_extract(rest, '{_URL_HOST_RE}', 1) AS host,
+           regexp_extract(rest, '{_URL_PATH_RE}', 1) AS path,
+           regexp_extract(rest, '{_URL_QUERY_RE}', 1) AS query,
+           regexp_extract(rest, '{_URL_FRAG_RE}', 1) AS frag
+    FROM s
+    """,
+)
+def scalar_url_parts(spark, sf_dir):
+    """URL decomposition into (scheme, host, path, query, fragment) as pure
+    JVM regex columns — the scalar building block under the web stage
+    (operators/web.py folds; per-host stats; robots/sitemap routing). Absent
+    components come back as empty strings in BOTH engines (their
+    regexp_extract no-match contracts agree), so the schema stays
+    all-VARCHAR with no NULL-semantics divergence. Map-only: rides the scan
+    projection at 100 TB."""
+    urls = fixtures.documents_with_urls(spark, sf_dir)
+    rest = F.regexp_replace(F.col("url"), _URL_STRIP_SCHEME_RE, "")
+    return urls.select(
+        "doc_id",
+        "url",
+        F.regexp_extract(F.col("url"), _URL_SCHEME_RE, 1).alias("scheme"),
+        F.regexp_extract(rest, _URL_HOST_RE, 1).alias("host"),
+        F.regexp_extract(rest, _URL_PATH_RE, 1).alias("path"),
+        F.regexp_extract(rest, _URL_QUERY_RE, 1).alias("query"),
+        F.regexp_extract(rest, _URL_FRAG_RE, 1).alias("frag"),
     )

@@ -15,6 +15,7 @@ import tempfile
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, StringType, StructField, StructType
 
+from eviction_lab_etl_spark.functions.determinism import big
 from eviction_lab_etl_spark.registry import query
 from eviction_lab_etl_spark.sources.loader import load
 
@@ -514,4 +515,49 @@ def io_stats_manifest(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         big(F.min("o_orderkey")).alias("min_key"),
         big(F.max("o_orderkey")).alias("max_key"),
+    )
+
+
+@query(
+    "io_parquet_bloom_roundtrip",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(user_id AS BIGINT) AS user_id, event_type
+    FROM events WHERE user_id = 7
+    """,
+)
+def io_parquet_bloom_roundtrip(spark, sf_dir):
+    """Parquet write with BLOOM FILTERS on the point-lookup key + predicate
+    read-back — the data-skipping lever for needle-in-haystack queries that
+    min/max row-group stats cannot serve (user_id is uniformly spread, so
+    every row group's [min, max] contains every probe value and zone maps
+    prune NOTHING; the per-row-group bloom answers 'definitely absent' and
+    skips the page reads instead). At 100 TB this is the difference between
+    scanning every row group of a 10^6-file table and touching only the
+    groups that can contain the key. The write pays one bitset per row
+    group per column — space-bounded by ndv, set explicitly.
+
+    The driver hash checks the full round-trip: bloom-annotated write,
+    predicate read (the filter reaches the reader — PushedFilters pinned in
+    tests/test_layout.py), values byte-identical to the source-table
+    oracle. False positives cost only wasted reads, never wrong rows — the
+    parquet reader re-applies the predicate exactly. Encoding nuance,
+    pinned in the same test: parquet-mr emits the bitset only when the
+    chunk's dictionary overflows (a fully dictionary-encoded low-ndv chunk
+    — the fixture at small SF — already carries an exact membership
+    filter, so the bloom would be redundant bytes); the test proves the
+    option produces bitsets on a high-ndv column and the predicate
+    pushdown on this operator's own read."""
+    path = _sink_path("events_bloom")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    (
+        ev.write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#user_id", "true")
+        .option("parquet.bloom.filter.expected.ndv#user_id", "2000")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).filter(F.col("user_id") == 7).select(
+        big("event_id").alias("event_id"),
+        big("user_id").alias("user_id"),
+        "event_type",
     )

@@ -389,3 +389,56 @@ def stream_session_dynamic(spark, sf_dir):
             "n_events",
         )
     )
+
+
+_TOPK_PER_WIN = 3
+
+
+@query(
+    "stream_tumbling_topk",
+    oracle=f"""
+    WITH c AS (
+        SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS wstart,
+               event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2
+    )
+    SELECT wstart, event_type, CAST(cnt AS BIGINT) AS cnt,
+           CAST(row_number() OVER (PARTITION BY wstart
+                ORDER BY cnt DESC, event_type) AS BIGINT) AS rk
+    FROM c
+    QUALIFY rk <= {_TOPK_PER_WIN}
+    """,
+)
+def stream_tumbling_topk(spark, sf_dir):
+    """Windowed top-k — THE canonical streaming analytics query (per hourly
+    tumbling window, the {k} most frequent event types, ties on the type):
+    trending topics, hot keys, error-burst leaders. In streaming execution
+    the same aggregation core runs incrementally (F.window groupBy, state =
+    one count per (window, type) — bounded by |types|·open-windows) with
+    the rank applied per emitted window in foreachBatch; the batch result
+    is identical by construction, which is what the driver hash pins.
+
+    Scale shape: one (window, type)-keyed exchange with map-side combine —
+    the rank window then runs on the COLLAPSED count frame (|windows|·
+    |types| rows), never the event stream; per-window keys are fine-grained
+    so there is no hot reducer. Window start emitted as a string (the
+    module's tz-hash rule)."""
+    from pyspark.sql import Window
+
+    counts = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(big(F.count(F.lit(1))).alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("wstart"),
+            "event_type",
+            "cnt",
+        )
+    )
+    rw = Window.partitionBy("wstart").orderBy(F.col("cnt").desc(), "event_type")
+    return counts.select(
+        "wstart",
+        "event_type",
+        "cnt",
+        F.row_number().over(rw).cast("long").alias("rk"),
+    ).filter(F.col("rk") <= _TOPK_PER_WIN)

@@ -95,6 +95,8 @@ EXTENSIONS = {
     "pack_interleave_sources",
     "search_filtered_topk", "events_attribution_last_touch",
     "agg_median_countframe",
+    "scalar_url_parts", "pipeline_web_ingest", "stream_tumbling_topk",
+    "io_parquet_bloom_roundtrip",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

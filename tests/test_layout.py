@@ -284,3 +284,49 @@ def test_zorder_sampled_agrees_with_exact_on_rank_boundaries(spark, seed):
             _deinterleave(got[i], bits, 1),
         )
         assert have == want, (i, have, want)
+
+
+def test_parquet_bloom_write_and_pushed_point_predicate(spark, sf_dir):
+    """io_parquet_bloom_roundtrip's two physical claims: (1) the point
+    predicate reaches the parquet reader (PushedFilters — the bloom bitsets
+    answer 'definitely absent' per row group at scan time), and (2) the
+    written files actually CARRY the bloom bitsets (this container's
+    PyArrow predates bloom-offset metadata exposure, so the check is the
+    bitsets' FOOTPRINT: the same rows written with and without the option
+    must differ by the bitset bytes — a silently ignored write option
+    would leave the operator timing plain zone-map scans)."""
+    import glob
+    import os
+
+    from eviction_lab_etl_spark.operators.scans import _sink_path
+    from eviction_lab_etl_spark.plans.audit import audit_plan
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    df = QUERIES["io_parquet_bloom_roundtrip"](spark, sf_dir)
+    info = audit_plan(df)
+    assert any("user_id" in p for p in info["pushed_filters"]), info[
+        "pushed_filters"
+    ]
+    # Footprint check on a synthetic high-ndv frame: at fixture SFs user_id
+    # has ~15-1500 distinct values, the chunk stays fully dictionary-encoded
+    # and parquet-mr CORRECTLY omits the bloom (the dictionary is already an
+    # exact membership filter — this is the production behavior, not a
+    # bug). A 100k-row/20k-ndv column overflows that path, so the option
+    # must produce bitset bytes there or it is being silently dropped.
+    wide = spark.range(100000).selectExpr("id", "id % 20000 AS user_id")
+    for name, opts in [("nb_plain", {}), ("nb_bloom", {
+        "parquet.bloom.filter.enabled#user_id": "true",
+        "parquet.bloom.filter.expected.ndv#user_id": "20000",
+    })]:
+        w = wide.write.mode("overwrite")
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.parquet(_sink_path(name))
+    plain_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(_sink_path("nb_plain") + "/*.parquet")
+    )
+    bloom_bytes = sum(
+        os.path.getsize(p) for p in glob.glob(_sink_path("nb_bloom") + "/*.parquet")
+    )
+    assert bloom_bytes > plain_bytes + 10000, (bloom_bytes, plain_bytes)

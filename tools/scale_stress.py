@@ -268,6 +268,16 @@ STRESS = [
     # (type, cents)-keyed collapse is the agg_sum_groupby floor; the windows
     # run on the value-domain-bounded count frame, constant under scaling.
     "events_attribution_last_touch",
+    # Round-12 fifth batch: the web-ingest funnel composition (its URL side
+    # collapses in the dedup_url_keep_first exchange measured above, plus a
+    # doc-keyed text join that scales with the corpus) and windowed top-k
+    # (the (window, type) collapse scales with events; the rank frame stays
+    # |windows|·|types|). scalar_url_parts is ABSENT as a map-only scan
+    # projection (the web_url_canonicalize rule); io_parquet_bloom_roundtrip
+    # is ABSENT because its wall is the fixture's own parquet rewrite —
+    # linear by construction (the io_stats_manifest rule).
+    "pipeline_web_ingest",
+    "stream_tumbling_topk",
 ]
 
 
