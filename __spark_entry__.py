@@ -97,6 +97,10 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "pipeline_web_ingest",
     "stream_tumbling_topk",
     "io_parquet_bloom_roundtrip",
+    # --- Round-12 sixth batch (never driver-checked): epoch decomposition of
+    # the mixture table, clickstream path mining
+    "mix_epoch_plan",
+    "events_top_paths",
 )
 
 

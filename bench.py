@@ -201,6 +201,9 @@ R12_HEADLINE = [
     # pinned (its wall is the fixture's parquet write, the incr_* rule).
     "pipeline_web_ingest",        # r12: URL funnel -> normalize composition
     "stream_tumbling_topk",       # r12: windowed top-k on collapsed counts
+    # Sixth batch: mix_epoch_plan is not pinned (mix_budget_alloc's rule —
+    # same group frame, one more map-side division).
+    "events_top_paths",           # r12: 3-event path mining, two shared leads
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

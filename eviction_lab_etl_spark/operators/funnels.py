@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from eviction_lab_etl_spark.functions.determinism import big
 from eviction_lab_etl_spark.registry import query
 from eviction_lab_etl_spark.sources.loader import load
 
@@ -415,4 +416,67 @@ def events_attribution_last_touch(spark, sf_dir):
         F.col("event_id").alias("purchase_id"),
         "touch_id",
         "touch_type",
+    )
+
+
+_PATH_TOPK = 10
+
+
+@query(
+    "events_top_paths",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type, 1) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS e2,
+               lead(event_type, 2) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS e3
+        FROM events
+    ),
+    paths AS (
+        SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS cnt
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, CAST(cnt AS BIGINT) AS cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, path) AS BIGINT) AS rnk
+    FROM paths ORDER BY cnt DESC, path LIMIT {_PATH_TOPK}
+    """,
+)
+def events_top_paths(spark, sf_dir):
+    """Top user paths — the clickstream path-mining query (which 3-step
+    journeys dominate: signup>click>purchase vs error>error>error): slide a
+    3-event window over each user's (ts, event_id)-ordered stream via two
+    leads sharing one sort, collapse to path counts, rank the global top
+    {k}. Paths that would cross a user boundary are excluded (the leads go
+    NULL), so every counted path is a real single-user journey.
+
+    Scale shape: one user-keyed exchange for the leads (per-key state
+    constant, keys grow with users — the attribution class), then the
+    gram-collapse exchange on the path key (|types|³-bounded frame, ~125
+    keys here) and a rank over that tiny frame. Nothing corpus-sized moves
+    after the first shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        seq.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(big(F.count(F.lit(1))).alias("cnt"))
+    )
+    rw = Window.orderBy(F.col("cnt").desc(), "path")
+    return (
+        paths.orderBy(F.col("cnt").desc(), "path")
+        .limit(_PATH_TOPK)
+        .select(
+            "path", "cnt", F.row_number().over(rw).cast("long").alias("rnk")
+        )
     )

@@ -1935,3 +1935,65 @@ def pack_interleave_sources(spark, sf_dir):
         .cast("long")
         .alias("pos"),
     )
+
+
+@query(
+    "mix_epoch_plan",
+    oracle=f"""
+    WITH g AS (
+        SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS w
+        FROM documents GROUP BY lang, source
+    ),
+    t AS (
+        SELECT lang, source, w, CAST(sum(w) OVER () AS BIGINT) AS n FROM g
+    ),
+    f AS (
+        SELECT lang, source, w,
+               CAST((CAST({_MIX_BUDGET} AS HUGEINT) * w) // n AS BIGINT)
+                 AS base,
+               CAST((CAST({_MIX_BUDGET} AS HUGEINT) * w) % n AS BIGINT)
+                 AS frac
+        FROM t
+    ),
+    r AS (
+        SELECT lang, source, w, base,
+               CAST({_MIX_BUDGET} - sum(base) OVER () AS BIGINT) AS rem,
+               CAST(row_number() OVER (ORDER BY frac DESC, lang, source)
+                    AS BIGINT) AS rnk
+        FROM f
+    ),
+    alloc AS (
+        SELECT lang, source, w,
+               CAST(base + (CASE WHEN rnk <= rem THEN 1 ELSE 0 END) AS BIGINT)
+                 AS alloc
+        FROM r
+    )
+    SELECT lang, source, w, alloc,
+           CAST(alloc // w AS BIGINT) AS epochs,
+           CAST(alloc % w AS BIGINT) AS partial_draw
+    FROM alloc
+    """,
+)
+def mix_epoch_plan(spark, sf_dir):
+    """The executable form of the mixture table: each group's exact token
+    allocation (``apportion_budget``) decomposed into FULL EPOCHS over the
+    group plus a partial remainder draw — how a data loader actually
+    realizes an upsampled mixture (repeat the shard `epochs` times, then
+    take a deterministic `partial_draw`-token prefix of one more pass).
+    epochs·w + partial_draw == alloc by construction, and Σ alloc == B
+    carries over from the apportionment — both pinned in tests. Same group
+    frame, one more map-side division; no new exchange."""
+    g = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.sum("n_chars").cast("long").alias("w"))
+    )
+    a = apportion_budget(g, _MIX_BUDGET)
+    return a.select(
+        "lang",
+        "source",
+        "w",
+        "alloc",
+        F.expr("alloc div w").cast("long").alias("epochs"),
+        (F.col("alloc") % F.col("w")).cast("long").alias("partial_draw"),
+    )

@@ -96,7 +96,7 @@ EXTENSIONS = {
     "search_filtered_topk", "events_attribution_last_touch",
     "agg_median_countframe",
     "scalar_url_parts", "pipeline_web_ingest", "stream_tumbling_topk",
-    "io_parquet_bloom_roundtrip",
+    "io_parquet_bloom_roundtrip", "mix_epoch_plan", "events_top_paths",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

@@ -217,3 +217,45 @@ def test_ohlc_bars_bracket_endpoints(spark, sf_dir):
         assert r.n >= 1
         if r.n == 1:
             assert r.open == r.close == r.high == r.low
+
+
+# --- epoch decomposition + path mining ----------------------------------------
+
+
+def test_mix_epoch_plan_identities(spark, sf_dir):
+    """epochs·w + partial_draw == alloc per group (the decomposition is
+    exact), 0 <= partial_draw < w, and Σ alloc == the module budget."""
+    from eviction_lab_etl_spark.operators.training import _MIX_BUDGET
+
+    rows = QUERIES["mix_epoch_plan"](spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == _MIX_BUDGET
+    for r in rows:
+        assert r.epochs * r.w + r.partial_draw == r.alloc
+        assert 0 <= r.partial_draw < r.w
+
+
+def test_top_paths_python_replica(spark, sf_dir):
+    """The full top-k path table must equal a python replica computed from
+    the raw events — pinning that paths never cross a user boundary and the
+    rank/tie policy, independently of the oracle."""
+    from collections import Counter
+
+    from eviction_lab_etl_spark.sources.loader import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_id, r.event_type))
+    counts: Counter = Counter()
+    for rows in by_user.values():
+        rows.sort()
+        types = [t for _, _, t in rows]
+        for i in range(len(types) - 2):
+            counts[">".join(types[i : i + 3])] += 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = sorted(
+        QUERIES["events_top_paths"](spark, sf_dir).collect(), key=lambda r: r.rnk
+    )
+    assert [(r.path, r.cnt) for r in got] == want

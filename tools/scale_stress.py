@@ -278,6 +278,11 @@ STRESS = [
     # linear by construction (the io_stats_manifest rule).
     "pipeline_web_ingest",
     "stream_tumbling_topk",
+    # Round-12 sixth batch: events_top_paths and mix_epoch_plan are ABSENT —
+    # the path miner is the attribution/type_transitions shape (user-keyed
+    # leads + a |types|³-bounded gram collapse; both axes measured above),
+    # and the epoch plan is mix_budget_alloc's group frame plus one map-side
+    # division (the ts_seasonal_profile rule).
 ]
 
 
