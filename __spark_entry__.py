@@ -101,6 +101,10 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     # the mixture table, clickstream path mining
     "mix_epoch_plan",
     "events_top_paths",
+    # --- Round-12 seventh batch (never driver-checked): immutable snapshot
+    # tags, grid-index nearest-region assignment
+    "incr_snapshot_tag_read",
+    "geo_knn_grid",
 )
 
 

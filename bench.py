@@ -204,6 +204,9 @@ R12_HEADLINE = [
     # Sixth batch: mix_epoch_plan is not pinned (mix_budget_alloc's rule —
     # same group frame, one more map-side division).
     "events_top_paths",           # r12: 3-event path mining, two shared leads
+    # Seventh batch: incr_snapshot_tag_read is not pinned (its wall is the
+    # fixture's three snapshot commits — the dedup_incremental_batch rule).
+    "geo_knn_grid",               # r12: 3x3-cell broadcast probe + argmin encode
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

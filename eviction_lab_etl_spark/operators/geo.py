@@ -184,3 +184,104 @@ def geo_point_in_region(spark, sf_dir):
             F.max("c_custkey").alias("max_cust"),
         )
     )
+
+
+@query(
+    "geo_knn_grid",
+    oracle=f"""
+    WITH {_ORACLE_RING},
+    centers AS (
+        SELECT n_nationkey,
+               (list_aggregate(xs[1:8], 'min') + list_aggregate(xs[1:8], 'max')) // 2
+                   AS cx,
+               (list_aggregate(ys[1:8], 'min') + list_aggregate(ys[1:8], 'max')) // 2
+                   AS cy
+        FROM ring
+    ),
+    cells AS (
+        SELECT n_nationkey, cx, cy,
+               cx // {_CELL} + dx.d AS gx, cy // {_CELL} + dy.d AS gy
+        FROM centers,
+             (SELECT unnest([-1, 0, 1]) AS d) dx,
+             (SELECT unnest([-1, 0, 1]) AS d) dy
+    ),
+    pts AS (
+        SELECT c_custkey,
+               (c_custkey * 7919) % 100 AS px,
+               (c_custkey * 104729) % 100 AS py
+        FROM customer
+    ),
+    cand AS (
+        SELECT c_custkey,
+               (px - cx) * (px - cx) + (py - cy) * (py - cy) AS d2,
+               n_nationkey
+        FROM pts JOIN cells
+          ON px // {_CELL} = gx AND py // {_CELL} = gy
+    )
+    SELECT c_custkey,
+           CAST(min(d2 * 32 + n_nationkey) % 32 AS BIGINT) AS n_nationkey,
+           CAST(min(d2 * 32 + n_nationkey) // 32 AS BIGINT) AS d2
+    FROM cand GROUP BY c_custkey
+    """,
+)
+def geo_knn_grid(spark, sf_dir):
+    """Nearest-region assignment via the grid index — the spatial-KNN
+    companion to geo_point_in_region's containment: each point probes the
+    3×3 cell neighborhood of its own grid cell and takes the closest
+    region center (squared integer distance; ties broken on the lower
+    nationkey via a closed-form ``min(d2·32 + key)`` encode — one
+    aggregate, no rank window). On this tiling (one center per 20×20
+    cell) the 3×3 probe is EXACT: the own-cell center is within √2·10 of
+    any point, closer than any center two cells away, so truncating the
+    search to the neighborhood can never change the argmin — the standard
+    grid-KNN argument, and the reason this plan needs no global
+    all-centers pass.
+
+    Scale shape: the 9-offset cell replication happens on the REGION side
+    (|regions|·9 rows, broadcast); the point side computes its cell in the
+    scan projection, hash-probes the broadcast, and collapses per point
+    map-side — points never shuffle except for the final per-point min,
+    which AQE coalesces. Everything integer, both engines fold
+    identically."""
+    centers = centroid_bbox(fixtures.nation_polygons(spark, sf_dir)).select(
+        "n_nationkey",
+        F.expr("(minx + maxx) div 2").alias("cx"),
+        F.expr("(miny + maxy) div 2").alias("cy"),
+    )
+    offs = F.sequence(F.lit(-1), F.lit(1))
+    cells = (
+        centers.withColumn("dx", F.explode(offs))
+        .withColumn("dy", F.explode(offs))
+        .select(
+            "n_nationkey",
+            "cx",
+            "cy",
+            (F.expr(f"cx div {_CELL}") + F.col("dx")).alias("gx"),
+            (F.expr(f"cy div {_CELL}") + F.col("dy")).alias("gy"),
+        )
+    )
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 100).alias("px"),
+        ((F.col("c_custkey") * 104729) % 100).alias("py"),
+    )
+    cand = pts.join(
+        F.broadcast(cells),
+        (F.expr(f"px div {_CELL}") == F.col("gx"))
+        & (F.expr(f"py div {_CELL}") == F.col("gy")),
+    ).select(
+        "c_custkey",
+        (
+            (F.col("px") - F.col("cx")) * (F.col("px") - F.col("cx"))
+            + (F.col("py") - F.col("cy")) * (F.col("py") - F.col("cy"))
+        ).alias("d2"),
+        "n_nationkey",
+    )
+    enc = cand.groupBy("c_custkey").agg(
+        F.min(F.col("d2") * 32 + F.col("n_nationkey")).alias("k")
+    )
+    return enc.select(
+        "c_custkey",
+        (F.col("k") % 32).cast("long").alias("n_nationkey"),
+        F.expr("k div 32").cast("long").alias("d2"),
+    )

@@ -892,3 +892,38 @@ def dedup_incremental_indexed(spark, sf_dir):
         corpus_index=index,
     )
     return _ib_ledger(batch, matches)
+
+
+@query(
+    "incr_snapshot_tag_read",
+    oracle=f"""
+    WITH v2 AS (
+        SELECT year(o_orderdate) AS od_year, o_orderkey, o_orderpriority
+        FROM orders WHERE year(o_orderdate) IN (1996, 1997)
+    )
+    SELECT od_year, count(*) AS n_rows,
+           CAST(sum({_MERGE_DIGEST_SQL}) % 9223372036854775808 AS BIGINT)
+               AS digest
+    FROM v2 GROUP BY od_year
+    """,
+)
+def incr_snapshot_tag_read(spark, sf_dir):
+    """Named-ref (tag) read on the snapshot table — the Iceberg-tags
+    surface: after the fixture's three commits, version 2 is tagged
+    'release' and read back BY NAME. The tag is created with the same
+    stage-then-hard-link claim as manifests (immutable: a second writer
+    racing the name loses with CommitConflict; repointing is impossible by
+    construction), so 'release' keeps meaning these exact bytes no matter
+    how many commits follow. The oracle recomputes version 2's content
+    (appends of 1996+1997, BEFORE the v3 merge-update) straight from the
+    source table — the hash proves the ref resolved to the right pinned
+    history, the %101-key updates of v3 notably ABSENT from the digests.
+    Cost model: one ref resolution + one manifest read + a distributed
+    parquet scan of the named files — identical to read(version=2)."""
+    table = _replay_snapshot_fixture(spark, sf_dir, "elspark_snap_tag")
+    table.tag("release", version=2)
+    tagged = table.read_tag(spark, "release")
+    return tagged.groupBy("od_year").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        digest_sum(row_digest("o_orderkey", "o_orderpriority")).alias("digest"),
+    )

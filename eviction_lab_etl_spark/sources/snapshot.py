@@ -323,5 +323,46 @@ class SnapshotTable:
             raise ValueError("empty table (version 0 has no files)")
         return spark.read.option("mergeSchema", "true").parquet(*files)
 
+    # ---- named refs (tags) ---------------------------------------------
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.root, "tags", f"{name}.json")
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Create an IMMUTABLE named ref to a committed version (Iceberg
+        tags / git tags): 'release-2024-06' keeps meaning the same bytes
+        forever, regardless of later commits or of which version number it
+        happened to be. Creation reuses the manifest claim discipline —
+        stage to a temp name, ``os.link`` to the final name — so two
+        writers racing to tag the same name get exactly one winner and a
+        CommitConflict for the loser; a tag can never be silently
+        repointed (retargeting = a new name, the immutability contract).
+        Vacuum safety: tags are refs into manifests, and data files named
+        by ANY manifest are never vacuum candidates, so tagged history
+        stays readable."""
+        if version is None:
+            version = self.latest_version()
+        if version < 1 or not os.path.exists(self._manifest_path(version)):
+            raise ValueError(f"cannot tag uncommitted version {version}")
+        os.makedirs(os.path.join(self.root, "tags"), exist_ok=True)
+        tmp = os.path.join(self.root, "tags", f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump({"name": name, "version": version}, fh)
+        try:
+            os.link(tmp, self._tag_path(name))
+        except FileExistsError:
+            raise CommitConflict(f"tag {name}") from None
+        finally:
+            os.unlink(tmp)
+        return version
+
+    def tag_version(self, name: str) -> int:
+        with open(self._tag_path(name)) as fh:
+            return int(json.load(fh)["version"])
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read the version a tag names — one ref resolution + the normal
+        manifest-pinned read; cost identical to read(version=K)."""
+        return self.read(spark, version=self.tag_version(name))
+
     def drop(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

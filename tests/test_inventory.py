@@ -97,6 +97,7 @@ EXTENSIONS = {
     "agg_median_countframe",
     "scalar_url_parts", "pipeline_web_ingest", "stream_tumbling_topk",
     "io_parquet_bloom_roundtrip", "mix_epoch_plan", "events_top_paths",
+    "incr_snapshot_tag_read", "geo_knn_grid",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

@@ -371,3 +371,26 @@ def test_paced_stream_soak_versioned_cdf_and_replay(spark, sf_dir, table):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_tags_are_immutable_named_refs(spark, table):
+    """tag() claims its name atomically (second claim = CommitConflict, the
+    manifest discipline), rejects uncommitted versions, pins content across
+    later commits, and survives vacuum (tagged manifests keep their files
+    referenced)."""
+    table.append(_frame(spark, 0, 10))
+    table.append(_frame(spark, 10, 15))
+    assert table.tag("release", version=1) == 1
+    with pytest.raises(CommitConflict):
+        table.tag("release", version=2)  # never repointable
+    with pytest.raises(ValueError):
+        table.tag("future", version=9)
+    # content pinned across a later destructive replace
+    table.replace(_frame(spark, 0, 3))
+    assert table.read_tag(spark, "release").count() == 10
+    assert table.tag_version("release") == 1
+    # default version = latest
+    assert table.tag("head") == 3
+    deleted = table.vacuum(min_age_s=0)
+    assert deleted == []  # every data file is still manifest-referenced
+    assert table.read_tag(spark, "release").count() == 10

@@ -283,6 +283,13 @@ STRESS = [
     # leads + a |types|³-bounded gram collapse; both axes measured above),
     # and the epoch plan is mix_budget_alloc's group frame plus one map-side
     # division (the ts_seasonal_profile rule).
+    # Seventh batch: geo_knn_grid scales with customers — the point side is
+    # a broadcast probe + per-point map-side min; included (rather than
+    # resting on geo_point_in_region's row) because the 9-way cell
+    # replication triples its candidate fan-in per point, a distinct axis
+    # worth one measured slope. incr_snapshot_tag_read is ABSENT for the
+    # dedup_incremental_batch rule (its wall is the fixture's commits).
+    "geo_knn_grid",
 ]
 
 
