@@ -105,6 +105,10 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     # tags, grid-index nearest-region assignment
     "incr_snapshot_tag_read",
     "geo_knn_grid",
+    # --- Round-12 eighth batch (never driver-checked): sliding distinct
+    # cardinality, intra-video keyframe extraction
+    "stream_sliding_distinct",
+    "multimodal_video_keyframes",
 )
 
 

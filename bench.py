@@ -207,6 +207,11 @@ R12_HEADLINE = [
     # Seventh batch: incr_snapshot_tag_read is not pinned (its wall is the
     # fixture's three snapshot commits — the dedup_incremental_batch rule).
     "geo_knn_grid",               # r12: 3x3-cell broadcast probe + argmin encode
+    # Eighth batch (added after the builder's closing bench — their first
+    # builder-side numbers are absent from that session's record; the
+    # driver's own r12 run measures them):
+    "stream_sliding_distinct",    # r12: exact distinct over sliding windows
+    "multimodal_video_keyframes", # r12: decode + digest + lag keyframe cut
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

@@ -1070,3 +1070,88 @@ def multimodal_video_neardup(spark, sf_dir):
         )
         .filter(F.col("n_match") >= _VID_MIN_FRAMES)
     )
+
+
+# --- intra-video temporal redundancy (keyframe extraction) --------------------
+
+
+def _mint_video_payload_static(doc_id: int) -> bytes:
+    """VID0 payload with PLANTED STATIC RUNS: frames advance in steps of
+    ``run = doc_id % 3 + 1`` — consecutive frames inside a run are
+    byte-identical, and a new scene starts exactly at every f ≡ 0 (mod
+    run). run=1 docs have no redundancy (every frame is a keyframe); run=3
+    docs repeat each scene three times. The same (doc_id*31 + step*101 +
+    7i) % 256 pixel family as _mint_video_payload, with step quantized —
+    so the closed-form oracle knows exactly which frames must survive."""
+    import numpy as np
+
+    w, h = _img_dims(doc_id)
+    run = doc_id % 3 + 1
+    idx = 7 * np.arange(3 * w * h, dtype=np.int64) + doc_id * 31
+    frames = [
+        (
+            w,
+            h,
+            ((idx + (f - f % run) * 101) % 256).astype(np.uint8).tobytes(),
+        )
+        for f in range(doc_id % 6 + 2)
+    ]
+    return media_codecs.encode_video(frames)
+
+
+@query(
+    "multimodal_video_keyframes",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               doc_id % 6 + 2 AS nf,
+               doc_id % 3 + 1 AS run
+        FROM documents
+    )
+    SELECT doc_id, CAST(f.f AS BIGINT) AS frame_idx
+    FROM dims, LATERAL (SELECT unnest(range(0, nf)) AS f) f
+    WHERE f.f % run = 0
+    """,
+)
+def multimodal_video_keyframes(spark, sf_dir):
+    """Temporal redundancy removal INSIDE a video (keyframe extraction —
+    the first pass a video training pipeline runs: consecutive identical
+    or near-identical frames carry no new signal and burn decode + storage
+    downstream): decode the VID0 frame stream, digest each frame's raw
+    bytes, and keep a frame iff it differs from its predecessor. The
+    fixture plants runs of byte-identical frames (run length doc_id%3+1),
+    so the closed-form oracle knows the exact surviving set — the hash
+    pins the frame walker, the digest, and the lag logic end to end.
+
+    Scale shape: one fused mapInPandas stage mints+decodes and emits
+    (doc_id, frame_idx, digest) rows — frames never leave the executor as
+    pixels (the digest is 32 bytes; a real corpus would emit xxhash64);
+    the lag window partitions on doc_id (millions of clips — fine keys)
+    over frame order, and the filter drops the redundant tail map-side
+    after the one per-clip exchange."""
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+
+    def mint_digest(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [], "h": []}
+            for d in pdf["doc_id"]:
+                payload = _mint_video_payload_static(int(d))
+                for f, (_, _, rgb) in enumerate(
+                    media_codecs.decode_video(payload)
+                ):
+                    out["doc_id"].append(int(d))
+                    out["frame_idx"].append(f)
+                    out["h"].append(hashlib.md5(rgb).hexdigest())
+            yield pd.DataFrame(out)
+
+    frames = docs.mapInPandas(
+        mint_digest, schema="doc_id long, frame_idx long, h string"
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    return (
+        frames.withColumn("prev", F.lag("h").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("h")))
+        .select("doc_id", "frame_idx")
+    )

@@ -442,3 +442,49 @@ def stream_tumbling_topk(spark, sf_dir):
         "cnt",
         F.row_number().over(rw).cast("long").alias("rk"),
     ).filter(F.col("rk") <= _TOPK_PER_WIN)
+
+
+@query(
+    "stream_sliding_distinct",
+    oracle="""
+    SELECT wstart,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+        SELECT user_id, unnest([
+            CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800,
+            CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - 1800
+        ]) AS wstart
+        FROM events
+    )
+    GROUP BY wstart
+    """,
+)
+def stream_sliding_distinct(spark, sf_dir):
+    """Sliding-window DISTINCT cardinality — the live "active users in the
+    last hour, refreshed every 30 minutes" metric (the one gauge every
+    product dashboard carries): exact count(distinct user_id) + event count
+    per 1h/30m window. Distinct-in-a-window is the streaming-state story:
+    Spark keeps one (window, user) entry until the watermark closes the
+    window, so state is bounded by actives-per-window, not the stream; the
+    batch result is identical by construction and is what the hash pins.
+
+    Scale shape: distinct forces the classic TWO-exchange plan — partial
+    dedup on (window, user) with map-side collapse (heavy repeat users
+    compress before the wire), then the per-window count — exactly the
+    expansion Catalyst picks for count(distinct); at 100 TB the approx
+    variant (sketch_hll_partitioned) trades this second exchange for a
+    mergeable sketch, which is why both live in this engine."""
+    events = load(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            big(F.count(F.lit(1))).alias("n_events"),
+        )
+        .select(
+            big(F.unix_timestamp(F.col("w.start"))).alias("wstart"),
+            "n_users",
+            "n_events",
+        )
+    )

@@ -159,3 +159,21 @@ def test_video_header_and_separator_hardening():
     bad = b"VID0" + b"\x01\x00\x00\x00" + b"P6\n1 1\n255X" + b"\x01\x02\x03\x04"
     with pytest.raises(ValueError, match="missing whitespace"):
         decode_video(bad)
+
+
+def test_static_run_video_mint_matches_closed_form():
+    """The keyframe fixture's planted structure, checked in pure python (no
+    Spark): consecutive frames inside a run are byte-identical, and frames
+    differ exactly at multiples of run — the set the oracle declares."""
+    from eviction_lab_etl_spark.functions.media_codecs import decode_video
+    from eviction_lab_etl_spark.operators.multimodal import (
+        _mint_video_payload_static,
+    )
+
+    for doc_id in range(0, 40):
+        run = doc_id % 3 + 1
+        frames = decode_video(_mint_video_payload_static(doc_id))
+        assert len(frames) == doc_id % 6 + 2
+        for f in range(1, len(frames)):
+            same = frames[f][2] == frames[f - 1][2]
+            assert same == (f % run != 0), (doc_id, f, run)

@@ -290,6 +290,15 @@ STRESS = [
     # worth one measured slope. incr_snapshot_tag_read is ABSENT for the
     # dedup_incremental_batch rule (its wall is the fixture's commits).
     "geo_knn_grid",
+    # Eighth batch: sliding distinct scales with events (two exchanges —
+    # the (window, user) partial dedup then the window count; users AND
+    # windows both grow under KEYS). multimodal_video_keyframes is ABSENT
+    # for the multimodal_video_neardup rule: the mint's pixel family
+    # realizes a bounded hash universe, so key-multiplied copies replay
+    # identical frames and the sweep would time the fixture artifact —
+    # the decode walker's linearity is already measured by the audio/video
+    # rows and the per-clip work is frames×pixels by construction.
+    "stream_sliding_distinct",
 ]
 
 
