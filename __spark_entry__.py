@@ -109,6 +109,10 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     # cardinality, intra-video keyframe extraction
     "stream_sliding_distinct",
     "multimodal_video_keyframes",
+    # --- Round-12 ninth batch (never driver-checked): prefix-truncated
+    # (Matryoshka) retrieval + its recall companion
+    "search_matryoshka_topk",
+    "search_matryoshka_recall",
 )
 
 

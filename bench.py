@@ -212,6 +212,8 @@ R12_HEADLINE = [
     # driver's own r12 run measures them):
     "stream_sliding_distinct",    # r12: exact distinct over sliding windows
     "multimodal_video_keyframes", # r12: decode + digest + lag keyframe cut
+    "search_matryoshka_topk",     # r12: prefix-slice scan, no transform at all
+    # search_matryoshka_recall shares the scored frame (the recall rule).
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

@@ -2066,3 +2066,146 @@ def search_filtered_topk(spark, sf_dir):
         big("vec_id").alias("nbr"),
         F.row_number().over(w).cast("long").alias("rk"),
     )
+
+
+# --- Matryoshka (prefix-truncated) retrieval ----------------------------------
+
+_MRL_DIM = 16  # retained prefix dims (of _RP_SRC_DIM = 64)
+
+_MRL_CTES = f"""
+    src AS ({_fixtures.EMBEDDINGS_CLUSTERED_SQL}),
+    q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 e -> CAST(floor(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM src
+    ),
+    mb AS (SELECT q FROM q WHERE vec_id = 0),
+    mrd AS (
+      SELECT v.vec_id,
+             CAST(list_sum(list_transform(range(1, {_MRL_DIM + 1}),
+                 i -> (b.q[i] - v.q[i]) * (b.q[i] - v.q[i]))) AS BIGINT)
+               AS d_prefix
+      FROM q v, mb b
+    )
+"""
+
+
+def _mrl_scored(spark, sf_dir):
+    """(vec_id, d_prefix): squared grid distance to the probe over the FIRST
+    {dim} dimensions only — no projection matrix at all, just a prefix
+    slice riding the scan; 1-row probe broadcast; no corpus exchange."""
+    clustered = _fixtures.embeddings_clustered(spark, sf_dir)
+    q = clustered.select(
+        "vec_id",
+        F.slice(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+            ),
+            1,
+            _MRL_DIM,
+        ).alias("mq"),
+    )
+    probe = q.filter(F.col("vec_id") == 0).select(F.col("mq").alias("pq"))
+    zsum = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    return q.join(F.broadcast(probe)).select(
+        "vec_id",
+        zsum(F.zip_with("pq", "mq", lambda p, x: (p - x) * (p - x))).alias(
+            "d_prefix"
+        ),
+    )
+
+
+@query(
+    "search_matryoshka_topk",
+    oracle=f"""
+    WITH {_MRL_CTES.strip()}
+    SELECT CAST(vec_id AS BIGINT) AS vec_id, d_prefix,
+           CAST(row_number() OVER (ORDER BY d_prefix, vec_id) AS BIGINT) AS rnk
+    FROM mrd ORDER BY d_prefix, vec_id LIMIT {_SQ_TOPK}
+    """,
+)
+def search_matryoshka_topk(spark, sf_dir):
+    """Top-{k} retrieval over the PREFIX-TRUNCATED embedding (Matryoshka
+    representation learning's deployment move: an MRL-trained encoder
+    front-loads information, so dropping the tail dims trades recall for a
+    4× narrower scan with NO projection matrix, NO codebook, NO transform
+    at all — the cheapest dimension-reduction in the matrix, one slice in
+    the scan projection). Same integer grid discipline as the RP/SQ legs;
+    ranked (d, vec_id) total order. Honest scope note: the fixture's
+    embeddings are isotropic, not MRL-trained — the operator prices the
+    PLAN (prefix slice ≡ column-prune of the tail at the reader on a
+    dimension-major layout); the recall companion measures what truncation
+    costs on THIS distribution rather than assuming the trained case.
+
+    Scale: map-only corpus scan + TakeOrdered cut, 1-row broadcast probe,
+    d_prefix folds over {dim} elements instead of 64 — a strict subset of
+    sim_knn_cosine's measured floor."""
+    scored = _mrl_scored(spark, sf_dir)
+    top = scored.orderBy("d_prefix", "vec_id").limit(_SQ_TOPK)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("d_prefix", "vec_id")
+    return top.select(
+        big("vec_id").alias("vec_id"),
+        "d_prefix",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+
+
+@query(
+    "search_matryoshka_recall",
+    oracle=f"""
+    WITH {_MRL_CTES.strip()},
+    exd AS (
+      SELECT v.vec_id,
+             list_sum(list_transform(range(1, {_RP_SRC_DIM + 1}),
+                 i -> (b.q[i] - v.q[i]) * (b.q[i] - v.q[i]))) AS d_exact
+      FROM q v, mb b
+    ),
+    ex10 AS (SELECT vec_id FROM exd ORDER BY d_exact, vec_id LIMIT {_SQ_TOPK}),
+    mr10 AS (SELECT vec_id FROM mrd ORDER BY d_prefix, vec_id LIMIT {_SQ_TOPK})
+    SELECT CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(m.vec_id) AS BIGINT) AS n_hits
+    FROM ex10 e LEFT JOIN mr10 m ON m.vec_id = e.vec_id
+    """,
+)
+def search_matryoshka_recall(spark, sf_dir):
+    """Recall@{k} of the {dim}-dim prefix ranking against the exact 64-dim
+    grid ranking — what the truncation costs on this (untrained, isotropic)
+    distribution; the clustered fixture's planted 10-member cluster
+    dominates both rankings, so the recall is pinned high by tests. Both
+    cuts closed-form; the row is fully hash-checked (shares the scored
+    frame — the recall rule, no separate bench pin)."""
+    clustered = _fixtures.embeddings_clustered(spark, sf_dir)
+    q = clustered.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("long")
+        ).alias("q"),
+    )
+    probe = q.filter(F.col("vec_id") == 0).select(F.col("q").alias("pq"))
+    zsum = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    exd = q.join(F.broadcast(probe)).select(
+        "vec_id",
+        zsum(F.zip_with("pq", "q", lambda p, x: (p - x) * (p - x))).alias(
+            "d_exact"
+        ),
+    )
+    ex10 = exd.orderBy("d_exact", "vec_id").limit(_SQ_TOPK).select("vec_id")
+    mr10 = (
+        _mrl_scored(spark, sf_dir)
+        .orderBy("d_prefix", "vec_id")
+        .limit(_SQ_TOPK)
+        .select(F.col("vec_id").alias("rid"))
+    )
+    j = ex10.join(F.broadcast(mr10), F.col("vec_id") == F.col("rid"), "left")
+    return j.agg(
+        big(F.count(F.lit(1))).alias("n_exact"),
+        big(F.count("rid")).alias("n_hits"),
+    )

@@ -99,6 +99,7 @@ EXTENSIONS = {
     "io_parquet_bloom_roundtrip", "mix_epoch_plan", "events_top_paths",
     "incr_snapshot_tag_read", "geo_knn_grid",
     "stream_sliding_distinct", "multimodal_video_keyframes",
+    "search_matryoshka_topk", "search_matryoshka_recall",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

@@ -1557,3 +1557,16 @@ def test_prune_prototypes_flags_exactly_the_plants(spark, sf_dir):
     assert len(plants) == 20
     assert all(r.prune_far == 1 for r in plants)
     assert all(r.prune_far == 0 for r in organics)
+
+
+def test_matryoshka_recall_floor(spark, sf_dir):
+    """The prefix-truncated (16-of-64-dim) ranking must keep recall@10 >= 9
+    against the exact 64-dim ranking on the clustered fixture — the
+    planted 10-member cluster dominates both rankings, so losing more than
+    one member to truncation would mean the prefix scan is broken, not
+    merely distorted (measured: 10/10)."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    row = QUERIES["search_matryoshka_recall"](spark, sf_dir).collect()[0]
+    assert row.n_exact == 10
+    assert row.n_hits >= 9

@@ -299,6 +299,11 @@ STRESS = [
     # the decode walker's linearity is already measured by the audio/video
     # rows and the per-clip work is frames×pixels by construction.
     "stream_sliding_distinct",
+    # Ninth batch: search_matryoshka_topk/_recall are ABSENT — the prefix
+    # scan is a strict subset of sim_knn_cosine's measured floor (one
+    # probe, 16-element folds), and additionally runs on the CLUSTERED
+    # fixture whose generator caps at 500+20 vectors (the join_fuzzy rule,
+    # same as search_rp_topk).
 ]
 
 
