@@ -113,6 +113,8 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     # (Matryoshka) retrieval + its recall companion
     "search_matryoshka_topk",
     "search_matryoshka_recall",
+    # --- Round-12 tenth item (never driver-checked): ZSTD codec round-trip
+    "io_parquet_zstd_roundtrip",
 )
 
 

@@ -561,3 +561,37 @@ def io_parquet_bloom_roundtrip(spark, sf_dir):
         big("user_id").alias("user_id"),
         "event_type",
     )
+
+
+@query(
+    "io_parquet_zstd_roundtrip",
+    oracle="""
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           l_extendedprice, l_returnflag
+    FROM lineitem
+    """,
+)
+def io_parquet_zstd_roundtrip(spark, sf_dir):
+    """Parquet round-trip under the ZSTD codec — the storage-efficiency
+    lever of the IO contract (at 100 TB the snappy→zstd switch trades
+    ~15-30% more scan CPU for ~2× smaller files; on cold-storage-bound or
+    network-bound clusters zstd wins, and this operator pins that the
+    whole read path — decompressor, dictionary pages, doubles, strings —
+    is value-lossless under it). The driver hash checks the read-back
+    against the SOURCE table, so a codec that silently corrupted a page
+    would fail the value check, not just a size expectation; the layout
+    test additionally pins that the written files really carry ZSTD in
+    the footer (a silently ignored option would leave this timing
+    snappy)."""
+    path = _sink_path("lineitem_zstd")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"
+    )
+    li.write.mode("overwrite").option("compression", "zstd").parquet(path)
+    return spark.read.parquet(path).select(
+        big("l_orderkey").alias("l_orderkey"),
+        big("l_linenumber").alias("l_linenumber"),
+        "l_extendedprice",
+        "l_returnflag",
+    )

@@ -330,3 +330,23 @@ def test_parquet_bloom_write_and_pushed_point_predicate(spark, sf_dir):
         os.path.getsize(p) for p in glob.glob(_sink_path("nb_bloom") + "/*.parquet")
     )
     assert bloom_bytes > plain_bytes + 10000, (bloom_bytes, plain_bytes)
+
+
+def test_zstd_roundtrip_files_carry_zstd_codec(spark, sf_dir):
+    """io_parquet_zstd_roundtrip's footer claim: every column chunk of the
+    written files reports ZSTD compression (PyArrow reads the footer), so
+    the hash-checked round-trip is exercising the real codec path."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from eviction_lab_etl_spark.operators.scans import _sink_path
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    QUERIES["io_parquet_zstd_roundtrip"](spark, sf_dir).count()
+    files = glob.glob(_sink_path("lineitem_zstd") + "/*.parquet")
+    assert files
+    md = pq.ParquetFile(files[0]).metadata
+    rg = md.row_group(0)
+    codecs = {rg.column(i).compression for i in range(rg.num_columns)}
+    assert codecs == {"ZSTD"}, codecs
