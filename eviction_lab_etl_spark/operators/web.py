@@ -156,10 +156,15 @@ def web_domain_cap(spark, sf_dir):
     (deterministic doc_id order — crawl order in production). A handful of
     domains dominating the corpus is the failure mode this guards against
     (RefinedWeb caps exactly this way). The window partitions on host — at
-    100 TB the hot domains are the POINT of the cap; the rank-then-filter
-    only ever materializes {cap} rows per host past the sort, and a
-    deployment that needs the skew-safe form assigns ranks via the
-    two-phase offset scheme in ``training.pack_interleave_sources``."""
+    100 TB the hot domains are the POINT of the cap, and the row_number +
+    rank-filter form is skew-safe NATIVELY: Catalyst rewrites it with a
+    partial WindowGroupLimit ahead of the exchange, so every map task
+    forwards at most cap rows per host and a 10^9-page domain never
+    funnels through one reducer (plan-pinned in tests/test_plans.py;
+    measured against the hand-built two-phase offset alternative in
+    tools/domain_cap_ab.py — the window form stays FLAT 0.5–2.0 s from 2M
+    to 32M rows under 90% single-host skew while the two-phase pays its
+    extra exchanges; SCALE.md round-12 A/B table)."""
     w = Window.partitionBy("host").orderBy("doc_id")
     return (
         _canon_frame(spark, sf_dir)

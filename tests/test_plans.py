@@ -1233,3 +1233,15 @@ def test_attribution_and_median_single_user_or_domain_keyed(spark, sf_dir):
         }
         keys.discard("")
         assert keys <= {"event_type", "v"}, arglist
+
+
+def test_web_domain_cap_has_partial_window_group_limit(spark, sf_dir):
+    """The skew-safety claim of the per-host cap: Catalyst must rewrite the
+    row_number + rank-filter as WindowGroupLimit nodes — the PARTIAL one
+    runs before the exchange, capping what any map task ships per host (a
+    mega-domain never funnels uncut through one reducer). Two nodes =
+    partial + final; losing the rewrite (e.g. by projecting the rank
+    through an intermediate materialization) silently reverts to the
+    hot-reducer plan this test exists to forbid."""
+    info = plan_of(spark, sf_dir, "web_domain_cap")
+    assert info["plan"].count("WindowGroupLimit") >= 2, info["plan"]
