@@ -115,6 +115,8 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "search_matryoshka_recall",
     # --- Round-12 tenth item (never driver-checked): ZSTD codec round-trip
     "io_parquet_zstd_roundtrip",
+    # --- Round-12 capstone (never driver-checked): mixture-plan realization
+    "resample_epoch_realize",
 )
 
 

@@ -214,6 +214,7 @@ R12_HEADLINE = [
     "multimodal_video_keyframes", # r12: decode + digest + lag keyframe cut
     "search_matryoshka_topk",     # r12: prefix-slice scan, no transform at all
     # search_matryoshka_recall shares the scored frame (the recall rule).
+    "resample_epoch_realize",     # r12: mixture plan -> prefix realization
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

@@ -1997,3 +1997,137 @@ def mix_epoch_plan(spark, sf_dir):
         F.expr("alloc div w").cast("long").alias("epochs"),
         (F.col("alloc") % F.col("w")).cast("long").alias("partial_draw"),
     )
+
+
+@query(
+    "resample_epoch_realize",
+    oracle=f"""
+    WITH g AS (
+        SELECT lang, source, CAST(sum(n_chars) AS BIGINT) AS w
+        FROM documents GROUP BY lang, source
+    ),
+    t AS (
+        SELECT lang, source, w, CAST(sum(w) OVER () AS BIGINT) AS n FROM g
+    ),
+    f AS (
+        SELECT lang, source, w,
+               CAST((CAST({_MIX_BUDGET} AS HUGEINT) * w) // n AS BIGINT)
+                 AS base,
+               CAST((CAST({_MIX_BUDGET} AS HUGEINT) * w) % n AS BIGINT)
+                 AS frac
+        FROM t
+    ),
+    r AS (
+        SELECT lang, source, w, base,
+               CAST({_MIX_BUDGET} - sum(base) OVER () AS BIGINT) AS rem,
+               CAST(row_number() OVER (ORDER BY frac DESC, lang, source)
+                    AS BIGINT) AS rnk
+        FROM f
+    ),
+    plan AS (
+        SELECT lang, source, w,
+               CAST(base + (CASE WHEN rnk <= rem THEN 1 ELSE 0 END) AS BIGINT)
+                 AS alloc
+        FROM r
+    ),
+    shuffled AS (
+        SELECT lang, source, doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS shuf
+        FROM documents
+    ),
+    cum AS (
+        SELECT lang, source, n_chars,
+               CAST(coalesce(sum(n_chars) OVER (
+                    PARTITION BY lang, source ORDER BY shuf, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_before
+        FROM shuffled
+    )
+    SELECT p.lang, p.source, p.w, p.alloc,
+           CAST(p.alloc // p.w AS BIGINT) AS epochs,
+           CAST(p.alloc % p.w AS BIGINT) AS partial_draw,
+           CAST(count(*) FILTER (WHERE c.cum_before < p.alloc % p.w)
+                AS BIGINT) AS n_partial_docs,
+           CAST(coalesce(sum(c.n_chars)
+                FILTER (WHERE c.cum_before < p.alloc % p.w), 0) AS BIGINT)
+             AS chars_partial,
+           CAST((p.alloc // p.w) * p.w
+                + coalesce(sum(c.n_chars)
+                    FILTER (WHERE c.cum_before < p.alloc % p.w), 0)
+                AS BIGINT) AS realized_chars
+    FROM plan p JOIN cum c ON c.lang = p.lang AND c.source = p.source
+    GROUP BY p.lang, p.source, p.w, p.alloc
+    """,
+)
+def resample_epoch_realize(spark, sf_dir):
+    """Materialize the mixture plan: for each (lang, source) group, the
+    epoch decomposition of its exact allocation is REALIZED against the
+    actual documents — full epochs replay the whole group, and the partial
+    epoch takes a deterministic-shuffle prefix (order by an md5-derived
+    key, the split_content_hash family) until the cumulative character
+    count covers the partial draw (the top-p inclusion rule: take while
+    mass BEFORE the doc is under the target, so coverage is guaranteed and
+    the overshoot is bounded by one document). This is the step that turns
+    the planner's integers into an executable training list; the ledger
+    (docs taken, chars realized, overshoot-bearing realized total) is what
+    a run manifest records. Invariants pinned in tests:
+    realized ≥ alloc − 1 (exact when partial_draw lands on a doc boundary;
+    ≥ alloc whenever partial_draw > 0), overshoot < the group's max doc.
+
+    Scale shape: one (lang, source)-keyed aggregate for weights (the
+    agg_sum_groupby floor), the planner windows on the tiny group frame,
+    then ONE more corpus exchange for the per-group shuffle-order running
+    sum — the pack_concat_chunks window class (fine under per-group keys) —
+    and a broadcast of the |groups|-row plan back onto it. The corpus is
+    scanned twice (weights, prefix) — a deployment caches the group frame
+    or derives weights from table stats."""
+    from pyspark.sql import Window
+
+    g = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.sum("n_chars").cast("long").alias("w"))
+    )
+    plan = apportion_budget(g, _MIX_BUDGET).select(
+        "lang",
+        "source",
+        "w",
+        "alloc",
+        F.expr("alloc div w").cast("long").alias("epochs"),
+        (F.col("alloc") % F.col("w")).cast("long").alias("partial_draw"),
+    )
+    # hex→int: Spark `conv`, DuckDB `'0x'||` cast — the row_digest pairing.
+    shuf = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    wc = (
+        Window.partitionBy("lang", "source")
+        .orderBy("shuf", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "lang", "source", F.col("n_chars").cast("long").alias("n_chars"),
+            shuf.alias("shuf"), "doc_id",
+        )
+        .withColumn("cum_before", F.coalesce(F.sum("n_chars").over(wc), F.lit(0)))
+    )
+    joined = cum.join(F.broadcast(plan), ["lang", "source"])
+    taken = F.col("cum_before") < F.col("partial_draw")
+    return joined.groupBy(
+        "lang", "source", "w", "alloc", "epochs", "partial_draw"
+    ).agg(
+        F.sum(F.when(taken, 1).otherwise(0)).cast("long").alias("n_partial_docs"),
+        F.coalesce(F.sum(F.when(taken, F.col("n_chars"))), F.lit(0))
+        .cast("long")
+        .alias("chars_partial"),
+        (
+            F.first("epochs") * F.first("w")
+            + F.coalesce(F.sum(F.when(taken, F.col("n_chars"))), F.lit(0))
+        )
+        .cast("long")
+        .alias("realized_chars"),
+    )

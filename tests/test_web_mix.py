@@ -259,3 +259,28 @@ def test_top_paths_python_replica(spark, sf_dir):
         QUERIES["events_top_paths"](spark, sf_dir).collect(), key=lambda r: r.rnk
     )
     assert [(r.path, r.cnt) for r in got] == want
+
+
+def test_epoch_realize_coverage_and_decomposition(spark, sf_dir):
+    """Per group: chars_partial covers partial_draw (top-p inclusion — the
+    prefix stops only once the draw is covered), the overshoot is less
+    than the group's largest document, realized == epochs·w +
+    chars_partial, and groups with partial_draw == 0 take nothing."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.sources.loader import load
+
+    maxdoc = {
+        (r.lang, r.source): r.m
+        for r in load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.max("n_chars").alias("m"))
+        .collect()
+    }
+    for r in QUERIES["resample_epoch_realize"](spark, sf_dir).collect():
+        assert r.realized_chars == r.epochs * r.w + r.chars_partial
+        if r.partial_draw == 0:
+            assert r.n_partial_docs == 0 and r.chars_partial == 0
+        else:
+            assert r.chars_partial >= r.partial_draw
+            assert r.chars_partial - r.partial_draw < maxdoc[(r.lang, r.source)]

@@ -304,6 +304,10 @@ STRESS = [
     # probe, 16-element folds), and additionally runs on the CLUSTERED
     # fixture whose generator caps at 500+20 vectors (the join_fuzzy rule,
     # same as search_rp_topk).
+    # Capstone: the mixture realization scales with documents — two corpus
+    # scans (weights, shuffle-ordered prefix cumsum on per-group keys) +
+    # broadcast plan; worth one measured slope for the second window pass.
+    "resample_epoch_realize",
 ]
 
 
