@@ -115,8 +115,10 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "search_matryoshka_recall",
     # --- Round-12 tenth item (never driver-checked): ZSTD codec round-trip
     "io_parquet_zstd_roundtrip",
-    # --- Round-12 capstone (never driver-checked): mixture-plan realization
+    # --- Round-12 capstone (never driver-checked): mixture-plan realization,
+    # DAU/WAU stickiness via coverage expansion
     "resample_epoch_realize",
+    "events_dau_wau",
 )
 
 

@@ -215,6 +215,7 @@ R12_HEADLINE = [
     "search_matryoshka_topk",     # r12: prefix-slice scan, no transform at all
     # search_matryoshka_recall shares the scored frame (the recall rule).
     "resample_epoch_realize",     # r12: mixture plan -> prefix realization
+    "events_dau_wau",             # r12: sliding exact distinct via x7 expansion
 ]
 
 # Per-topology regression base for the TPC-H power family: the round-6

@@ -480,3 +480,77 @@ def events_top_paths(spark, sf_dir):
             "path", "cnt", F.row_number().over(rw).cast("long").alias("rnk")
         )
     )
+
+
+@query(
+    "events_dau_wau",
+    oracle="""
+    WITH du AS (
+        SELECT DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_num,
+               user_id
+        FROM events
+    ),
+    dau AS (SELECT day_num, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day_num),
+    cover AS (
+        SELECT DISTINCT day_num + i.i AS day_cov, user_id
+        FROM du, (SELECT unnest(range(0, 7)) AS i) i
+    ),
+    wau AS (SELECT day_cov, CAST(count(*) AS BIGINT) AS wau FROM cover GROUP BY day_cov)
+    SELECT d.day_num, d.dau, w.wau,
+           CAST((1000 * d.dau) // w.wau AS BIGINT) AS stickiness_permille
+    FROM dau d JOIN wau w ON w.day_cov = d.day_num
+    """,
+)
+def events_dau_wau(spark, sf_dir):
+    """DAU/WAU stickiness per day — the engagement ratio every product
+    dashboard tracks (what fraction of the trailing week's actives showed
+    up today): exact distinct users per day over exact distinct users in
+    the trailing 7 days, as an integer permille. The trailing-window
+    distinct is computed by the COVERAGE EXPANSION trick: each (day, user)
+    activity fact covers days d..d+6, so one 7-way integer explode + a
+    second dedup turns "distinct over a sliding range" into two plain
+    distinct aggregates — no range-frame distinct (which Spark windows
+    cannot express) and no per-day rescan of the week. Days are integer
+    epoch-day numbers on both engines (floor(epoch/86400) — the fixture
+    clock is post-1970; pre-epoch data would use the joins.py
+    negative-epoch CASE).
+
+    Scale shape: the raw stream collapses to (day, user) in one exchange
+    with map-side dedup (the heavy hitters compress before the wire — a
+    user's thousandth event that day never ships); the ×7 expansion runs
+    on that collapsed frame (|active-users·days| rows, not events), and
+    the final counts are day-keyed. At 100 TB the expansion factor is the
+    window length — the standard trade for exact sliding distinct; the
+    approximate alternative is the merged-HLL family (sketch_hll_*)."""
+    from eviction_lab_etl_spark.functions.determinism import big
+
+    du = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.expr("unix_micros(ts) div 86400000000").alias("day_num"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = du.groupBy("day_num").agg(big(F.count(F.lit(1))).alias("dau"))
+    cover = (
+        du.select(
+            F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+            "day_num",
+            "user_id",
+        )
+        .select((F.col("day_num") + F.col("i")).alias("day_cov"), "user_id")
+        .distinct()
+    )
+    wau = cover.groupBy("day_cov").agg(big(F.count(F.lit(1))).alias("wau"))
+    return (
+        dau.join(wau, dau.day_num == wau.day_cov)
+        .select(
+            "day_num",
+            "dau",
+            "wau",
+            F.expr("(1000 * dau) div wau").cast("long").alias(
+                "stickiness_permille"
+            ),
+        )
+    )

@@ -100,7 +100,7 @@ EXTENSIONS = {
     "incr_snapshot_tag_read", "geo_knn_grid",
     "stream_sliding_distinct", "multimodal_video_keyframes",
     "search_matryoshka_topk", "search_matryoshka_recall",
-    "io_parquet_zstd_roundtrip", "resample_epoch_realize",
+    "io_parquet_zstd_roundtrip", "resample_epoch_realize", "events_dau_wau",
     "layout_zorder_key", "io_range_partitioned",
     "pack_concat_chunks", "chunk_sliding",
     "resample_by_lang", "resample_sqrt_temperature", "text_dedup_repeats",

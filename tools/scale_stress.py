@@ -308,6 +308,10 @@ STRESS = [
     # scans (weights, shuffle-ordered prefix cumsum on per-group keys) +
     # broadcast plan; worth one measured slope for the second window pass.
     "resample_epoch_realize",
+    # DAU/WAU: the event stream collapses to (day, user) map-side, the ×7
+    # expansion runs on the collapsed frame — events AND users scale under
+    # KEYS, so both dedup exchanges grow with the data.
+    "events_dau_wau",
 ]
 
 
