@@ -42,83 +42,52 @@ _FLAGSHIP = "agg_sum_groupby"
 # stale queue can never burn a later round's budget re-checking green rows.
 # Bump _QUEUE_AS_OF to the highest CORRECTNESS_r*.json round present whenever
 # the queue is edited.
-_QUEUE_AS_OF = 11
+_QUEUE_AS_OF = 12
 _RECHECK_QUEUE: tuple[str, ...] = (
-    # --- Round-12 fold-table widening (cleaning._FOLD_1TO1/_EXPAND/_COMBINING
-    # grew from the 4-char demo to full Latin-1 + Latin Extended-A + NFKC
-    # full-width/ligature/ß + combining-mark deletion; fixtures.documents_messy
-    # plants a case per fold class, so BOTH sides of each hash changed):
-    "text_normalize_unicode",
-    "dedup_exact_normalized",
-    "contam_normalized",        # oracle now imports cleaning._NORM_SQL
-    # --- Round-12 overflow hardening (Spark-side products now DECIMAL(38,0);
-    # values identical inside the old envelope, expression changed):
-    "text_pmi_collocations",
-    # --- Round-12 new operator (never driver-checked): hash-checked batch
-    # companion for the rows-only stream_static_enrich
-    "stream_static_enrich_batch",
-    # --- Round-12 changed plan (top-k leg drops the unused exact-distance
-    # fold via _sq8_scored(with_exact=False); values unchanged):
-    "search_sq8_topk",
-    # --- Round-12 new operators (never driver-checked): two-stage SQ8 +
-    # exact rerank retrieval
-    "search_sq8_rerank",
-    "search_sq8_rerank_recall",
-    # --- Round-12 new operators: corpus-wide line dedup, KMV/theta sketch,
-    # near-dup decontamination, trained NB quality gate
-    "dedup_lines_global",
-    "sketch_theta_kmv",
-    "contam_neardup",
-    "text_quality_classifier",
-    "ts_seasonal_profile",
-    "search_rp_topk",
-    "search_rp_recall",
-    "join_asof_nearest",
-    "sketch_kmv_partitioned",
-    "contam_span_remove",
-    "prune_prototypes",
-    # --- Round-12 third batch (never driver-checked): the URL stage, OHLC
-    # bars, nucleus vocab cut, budget apportionment, source interleave
+    # --- Round-13 changed queries (r12 ADVICE fixes; both sides changed in
+    # lockstep, so these must re-verify):
+    #   * ts_resample_ohlc: ordering-key event_id pad widened 12 -> 19 digits
+    #     (full bigint width) in operator AND oracle.
+    #   * web_* / scalar_url_parts / pipeline_web_ingest: UTM-strip grammar
+    #     widened (names [a-z0-9_]+, values [^&#]*) and the URL fixture now
+    #     plants a wide-grammar case (utm_x2_id=AB-12_x%2Fy) — fixture SQL
+    #     and Spark frame changed together; pipeline_web_ingest also dropped
+    #     its fixture-scale broadcast hint on the host report join.
+    "ts_resample_ohlc",
     "web_url_canonicalize",
     "dedup_url_keep_first",
     "web_domain_cap",
-    "ts_resample_ohlc",
-    "text_vocab_nucleus",
-    "mix_budget_alloc",
-    "pack_interleave_sources",
-    # --- Round-12 fourth batch (never driver-checked): filtered retrieval,
-    # last-touch attribution, count-frame exact median
-    "search_filtered_topk",
-    "events_attribution_last_touch",
-    "agg_median_countframe",
-    # --- Round-12 fifth batch (never driver-checked): URL scalar parts, the
-    # web-ingest funnel composition, windowed top-k, parquet bloom round-trip
     "scalar_url_parts",
     "pipeline_web_ingest",
-    "stream_tumbling_topk",
-    "io_parquet_bloom_roundtrip",
-    # --- Round-12 sixth batch (never driver-checked): epoch decomposition of
-    # the mixture table, clickstream path mining
-    "mix_epoch_plan",
-    "events_top_paths",
-    # --- Round-12 seventh batch (never driver-checked): immutable snapshot
-    # tags, grid-index nearest-region assignment
-    "incr_snapshot_tag_read",
-    "geo_knn_grid",
-    # --- Round-12 eighth batch (never driver-checked): sliding distinct
-    # cardinality, intra-video keyframe extraction
-    "stream_sliding_distinct",
-    "multimodal_video_keyframes",
-    # --- Round-12 ninth batch (never driver-checked): prefix-truncated
-    # (Matryoshka) retrieval + its recall companion
-    "search_matryoshka_topk",
-    "search_matryoshka_recall",
-    # --- Round-12 tenth item (never driver-checked): ZSTD codec round-trip
-    "io_parquet_zstd_roundtrip",
-    # --- Round-12 capstone (never driver-checked): mixture-plan realization,
-    # DAU/WAU stickiness via coverage expansion
-    "resample_epoch_realize",
-    "events_dau_wau",
+    # --- Round-13 staleness rotation (r12 VERDICT item 3): every record whose
+    # latest driver verification is round 6 — six rounds stale — re-checked
+    # explicitly so nothing drifts past ~6 rounds unverified. Code unchanged;
+    # this is rotation, not suspicion. (New r13 operators need no queue entry:
+    # never-verified names sort into the `fresh` tier right after this queue.)
+    "scan_project",
+    "scan_filter_prune",
+    "scalar_array_ops",
+    "scalar_json",
+    "scalar_conditional_null",
+    "scalar_bitwise",
+    "setop_union_all",
+    "setop_union_dedup",
+    "setop_except",
+    "setop_intersect",
+    "setop_except_all",
+    "setop_intersect_all",
+    "sort_multi_topk",
+    "udf_cogrouped_map",
+    "udtf_dynamic_schema",
+    "resample_downweight_dups",
+    "stream_static_enrich",
+    "stream_snapshot_sink",
+    "stream_session_skewsafe",
+    "ts_anomaly_mad",
+    "io_text_roundtrip",
+    "io_xml_roundtrip",
+    "io_range_partitioned",
+    "layout_zorder_key",
 )
 
 

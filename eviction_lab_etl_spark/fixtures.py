@@ -338,7 +338,9 @@ def embeddings_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus has no URL column, so one is synthesized deterministically from
 # (doc_id, source) carrying every noise axis the canonicalizer must fold —
 # scheme variants, `www.`, host case, trailing slash, utm_* tracking params in
-# BOTH positions (leading and trailing inside the query string), fragments —
+# BOTH positions (leading and trailing inside the query string) and in the
+# WIDE grammar (digit/underscore-bearing name `utm_x2_id`, dash + percent-
+# encoded value `AB-12_x%2Fy` — the r12 ADVICE realism case), fragments —
 # while meaningful params (`page=`, `id=`) must SURVIVE canonicalization.
 # Canonical collisions are guaranteed (path = doc_id % 50 within a source, and
 # the kept-param residue is itself periodic), so the URL dedup decides real
@@ -350,7 +352,9 @@ DOCUMENTS_WITH_URLS_SQL = """
                || (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END)
                || '.example.com/docs/' || CAST(doc_id % 50 AS VARCHAR)
                || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
-               || (CASE WHEN doc_id % 4 = 0
+               || (CASE WHEN doc_id % 8 = 4
+                        THEN '?utm_x2_id=AB-12_x%2Fy&page=' || CAST(doc_id % 3 AS VARCHAR)
+                        WHEN doc_id % 4 = 0
                         THEN '?utm_source=feed&page=' || CAST(doc_id % 3 AS VARCHAR)
                         WHEN doc_id % 4 = 2
                         THEN '?id=' || CAST(doc_id % 50 AS VARCHAR)
@@ -372,6 +376,10 @@ def documents_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d % 50).cast("string"),
         F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
         F.when(
+            d % 8 == 4,
+            F.concat(F.lit("?utm_x2_id=AB-12_x%2Fy&page="), (d % 3).cast("string")),
+        )
+        .when(
             d % 4 == 0,
             F.concat(F.lit("?utm_source=feed&page="), (d % 3).cast("string")),
         )

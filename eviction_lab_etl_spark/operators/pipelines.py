@@ -1341,7 +1341,14 @@ def pipeline_web_ingest(spark, sf_dir):
     on doc_id (the fact table's own key — co-partitioned with any doc-keyed
     downstream stage); normalize rides the join projection. Caveat per
     web_domain_cap's docstring: sum(n_copies) counts every RAW crawl row,
-    so the report conserves total crawl mass across the funnel."""
+    so the report conserves total crawl mass across the funnel.
+
+    The final report join carries NO broadcast hint (r12 ADVICE): host
+    cardinality is web-scale in the 100 TB scenario this docstring prices,
+    and both sides arrive from host-keyed aggregations — already
+    host-partitioned — so the shuffle-join reuses those exchanges, while
+    AQE is free to downgrade to broadcast when the per-host frame measures
+    small at runtime (it does at fixture scale)."""
     from pyspark.sql import Window
 
     canon = _web._canon_frame(spark, sf_dir)
@@ -1369,6 +1376,6 @@ def pipeline_web_ingest(spark, sf_dir):
         big(F.count(F.lit(1))).alias("n_final"),
         big(F.sum("norm_len")).alias("chars_final"),
     )
-    return report.join(F.broadcast(hostmass), "host").select(
+    return report.join(hostmass, "host").select(
         "host", "n_urls", "n_unique", "n_final", "chars_final"
     )

@@ -527,7 +527,7 @@ def ts_seasonal_profile(spark, sf_dir):
         SELECT event_type,
                date_trunc('hour', ts) AS bar,
                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
-               lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord,
+               lpad(CAST(event_id AS VARCHAR), 19, '0') AS ord,
                value,
                CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_cents
         FROM events
@@ -550,7 +550,11 @@ def ts_resample_ohlc(spark, sf_dir):
     lexicographic string — zero-padded epoch-microseconds ++ zero-padded
     event_id — identical in both engines (non-negative epochs; the fixture
     clock starts 2024, and a production chain spanning pre-1970 data would
-    offset the epoch first, the joins.py negative-epoch rule).
+    offset the epoch first, the joins.py negative-epoch rule). event_id is
+    padded to 19 digits — the full non-negative BIGINT width (max 19
+    decimal digits) — so NO id value can overflow the pad and corrupt the
+    lexicographic order (r12 ADVICE: the old 12-digit pad silently broke
+    at id >= 10^12).
 
     Scale shape, graded for 100 TB: deliberately the AGG-ONLY form —
     ``min_by``/``max_by``/``min``/``max``/``sum`` all collapse map-side, so
@@ -566,7 +570,7 @@ def ts_resample_ohlc(spark, sf_dir):
         F.date_trunc("hour", F.col("ts")).alias("bar"),
         F.concat(
             F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
-            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+            F.lpad(F.col("event_id").cast("string"), 19, "0"),
         ).alias("ord"),
         "value",
         cents("value").alias("v_cents"),

@@ -37,7 +37,12 @@ from eviction_lab_etl_spark.registry import query
 #   2. strip the scheme, 3. strip a leading `www.`,
 #   4. strip the fragment,
 #   5. strip tracking params: any `utm_<name>=<value>` followed by `&`
-#      (global — handles the leading/middle position, keeps what follows),
+#      (global — handles the leading/middle position, keeps what follows);
+#      names are `[a-z0-9_]+` and values `[^&#]*` (r12 ADVICE: real-world
+#      params like `utm_id=ABC-123`, percent-encoded or underscore-bearing
+#      values, must not survive — the value class is "anything up to the
+#      next separator", not a fixture alphabet; the URL is lowercased at
+#      step 1, so `[a-z0-9_]` covers names),
 #   6. then a trailing `[?&]utm_...` (handles the final position),
 #   7. collapse the path-final slash left dangling before a kept query
 #      (`/?page=2` → `?page=2` — literal replace, not regex),
@@ -45,8 +50,8 @@ from eviction_lab_etl_spark.registry import query
 _SCHEME_RE = "^https?://"
 _WWW_RE = "^www\\."
 _FRAG_RE = "#.*$"
-_UTM_MID_RE = "utm_[a-z]+=[a-z0-9]*&"
-_UTM_END_RE = "[?&]utm_[a-z]+=[a-z0-9]*$"
+_UTM_MID_RE = "utm_[a-z0-9_]+=[^&#]*&"
+_UTM_END_RE = "[?&]utm_[a-z0-9_]+=[^&#]*$"
 _TAIL_RE = "[/?]$"
 _HOST_RE = "^[^/?#]+"
 

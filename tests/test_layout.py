@@ -329,7 +329,15 @@ def test_parquet_bloom_write_and_pushed_point_predicate(spark, sf_dir):
     bloom_bytes = sum(
         os.path.getsize(p) for p in glob.glob(_sink_path("nb_bloom") + "/*.parquet")
     )
-    assert bloom_bytes > plain_bytes + 10000, (bloom_bytes, plain_bytes)
+    # Proportional, not absolute (r12 ADVICE): an absolute +10000-byte bar
+    # is sensitive to parquet-mr version / row-group splits / encoding
+    # drift. The bitset for ndv=20000 at default fpp is ~32 KiB against a
+    # ~1 MiB file; 0.5% of the plain size (~5 KiB) separates "bitsets
+    # written" from encoding jitter at any plausible file size. (This
+    # container's PyArrow 16.1 predates bloom-offset metadata exposure —
+    # prefer reading offsets from the footer once PyArrow >= 18 is
+    # available.)
+    assert bloom_bytes > plain_bytes * 1.005, (bloom_bytes, plain_bytes)
 
 
 def test_zstd_roundtrip_files_carry_zstd_codec(spark, sf_dir):

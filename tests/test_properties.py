@@ -1338,30 +1338,76 @@ def test_normalize_text_idempotent_and_canonical(spark, raw):
     assert re.fullmatch(r"([a-z0-9]+( [a-z0-9]+)*)?", v1), v1
 
 
-# --- KMV/theta estimator: statistical contract over random universes ---------
+# --- KMV/theta estimator: algorithm identity over random universes -----------
+#
+# r12 history: this used to be a stochastic 5·RSE envelope (|est − n| ≤ 0.44·n)
+# that hypothesis was allowed to SEARCH over (n_distinct, seed) — the bound is
+# probabilistic over the seed space, so a legitimate ~5σ tail draw
+# ((3736, 3762): 5.01·RSE) falsified it and got cached. The rewrite below keeps
+# the bug-class coverage the docstring promised (off-by-one K vs K−1, v_K vs
+# v_{K+1}, wrong hash width) via assertions that are DETERMINISTICALLY true for
+# every input, and pins the numeric accuracy + divergence magnitudes on a fixed
+# seed (not hypothesis-searched) in the companion test.
+
+
+def _kmv_hashes(seed, n_distinct):
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16)
+        for i in range(n_distinct)
+    ]
 
 
 @given(
-    st.integers(min_value=200, max_value=4000),
+    st.integers(min_value=100, max_value=4000),
     st.integers(min_value=0, max_value=2**32 - 1),
 )
 @settings(max_examples=25, deadline=None)
-def test_kmv_estimator_error_bound(n_distinct, seed):
-    """Pure-Python replica of sketch_theta_kmv's cardinality estimator
-    ((K−1)·W / v_K over K=128 smallest of uniform 60-bit hashes): the
-    estimate must land within 5·RSE = 44% of the true cardinality for any
-    universe size and hash seed — the loose bound that catches an off-by-one
-    (K vs K−1, v_K vs v_{K+1}) or a wrong-width hash space, which bias the
-    estimator far beyond 44%, without flaking on legitimate tail draws."""
-    import hashlib
+def test_kmv_estimator_algorithm_identity(n_distinct, seed):
+    """sketch_theta_kmv's estimator ((K−1)·W // v_K over the K=128 smallest
+    uniform 60-bit hashes, exact count below K): the full-sort replica must
+    equal an INDEPENDENT order-statistic path (heapq.nsmallest — different
+    algorithm, different code), the sub-K branch must be exactly n, and the
+    K-vs-K−1 off-by-one must diverge — which is arithmetic, not luck:
+    K·W//v ≥ (K−1)·W//v + W//v and W//v ≥ 1 whenever v < W. Every assertion
+    here holds for ALL (n, seed), so hypothesis search cannot flake it;
+    accuracy magnitudes live in test_kmv_estimator_fixed_seed_accuracy."""
+    import heapq
 
     K, W = 128, 1 << 60
-    hashes = sorted(
-        int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:15], 16)
-        for i in range(n_distinct)
-    )
+    hashes = _kmv_hashes(seed, n_distinct)
+    smallest = heapq.nsmallest(K, hashes)  # independent of sorted()
+    assert all(h < W for h in hashes)  # 60-bit width contract
     if n_distinct >= K:
-        est = (K - 1) * W // hashes[K - 1]
+        v_k = sorted(hashes)[K - 1]
+        assert v_k == smallest[K - 1]  # order-statistic identity
+        est = (K - 1) * W // v_k
+        # K-vs-K−1 off-by-one diverges deterministically (floor superadditivity)
+        assert K * W // v_k >= est + W // v_k and W // v_k >= 1
+        # v_{K+1} variant can never overestimate relative to v_K
+        if n_distinct > K:
+            assert (K - 1) * W // sorted(hashes)[K] <= est
     else:
         est = n_distinct
-    assert abs(est - n_distinct) <= 0.44 * n_distinct, (n_distinct, est)
+    assert est == n_distinct or n_distinct >= K
+
+
+def test_kmv_estimator_fixed_seed_accuracy():
+    """Fixed-seed (NOT hypothesis-searched) golden pin for the KMV
+    estimator: exact estimate values on seed=7 universes (a regression pin —
+    any formula change, hash-width change, or off-by-one moves these), plus
+    numeric divergence of both off-by-one variants, and the off-by-one being
+    strictly worse than the correct form on each universe. Deterministic:
+    fixed inputs, exact expectations. Errors here are 12.5%/23%/0.13% —
+    including the one legitimate >2·RSE draw (n=1000) that shows why the old
+    hypothesis-searched envelope was flaky by construction."""
+    K, W = 128, 1 << 60
+    golden = {200: 225, 1000: 1230, 3736: 3741}
+    for n, expect in golden.items():
+        hashes = sorted(_kmv_hashes(7, n))
+        v_k = hashes[K - 1]
+        est = (K - 1) * W // v_k
+        assert est == expect, (n, est)
+        assert abs(K * W // v_k - n) > abs(est - n), n  # K variant worse
+        assert K * W // v_k != est and (K - 1) * W // hashes[K] != est, n

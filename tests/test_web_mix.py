@@ -42,6 +42,17 @@ URL_CASES = [
      "h.example.com/p?page=3"),
     # schemeless input passes through the scheme strip unharmed
     ("h.example.com/p#frag", "h.example.com/p"),
+    # r12 ADVICE wide grammar: digit/underscore-bearing utm NAME, dash +
+    # percent-encoded VALUE — middle position (value runs to the next '&')
+    ("https://h.example.com/p?utm_x2_id=AB-12_x%2Fy&page=1",
+     "h.example.com/p?page=1"),
+    # ... and trailing position (value runs to end-of-string)
+    ("https://h.example.com/p?page=2&utm_id=ABC-123%20z",
+     "h.example.com/p?page=2"),
+    # wide value must still stop at '#': fragment strips first, then the
+    # now-trailing utm folds
+    ("https://h.example.com/p?page=4&utm_term=a+b%3D#sec",
+     "h.example.com/p?page=4"),
 ]
 
 

@@ -72,10 +72,8 @@ def cap_twophase(docs, prune: bool):
     b = docs.withColumn("bkt", F.expr(f"doc_id div {BKT}"))
     offs = _offsets(b)
     if prune:
-        offs = offs.filter(F.col("off") < CAP)
-        joined = b.join(F.broadcast(offs), ["host", "bkt"])  # drops cold buckets
-    else:
-        joined = b.join(F.broadcast(offs), ["host", "bkt"])
+        offs = offs.filter(F.col("off") < CAP)  # drops cold buckets
+    joined = b.join(F.broadcast(offs), ["host", "bkt"])
     wl = Window.partitionBy("host", "bkt").orderBy("doc_id")
     return (
         joined.withColumn("lrk", F.row_number().over(wl))
@@ -95,7 +93,6 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     for n in ns:
-        docs = corpus(spark, n)
         plans = {
             "window": lambda: cap_window(corpus(spark, n)),
             "twophase": lambda: cap_twophase(corpus(spark, n), prune=False),
