@@ -231,6 +231,69 @@ def nation_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- irregular (concave) nation polygons: the ray-casting fixture ------------
+
+# geo_point_in_polygon needs polygons where the bbox / center-distance tests
+# are WRONG answers — i.e. genuinely concave rings — or the exact ray-cast
+# would be dead weight the hash can't see. Each nation gets a 16-vertex star
+# polygon around its lattice center: 16 integer direction vectors in strictly
+# increasing angular order (so the ring is simple — star-shaped about the
+# center — for ANY per-vertex magnitudes), with magnitudes 1..6 varying by
+# (n_nationkey, vertex) residue. Max offset 12 exceeds the 10-unit cell
+# half-width, so polygons SPILL into neighbouring 20×20 grid cells and the
+# grid index must emit one row per covered cell (the multi-cell case
+# geo_point_in_region's docstring only gestures at). The lattice is shifted
+# to (30, 30)+ so every coordinate stays non-negative — integer div on
+# negatives truncates in Spark but floors in DuckDB, a cross-engine trap the
+# shift removes by construction.
+_STAR_DX = (1, 2, 1, 1, 0, -1, -1, -2, -1, -2, -1, -1, 0, 1, 1, 2)
+_STAR_DY = (0, 1, 1, 2, 1, 2, 1, 1, 0, -1, -1, -2, -1, -2, -1, -1)
+_STAR_N = 16
+
+
+def _star_mag_sql(i: int) -> str:
+    return f"(1 + (n_nationkey * 7 + {i * 5}) % 6)"
+
+
+def _star_vertex_sql(i: int) -> str:
+    dx, dy = _STAR_DX[i], _STAR_DY[i]
+    m = _star_mag_sql(i)
+    return (
+        f"CAST((n_nationkey % 5) * 20 + 30 + {m} * {dx} AS VARCHAR)"
+        f" || ' ' || "
+        f"CAST((n_nationkey // 5) * 20 + 30 + {m} * {dy} AS VARCHAR)"
+    )
+
+
+NATION_POLYGONS_IRREGULAR_SQL = (
+    "        SELECT n_nationkey, 'POLYGON ((' || "
+    + " || ', ' || ".join(_star_vertex_sql(i) for i in list(range(_STAR_N)) + [0])
+    + " || '))' AS wkt FROM nation"
+)
+
+
+def nation_polygons_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+
+    def vx(i: int):
+        m = 1 + (k * 7 + i * 5) % 6
+        x = (k % 5) * 20 + 30 + m * _STAR_DX[i]
+        y = (k - k % 5) / 5
+        y = y.cast("long") * 20 + 30 + m * _STAR_DY[i]
+        return F.concat(x.cast("string"), F.lit(" "), y.cast("string"))
+
+    parts = []
+    for i in list(range(_STAR_N)) + [0]:
+        if parts:
+            parts.append(F.lit(", "))
+        parts.append(vx(i))
+    return nat.select(
+        "n_nationkey",
+        F.concat(F.lit("POLYGON (("), *parts, F.lit("))")).alias("wkt"),
+    )
+
+
 # --- embeddings with planted near-twins (sim_cosine_neardup) -----------------
 
 # vec_id<50 re-keyed +100000 with the first component nudged +0.25

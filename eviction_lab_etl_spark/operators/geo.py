@@ -285,3 +285,156 @@ def geo_knn_grid(spark, sf_dir):
         (F.col("k") % 32).cast("long").alias("n_nationkey"),
         F.expr("k div 32").cast("long").alias("d2"),
     )
+
+
+# --- exact point-in-polygon: WKT ray casting over the irregular fixture ------
+
+# The reference's R2 containment question ("which census polygon holds this
+# point") answered EXACTLY, not by bbox proxy: parse the WKT ring, prune
+# candidates with the grid-cell index, then run the even-odd ray-cast crossing
+# test per (point, candidate) — all integer arithmetic, identical in both
+# engines. The crossing test avoids the textbook division (px < x_i +
+# (x_{i+1}-x_i)·(py-y_i)/dy) by multiplying through by dy and flipping the
+# inequality with dy's sign:
+#     straddle_i  =  (y_i > py) != (y_{i+1} > py)          -- half-open rule
+#     left_i      =  ((px-x_i)·dy - (x_{i+1}-x_i)·(py-y_i)) · sign(dy) < 0
+# so vertices-on-ray count once, horizontal edges never straddle, and the
+# whole predicate is exact 64-bit integer math (coords < 2^7, products
+# < 2^16 — no overflow analysis needed).
+#
+# Scale shape, graded for 100 TB: the polygon side is |regions| rows exploded
+# to one row per bbox-covered grid cell (the irregular fixture polygons spill
+# across cell borders by construction — max radius 12 > the 10-unit cell
+# half-width) and BROADCASTS with its coordinate arrays; the point side
+# computes its cell in the scan projection, hash-probes the broadcast, and
+# evaluates the ray-cast as a JVM array fold inside the same projection.
+# ZERO shuffles: the output is per-point map-side rows (tests/test_plans.py
+# pins no-exchange). Containment correctness of the pruning: a contained
+# point lies inside the polygon's bbox, so its cell is one of the polygon's
+# covered cells — the index can never miss.
+
+
+def _ray_cast_hits(px, py) -> Column:
+    """Even-odd crossing count of ring (xs, ys) from point (px, py), as an
+    integer fold over edges 1..len-1 (closing vertex included in the ring)."""
+    x = lambda i: F.element_at("xs", i)  # noqa: E731
+    y = lambda i: F.element_at("ys", i)  # noqa: E731
+
+    def edge(acc, i):
+        dy = y(i + 1) - y(i)
+        straddle = (y(i) > py) != (y(i + 1) > py)
+        lhs = (px - x(i)) * dy - (x(i + 1) - x(i)) * (py - y(i))
+        sgn = F.when(dy > 0, F.lit(1)).otherwise(F.lit(-1))
+        return acc + F.when(straddle & (lhs * sgn < 0), 1).otherwise(0)
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size("xs") - 1), F.lit(0).cast("long"), edge
+    )
+
+
+_ORACLE_RING_IRREGULAR = f"""
+    poly AS ({fixtures.NATION_POLYGONS_IRREGULAR_SQL}),
+    ring AS (
+        SELECT n_nationkey,
+               list_transform(
+                   string_split(replace(replace(wkt, 'POLYGON ((', ''), '))', ''), ', '),
+                   p -> CAST(string_split(p, ' ')[1] AS BIGINT)) AS xs,
+               list_transform(
+                   string_split(replace(replace(wkt, 'POLYGON ((', ''), '))', ''), ', '),
+                   p -> CAST(string_split(p, ' ')[2] AS BIGINT)) AS ys
+        FROM poly
+    )
+"""
+
+# Shared point fixture: deterministic integer coords on the shifted lattice.
+_PIP_PTS_SQL = """
+    pts AS (
+        SELECT c_custkey,
+               20 + (c_custkey * 7919) % 100 AS px,
+               20 + (c_custkey * 104729) % 100 AS py
+        FROM customer
+    )
+"""
+
+_RAY_CAST_SQL = """
+    list_sum(list_transform(range(1, len(xs)), i ->
+        CASE WHEN ((ys[i] > py) != (ys[i+1] > py))
+              AND ((px - xs[i]) * (ys[i+1] - ys[i])
+                   - (xs[i+1] - xs[i]) * (py - ys[i]))
+                  * (CASE WHEN ys[i+1] > ys[i] THEN 1 ELSE -1 END) < 0
+             THEN 1 ELSE 0 END))
+"""
+
+
+@query(
+    "geo_point_in_polygon",
+    oracle=f"""
+    WITH {_ORACLE_RING_IRREGULAR},
+    bbox AS (
+        SELECT n_nationkey, xs, ys,
+               list_aggregate(xs[:len(xs)-1], 'min') // {_CELL} AS gx0,
+               list_aggregate(xs[:len(xs)-1], 'max') // {_CELL} AS gx1,
+               list_aggregate(ys[:len(ys)-1], 'min') // {_CELL} AS gy0,
+               list_aggregate(ys[:len(ys)-1], 'max') // {_CELL} AS gy1
+        FROM ring
+    ),
+    cellsx AS (SELECT *, unnest(range(gx0, gx1 + 1)) AS gx FROM bbox),
+    cells AS (SELECT *, unnest(range(gy0, gy1 + 1)) AS gy FROM cellsx),
+    {_PIP_PTS_SQL},
+    cand AS (
+        SELECT p.c_custkey, p.px, p.py, c.n_nationkey, c.xs, c.ys
+        FROM pts p JOIN cells c
+          ON p.px // {_CELL} = c.gx AND p.py // {_CELL} = c.gy
+    )
+    SELECT c_custkey, px, py, n_nationkey
+    FROM (SELECT c_custkey, px, py, n_nationkey,
+                 {_RAY_CAST_SQL} AS hits
+          FROM cand)
+    WHERE hits % 2 = 1
+    """,
+)
+def geo_point_in_polygon(spark, sf_dir):
+    """Exact point→polygon containment over the IRREGULAR (concave) WKT
+    fixture: grid-index pruning + even-odd ray cast, per the module-level
+    plan note. Returns one row per (point, containing polygon) — adjacent
+    stars can overlap (radii up to 12 vs 20-unit center spacing), and a
+    concave ring means points inside the bbox and inside the grid cell are
+    routinely OUTSIDE the polygon, so the driver hash pins the crossing
+    test itself, not the pruning."""
+    ring = _ring_coords(fixtures.nation_polygons_irregular(spark, sf_dir))
+    n_open = F.size("xs") - 1  # drop the closing vertex for the bbox
+    bbox = ring.select(
+        "n_nationkey",
+        "xs",
+        "ys",
+        (F.array_min(F.slice("xs", 1, n_open)) / _CELL).cast("long").alias("gx0"),
+        (F.array_max(F.slice("xs", 1, n_open)) / _CELL).cast("long").alias("gx1"),
+        (F.array_min(F.slice("ys", 1, n_open)) / _CELL).cast("long").alias("gy0"),
+        (F.array_max(F.slice("ys", 1, n_open)) / _CELL).cast("long").alias("gy1"),
+    )
+    cells = bbox.select(
+        "n_nationkey",
+        "xs",
+        "ys",
+        F.explode(F.sequence("gx0", "gx1")).alias("gx"),
+        "gy0",
+        "gy1",
+    ).select(
+        "n_nationkey", "xs", "ys", "gx",
+        F.explode(F.sequence("gy0", "gy1")).alias("gy"),
+    )
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (20 + (F.col("c_custkey") * 7919) % 100).alias("px"),
+        (20 + (F.col("c_custkey") * 104729) % 100).alias("py"),
+    )
+    cand = pts.join(
+        F.broadcast(cells),
+        (F.expr(f"px div {_CELL}") == F.col("gx"))
+        & (F.expr(f"py div {_CELL}") == F.col("gy")),
+    )
+    return (
+        cand.withColumn("hits", _ray_cast_hits(F.col("px"), F.col("py")))
+        .filter(F.col("hits") % 2 == 1)
+        .select("c_custkey", "px", "py", "n_nationkey")
+    )

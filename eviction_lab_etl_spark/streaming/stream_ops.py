@@ -98,17 +98,12 @@ def stream_dedup_watermark(spark, sf_dir):
     return session.table(table)
 
 
-@query("stream_stateful_counter")  # rows-only: custom state machine, no SQL oracle
-def stream_stateful_counter(spark, sf_dir):
-    """Custom stateful streaming operator via ``applyInPandasWithState``: a
-    per-user running profile (event count + cumulative value) maintained in
-    explicit GroupState across micro-batches — the escape hatch for operators
-    Spark's built-in stateful set (window/session/dedup) cannot express.
-
-    State is one (count, total) pair per user: bounded memory per key,
-    shuffle-partitioned by user_id — the same layout a 1000-executor job
-    needs. With an availableNow full replay the emitted final states equal the
-    batch groupBy, which tests/test_rows_only.py asserts."""
+def stateful_profile(stream: DataFrame) -> DataFrame:
+    """The stream_stateful_counter core over an ARBITRARY event stream: a
+    per-user (count, total) GroupState updated each micro-batch, one update
+    row emitted per touched user per batch. Factored out so the replay-
+    determinism test (tests/test_stream_replay.py) drives the SAME state
+    machine through a controlled multi-batch file source."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -123,8 +118,7 @@ def stream_stateful_counter(spark, sf_dir):
             {"user_id": [key[0]], "n_events": [cnt], "total_value": [total]}
         )
 
-    stream = _events_stream(spark, sf_dir)
-    counted = (
+    return (
         stream.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -135,6 +129,21 @@ def stream_stateful_counter(spark, sf_dir):
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+@query("stream_stateful_counter")  # rows-only: custom state machine, no SQL oracle
+def stream_stateful_counter(spark, sf_dir):
+    """Custom stateful streaming operator via ``applyInPandasWithState``: a
+    per-user running profile (event count + cumulative value) maintained in
+    explicit GroupState across micro-batches — the escape hatch for operators
+    Spark's built-in stateful set (window/session/dedup) cannot express.
+
+    State is one (count, total) pair per user: bounded memory per key,
+    shuffle-partitioned by user_id — the same layout a 1000-executor job
+    needs. With an availableNow full replay the emitted final states equal the
+    batch groupBy, which tests/test_rows_only.py asserts; the multi-batch
+    state-carry chain is pinned exactly in tests/test_stream_replay.py."""
+    counted = stateful_profile(_events_stream(spark, sf_dir))
     session, table = _run_to_memory(counted, "update")
     # One state row per user per micro-batch update: keep the final snapshot
     # (max n_events) per user for a deterministic result surface.
@@ -149,13 +158,11 @@ def stream_stateful_counter(spark, sf_dir):
     )
 
 
-@query("stream_foreachbatch_upsert")  # rows-only
-def stream_foreachbatch_upsert(spark, sf_dir):
-    """Incremental rebuild via foreachBatch (R1 analog): each micro-batch
-    computes its daily counts and dynamic-partition-overwrites exactly the
-    day-partitions present in the batch — the Make-mtime 'rebuild only stale
-    targets' contract, expressed as a streaming upsert."""
-    out_path = _scratch("daily_agg")
+def run_daily_upsert(stream: DataFrame, out_path: str) -> None:
+    """The stream_foreachbatch_upsert core over an ARBITRARY event stream:
+    per micro-batch, dynamic-partition-overwrite the day partitions present
+    in that batch. Factored out so the replay-determinism test drives the
+    SAME upsert through a controlled multi-batch file source."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         daily = batch_df.groupBy(F.to_date("ts").alias("od")).agg(
@@ -163,7 +170,6 @@ def stream_foreachbatch_upsert(spark, sf_dir):
         )
         daily.write.mode("overwrite").partitionBy("od").parquet(out_path)
 
-    stream = _events_stream(spark, sf_dir)
     q = (
         stream.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", _scratch("ckpt_fb"))
@@ -171,6 +177,18 @@ def stream_foreachbatch_upsert(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+
+
+@query("stream_foreachbatch_upsert")  # rows-only
+def stream_foreachbatch_upsert(spark, sf_dir):
+    """Incremental rebuild via foreachBatch (R1 analog): each micro-batch
+    computes its daily counts and dynamic-partition-overwrites exactly the
+    day-partitions present in the batch — the Make-mtime 'rebuild only stale
+    targets' contract, expressed as a streaming upsert. The overwrite (not
+    merge) semantics under a day split across batches are pinned exactly in
+    tests/test_stream_replay.py."""
+    out_path = _scratch("daily_agg")
+    run_daily_upsert(_events_stream(spark, sf_dir), out_path)
     return spark.read.parquet(out_path)
 
 

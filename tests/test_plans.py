@@ -1245,3 +1245,17 @@ def test_web_domain_cap_has_partial_window_group_limit(spark, sf_dir):
     hot-reducer plan this test exists to forbid."""
     info = plan_of(spark, sf_dir, "web_domain_cap")
     assert info["plan"].count("WindowGroupLimit") >= 2, info["plan"]
+
+
+def test_geo_point_in_polygon_zero_shuffles(spark, sf_dir):
+    # Exact containment must be a pure broadcast-probe pipeline: the cell-
+    # exploded polygon index broadcasts (with its coordinate arrays), the
+    # point side computes cell + ray-cast in the scan projection, and the
+    # output is map-side rows — ZERO shuffle exchanges, zero Python. This is
+    # the plan-shape that makes the operator 100 TB-safe: the fact side
+    # never exchanges at all.
+    info = plan_of(spark, sf_dir, "geo_point_in_polygon")
+    assert info["shuffles"] == 0, f"point_in_polygon: {info['shuffles']} shuffles"
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 1, f"polygon cell index not broadcast ({bcast})"
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0

@@ -1411,3 +1411,92 @@ def test_kmv_estimator_fixed_seed_accuracy():
         assert est == expect, (n, est)
         assert abs(K * W // v_k - n) > abs(est - n), n  # K variant worse
         assert K * W // v_k != est and (K - 1) * W // hashes[K] != est, n
+
+
+# --- ray-cast point-in-polygon: exact replica over random star rings ---------
+
+
+@given(
+    mags=st.lists(st.integers(min_value=1, max_value=6), min_size=16, max_size=16),
+    px=st.integers(min_value=18, max_value=42),
+    py=st.integers(min_value=18, max_value=42),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_ray_cast_matches_python_fraction_replica(spark, mags, px, py):
+    """geo._ray_cast_hits (cross-product form, integer fold) vs the TEXTBOOK
+    division form computed in exact rationals (Fraction — an independent
+    formulation, not a transcription): even-odd verdicts must agree for any
+    star ring and any integer probe point, including points exactly on
+    edges/vertices (both forms resolve those deterministically and must
+    resolve them the SAME way, or fixture hashes would drift)."""
+    from fractions import Fraction
+
+    from eviction_lab_etl_spark.fixtures import _STAR_DX, _STAR_DY
+    from eviction_lab_etl_spark.operators.geo import _ray_cast_hits
+
+    pts = [(30 + m * dx, 30 + m * dy) for m, dx, dy in zip(mags, _STAR_DX, _STAR_DY)]
+    ring = pts + [pts[0]]
+
+    inside = False
+    for (x1, y1), (x2, y2) in zip(ring, ring[1:]):
+        if (y1 > py) != (y2 > py):
+            x_hit = Fraction(x2 - x1, y2 - y1) * (py - y1) + x1
+            if px < x_hit:
+                inside = not inside
+
+    wkt = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.operators.geo import _ring_coords
+
+    df = _ring_coords(spark.createDataFrame([(1, wkt)], "k long, wkt string"))
+    hits = df.select(
+        _ray_cast_hits(F.lit(px), F.lit(py)).alias("h")
+    ).collect()[0]["h"]
+    assert (hits % 2 == 1) == inside, (mags, px, py, hits)
+
+
+def test_point_in_polygon_concavity_is_load_bearing(spark, sf_dir):
+    """The irregular fixture must make the exact ray cast DECIDE something:
+    a meaningful share of grid-cell candidate pairs fall inside the
+    polygon's bbox yet OUTSIDE the concave ring, so a bbox-only (or
+    cell-only) implementation would hash-differ. Also pins containment of
+    the pruning: every emitted pair's point lies inside the bbox."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark import fixtures
+    from eviction_lab_etl_spark.operators.geo import (
+        _CELL,
+        _ray_cast_hits,
+        _ring_coords,
+    )
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    ring = _ring_coords(fixtures.nation_polygons_irregular(spark, sf_dir))
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (20 + (F.col("c_custkey") * 7919) % 100).alias("px"),
+        (20 + (F.col("c_custkey") * 104729) % 100).alias("py"),
+    )
+    n = F.size("xs") - 1
+    cand = pts.crossJoin(ring).filter(
+        (F.col("px") >= F.array_min(F.slice("xs", 1, n)))
+        & (F.col("px") <= F.array_max(F.slice("xs", 1, n)))
+        & (F.col("py") >= F.array_min(F.slice("ys", 1, n)))
+        & (F.col("py") <= F.array_max(F.slice("ys", 1, n)))
+    )
+    in_bbox = cand.count()
+    in_poly = cand.filter(
+        _ray_cast_hits(F.col("px"), F.col("py")) % 2 == 1
+    ).count()
+    emitted = QUERIES["geo_point_in_polygon"](spark, sf_dir).count()
+    assert emitted == in_poly  # grid pruning loses nothing vs bbox scan
+    # concavity rejects a real share of bbox hits (fixture property; at
+    # sf0.001 it is 42/101 — pin loosely so any SF keeps the property)
+    assert in_poly < in_bbox, (in_poly, in_bbox)
+    assert (in_bbox - in_poly) * 5 >= in_bbox, (in_poly, in_bbox)
