@@ -1453,13 +1453,23 @@ def contam_neardup(spark, sf_dir):
     corpus never joins the corpus. Determinism: md5-prefix hash family, so
     the oracle rebuilds the identical signatures, bands, candidate set, and
     verdicts — banding false negatives included."""
+    from eviction_lab_etl_spark.operators.extensions import _mh_spark_family
+
+    return _contam_neardup_frame(spark, sf_dir, _mh_spark_family)
+
+
+def _contam_neardup_frame(spark, sf_dir, hash_fn):
+    """contam_neardup's whole flow with a pluggable signature hash family —
+    shared by the md5-prefix (oracle-checkable) and xxhash64 (production
+    wire width) registrations. Only the signature build differs; the gram
+    construction, banding parameters, and exact-Jaccard verification are
+    byte-identical."""
     from eviction_lab_etl_spark.functions.minhash import minhash_batch_matches
     from eviction_lab_etl_spark.operators.extensions import (
         _MH_BANDS,
         _MH_DEN,
         _MH_NUM,
         _MH_ROWS,
-        _mh_spark_family,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -1497,7 +1507,7 @@ def contam_neardup(spark, sf_dir):
         threshold=(_MH_NUM, _MH_DEN),
         bands=_MH_BANDS,
         rows_per_band=_MH_ROWS,
-        hash_fn=_mh_spark_family,
+        hash_fn=hash_fn,
     )
     return res.select(
         F.col("b").alias("bench_id"),
@@ -1506,6 +1516,26 @@ def contam_neardup(spark, sf_dir):
         big("uni").alias("uni"),
         big("near").alias("near"),
     )
+
+
+@query("contam_neardup_xx")  # rows-only: xxhash64 exists only in Spark
+def contam_neardup_xx(spark, sf_dir):
+    """contam_neardup at PRODUCTION wire width: the same whole-document
+    near-dup decontamination flow with the signature hash family swapped to
+    seeded ``xxhash64`` — the knob the md5 registration's docstring prices
+    (the md5-prefix family is ~4× wider on the wire and its hex parse IS
+    contam_neardup's dominant cost; r12 bench pinned the md5 signature
+    build at 15.4 s of the 15.4 s total). DuckDB cannot evaluate xxhash64,
+    so this row is rows-only by design; its semantics are pinned instead by
+    tests/test_library.py: (1) planted-recall 100% — every benchmark doc's
+    planted near-copy (J≈0.98) is caught and verdicted near=1, and (2)
+    verdict agreement with the md5 registration on every candidate pair
+    both bandings emit (exact Jaccard is family-independent; only the
+    banding's false-negative set may differ). SCALE.md records the measured
+    md5-vs-xxhash64 signature-build delta."""
+    from eviction_lab_etl_spark.functions.minhash import xxhash_family
+
+    return _contam_neardup_frame(spark, sf_dir, xxhash_family)
 
 
 # --- trained quality classifier (the fastText/CCNet filter's role) -----------

@@ -1570,3 +1570,34 @@ def test_matryoshka_recall_floor(spark, sf_dir):
     row = QUERIES["search_matryoshka_recall"](spark, sf_dir).collect()[0]
     assert row.n_exact == 10
     assert row.n_hits >= 9
+
+
+def test_contam_neardup_xx_recall_and_family_agreement(spark, sf_dir):
+    """The xxhash64 (production wire-width) registration of whole-document
+    decontamination: (1) planted recall — every benchmark doc's planted
+    near-copy (id + 200000, J≈0.98) is caught by the xx banding and
+    verdicted near=1, exactly as the md5 registration catches it; (2)
+    family independence of the VERDICT — for every candidate pair both
+    bandings emit, (inter, uni, near) agree exactly (exact Jaccard does not
+    depend on the signature family; only the banding miss set may differ)."""
+    from eviction_lab_etl_spark.operators.training import _CND_PLANT_BASE
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    xx = {
+        (r.bench_id, r.train_id): (r.inter, r.uni, r.near)
+        for r in QUERIES["contam_neardup_xx"](spark, sf_dir).collect()
+    }
+    md5 = {
+        (r.bench_id, r.train_id): (r.inter, r.uni, r.near)
+        for r in QUERIES["contam_neardup"](spark, sf_dir).collect()
+    }
+    planted = {
+        (b, b + _CND_PLANT_BASE) for b, _ in md5 if (b, b + _CND_PLANT_BASE) in md5
+    }
+    assert planted  # the fixture plants one near-copy per benchmark doc
+    for pair in planted:
+        assert pair in xx and xx[pair][2] == 1, pair  # 100% planted recall
+    both = set(xx) & set(md5)
+    assert both
+    for pair in both:
+        assert xx[pair] == md5[pair], pair
