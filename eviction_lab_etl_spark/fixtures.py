@@ -294,6 +294,68 @@ def nation_polygons_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- GeoJSON feature strings over the irregular polygons ---------------------
+
+# The reference's geo stage consumes GeoJSON (fetched census shapes), not
+# WKT; geo_geojson_parse needs a GeoJSON column to parse. Built from the SAME
+# star-vertex constants as the irregular WKT fixture, as a standard Feature:
+# {"type":"Feature","properties":{"key":K,"name":...},"geometry":
+#  {"type":"Polygon","coordinates":[[[x,y],...]]}} with the ring closed
+# (first vertex repeated last, per the GeoJSON spec). n_name is [A-Z ]-only
+# in TPC-H, so no JSON escaping is needed on either engine.
+
+
+def _star_coord_sql(i: int) -> str:
+    dx, dy = _STAR_DX[i], _STAR_DY[i]
+    m = _star_mag_sql(i)
+    return (
+        f"'[' || CAST((n_nationkey % 5) * 20 + 30 + {m} * {dx} AS VARCHAR)"
+        f" || ',' || "
+        f"CAST((n_nationkey // 5) * 20 + 30 + {m} * {dy} AS VARCHAR) || ']'"
+    )
+
+
+NATION_GEOJSON_SQL = (
+    "        SELECT n_nationkey, '{\"type\":\"Feature\",\"properties\":"
+    "{\"key\":' || CAST(n_nationkey AS VARCHAR) || ',\"name\":\"' || n_name"
+    " || '\"},\"geometry\":{\"type\":\"Polygon\",\"coordinates\":[[' || "
+    + " || ',' || ".join(_star_coord_sql(i) for i in list(range(_STAR_N)) + [0])
+    + " || ']]}}' AS geojson FROM nation"
+)
+
+
+def nation_geojson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+
+    def coord(i: int):
+        m = 1 + (k * 7 + i * 5) % 6
+        x = (k % 5) * 20 + 30 + m * _STAR_DX[i]
+        y = (k - k % 5) / 5
+        y = y.cast("long") * 20 + 30 + m * _STAR_DY[i]
+        return F.concat(
+            F.lit("["), x.cast("string"), F.lit(","), y.cast("string"), F.lit("]")
+        )
+
+    parts = []
+    for i in list(range(_STAR_N)) + [0]:
+        if parts:
+            parts.append(F.lit(","))
+        parts.append(coord(i))
+    return nat.select(
+        "n_nationkey",
+        F.concat(
+            F.lit('{"type":"Feature","properties":{"key":'),
+            k.cast("string"),
+            F.lit(',"name":"'),
+            F.col("n_name"),
+            F.lit('"},"geometry":{"type":"Polygon","coordinates":[['),
+            *parts,
+            F.lit("]]}}"),
+        ).alias("geojson"),
+    )
+
+
 # --- embeddings with planted near-twins (sim_cosine_neardup) -----------------
 
 # vec_id<50 re-keyed +100000 with the first component nudged +0.25

@@ -438,3 +438,184 @@ def geo_point_in_polygon(spark, sf_dir):
         .filter(F.col("hits") % 2 == 1)
         .select("c_custkey", "px", "py", "n_nationkey")
     )
+
+
+# --- polygon simplification: the area-sweep (Visvalingam first pass) ---------
+
+# The reference's geo stage SIMPLIFIES fetched census polygons before
+# deriving label points and tiles. Full Visvalingam-Whyatt removes vertices
+# one at a time (recomputing neighbours after each removal) — inherently
+# sequential per ring, the wrong shape for a column engine. The standard
+# distributed compromise, implemented here, is the SINGLE-SWEEP area filter
+# (exactly VW's first iteration, batched): drop every vertex whose effective
+# triangle area (×2, integer) with its ring neighbours falls below the
+# tolerance, in one pass over the ring. Per-ring work is O(n) inside the
+# scan projection — at 100 TB of shapes the operator is map-only: no
+# shuffle, no Python, no per-vertex explosion on the Spark side (the oracle
+# explodes because SQL must; the operator stays an array pipeline).
+# Tolerance 20 on the irregular fixture keeps 4–9 of 16 vertices per ring
+# (always >= 3, still a valid ring — tests pin both bounds).
+
+_SIMPLIFY_T = 20
+
+
+@query(
+    "geo_simplify_sweep",
+    oracle=f"""
+    WITH {_ORACLE_RING_IRREGULAR},
+    openr AS (
+        SELECT n_nationkey,
+               xs[:len(xs)-1] AS xs, ys[:len(ys)-1] AS ys,
+               len(xs) - 1 AS n
+        FROM ring
+    ),
+    pos AS (
+        SELECT n_nationkey, xs, ys, n, unnest(range(1, n + 1)) AS i
+        FROM openr
+    ),
+    scored AS (
+        SELECT n_nationkey, i, xs[i] AS x, ys[i] AS y,
+               abs( (xs[(i % n) + 1] - xs[i]) * (ys[((i - 2 + n) % n) + 1] - ys[i])
+                  - (xs[((i - 2 + n) % n) + 1] - xs[i]) * (ys[(i % n) + 1] - ys[i]) )
+                   AS a2
+        FROM pos
+    ),
+    kept AS (SELECT * FROM scored WHERE a2 >= {_SIMPLIFY_T})
+    SELECT n_nationkey,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           'POLYGON ((' || string_agg(CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR),
+                                      ', ' ORDER BY i)
+                        || ', ' || arg_min(CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR), i)
+                        || '))' AS wkt
+    FROM kept GROUP BY n_nationkey
+    """,
+)
+def geo_simplify_sweep(spark, sf_dir):
+    """Area-sweep polygon simplification over the irregular WKT fixture:
+    one map-only pass computes each vertex's neighbour-triangle area (×2,
+    exact integer, ring-wraparound neighbours), filters vertices below the
+    tolerance, and re-emits the simplified ring as closed WKT plus the kept
+    count. The Spark side never explodes vertices — the score/filter/
+    reassemble chain runs as JVM higher-order array functions inside the
+    scan projection."""
+    ring = _ring_coords(fixtures.nation_polygons_irregular(spark, sf_dir))
+    n = F.size("xs") - 1
+    openr = ring.select(
+        "n_nationkey",
+        F.slice("xs", 1, n).alias("xs"),
+        F.slice("ys", 1, n).alias("ys"),
+        n.alias("n"),
+    )
+    x = lambda i: F.element_at("xs", i)  # noqa: E731
+    y = lambda i: F.element_at("ys", i)  # noqa: E731
+    nn = F.col("n")
+    nxt = lambda i: (i % nn) + 1  # noqa: E731
+    prv = lambda i: ((i - 2 + nn) % nn) + 1  # noqa: E731
+    a2 = lambda i: F.abs(  # noqa: E731
+        (x(nxt(i)) - x(i)) * (y(prv(i)) - y(i))
+        - (x(prv(i)) - x(i)) * (y(nxt(i)) - y(i))
+    )
+    kept = openr.select(
+        "n_nationkey",
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), nn),
+                lambda i: F.struct(
+                    i.alias("i"),
+                    F.concat(x(i).cast("string"), F.lit(" "), y(i).cast("string"))
+                    .alias("v"),
+                    (a2(i) >= _SIMPLIFY_T).alias("keep"),
+                ),
+            ),
+            lambda s: s["keep"],
+        ).alias("ks"),
+    )
+    return kept.select(
+        "n_nationkey",
+        big(F.size("ks")).alias("n_kept"),
+        F.concat(
+            F.lit("POLYGON (("),
+            F.array_join(F.transform("ks", lambda s: s["v"]), ", "),
+            F.lit(", "),
+            F.element_at("ks", 1)["v"],
+            F.lit("))"),
+        ).alias("wkt"),
+    )
+
+
+# --- GeoJSON parsing: the reference's actual input format ---------------------
+
+_GEOJSON_SCHEMA = (
+    "type string, properties struct<key: bigint, name: string>, "
+    "geometry struct<type: string, coordinates: array<array<array<bigint>>>>"
+)
+
+
+@query(
+    "geo_geojson_parse",
+    oracle=f"""
+    WITH gj AS ({fixtures.NATION_GEOJSON_SQL}),
+    parsed AS (
+        SELECT CAST(json_extract_string(geojson, '$.properties.key') AS BIGINT)
+                   AS key,
+               json_extract_string(geojson, '$.properties.name') AS name,
+               json_extract_string(geojson, '$.geometry.type') AS gtype,
+               CAST(json_extract(geojson, '$.geometry.coordinates[0]')
+                    AS BIGINT[][]) AS ring
+        FROM gj
+    )
+    SELECT key, name, gtype,
+           CAST(len(ring) AS BIGINT) AS n_ring,
+           list_aggregate(list_transform(ring[:len(ring)-1], p -> p[1]), 'min')
+               AS minx,
+           list_aggregate(list_transform(ring[:len(ring)-1], p -> p[2]), 'min')
+               AS miny,
+           list_aggregate(list_transform(ring[:len(ring)-1], p -> p[1]), 'max')
+               AS maxx,
+           list_aggregate(list_transform(ring[:len(ring)-1], p -> p[2]), 'max')
+               AS maxy,
+           'POLYGON ((' || array_to_string(
+               list_transform(ring, p -> CAST(p[1] AS VARCHAR) || ' '
+                                         || CAST(p[2] AS VARCHAR)), ', ')
+                        || '))' AS wkt
+    FROM parsed
+    """,
+)
+def geo_geojson_parse(spark, sf_dir):
+    """GeoJSON Feature ingestion — the format the reference's geo stage
+    actually fetches: parse the Feature string with a typed ``from_json``
+    (schema'd struct, not string surgery), surface the properties, ring
+    length, exact bbox, and the ring converted to canonical WKT — the
+    handoff into this module's WKT operators (centroid/containment/
+    simplify). Map-only: the parse and every derivation ride the scan
+    projection; at 100 TB this is the ingest projection of a shapes table,
+    shuffled by nothing."""
+    gj = fixtures.nation_geojson(spark, sf_dir)
+    p = F.from_json("geojson", _GEOJSON_SCHEMA)
+    ring = p["geometry"]["coordinates"][0]
+    n_open = F.size(ring) - 1
+    xs = F.transform(ring, lambda c: c[0])
+    ys = F.transform(ring, lambda c: c[1])
+    return gj.select(
+        p["properties"]["key"].alias("key"),
+        p["properties"]["name"].alias("name"),
+        p["geometry"]["type"].alias("gtype"),
+        big(F.size(ring)).alias("n_ring"),
+        big(F.array_min(F.slice(xs, 1, n_open))).alias("minx"),
+        big(F.array_min(F.slice(ys, 1, n_open))).alias("miny"),
+        big(F.array_max(F.slice(xs, 1, n_open))).alias("maxx"),
+        big(F.array_max(F.slice(ys, 1, n_open))).alias("maxy"),
+        F.concat(
+            F.lit("POLYGON (("),
+            F.array_join(
+                F.transform(
+                    ring,
+                    lambda c: F.concat(
+                        c[0].cast("string"), F.lit(" "), c[1].cast("string")
+                    ),
+                ),
+                ", ",
+            ),
+            F.lit("))"),
+        ).alias("wkt"),
+    )

@@ -98,7 +98,7 @@ EXTENSIONS = {
     "scalar_url_parts", "pipeline_web_ingest", "stream_tumbling_topk",
     "io_parquet_bloom_roundtrip", "mix_epoch_plan", "events_top_paths",
     "incr_snapshot_tag_read", "geo_knn_grid", "geo_point_in_polygon",
-    "contam_neardup_xx",
+    "contam_neardup_xx", "geo_simplify_sweep", "geo_geojson_parse",
     "stream_sliding_distinct", "multimodal_video_keyframes",
     "search_matryoshka_topk", "search_matryoshka_recall",
     "io_parquet_zstd_roundtrip", "resample_epoch_realize", "events_dau_wau",

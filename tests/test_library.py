@@ -1601,3 +1601,39 @@ def test_contam_neardup_xx_recall_and_family_agreement(spark, sf_dir):
     assert both
     for pair in both:
         assert xx[pair] == md5[pair], pair
+
+
+def test_geo_simplify_sweep_ring_bounds_and_validity(spark, sf_dir):
+    """The area-sweep must actually simplify (every 16-vertex fixture ring
+    loses vertices at tolerance 20) while never destroying ring validity
+    (>= 3 kept vertices), and the emitted WKT must be a closed ring whose
+    vertex count is n_kept + 1."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    rows = QUERIES["geo_simplify_sweep"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 3 <= r.n_kept < 16, (r.n_nationkey, r.n_kept)
+        body = r.wkt.removeprefix("POLYGON ((").removesuffix("))")
+        verts = body.split(", ")
+        assert len(verts) == r.n_kept + 1
+        assert verts[0] == verts[-1]  # closed
+
+
+def test_geo_geojson_parse_wkt_equals_wkt_fixture(spark, sf_dir):
+    """Cross-fixture consistency: the WKT reconstructed from the parsed
+    GeoJSON ring must equal fixtures.nation_polygons_irregular's WKT string
+    byte-for-byte (both derive from the same star-vertex constants) — the
+    GeoJSON ingest hands off losslessly into the WKT operator chain."""
+    from eviction_lab_etl_spark import fixtures
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    parsed = {
+        r.key: r.wkt
+        for r in QUERIES["geo_geojson_parse"](spark, sf_dir).collect()
+    }
+    fixture = {
+        r.n_nationkey: r.wkt
+        for r in fixtures.nation_polygons_irregular(spark, sf_dir).collect()
+    }
+    assert parsed == fixture
