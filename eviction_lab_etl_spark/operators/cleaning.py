@@ -617,3 +617,111 @@ def text_lm_nll(spark, sf_dir):
             F.expr("(100 * nll_bits) div n_bigrams").alias("avg_centibits"),
         )
     )
+
+
+# --- Gopher rule battery (Rae et al. 2021's published quality heuristics) ----
+
+# The rule set large-corpus pipelines (Gopher/MassiveText, reused by many)
+# apply BEFORE any learned quality model: cheap structural checks that kill
+# machine-generated and boilerplate junk. The published rules are ratios;
+# §2.0 rule 1 (no float surfaces) re-states each as an integer
+# cross-multiplication, so the verdict bits are exact in both engines. The
+# two line-based rules (bullet-start, ellipsis-end fractions) are omitted —
+# the fixture corpus has no lines; web_domain_cap / text_boilerplate_strip
+# own the line axis. Runs over the PII corpus (fixtures.documents_with_pii)
+# because its planted tokens ("user12@mail.example", "555-0123") give the
+# symbol/alpha rules real negatives to fire on.
+#
+# Rules, integer form (metric emitted alongside each verdict bit):
+#   words:    10 <= n_words <= 100000
+#   meanlen:  3 <= sum_word_len / n_words <= 10, as 3n <= sum <= 10n
+#   alpha:    >= 80% of words contain an alphabetic char, as 5·n_has_alpha >= 4·n
+#   symbol:   <= 20% of words contain a non-alphanumeric char, as 5·n_symbol <= n
+#   stop:     >= 2 stopword hits ("the"/"a"/"of"/"and"/"in"/"to")
+
+_GOPHER_STOP = ["a", "the", "of", "and", "in", "to"]
+_GOPHER_ALPHA_RE = "[a-z]"
+_GOPHER_SYMBOL_RE = "[^a-z0-9]"
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH raw AS ({fixtures.DOCUMENTS_WITH_PII_SQL}),
+    toks AS (SELECT doc_id, string_split(raw, ' ') AS w FROM raw),
+    m AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+                   AS sum_word_len,
+               CAST(len(list_filter(w, x ->
+                   regexp_matches(x, '{_GOPHER_ALPHA_RE}'))) AS BIGINT)
+                   AS n_has_alpha,
+               CAST(len(list_filter(w, x ->
+                   regexp_matches(x, '{_GOPHER_SYMBOL_RE}'))) AS BIGINT)
+                   AS n_symbol,
+               CAST(len(list_filter(w, x ->
+                   list_contains({_GOPHER_STOP}, x))) AS BIGINT) AS n_stop
+        FROM toks
+    )
+    SELECT doc_id, n_words, sum_word_len, n_has_alpha, n_symbol, n_stop,
+           CAST(n_words BETWEEN 10 AND 100000 AS BIGINT) AS v_words,
+           CAST(3 * n_words <= sum_word_len
+                AND sum_word_len <= 10 * n_words AS BIGINT) AS v_meanlen,
+           CAST(5 * n_has_alpha >= 4 * n_words AS BIGINT) AS v_alpha,
+           CAST(5 * n_symbol <= n_words AS BIGINT) AS v_symbol,
+           CAST(n_stop >= 2 AS BIGINT) AS v_stop,
+           CAST(n_words BETWEEN 10 AND 100000
+                AND 3 * n_words <= sum_word_len
+                AND sum_word_len <= 10 * n_words
+                AND 5 * n_has_alpha >= 4 * n_words
+                AND 5 * n_symbol <= n_words
+                AND n_stop >= 2 AS BIGINT) AS v_pass
+    FROM m
+    """,
+)
+def text_gopher_rules(spark, sf_dir):
+    """The Gopher structural-quality rule battery, integer-exact: per doc,
+    the five metrics and a verdict bit per rule plus the conjunction —
+    emitted together so a pipeline can both filter (v_pass) and audit WHY a
+    doc died (the per-rule bits), the way production reports rule
+    attrition. Map-only: one scan projection of JVM array folds + regexes,
+    no shuffle, no Python — at 100 TB this is a free rider on the ingest
+    scan."""
+    docs = fixtures.documents_with_pii(spark, sf_dir)
+    w = F.split("raw", " ")
+    stop = F.array(*[F.lit(s) for s in _GOPHER_STOP])
+    m = docs.select(
+        "doc_id",
+        big(F.size(w)).alias("n_words"),
+        big(
+            F.aggregate(F.transform(w, F.length), F.lit(0), lambda a, x: a + x)
+        ).alias("sum_word_len"),
+        big(F.size(F.filter(w, lambda x: x.rlike(_GOPHER_ALPHA_RE)))).alias(
+            "n_has_alpha"
+        ),
+        big(F.size(F.filter(w, lambda x: x.rlike(_GOPHER_SYMBOL_RE)))).alias(
+            "n_symbol"
+        ),
+        big(F.size(F.filter(w, lambda x: F.array_contains(stop, x)))).alias(
+            "n_stop"
+        ),
+    )
+    v_words = F.col("n_words").between(10, 100000)
+    v_meanlen = (3 * F.col("n_words") <= F.col("sum_word_len")) & (
+        F.col("sum_word_len") <= 10 * F.col("n_words")
+    )
+    v_alpha = 5 * F.col("n_has_alpha") >= 4 * F.col("n_words")
+    v_symbol = 5 * F.col("n_symbol") <= F.col("n_words")
+    v_stop = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id", "n_words", "sum_word_len", "n_has_alpha", "n_symbol", "n_stop",
+        big(v_words.cast("long")).alias("v_words"),
+        big(v_meanlen.cast("long")).alias("v_meanlen"),
+        big(v_alpha.cast("long")).alias("v_alpha"),
+        big(v_symbol.cast("long")).alias("v_symbol"),
+        big(v_stop.cast("long")).alias("v_stop"),
+        big(
+            (v_words & v_meanlen & v_alpha & v_symbol & v_stop).cast("long")
+        ).alias("v_pass"),
+    )

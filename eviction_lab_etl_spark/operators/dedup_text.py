@@ -1050,3 +1050,107 @@ def text_vocab_nucleus(spark, sf_dir):
     return ranked.filter(
         (F.col("cum") - F.col("c")) * 1000 < F.col("t") * _NUCLEUS_PERMILLE
     ).select("lang", "tok", "c", "cum", "rnk")
+
+
+# --- boilerplate line strip: frequency-threshold removal ----------------------
+
+# The CCNet-style companion to ``dedup_lines_global``: where that pass keeps
+# the FIRST copy of every line, this one removes ALL copies of any line
+# whose corpus-wide frequency exceeds a threshold — the rule used for nav
+# text, cookie banners, and license headers, which should survive ZERO
+# times, not once. Same pseudo-line fixture convention ({_BP_LINE_LEN}-token
+# blocks; production splits on newline with identical plan shapes).
+#
+# Scale shape — DIFFERENT from dedup_lines_global's, and better when the
+# output is "strip", not "attribute": the hot-line table (count > threshold)
+# is SMALL BY DEFINITION (only content repeated corpus-wide lands in it), so
+# instances flag membership against a BROADCAST of the hot lines — the
+# corpus line stream never joins a corpus-sized table. One aggregation
+# builds the counts (map-side partials absorb the hot-key skew — the
+# dedup_lines_global argument), one broadcast probe flags, one doc-keyed
+# reassembly. tests/test_plans.py pins the broadcast.
+
+_BP_LINE_LEN = 8
+_BP_MAX = 2  # a line is boilerplate when its corpus-wide count exceeds this
+
+
+@query(
+    "text_boilerplate_strip",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+    lines AS (
+        SELECT doc_id, i AS line_no,
+               array_to_string(l[(i - 1) * {_BP_LINE_LEN} + 1 :
+                                 (i - 1) * {_BP_LINE_LEN} + {_BP_LINE_LEN}], ' ')
+                   AS line
+        FROM (SELECT doc_id, l,
+                     unnest(range(1, (len(l) + {_BP_LINE_LEN - 1})
+                                     // {_BP_LINE_LEN} + 1)) AS i
+              FROM toks)
+    ),
+    hot AS (
+        SELECT line FROM lines GROUP BY line HAVING count(*) > {_BP_MAX}
+    ),
+    flagged AS (
+        SELECT li.doc_id, li.line_no, li.line, h.line IS NULL AS keep
+        FROM lines li LEFT JOIN hot h ON li.line = h.line
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (NOT keep) AS BIGINT) AS n_dropped,
+           coalesce(string_agg(CASE WHEN keep THEN line END, ' '
+                               ORDER BY line_no), '') AS new_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def text_boilerplate_strip(spark, sf_dir):
+    """Frequency-threshold boilerplate removal: drop EVERY instance of any
+    pseudo-line appearing more than {max} times corpus-wide, reassemble
+    each document from its surviving lines in order, and report the per-doc
+    attrition (n_lines, n_dropped) the cleaning audit needs. See the module
+    comment for the broadcast-anti plan shape.""".format(max=_BP_MAX)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    w = F.col("toks")
+    nb = F.expr(f"(size(toks) + {_BP_LINE_LEN - 1}) div {_BP_LINE_LEN}")
+    lines = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), nb),
+                lambda i: F.struct(
+                    i.cast("long").alias("line_no"),
+                    F.array_join(
+                        F.slice(w, (i - 1) * _BP_LINE_LEN + 1, _BP_LINE_LEN), " "
+                    ).alias("line"),
+                ),
+            )
+        ).alias("e"),
+    ).select(
+        "doc_id", F.col("e.line_no").alias("line_no"), F.col("e.line").alias("line")
+    )
+    hot = (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > _BP_MAX)
+        .select(F.col("line").alias("hot_line"))
+    )
+    flagged = lines.join(
+        F.broadcast(hot), F.col("line") == F.col("hot_line"), "left"
+    ).withColumn("keep", F.col("hot_line").isNull())
+    return flagged.groupBy("doc_id").agg(
+        big(F.count(F.lit(1))).alias("n_lines"),
+        big(F.count_if(~F.col("keep"))).alias("n_dropped"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("line_no", "line"))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            " ",
+        ).alias("new_text"),
+    )

@@ -1637,3 +1637,42 @@ def test_geo_geojson_parse_wkt_equals_wkt_fixture(spark, sf_dir):
         for r in fixtures.nation_polygons_irregular(spark, sf_dir).collect()
     }
     assert parsed == fixture
+
+
+def test_boilerplate_strip_total_conservation_and_zero_survivors(spark, sf_dir):
+    """Strip semantics: (1) per doc, kept + dropped == n_lines and new_text
+    token count equals the kept lines' token mass (reassembly loses
+    nothing); (2) the strip is TOTAL — no surviving pseudo-line of the
+    output corpus has corpus frequency above the threshold when recounted
+    over the ORIGINAL line table (zero copies survive, the contract that
+    distinguishes this from dedup_lines_global's keep-first)."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.operators.dedup_text import (
+        _BP_LINE_LEN,
+        _BP_MAX,
+    )
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    out = QUERIES["text_boilerplate_strip"](spark, sf_dir)
+    rows = out.collect()
+    assert sum(r.n_dropped for r in rows) > 0  # the threshold fires
+    # rebuild the original line table and its hot set in python
+    docs = {r.doc_id: r.text for r in load(spark, sf_dir, "documents").collect()}
+    from collections import Counter
+
+    def lines_of(text):
+        toks = text.split(" ")
+        return [
+            " ".join(toks[i : i + _BP_LINE_LEN])
+            for i in range(0, len(toks), _BP_LINE_LEN)
+        ]
+
+    freq = Counter(ln for t in docs.values() for ln in lines_of(t))
+    hot = {ln for ln, c in freq.items() if c > _BP_MAX}
+    for r in rows:
+        orig = lines_of(docs[r.doc_id])
+        kept = [ln for ln in orig if ln not in hot]
+        assert r.n_lines == len(orig) and r.n_dropped == len(orig) - len(kept)
+        assert r.new_text == " ".join(kept)  # order-preserving, total strip

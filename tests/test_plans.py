@@ -1259,3 +1259,20 @@ def test_geo_point_in_polygon_zero_shuffles(spark, sf_dir):
     bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
     assert bcast >= 1, f"polygon cell index not broadcast ({bcast})"
     assert info["python_rows"] == 0 and info["arrow_python"] == 0
+
+
+def test_gopher_and_boilerplate_plan_shapes(spark, sf_dir):
+    # Gopher rules: a pure scan-projection rider — zero shuffles, zero
+    # Python, all folds JVM-side.
+    info = plan_of(spark, sf_dir, "text_gopher_rules")
+    assert info["shuffles"] == 0, f"gopher: {info['shuffles']} shuffles"
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0
+    # Boilerplate strip: the hot-line table must BROADCAST (it is small by
+    # definition — only corpus-wide-repeated content); the line stream pays
+    # the count aggregation and the doc reassembly, nothing else. No
+    # sort-merge join anywhere.
+    info = plan_of(spark, sf_dir, "text_boilerplate_strip")
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 1, f"hot-line table not broadcast ({bcast})"
+    assert info["sortmerge_joins"] == 0
+    assert info["shuffles"] <= 2, f"boilerplate: {info['shuffles']} shuffles"
