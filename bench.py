@@ -218,6 +218,16 @@ R12_HEADLINE = [
     "events_dau_wau",             # r12: sliding exact distinct via x7 expansion
 ]
 
+# Round-13 additions (same seeding rule — first medians here become the
+# regression base). Not pinned, per the standing rules: text_gopher_rules,
+# geo_geojson_parse (map-only scan riders — the web_url_canonicalize rule),
+# geo_simplify_sweep (25-row fixture constant).
+R13_HEADLINE = [
+    "geo_point_in_polygon",       # r13: zero-shuffle broadcast-grid ray cast
+    "text_boilerplate_strip",     # r13: line counts + broadcast hot-set strip
+    "contam_neardup_xx",          # r13: decontamination at xxhash64 wire width
+]
+
 # Per-topology regression base for the TPC-H power family: the round-6
 # per-query warm medians (SCALE.md "TPC-H power" table, sf0.1, local[32]).
 # The 21-query total alone can hide one topology regressing 3x behind noise
@@ -320,7 +330,7 @@ def main() -> None:
         dict.fromkeys(
             HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE + R7_HEADLINE
             + R9_HEADLINE + R10_HEADLINE + R11_HEADLINE + R12_HEADLINE
-            + tpch_names
+            + R13_HEADLINE + tpch_names
         )
     )
 
@@ -459,6 +469,7 @@ def main() -> None:
                 "r10_queries": R10_HEADLINE,
                 "r11_queries": R11_HEADLINE,
                 "r12_queries": R12_HEADLINE,
+                "r13_queries": R13_HEADLINE,
                 "tpch_power": {
                     "total_sec": round(tpch_total, 4),
                     "n_queries": len(tpch_names),

@@ -294,6 +294,87 @@ def nation_polygons_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- holed (multi-ring) nation polygons: census-shape semantics --------------
+
+# Real census polygons carry interior rings (lakes, enclaves); the even-odd
+# rule handles them for free IF the containment test folds over ALL rings.
+# This fixture gives every nation a star outer ring with magnitudes 4..6
+# (min inradius ≈ 3.9 — the same 16-direction construction, floor raised so
+# a hole fits strictly inside) plus a ±2 square hole around the center
+# (corner distance 2.83 < 3.9). Max radius 6·|(2,1)| ≈ 13.4 still spills
+# across grid cells, so the multi-cell index path stays exercised.
+
+
+def _holed_mag_sql(i: int) -> str:
+    return f"(4 + (n_nationkey * 7 + {i * 5}) % 3)"
+
+
+def _holed_vertex_sql(i: int) -> str:
+    dx, dy = _STAR_DX[i], _STAR_DY[i]
+    m = _holed_mag_sql(i)
+    return (
+        f"CAST((n_nationkey % 5) * 20 + 30 + {m} * {dx} AS VARCHAR)"
+        f" || ' ' || "
+        f"CAST((n_nationkey // 5) * 20 + 30 + {m} * {dy} AS VARCHAR)"
+    )
+
+
+_HOLE_OFFS = ((-2, -2), (2, -2), (2, 2), (-2, 2), (-2, -2))
+
+
+def _hole_vertex_sql(dx: int, dy: int) -> str:
+    return (
+        f"CAST((n_nationkey % 5) * 20 + 30 + {dx} AS VARCHAR)"
+        f" || ' ' || "
+        f"CAST((n_nationkey // 5) * 20 + 30 + {dy} AS VARCHAR)"
+    )
+
+
+NATION_POLYGONS_HOLED_SQL = (
+    "        SELECT n_nationkey, 'POLYGON ((' || "
+    + " || ', ' || ".join(_holed_vertex_sql(i) for i in list(range(_STAR_N)) + [0])
+    + " || '), (' || "
+    + " || ', ' || ".join(_hole_vertex_sql(dx, dy) for dx, dy in _HOLE_OFFS)
+    + " || '))' AS wkt FROM nation"
+)
+
+
+def nation_polygons_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    cx = (k % 5) * 20 + 30
+    cy = ((k - k % 5) / 5).cast("long") * 20 + 30
+
+    def vx(i: int):
+        m = 4 + (k * 7 + i * 5) % 3
+        return F.concat(
+            (cx + m * _STAR_DX[i]).cast("string"),
+            F.lit(" "),
+            (cy + m * _STAR_DY[i]).cast("string"),
+        )
+
+    outer = []
+    for i in list(range(_STAR_N)) + [0]:
+        if outer:
+            outer.append(F.lit(", "))
+        outer.append(vx(i))
+    hole = []
+    for dx, dy in _HOLE_OFFS:
+        if hole:
+            hole.append(F.lit(", "))
+        hole.append(
+            F.concat(
+                (cx + dx).cast("string"), F.lit(" "), (cy + dy).cast("string")
+            )
+        )
+    return nat.select(
+        "n_nationkey",
+        F.concat(
+            F.lit("POLYGON (("), *outer, F.lit("), ("), *hole, F.lit("))")
+        ).alias("wkt"),
+    )
+
+
 # --- GeoJSON feature strings over the irregular polygons ---------------------
 
 # The reference's geo stage consumes GeoJSON (fetched census shapes), not

@@ -619,3 +619,165 @@ def geo_geojson_parse(spark, sf_dir):
             F.lit("))"),
         ).alias("wkt"),
     )
+
+
+# --- multi-ring containment: polygons with holes ------------------------------
+
+# Census shapes carry interior rings (lakes, enclaves). The even-odd rule
+# needs NO new machinery for them — the crossing count just folds over the
+# edges of EVERY ring, and a point inside the outer ring but also inside a
+# hole accumulates an even total (2 boundaries crossed) and is correctly
+# outside. The plan is geo_point_in_polygon's unchanged: the polygon side
+# carries its rings as a nested array<struct<xs,ys>> on the broadcast cell
+# index (bbox from the OUTER ring — holes are interior by definition), the
+# point side probes and folds map-side, zero shuffles.
+
+
+def _rings_coords(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
+    """Parse 'POLYGON ((outer), (hole), ...)' into
+    ``rings: array<struct<xs: array<bigint>, ys: array<bigint>>>``."""
+    body = F.regexp_replace(F.col(wkt_col), r"^POLYGON \(\(|\)\)$", "")
+    ring_strs = F.split(body, r"\), \(")
+
+    def ring(r):
+        pts = F.split(r, ", ")
+        return F.struct(
+            F.transform(
+                pts, lambda p: F.element_at(F.split(p, " "), 1).cast("long")
+            ).alias("xs"),
+            F.transform(
+                pts, lambda p: F.element_at(F.split(p, " "), 2).cast("long")
+            ).alias("ys"),
+        )
+
+    return df.withColumn("rings", F.transform(ring_strs, ring))
+
+
+def _ray_cast_hits_rings(px, py) -> Column:
+    """Total even-odd crossing count over ALL rings of the ``rings``
+    column — the multi-ring generalization of ``_ray_cast_hits``."""
+
+    def ring_hits(r):
+        xs, ys = r["xs"], r["ys"]
+        x = lambda i: F.element_at(xs, i)  # noqa: E731
+        y = lambda i: F.element_at(ys, i)  # noqa: E731
+
+        def edge(acc, i):
+            dy = y(i + 1) - y(i)
+            straddle = (y(i) > py) != (y(i + 1) > py)
+            lhs = (px - x(i)) * dy - (x(i + 1) - x(i)) * (py - y(i))
+            sgn = F.when(dy > 0, F.lit(1)).otherwise(F.lit(-1))
+            return acc + F.when(straddle & (lhs * sgn < 0), 1).otherwise(0)
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size(xs) - 1), F.lit(0).cast("long"), edge
+        )
+
+    return F.aggregate(
+        F.col("rings"), F.lit(0).cast("long"), lambda acc, r: acc + ring_hits(r)
+    )
+
+
+_ORACLE_RINGS_HOLED = f"""
+    poly AS ({fixtures.NATION_POLYGONS_HOLED_SQL}),
+    rings AS (
+        SELECT n_nationkey,
+               list_transform(
+                   string_split(regexp_replace(wkt, '^POLYGON \\(\\(|\\)\\)$', '', 'g'),
+                                '), ('),
+                   r -> struct_pack(
+                       xs := list_transform(string_split(r, ', '),
+                                            p -> CAST(string_split(p, ' ')[1] AS BIGINT)),
+                       ys := list_transform(string_split(r, ', '),
+                                            p -> CAST(string_split(p, ' ')[2] AS BIGINT))))
+                   AS rs
+        FROM poly
+    )
+"""
+
+_RAY_CAST_RINGS_SQL = """
+    list_sum(list_transform(rs, s ->
+        list_sum(list_transform(range(1, len(s.xs)), i ->
+            CASE WHEN ((s.ys[i] > py) != (s.ys[i+1] > py))
+                  AND ((px - s.xs[i]) * (s.ys[i+1] - s.ys[i])
+                       - (s.xs[i+1] - s.xs[i]) * (py - s.ys[i]))
+                      * (CASE WHEN s.ys[i+1] > s.ys[i] THEN 1 ELSE -1 END) < 0
+                 THEN 1 ELSE 0 END))))
+"""
+
+
+@query(
+    "geo_point_in_polygon_holes",
+    oracle=f"""
+    WITH {_ORACLE_RINGS_HOLED},
+    bbox AS (
+        SELECT n_nationkey, rs,
+               list_aggregate(rs[1].xs[:len(rs[1].xs)-1], 'min') // {_CELL} AS gx0,
+               list_aggregate(rs[1].xs[:len(rs[1].xs)-1], 'max') // {_CELL} AS gx1,
+               list_aggregate(rs[1].ys[:len(rs[1].ys)-1], 'min') // {_CELL} AS gy0,
+               list_aggregate(rs[1].ys[:len(rs[1].ys)-1], 'max') // {_CELL} AS gy1
+        FROM rings
+    ),
+    cellsx AS (SELECT *, unnest(range(gx0, gx1 + 1)) AS gx FROM bbox),
+    cells AS (SELECT *, unnest(range(gy0, gy1 + 1)) AS gy FROM cellsx),
+    {_PIP_PTS_SQL},
+    cand AS (
+        SELECT p.c_custkey, p.px, p.py, c.n_nationkey, c.rs
+        FROM pts p JOIN cells c
+          ON p.px // {_CELL} = c.gx AND p.py // {_CELL} = c.gy
+    )
+    SELECT c_custkey, px, py, n_nationkey
+    FROM (SELECT c_custkey, px, py, n_nationkey,
+                 {_RAY_CAST_RINGS_SQL} AS hits
+          FROM cand)
+    WHERE hits % 2 = 1
+    """,
+)
+def geo_point_in_polygon_holes(spark, sf_dir):
+    """Exact containment for polygons WITH INTERIOR RINGS (the holed
+    fixture: star outer ring + a center hole): the even-odd crossing fold
+    runs over every ring, so hole-interior points come out even and are
+    excluded — no special-casing, no new plan shape (broadcast cell index
+    from the outer-ring bbox, map-side nested fold, zero shuffles). The
+    hole is load-bearing: tests pin that candidate points landing inside
+    the hole exist and are rejected."""
+    rings = _rings_coords(fixtures.nation_polygons_holed(spark, sf_dir))
+    outer = F.element_at("rings", 1)
+    n_open = F.size(outer["xs"]) - 1
+    oxs = F.slice(outer["xs"], 1, n_open)
+    oys = F.slice(outer["ys"], 1, n_open)
+    bbox = rings.select(
+        "n_nationkey",
+        "rings",
+        (F.array_min(oxs) / _CELL).cast("long").alias("gx0"),
+        (F.array_max(oxs) / _CELL).cast("long").alias("gx1"),
+        (F.array_min(oys) / _CELL).cast("long").alias("gy0"),
+        (F.array_max(oys) / _CELL).cast("long").alias("gy1"),
+    )
+    cells = bbox.select(
+        "n_nationkey",
+        "rings",
+        F.explode(F.sequence("gx0", "gx1")).alias("gx"),
+        "gy0",
+        "gy1",
+    ).select(
+        "n_nationkey", "rings", "gx",
+        F.explode(F.sequence("gy0", "gy1")).alias("gy"),
+    )
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (20 + (F.col("c_custkey") * 7919) % 100).alias("px"),
+        (20 + (F.col("c_custkey") * 104729) % 100).alias("py"),
+    )
+    cand = pts.join(
+        F.broadcast(cells),
+        (F.expr(f"px div {_CELL}") == F.col("gx"))
+        & (F.expr(f"py div {_CELL}") == F.col("gy")),
+    )
+    return (
+        cand.withColumn(
+            "hits", _ray_cast_hits_rings(F.col("px"), F.col("py"))
+        )
+        .filter(F.col("hits") % 2 == 1)
+        .select("c_custkey", "px", "py", "n_nationkey")
+    )

@@ -1676,3 +1676,44 @@ def test_boilerplate_strip_total_conservation_and_zero_survivors(spark, sf_dir):
         kept = [ln for ln in orig if ln not in hot]
         assert r.n_lines == len(orig) and r.n_dropped == len(orig) - len(kept)
         assert r.new_text == " ".join(kept)  # order-preserving, total strip
+
+
+def test_point_in_polygon_holes_excludes_hole_interior(spark, sf_dir):
+    """Multi-ring even-odd semantics: (1) points landing strictly inside a
+    hole EXIST among the grid candidates and are excluded from the result
+    (outer-ring crossings odd, total crossings even); (2) the result is
+    exactly the outer-ring containment minus the hole-interior points —
+    recomputed per candidate with the single-ring fold on each ring."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark import fixtures
+    from eviction_lab_etl_spark.operators.geo import (
+        _rings_coords,
+    )
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    rings = _rings_coords(fixtures.nation_polygons_holed(spark, sf_dir))
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (20 + (F.col("c_custkey") * 7919) % 100).alias("px"),
+        (20 + (F.col("c_custkey") * 104729) % 100).alias("py"),
+    )
+    # hole interior: |px-cx| < 2 and |py-cy| < 2 (the ±2 square, open)
+    k = F.col("n_nationkey")
+    cx = (k % 5) * 20 + 30
+    cy = F.expr("n_nationkey div 5") * 20 + 30
+    cand = pts.crossJoin(rings.select("n_nationkey"))
+    in_hole = cand.filter(
+        (F.abs(F.col("px") - cx) < 2) & (F.abs(F.col("py") - cy) < 2)
+    )
+    n_in_hole = in_hole.count()
+    assert n_in_hole > 0  # the hole actually catches fixture points
+    got = {
+        (r.c_custkey, r.n_nationkey)
+        for r in QUERIES["geo_point_in_polygon_holes"](spark, sf_dir).collect()
+    }
+    hole_pairs = {
+        (r.c_custkey, r.n_nationkey) for r in in_hole.collect()
+    }
+    assert not (got & hole_pairs)  # no hole-interior point ever emitted

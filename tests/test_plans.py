@@ -1276,3 +1276,14 @@ def test_gopher_and_boilerplate_plan_shapes(spark, sf_dir):
     assert bcast >= 1, f"hot-line table not broadcast ({bcast})"
     assert info["sortmerge_joins"] == 0
     assert info["shuffles"] <= 2, f"boilerplate: {info['shuffles']} shuffles"
+
+
+def test_geo_point_in_polygon_holes_zero_shuffles(spark, sf_dir):
+    # Multi-ring containment keeps the single-ring plan: broadcast cell
+    # index (now carrying nested ring arrays), map-side nested fold, zero
+    # shuffle exchanges, zero Python.
+    info = plan_of(spark, sf_dir, "geo_point_in_polygon_holes")
+    assert info["shuffles"] == 0, f"holes: {info['shuffles']} shuffles"
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 1
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0

@@ -312,6 +312,18 @@ STRESS = [
     # expansion runs on the collapsed frame — events AND users scale under
     # KEYS, so both dedup exchanges grow with the data.
     "events_dau_wau",
+    # Round 13: exact containment (point side scales with customer; the
+    # 25-polygon cell index stays a broadcast constant — the op should be
+    # near-linear map time with ZERO shuffle at every multiplier); Gopher
+    # rules (pure scan projection over documents); boilerplate strip (line
+    # counts + broadcast hot-set probe + doc reassembly — two exchanges,
+    # both scaling with the corpus). geo_simplify_sweep / geo_geojson_parse
+    # are deliberately ABSENT: their only input is nation, which replicates
+    # verbatim (KEYS does not multiply dims) — timing them would time a
+    # 25-row constant.
+    "geo_point_in_polygon",
+    "text_gopher_rules",
+    "text_boilerplate_strip",
 ]
 
 
