@@ -53,6 +53,10 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     #     plants a wide-grammar case (utm_x2_id=AB-12_x%2Fy) — fixture SQL
     #     and Spark frame changed together; pipeline_web_ingest also dropped
     #     its fixture-scale broadcast hint on the host report join.
+    # pipeline_training_set: dedup stage rewritten to the single-pass
+    # min(struct) form (plan changed, values unchanged — the search_sq8_topk
+    # precedent).
+    "pipeline_training_set",
     "ts_resample_ohlc",
     "web_url_canonicalize",
     "dedup_url_keep_first",

@@ -781,3 +781,70 @@ def geo_point_in_polygon_holes(spark, sf_dir):
         .filter(F.col("hits") % 2 == 1)
         .select("c_custkey", "px", "py", "n_nationkey")
     )
+
+
+# --- exact area of multi-ring polygons ----------------------------------------
+
+# The area counterpart of the holes containment: a polygon's area is the
+# outer ring's shoelace area minus its holes' (GeoJSON/OGC ring semantics:
+# first ring outer, rest interior). Everything stays exact-integer (area×2),
+# so the driver hash pins the arithmetic; orientation is normalized with
+# abs() per ring, hole areas subtract. Map-only.
+
+
+@query(
+    "geo_area_holed",
+    oracle=f"""
+    WITH {_ORACLE_RINGS_HOLED},
+    per_ring AS (
+        SELECT n_nationkey,
+               unnest(list_transform(range(1, len(rs) + 1), j -> struct_pack(
+                   j := j,
+                   a2 := abs(list_sum(list_transform(range(1, len(rs[j].xs)), i ->
+                       rs[j].xs[i] * rs[j].ys[i+1] - rs[j].xs[i+1] * rs[j].ys[i])))
+               ))) AS e
+        FROM rings
+    )
+    SELECT n_nationkey,
+           CAST(count(*) AS BIGINT) AS n_rings,
+           CAST(max(CASE WHEN e.j = 1 THEN e.a2 ELSE 0 END) AS BIGINT) AS outer_a2,
+           CAST(sum(CASE WHEN e.j > 1 THEN e.a2 ELSE 0 END) AS BIGINT) AS holes_a2,
+           CAST(max(CASE WHEN e.j = 1 THEN e.a2 ELSE 0 END)
+                - sum(CASE WHEN e.j > 1 THEN e.a2 ELSE 0 END) AS BIGINT) AS net_a2
+    FROM per_ring GROUP BY n_nationkey
+    """,
+)
+def geo_area_holed(spark, sf_dir):
+    """Exact net area (×2) of multi-ring polygons: outer shoelace minus the
+    interior rings' — ring count, outer, holes, and net emitted per key so
+    the subtraction itself is auditable. Pure JVM array folds on the parsed
+    ring arrays; at 100 TB this is a scan-projection column on a shapes
+    table (no shuffle — the fixture's 25-row aggregate exists only because
+    the oracle must unnest; the Spark side never explodes)."""
+    rings = _rings_coords(fixtures.nation_polygons_holed(spark, sf_dir))
+
+    def ring_a2(r):
+        xs, ys = r["xs"], r["ys"]
+        x = lambda i: F.element_at(xs, i)  # noqa: E731
+        y = lambda i: F.element_at(ys, i)  # noqa: E731
+        return F.abs(
+            F.aggregate(
+                F.sequence(F.lit(1), F.size(xs) - 1),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc + x(i) * y(i + 1) - x(i + 1) * y(i),
+            )
+        )
+
+    outer_a2 = ring_a2(F.element_at("rings", 1))
+    holes_a2 = F.aggregate(
+        F.slice("rings", 2, F.greatest(F.size("rings") - 1, F.lit(0))),
+        F.lit(0).cast("long"),
+        lambda acc, r: acc + ring_a2(r),
+    )
+    return rings.select(
+        "n_nationkey",
+        big(F.size("rings")).alias("n_rings"),
+        big(outer_a2).alias("outer_a2"),
+        big(holes_a2).alias("holes_a2"),
+        big(outer_a2 - holes_a2).alias("net_a2"),
+    )

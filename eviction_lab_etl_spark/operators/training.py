@@ -663,22 +663,35 @@ def pipeline_training_set(spark, sf_dir):
     trainer.
 
     Every stage keeps the scale shape of its standalone operator: the clean
-    and gate stages are map-only, dedup shuffles 16-byte digests, the factor
-    table broadcasts, and the pack window is per-lang partitioned. Zero
-    sort-merge joins, no O(n²) stage, nothing materialized between stages —
-    the only data-scale shuffles are the digest agg, the per-lang stats, and
-    the pack window (the rest are broadcast-side exchanges over tiny aggs)."""
+    and gate stages are map-only, the factor table broadcasts, and the pack
+    window is per-lang partitioned. Zero sort-merge joins, no O(n²) stage,
+    nothing materialized between stages — the only data-scale shuffles are
+    the digest agg, the per-lang stats, and the pack window (the rest are
+    broadcast-side exchanges over tiny aggs).
+
+    Dedup form (r13 rewrite, measured in BASELINE.md): the keep-first
+    winner is carried THROUGH the digest aggregation as
+    ``min(struct(doc_id, clean))`` instead of aggregating ids and joining
+    the corpus back — the regex-heavy clean projection is computed once
+    (the old two-branch DAG ran strip_html twice), the corpus text crosses
+    exactly one exchange (digest-keyed, map-side partials collapse dup
+    groups before the wire), and the survivor-side join disappears. Same
+    oracle, same rows."""
     from eviction_lab_etl_spark.operators.cleaning import strip_html
 
     docs = load(spark, sf_dir, "documents")
     cleaned = strip_html(fixtures.documents_dirty(spark, sf_dir))
-    keep = cleaned.groupBy(F.md5("clean").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+    keep = (
+        cleaned.select(
+            F.md5("clean").alias("h"), F.struct("doc_id", "clean").alias("s")
+        )
+        .groupBy("h")
+        .agg(F.min("s").alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"), F.col("s.clean").alias("clean"))
     )
-    surv = cleaned.join(keep, "doc_id")
     w = F.split("clean", " ")
     qual = (
-        surv.withColumn("n_tok", F.size(w))
+        keep.withColumn("n_tok", F.size(w))
         .withColumn("n_uniq", F.size(F.array_distinct(w)))
         .filter((F.col("n_tok") >= 20) & (10 * F.col("n_uniq") >= 3 * F.col("n_tok")))
         .select("doc_id", "n_tok")
