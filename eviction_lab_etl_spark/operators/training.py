@@ -2174,3 +2174,247 @@ def resample_epoch_realize(spark, sf_dir):
         .cast("long")
         .alias("realized_chars"),
     )
+
+
+# --- composed decontamination pipeline (normalize -> exact -> gram ledger) ----
+
+# The contam_* family provides the STAGES; production runs them as one
+# FUNNEL (GPT-3 App. C / FineWeb decontamination): normalize everything,
+# drop byte-equal (post-normalization) re-crawls of benchmark docs, then
+# drop surviving docs whose distinct-5-gram contamination fraction crosses a
+# threshold, and report per-shard attrition so the removal is auditable.
+# The universe plants one case per stage (the contam_normalized /
+# contam_neardup convention):
+#   - messy re-crawls of every benchmark doc (id + 300000): byte-exact dedup
+#     misses them, the NORMALIZED exact gate must drop every one (stage A);
+#   - span plants (id + 500000, doc_id % 89 == 1): a clean training doc with
+#     a 30-token PREFIX of its nearest benchmark doc appended — they pass
+#     the exact gate (text differs) but carry >= ~15 contaminated grams
+#     (>= 120 permille of their gram set at the fixture's longest docs), so
+#     the gram stage must drop every one (stage B). Naturals are NOT
+#     guaranteed clean: the base corpus contains docs whose text naturally
+#     coincides with a benchmark doc's (100% gram containment) — the gram
+#     stage correctly drops those too, and the test attributes every drop
+#     to its id space rather than pretending only plants exist.
+
+_PDC_PERMILLE = 100   # drop when contaminated grams >= 10% of the doc's grams
+_PDC_SPAN_TOKENS = 30
+_PDC_SPAN_BASE = 500000
+
+
+def _pdc_universe_sql() -> str:
+    return f"""
+    messy AS ({fixtures.DOCUMENTS_MESSY_SQL}),
+    plants AS (
+        SELECT d.doc_id + {_PDC_SPAN_BASE} AS doc_id,
+               d.text || ' ' ||
+               array_to_string(string_split(b.text, ' ')[1:{_PDC_SPAN_TOKENS}], ' ')
+                   AS raw
+        FROM documents d
+        JOIN documents b ON b.doc_id = (d.doc_id // 97) * 97
+        WHERE d.doc_id % 89 = 1 AND d.doc_id % 97 <> 0
+    ),
+    train AS (
+        SELECT doc_id, raw FROM messy WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT doc_id + 300000 AS doc_id, raw FROM messy WHERE doc_id % 97 = 0
+        UNION ALL
+        SELECT doc_id, raw FROM plants
+    )
+"""
+
+
+@query(
+    "pipeline_decontaminate",
+    oracle=f"""
+    WITH {_pdc_universe_sql()},
+    bench AS (
+        SELECT doc_id, {_CN_NORM.format(col="text")} AS norm
+        FROM documents WHERE doc_id % 97 = 0
+    ),
+    bench_md5 AS (SELECT DISTINCT md5(norm) AS h FROM bench),
+    btoks AS (SELECT doc_id, string_split(norm, ' ') AS l FROM bench),
+    bgrams AS (SELECT DISTINCT gram FROM ({_CN_GRAMS.format(src="btoks")})),
+    normed AS (
+        SELECT doc_id, doc_id % 5 AS shard,
+               {_CN_NORM.format(col="raw")} AS norm
+        FROM train
+    ),
+    flagged AS (
+        SELECT n.doc_id, n.shard, n.norm,
+               CAST(bm.h IS NOT NULL AS BIGINT) AS exact_drop
+        FROM normed n LEFT JOIN bench_md5 bm ON md5(n.norm) = bm.h
+    ),
+    stoks AS (
+        SELECT doc_id, string_split(norm, ' ') AS l
+        FROM flagged WHERE exact_drop = 0
+    ),
+    sgrams AS ({_CN_GRAMS.format(src="stoks")}),
+    gled AS (
+        SELECT g.doc_id, count(*) AS n_grams,
+               CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hit
+        FROM sgrams g LEFT JOIN bgrams b ON g.gram = b.gram
+        GROUP BY g.doc_id
+    ),
+    part1 AS (
+        SELECT shard, CAST(count(*) AS BIGINT) AS n_in,
+               CAST(sum(exact_drop) AS BIGINT) AS n_exact
+        FROM flagged GROUP BY shard
+    ),
+    part2 AS (
+        SELECT doc_id % 5 AS shard,
+               CAST(sum(CASE WHEN 1000 * n_hit >= {_PDC_PERMILLE} * n_grams
+                             AND n_hit > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_gram,
+               CAST(sum(n_grams) AS BIGINT) AS grams_total,
+               CAST(sum(n_hit) AS BIGINT) AS grams_hit
+        FROM gled GROUP BY doc_id % 5
+    )
+    SELECT p1.shard, p1.n_in, p1.n_exact,
+           CAST(coalesce(p2.n_gram, 0) AS BIGINT) AS n_gram,
+           CAST(p1.n_in - p1.n_exact - coalesce(p2.n_gram, 0) AS BIGINT)
+               AS n_clean,
+           CAST(coalesce(p2.grams_total, 0) AS BIGINT) AS grams_total,
+           CAST(coalesce(p2.grams_hit, 0) AS BIGINT) AS grams_hit
+    FROM part1 p1 LEFT JOIN part2 p2 ON p2.shard = p1.shard
+    """,
+)
+def pipeline_decontaminate(spark, sf_dir):
+    """The decontamination FUNNEL end to end as one declarative plan:
+    normalize -> exact (normalized-md5) re-crawl gate -> distinct-5-gram
+    contamination threshold -> per-shard attrition ledger (n_in, n_exact,
+    n_gram, n_clean, gram mass inspected/hit). See the module comment for
+    the planted case per stage.
+
+    Scale shape: the benchmark side is tiny by construction, so BOTH its
+    artifacts broadcast (the normalized-md5 set for stage A, the gram set
+    for stage B); the training corpus is normalized in the scan projection,
+    crosses one doc-keyed exchange for the per-doc gram ledger, and
+    collapses map-side into the 5-row shard report. The corpus never joins
+    the corpus; every stage constant is shared with the oracle string
+    (fold tables, gram width, threshold), so they cannot drift."""
+    from eviction_lab_etl_spark.operators.cleaning import normalize_text
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    messy = fixtures.documents_messy(spark, sf_dir)
+    d = F.col("doc_id")
+    recrawls = messy.filter(d % 97 == 0).select(
+        (d + 300000).alias("doc_id"), "raw"
+    )
+    bench_docs = docs.filter(d % 97 == 0)
+    plants = (
+        docs.filter((d % 89 == 1) & (d % 97 != 0))
+        .withColumn("b_id", F.expr("(doc_id div 97) * 97"))
+        .join(
+            F.broadcast(
+                bench_docs.select(
+                    F.col("doc_id").alias("b_id"), F.col("text").alias("btext")
+                )
+            ),
+            "b_id",
+        )
+        .select(
+            (d + _PDC_SPAN_BASE).alias("doc_id"),
+            F.concat(
+                F.col("text"),
+                F.lit(" "),
+                F.array_join(
+                    F.slice(F.split("btext", " "), 1, _PDC_SPAN_TOKENS), " "
+                ),
+            ).alias("raw"),
+        )
+    )
+    train = (
+        messy.filter(d % 97 != 0).select("doc_id", "raw")
+        .unionByName(recrawls)
+        .unionByName(plants)
+    )
+
+    bench_norm = bench_docs.select(normalize_text("text").alias("norm"))
+    bench_md5 = bench_norm.select(F.md5("norm").alias("h")).distinct()
+    btoks = bench_norm.select(F.split("norm", " ").alias("l"))
+    w = F.col("l")
+    bgrams = btoks.select(
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(w) >= _N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - (_N - 1)),
+                        lambda i: F.array_join(F.slice(w, i, _N), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("gram")
+    ).distinct()
+
+    normed = train.select(
+        "doc_id", (d % 5).alias("shard"), normalize_text("raw").alias("norm")
+    )
+    flagged = normed.join(
+        F.broadcast(bench_md5.withColumn("bm", F.lit(1))),
+        F.md5("norm") == F.col("h"),
+        "left",
+    ).select(
+        "doc_id",
+        "shard",
+        "norm",
+        F.coalesce(F.col("bm"), F.lit(0)).cast("long").alias("exact_drop"),
+    )
+    stoks = flagged.filter(F.col("exact_drop") == 0).select(
+        "doc_id", F.split("norm", " ").alias("l")
+    )
+    sgrams = stoks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size(w) >= _N,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - (_N - 1)),
+                        lambda i: F.array_join(F.slice(w, i, _N), " "),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("gram"),
+    )
+    gled = (
+        sgrams.join(
+            F.broadcast(bgrams.withColumn("hit", F.lit(1))), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    part1 = flagged.groupBy("shard").agg(
+        big(F.count(F.lit(1))).alias("n_in"),
+        big(F.sum("exact_drop")).alias("n_exact"),
+    )
+    part2 = gled.groupBy((F.col("doc_id") % 5).alias("shard")).agg(
+        big(
+            F.sum(
+                F.when(
+                    (1000 * F.col("n_hit") >= _PDC_PERMILLE * F.col("n_grams"))
+                    & (F.col("n_hit") > 0),
+                    1,
+                ).otherwise(0)
+            )
+        ).alias("n_gram"),
+        big(F.sum("n_grams")).alias("grams_total"),
+        big(F.sum("n_hit")).alias("grams_hit"),
+    )
+    zero = F.lit(0).cast("long")
+    return part1.join(part2, "shard", "left").select(
+        "shard",
+        "n_in",
+        "n_exact",
+        F.coalesce(F.col("n_gram"), zero).alias("n_gram"),
+        (
+            F.col("n_in") - F.col("n_exact") - F.coalesce(F.col("n_gram"), zero)
+        ).alias("n_clean"),
+        F.coalesce(F.col("grams_total"), zero).alias("grams_total"),
+        F.coalesce(F.col("grams_hit"), zero).alias("grams_hit"),
+    )

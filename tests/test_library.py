@@ -1717,3 +1717,79 @@ def test_point_in_polygon_holes_excludes_hole_interior(spark, sf_dir):
         (r.c_custkey, r.n_nationkey) for r in in_hole.collect()
     }
     assert not (got & hole_pairs)  # no hole-interior point ever emitted
+
+
+def test_pipeline_decontaminate_stage_attribution_exact(spark, ddb, sf_dir):
+    """Funnel attribution, per id space, against a DuckDB per-doc replica of
+    the pipeline's own stage constants: (1) the exact-normalized gate drops
+    EXACTLY the messy re-crawls (300000 <= id < 500000) — no natural ever
+    byte-matches a benchmark post-normalization; (2) the gram stage drops
+    EVERY span plant (id >= 500000) — 100% plant recall — plus exactly the
+    naturally-contaminated docs the replica identifies (the base corpus
+    contains docs whose text coincides with a benchmark's; dropping them is
+    the pipeline doing its job); (3) the per-shard ledger reconciles with
+    the replica's per-doc verdicts row for row."""
+    from eviction_lab_etl_spark.operators.training import (
+        _CN_GRAMS,
+        _CN_NORM,
+        _PDC_PERMILLE,
+        _pdc_universe_sql,
+    )
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    per_doc = ddb.sql(
+        f"""
+        WITH {_pdc_universe_sql()},
+        bench AS (
+            SELECT doc_id, {_CN_NORM.format(col="text")} AS norm
+            FROM documents WHERE doc_id % 97 = 0
+        ),
+        bench_md5 AS (SELECT DISTINCT md5(norm) AS h FROM bench),
+        btoks AS (SELECT doc_id, string_split(norm, ' ') AS l FROM bench),
+        bgrams AS (SELECT DISTINCT gram FROM ({_CN_GRAMS.format(src="btoks")})),
+        normed AS (
+            SELECT doc_id, {_CN_NORM.format(col="raw")} AS norm FROM train
+        ),
+        flagged AS (
+            SELECT n.doc_id, CAST(bm.h IS NOT NULL AS BIGINT) AS exact_drop
+            FROM normed n LEFT JOIN bench_md5 bm ON md5(n.norm) = bm.h
+        ),
+        stoks AS (
+            SELECT n.doc_id, string_split(n.norm, ' ') AS l
+            FROM normed n JOIN flagged f ON f.doc_id = n.doc_id
+            WHERE f.exact_drop = 0
+        ),
+        sgrams AS ({_CN_GRAMS.format(src="stoks")}),
+        gled AS (
+            SELECT g.doc_id, count(*) AS n,
+                   sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS h
+            FROM sgrams g LEFT JOIN bgrams b ON g.gram = b.gram
+            GROUP BY g.doc_id
+        )
+        SELECT f.doc_id, f.exact_drop,
+               CAST(coalesce(1000 * g.h >= {_PDC_PERMILLE} * g.n AND g.h > 0,
+                             FALSE) AS BIGINT) AS gram_drop
+        FROM flagged f LEFT JOIN gled g ON g.doc_id = f.doc_id
+        """
+    ).fetchall()
+    exact_ids = {r[0] for r in per_doc if r[1] == 1}
+    gram_ids = {r[0] for r in per_doc if r[2] == 1}
+    # (1) exact gate == the re-crawl id space, exactly
+    recrawl_ids = {r[0] for r in per_doc if 300000 <= r[0] < 500000}
+    assert exact_ids == recrawl_ids and exact_ids
+    # (2) 100% plant recall at the gram stage
+    plant_ids = {r[0] for r in per_doc if r[0] >= 500000}
+    assert plant_ids and plant_ids <= gram_ids
+    # naturals the replica flags are genuinely contaminated, not plants:
+    natural_dropped = gram_ids - plant_ids
+    assert all(i < 300000 for i in natural_dropped)
+    # (3) the ledger reconciles with the replica per shard
+    rows = QUERIES["pipeline_decontaminate"](spark, sf_dir).collect()
+    assert all(r.n_in == r.n_exact + r.n_gram + r.n_clean for r in rows)
+    from collections import Counter
+
+    want_exact = Counter(i % 5 for i in exact_ids)
+    want_gram = Counter(i % 5 for i in gram_ids)
+    for r in rows:
+        assert r.n_exact == want_exact.get(r.shard, 0), r
+        assert r.n_gram == want_gram.get(r.shard, 0), r
