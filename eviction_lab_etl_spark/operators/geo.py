@@ -848,3 +848,98 @@ def geo_area_holed(spark, sf_dir):
         big(holes_a2).alias("holes_a2"),
         big(outer_a2 - holes_a2).alias("net_a2"),
     )
+
+
+# --- exact centroid of multi-ring polygons -------------------------------------
+
+# Completes the holed family: the area centroid of (outer minus holes) in
+# exact integer rationals. Each ring's shoelace pair (a2, cx_num, cy_num) is
+# orientation-normalized by the sign of its own a2 (numerators and area flip
+# sign together, so multiplying both by sign(a2) canonicalizes the ring to
+# positive orientation); the region's numerators are then outer minus the
+# holes' and the denominator is 3·(|a2_outer| − Σ|a2_hole|) — the standard
+# signed decomposition, all in int64. A float consumer divides at the edge
+# (cx = cx_num/den), per the geo_centroid_bbox contract.
+
+
+@query(
+    "geo_centroid_holed",
+    oracle=f"""
+    WITH {_ORACLE_RINGS_HOLED},
+    per_ring AS (
+        SELECT n_nationkey,
+               unnest(list_transform(range(1, len(rs) + 1), j -> struct_pack(
+                   j := j,
+                   a2 := list_sum(list_transform(range(1, len(rs[j].xs)), i ->
+                       rs[j].xs[i] * rs[j].ys[i+1] - rs[j].xs[i+1] * rs[j].ys[i])),
+                   cx := list_sum(list_transform(range(1, len(rs[j].xs)), i ->
+                       (rs[j].xs[i] + rs[j].xs[i+1]) *
+                       (rs[j].xs[i] * rs[j].ys[i+1] - rs[j].xs[i+1] * rs[j].ys[i]))),
+                   cy := list_sum(list_transform(range(1, len(rs[j].xs)), i ->
+                       (rs[j].ys[i] + rs[j].ys[i+1]) *
+                       (rs[j].xs[i] * rs[j].ys[i+1] - rs[j].xs[i+1] * rs[j].ys[i])))
+               ))) AS e
+        FROM rings
+    ),
+    norm AS (
+        SELECT n_nationkey, e.j AS j,
+               abs(e.a2) AS a2,
+               CASE WHEN e.a2 < 0 THEN -e.cx ELSE e.cx END AS cx,
+               CASE WHEN e.a2 < 0 THEN -e.cy ELSE e.cy END AS cy
+        FROM per_ring
+    )
+    SELECT n_nationkey,
+           CAST(sum(CASE WHEN j = 1 THEN cx ELSE -cx END) AS BIGINT) AS cx_num,
+           CAST(sum(CASE WHEN j = 1 THEN cy ELSE -cy END) AS BIGINT) AS cy_num,
+           CAST(3 * sum(CASE WHEN j = 1 THEN a2 ELSE -a2 END) AS BIGINT) AS den
+    FROM norm GROUP BY n_nationkey
+    """,
+)
+def geo_centroid_holed(spark, sf_dir):
+    """Exact rational centroid of the holed polygons: per-ring shoelace
+    numerators orientation-normalized, outer minus holes, denominator
+    3·net_a2 — integers end to end, map-only (the Spark side folds the
+    nested ring arrays in the scan projection; no explosion, no shuffle)."""
+    rings = _rings_coords(fixtures.nation_polygons_holed(spark, sf_dir))
+
+    def ring_terms(r):
+        xs, ys = r["xs"], r["ys"]
+        x = lambda i: F.element_at(xs, i)  # noqa: E731
+        y = lambda i: F.element_at(ys, i)  # noqa: E731
+        cross = lambda i: x(i) * y(i + 1) - x(i + 1) * y(i)  # noqa: E731
+
+        def fold(term):
+            return F.aggregate(
+                F.sequence(F.lit(1), F.size(xs) - 1),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc + term(i),
+            )
+
+        a2 = fold(cross)
+        cx = fold(lambda i: (x(i) + x(i + 1)) * cross(i))
+        cy = fold(lambda i: (y(i) + y(i + 1)) * cross(i))
+        sgn = F.when(a2 < 0, F.lit(-1)).otherwise(F.lit(1))
+        return F.struct(
+            (a2 * sgn).alias("a2"), (cx * sgn).alias("cx"), (cy * sgn).alias("cy")
+        )
+
+    outer = ring_terms(F.element_at("rings", 1))
+    holes = F.aggregate(
+        F.slice("rings", 2, F.greatest(F.size("rings") - 1, F.lit(0))),
+        F.struct(
+            F.lit(0).cast("long").alias("a2"),
+            F.lit(0).cast("long").alias("cx"),
+            F.lit(0).cast("long").alias("cy"),
+        ),
+        lambda acc, r: F.struct(
+            (acc["a2"] + ring_terms(r)["a2"]).alias("a2"),
+            (acc["cx"] + ring_terms(r)["cx"]).alias("cx"),
+            (acc["cy"] + ring_terms(r)["cy"]).alias("cy"),
+        ),
+    )
+    return rings.select(
+        "n_nationkey",
+        big(outer["cx"] - holes["cx"]).alias("cx_num"),
+        big(outer["cy"] - holes["cy"]).alias("cy_num"),
+        big(3 * (outer["a2"] - holes["a2"])).alias("den"),
+    )

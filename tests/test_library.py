@@ -1793,3 +1793,53 @@ def test_pipeline_decontaminate_stage_attribution_exact(spark, ddb, sf_dir):
     for r in rows:
         assert r.n_exact == want_exact.get(r.shard, 0), r
         assert r.n_gram == want_gram.get(r.shard, 0), r
+
+
+def test_geo_centroid_holed_matches_python_and_sane(spark, sf_dir):
+    """Holed centroid vs an independent Python replica (Fraction-exact),
+    plus the geometric sanity the formula must satisfy on every fixture
+    ring: den = 3·net_a2 > 0 and the exact rational centroid lies strictly
+    inside the outer ring's bbox."""
+    from fractions import Fraction
+
+    from eviction_lab_etl_spark import fixtures
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    wkts = {
+        r.n_nationkey: r.wkt
+        for r in fixtures.nation_polygons_holed(spark, sf_dir).collect()
+    }
+    got = {
+        r.n_nationkey: (r.cx_num, r.cy_num, r.den)
+        for r in QUERIES["geo_centroid_holed"](spark, sf_dir).collect()
+    }
+
+    def ring_terms(pts):
+        a2 = cx = cy = 0
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:]):
+            c = x1 * y2 - x2 * y1
+            a2 += c
+            cx += (x1 + x2) * c
+            cy += (y1 + y2) * c
+        if a2 < 0:
+            return -a2, -cx, -cy
+        return a2, cx, cy
+
+    for k, wkt in wkts.items():
+        rings = [
+            [tuple(map(int, p.split(" "))) for p in r.split(", ")]
+            for r in wkt.removeprefix("POLYGON ((").removesuffix("))").split("), (")
+        ]
+        oa, ocx, ocy = ring_terms(rings[0])
+        ha = hcx = hcy = 0
+        for hole in rings[1:]:
+            a, cx, cy = ring_terms(hole)
+            ha, hcx, hcy = ha + a, hcx + cx, hcy + cy
+        want = (ocx - hcx, ocy - hcy, 3 * (oa - ha))
+        assert got[k] == want, (k, got[k], want)
+        assert want[2] > 0
+        cx_f = Fraction(want[0], want[2])
+        cy_f = Fraction(want[1], want[2])
+        xs = [x for x, _ in rings[0]]
+        ys = [y for _, y in rings[0]]
+        assert min(xs) < cx_f < max(xs) and min(ys) < cy_f < max(ys), k
