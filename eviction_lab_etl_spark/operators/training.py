@@ -2407,7 +2407,11 @@ def pipeline_decontaminate(spark, sf_dir):
         big(F.sum("n_hit")).alias("grams_hit"),
     )
     zero = F.lit(0).cast("long")
-    return part1.join(part2, "shard", "left").select(
+    # part2 is <= 5 rows by construction (shard = doc_id % 5): pin the
+    # broadcast so the static plan never shows a sort-merge on the report
+    # join (AQE would convert it at runtime anyway; the pin makes the
+    # PLANS.md row honest pre-execution too).
+    return part1.join(F.broadcast(part2), "shard", "left").select(
         "shard",
         "n_in",
         "n_exact",
