@@ -375,6 +375,75 @@ def nation_polygons_holed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- multipolygon nations: the island case ------------------------------------
+
+# Census geographies are MULTIPOLYGONs (mainland + islands). Even-keyed
+# nations get a second part: a small square island at the cell's north-east
+# (offset +13..+16 from center — disjoint from the star, whose max radius is
+# 12, and still inside the 20×20 cell). Odd-keyed nations stay single-part,
+# so the parser's part-count axis is exercised in both directions.
+
+_ISLE_OFFS = ((13, 13), (16, 13), (16, 16), (13, 16), (13, 13))
+
+
+def _isle_vertex_sql(dx: int, dy: int) -> str:
+    return (
+        f"CAST((n_nationkey % 5) * 20 + 30 + {dx} AS VARCHAR)"
+        f" || ' ' || "
+        f"CAST((n_nationkey // 5) * 20 + 30 + {dy} AS VARCHAR)"
+    )
+
+
+NATION_MULTIPOLYGONS_SQL = (
+    "        SELECT n_nationkey, 'MULTIPOLYGON (((' || "
+    + " || ', ' || ".join(_star_vertex_sql(i) for i in list(range(_STAR_N)) + [0])
+    + " || CASE WHEN n_nationkey % 2 = 0 THEN ')), ((' || "
+    + " || ', ' || ".join(_isle_vertex_sql(dx, dy) for dx, dy in _ISLE_OFFS)
+    + " ELSE '' END || ')))' AS wkt FROM nation"
+)
+
+
+def nation_multipolygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = load(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    cx = (k % 5) * 20 + 30
+    cy = ((k - k % 5) / 5).cast("long") * 20 + 30
+
+    def vx(i: int):
+        m = 1 + (k * 7 + i * 5) % 6
+        return F.concat(
+            (cx + m * _STAR_DX[i]).cast("string"),
+            F.lit(" "),
+            (cy + m * _STAR_DY[i]).cast("string"),
+        )
+
+    star = []
+    for i in list(range(_STAR_N)) + [0]:
+        if star:
+            star.append(F.lit(", "))
+        star.append(vx(i))
+    isle = []
+    for dx, dy in _ISLE_OFFS:
+        if isle:
+            isle.append(F.lit(", "))
+        isle.append(
+            F.concat(
+                (cx + dx).cast("string"), F.lit(" "), (cy + dy).cast("string")
+            )
+        )
+    return nat.select(
+        "n_nationkey",
+        F.concat(
+            F.lit("MULTIPOLYGON ((("),
+            *star,
+            F.when(
+                k % 2 == 0, F.concat(F.lit(")), ((") , *isle)
+            ).otherwise(F.lit("")),
+            F.lit(")))"),
+        ).alias("wkt"),
+    )
+
+
 # --- GeoJSON feature strings over the irregular polygons ---------------------
 
 # The reference's geo stage consumes GeoJSON (fetched census shapes), not

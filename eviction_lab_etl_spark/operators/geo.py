@@ -943,3 +943,119 @@ def geo_centroid_holed(spark, sf_dir):
         big(outer["cy"] - holes["cy"]).alias("cy_num"),
         big(3 * (outer["a2"] - holes["a2"])).alias("den"),
     )
+
+
+# --- MULTIPOLYGON parsing: the island case -------------------------------------
+
+# Census geographies are MULTIPOLYGONs (mainland + islands) — the last WKT
+# grammar level this module needed. Parse 'MULTIPOLYGON (((p1)), ((p2)))'
+# into per-part coordinate arrays and derive the summary a shapes catalog
+# stores: part count, exact total and largest-part areas (×2), and the
+# union bbox. Map-only JVM folds, the standing geometry contract.
+
+
+def _parts_coords(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
+    """Parse single-ring MULTIPOLYGON WKT into
+    ``parts: array<struct<xs: array<bigint>, ys: array<bigint>>>``."""
+    body = F.regexp_replace(
+        F.col(wkt_col), r"^MULTIPOLYGON \(\(\(|\)\)\)$", ""
+    )
+    part_strs = F.split(body, r"\)\), \(\(")
+
+    def part(r):
+        pts = F.split(r, ", ")
+        return F.struct(
+            F.transform(
+                pts, lambda p: F.element_at(F.split(p, " "), 1).cast("long")
+            ).alias("xs"),
+            F.transform(
+                pts, lambda p: F.element_at(F.split(p, " "), 2).cast("long")
+            ).alias("ys"),
+        )
+
+    return df.withColumn("parts", F.transform(part_strs, part))
+
+
+@query(
+    "geo_multipolygon_parts",
+    oracle=f"""
+    WITH poly AS ({fixtures.NATION_MULTIPOLYGONS_SQL}),
+    parts AS (
+        SELECT n_nationkey,
+               list_transform(
+                   string_split(
+                       regexp_replace(wkt, '^MULTIPOLYGON \\(\\(\\(|\\)\\)\\)$',
+                                      '', 'g'),
+                       ')), (('),
+                   r -> struct_pack(
+                       xs := list_transform(string_split(r, ', '),
+                                            p -> CAST(string_split(p, ' ')[1] AS BIGINT)),
+                       ys := list_transform(string_split(r, ', '),
+                                            p -> CAST(string_split(p, ' ')[2] AS BIGINT))))
+                   AS ps
+        FROM poly
+    ),
+    per_part AS (
+        SELECT n_nationkey,
+               unnest(list_transform(ps, s -> struct_pack(
+                   a2 := abs(list_sum(list_transform(range(1, len(s.xs)), i ->
+                       s.xs[i] * s.ys[i+1] - s.xs[i+1] * s.ys[i]))),
+                   minx := list_aggregate(s.xs, 'min'),
+                   miny := list_aggregate(s.ys, 'min'),
+                   maxx := list_aggregate(s.xs, 'max'),
+                   maxy := list_aggregate(s.ys, 'max')))) AS e
+        FROM parts
+    )
+    SELECT n_nationkey,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(e.a2) AS BIGINT) AS total_a2,
+           CAST(max(e.a2) AS BIGINT) AS main_a2,
+           CAST(min(e.minx) AS BIGINT) AS minx,
+           CAST(min(e.miny) AS BIGINT) AS miny,
+           CAST(max(e.maxx) AS BIGINT) AS maxx,
+           CAST(max(e.maxy) AS BIGINT) AS maxy
+    FROM per_part GROUP BY n_nationkey
+    """,
+)
+def geo_multipolygon_parts(spark, sf_dir):
+    """MULTIPOLYGON catalog summary: part count, exact total/largest part
+    areas (×2), union bbox — per key, from one WKT parse. The Spark side
+    never explodes parts (nested array folds in the scan projection; the
+    oracle unnests because SQL must). Even-keyed fixture nations carry an
+    island part, odd-keyed are single-part, so both parser branches decide
+    real rows."""
+    parts = _parts_coords(fixtures.nation_multipolygons(spark, sf_dir))
+
+    def part_a2(s):
+        xs, ys = s["xs"], s["ys"]
+        x = lambda i: F.element_at(xs, i)  # noqa: E731
+        y = lambda i: F.element_at(ys, i)  # noqa: E731
+        return F.abs(
+            F.aggregate(
+                F.sequence(F.lit(1), F.size(xs) - 1),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc + x(i) * y(i + 1) - x(i + 1) * y(i),
+            )
+        )
+
+    a2s = F.transform("parts", part_a2)
+    return parts.select(
+        "n_nationkey",
+        big(F.size("parts")).alias("n_parts"),
+        big(
+            F.aggregate(a2s, F.lit(0).cast("long"), lambda a, x: a + x)
+        ).alias("total_a2"),
+        big(F.array_max(a2s)).alias("main_a2"),
+        big(
+            F.array_min(F.flatten(F.transform("parts", lambda s: s["xs"])))
+        ).alias("minx"),
+        big(
+            F.array_min(F.flatten(F.transform("parts", lambda s: s["ys"])))
+        ).alias("miny"),
+        big(
+            F.array_max(F.flatten(F.transform("parts", lambda s: s["xs"])))
+        ).alias("maxx"),
+        big(
+            F.array_max(F.flatten(F.transform("parts", lambda s: s["ys"])))
+        ).alias("maxy"),
+    )

@@ -1843,3 +1843,24 @@ def test_geo_centroid_holed_matches_python_and_sane(spark, sf_dir):
         xs = [x for x, _ in rings[0]]
         ys = [y for _, y in rings[0]]
         assert min(xs) < cx_f < max(xs) and min(ys) < cy_f < max(ys), k
+
+
+def test_multipolygon_parts_island_semantics(spark, sf_dir):
+    """Parser semantics on both branches: even-keyed nations report exactly
+    2 parts with the island as the SMALLER part (main_a2 < total_a2 and
+    total - main == the 3x3 island's exact doubled area, 18); odd-keyed
+    report 1 part with total == main; the union bbox covers the island
+    corner (maxx/maxy reach center+16) only on even keys."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    rows = {r.n_nationkey: r for r in
+            QUERIES["geo_multipolygon_parts"](spark, sf_dir).collect()}
+    assert rows
+    for k, r in rows.items():
+        cx, cy = (k % 5) * 20 + 30, (k // 5) * 20 + 30
+        if k % 2 == 0:
+            assert r.n_parts == 2 and r.total_a2 - r.main_a2 == 18, k
+            assert r.maxx == cx + 16 and r.maxy == cy + 16, k
+        else:
+            assert r.n_parts == 1 and r.total_a2 == r.main_a2, k
+            assert r.maxx < cx + 13 and r.maxy < cy + 13, k
