@@ -1059,3 +1059,107 @@ def geo_multipolygon_parts(spark, sf_dir):
             F.array_max(F.flatten(F.transform("parts", lambda s: s["ys"])))
         ).alias("maxy"),
     )
+
+
+# --- containment in a MULTIPOLYGON ---------------------------------------------
+
+# Completes the containment matrix (single ring, holes, multi-part): a point
+# is inside a multipolygon of disjoint parts iff the even-odd crossing total
+# over ALL part rings is odd — the same nested fold as the holes case (there
+# the second ring subtracts, here it adds; parity handles both without
+# caring which). Plan identical to the other containment ops: cell index
+# from the UNION bbox (covers every part), broadcast with the nested part
+# arrays, map-side fold, zero shuffles.
+
+
+@query(
+    "geo_point_in_multipolygon",
+    oracle=f"""
+    WITH poly AS ({fixtures.NATION_MULTIPOLYGONS_SQL}),
+    rings AS (
+        SELECT n_nationkey,
+               list_transform(
+                   string_split(
+                       regexp_replace(wkt, '^MULTIPOLYGON \\(\\(\\(|\\)\\)\\)$',
+                                      '', 'g'),
+                       ')), (('),
+                   r -> struct_pack(
+                       xs := list_transform(string_split(r, ', '),
+                                            p -> CAST(string_split(p, ' ')[1] AS BIGINT)),
+                       ys := list_transform(string_split(r, ', '),
+                                            p -> CAST(string_split(p, ' ')[2] AS BIGINT))))
+                   AS rs
+        FROM poly
+    ),
+    bbox AS (
+        SELECT n_nationkey, rs,
+               list_aggregate(flatten(list_transform(rs, s -> s.xs)), 'min')
+                   // {_CELL} AS gx0,
+               list_aggregate(flatten(list_transform(rs, s -> s.xs)), 'max')
+                   // {_CELL} AS gx1,
+               list_aggregate(flatten(list_transform(rs, s -> s.ys)), 'min')
+                   // {_CELL} AS gy0,
+               list_aggregate(flatten(list_transform(rs, s -> s.ys)), 'max')
+                   // {_CELL} AS gy1
+        FROM rings
+    ),
+    cellsx AS (SELECT *, unnest(range(gx0, gx1 + 1)) AS gx FROM bbox),
+    cells AS (SELECT *, unnest(range(gy0, gy1 + 1)) AS gy FROM cellsx),
+    {_PIP_PTS_SQL},
+    cand AS (
+        SELECT p.c_custkey, p.px, p.py, c.n_nationkey, c.rs
+        FROM pts p JOIN cells c
+          ON p.px // {_CELL} = c.gx AND p.py // {_CELL} = c.gy
+    )
+    SELECT c_custkey, px, py, n_nationkey
+    FROM (SELECT c_custkey, px, py, n_nationkey,
+                 {_RAY_CAST_RINGS_SQL} AS hits
+          FROM cand)
+    WHERE hits % 2 = 1
+    """,
+)
+def geo_point_in_multipolygon(spark, sf_dir):
+    """Exact containment in a multi-part geography (mainland OR island):
+    the even-odd fold over every part's ring — the holes machinery verbatim
+    (parity is indifferent to whether extra rings subtract or add). Island
+    hits are load-bearing: the fixture's planted 3×3 islands catch points
+    the star never could (tests pin island-interior emissions exist)."""
+    parts = _parts_coords(fixtures.nation_multipolygons(spark, sf_dir))
+    rings = parts.withColumnRenamed("parts", "rings")
+    all_xs = F.flatten(F.transform("rings", lambda s: s["xs"]))
+    all_ys = F.flatten(F.transform("rings", lambda s: s["ys"]))
+    bbox = rings.select(
+        "n_nationkey",
+        "rings",
+        (F.array_min(all_xs) / _CELL).cast("long").alias("gx0"),
+        (F.array_max(all_xs) / _CELL).cast("long").alias("gx1"),
+        (F.array_min(all_ys) / _CELL).cast("long").alias("gy0"),
+        (F.array_max(all_ys) / _CELL).cast("long").alias("gy1"),
+    )
+    cells = bbox.select(
+        "n_nationkey",
+        "rings",
+        F.explode(F.sequence("gx0", "gx1")).alias("gx"),
+        "gy0",
+        "gy1",
+    ).select(
+        "n_nationkey", "rings", "gx",
+        F.explode(F.sequence("gy0", "gy1")).alias("gy"),
+    )
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (20 + (F.col("c_custkey") * 7919) % 100).alias("px"),
+        (20 + (F.col("c_custkey") * 104729) % 100).alias("py"),
+    )
+    cand = pts.join(
+        F.broadcast(cells),
+        (F.expr(f"px div {_CELL}") == F.col("gx"))
+        & (F.expr(f"py div {_CELL}") == F.col("gy")),
+    )
+    return (
+        cand.withColumn(
+            "hits", _ray_cast_hits_rings(F.col("px"), F.col("py"))
+        )
+        .filter(F.col("hits") % 2 == 1)
+        .select("c_custkey", "px", "py", "n_nationkey")
+    )

@@ -99,7 +99,7 @@ EXTENSIONS = {
     "io_parquet_bloom_roundtrip", "mix_epoch_plan", "events_top_paths",
     "incr_snapshot_tag_read", "geo_knn_grid", "geo_point_in_polygon",
     "contam_neardup_xx", "geo_simplify_sweep", "geo_geojson_parse",
-    "text_gopher_rules", "text_boilerplate_strip", "geo_point_in_polygon_holes", "geo_area_holed", "pipeline_decontaminate", "geo_centroid_holed", "geo_multipolygon_parts",
+    "text_gopher_rules", "text_boilerplate_strip", "geo_point_in_polygon_holes", "geo_area_holed", "pipeline_decontaminate", "geo_centroid_holed", "geo_multipolygon_parts", "geo_point_in_multipolygon",
     "stream_sliding_distinct", "multimodal_video_keyframes",
     "search_matryoshka_topk", "search_matryoshka_recall",
     "io_parquet_zstd_roundtrip", "resample_epoch_realize", "events_dau_wau",

@@ -1864,3 +1864,36 @@ def test_multipolygon_parts_island_semantics(spark, sf_dir):
         else:
             assert r.n_parts == 1 and r.total_a2 == r.main_a2, k
             assert r.maxx < cx + 13 and r.maxy < cy + 13, k
+
+
+def test_point_in_multipolygon_island_hits_exist(spark, sf_dir):
+    """Island containment is load-bearing: the result must include points
+    strictly inside a planted 3x3 island (|px-(cx+13..16)| interior) that
+    the star part alone could never emit, and every island-interior
+    candidate point must be emitted for its nation."""
+    from pyspark.sql import functions as F
+
+    from eviction_lab_etl_spark.registry import QUERIES
+    from eviction_lab_etl_spark.sources.loader import load
+
+    got = {
+        (r.c_custkey, r.n_nationkey)
+        for r in QUERIES["geo_point_in_multipolygon"](spark, sf_dir).collect()
+    }
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (20 + (F.col("c_custkey") * 7919) % 100).alias("px"),
+        (20 + (F.col("c_custkey") * 104729) % 100).alias("py"),
+    ).collect()
+    nat = load(spark, sf_dir, "nation").select("n_nationkey").collect()
+    island_pairs = set()
+    for n in nat:
+        k = n.n_nationkey
+        if k % 2 != 0:
+            continue
+        cx, cy = (k % 5) * 20 + 30, (k // 5) * 20 + 30
+        for p in pts:
+            if cx + 13 < p.px < cx + 16 and cy + 13 < p.py < cy + 16:
+                island_pairs.add((p.c_custkey, k))
+    assert island_pairs  # fixture actually lands points inside islands
+    assert island_pairs <= got  # every island-interior point is emitted
