@@ -42,56 +42,71 @@ _FLAGSHIP = "agg_sum_groupby"
 # stale queue can never burn a later round's budget re-checking green rows.
 # Bump _QUEUE_AS_OF to the highest CORRECTNESS_r*.json round present whenever
 # the queue is edited.
-_QUEUE_AS_OF = 12
+_QUEUE_AS_OF = 13
 _RECHECK_QUEUE: tuple[str, ...] = (
-    # --- Round-13 changed queries (r12 ADVICE fixes; both sides changed in
+    # --- Round-14 changed queries (r13 ADVICE fixes; both sides changed in
     # lockstep, so these must re-verify):
-    #   * ts_resample_ohlc: ordering-key event_id pad widened 12 -> 19 digits
-    #     (full bigint width) in operator AND oracle.
-    #   * web_* / scalar_url_parts / pipeline_web_ingest: UTM-strip grammar
-    #     widened (names [a-z0-9_]+, values [^&#]*) and the URL fixture now
-    #     plants a wide-grammar case (utm_x2_id=AB-12_x%2Fy) — fixture SQL
-    #     and Spark frame changed together; pipeline_web_ingest also dropped
-    #     its fixture-scale broadcast hint on the host report join.
-    # pipeline_training_set: dedup stage rewritten to the single-pass
-    # min(struct) form (plan changed, values unchanged — the search_sq8_topk
-    # precedent).
-    "pipeline_training_set",
-    "ts_resample_ohlc",
+    #   * web_* / scalar_url_parts / pipeline_web_ingest: the UTM-strip mid
+    #     rule is now separator-anchored as a run match
+    #     (`([?&])(utm_...=...&)+` -> `$1`/`\1`) and the URL fixture plants
+    #     three new false-positive/run cases (?xutm_a=, ?q=utm_x=y, a
+    #     consecutive utm_a&utm_b run) — fixture SQL and Spark frame changed
+    #     together.
+    #   * geo_point_in_polygon / _holes / _multipolygon: bbox grid-cell ids
+    #     now integer `div` (was float-div + cast) — values identical on the
+    #     fixture, plan changed.
+    #   * geo_simplify_sweep: zero-kept-vertex rings now filtered Spark-side
+    #     (oracle's GROUP BY already omitted them).
+    #   * text_gopher_rules: sum_word_len fold seeded LONG (was 32-bit).
     "web_url_canonicalize",
     "dedup_url_keep_first",
     "web_domain_cap",
     "scalar_url_parts",
     "pipeline_web_ingest",
-    # --- Round-13 staleness rotation (r12 VERDICT item 3): every record whose
-    # latest driver verification is round 6 — six rounds stale — re-checked
-    # explicitly so nothing drifts past ~6 rounds unverified. Code unchanged;
-    # this is rotation, not suspicion. (New r13 operators need no queue entry:
-    # never-verified names sort into the `fresh` tier right after this queue.)
-    "scan_project",
-    "scan_filter_prune",
-    "scalar_array_ops",
-    "scalar_json",
-    "scalar_conditional_null",
-    "scalar_bitwise",
-    "setop_union_all",
-    "setop_union_dedup",
-    "setop_except",
-    "setop_intersect",
-    "setop_except_all",
-    "setop_intersect_all",
-    "sort_multi_topk",
-    "udf_cogrouped_map",
-    "udtf_dynamic_schema",
-    "resample_downweight_dups",
-    "stream_static_enrich",
-    "stream_snapshot_sink",
-    "stream_session_skewsafe",
-    "ts_anomaly_mad",
-    "io_text_roundtrip",
-    "io_xml_roundtrip",
-    "io_range_partitioned",
-    "layout_zorder_key",
+    "geo_point_in_polygon",
+    "geo_point_in_polygon_holes",
+    "geo_point_in_multipolygon",
+    "geo_simplify_sweep",
+    "text_gopher_rules",
+    # --- Round-14 staleness rotation (r13 VERDICT item 2): every record whose
+    # latest driver verification is round 7 — seven rounds stale at r14 —
+    # re-checked explicitly so nothing drifts past ~6 rounds unverified. Code
+    # unchanged; this is rotation, not suspicion. (New r14 operators need no
+    # queue entry: never-verified names sort into the `fresh` tier right
+    # after this queue.)
+    "embed_kmeans_iter",
+    "events_streak_islands",
+    "incr_compact_roundtrip",
+    "incr_scd2_build",
+    "incr_view_maintain",
+    "io_bucketed_join",
+    "io_json_lines",
+    "io_orc_roundtrip",
+    "io_partitioned_write",
+    "io_schema_evolution",
+    "io_stats_manifest",
+    "join_fuzzy_blocked",
+    "join_skew_salted",
+    "pipeline_entity_resolution",
+    "scalar_variant_shred",
+    "search_bm25_topk",
+    "search_hybrid_rrf",
+    "sort_nulls",
+    "stream_tumbling",
+    "text_tfidf_topterms",
+    "ts_changepoint_shift",
+    "udf_grouped_map",
+    "udf_pandas_agg",
+    "udf_pandas_scalar",
+    "udf_py_scalar",
+    "udtf_explode_pos",
+    "window_cume",
+    "window_lag_delta",
+    "window_ntile",
+    "window_percentile",
+    "window_rank_dense",
+    "window_rank_topk",
+    "window_skyline_2d",
 )
 
 

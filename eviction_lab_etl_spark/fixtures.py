@@ -615,8 +615,13 @@ def embeddings_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scheme variants, `www.`, host case, trailing slash, utm_* tracking params in
 # BOTH positions (leading and trailing inside the query string) and in the
 # WIDE grammar (digit/underscore-bearing name `utm_x2_id`, dash + percent-
-# encoded value `AB-12_x%2Fy` — the r12 ADVICE realism case), fragments —
-# while meaningful params (`page=`, `id=`) must SURVIVE canonicalization.
+# encoded value `AB-12_x%2Fy` — the r12 ADVICE realism case), a CONSECUTIVE
+# utm run (`?utm_a=1&utm_b=2&page=` — exercises the `(...)+` run form of the
+# separator-anchored strip rule), fragments — while meaningful params
+# (`page=`, `id=`) must SURVIVE canonicalization, including the r13 ADVICE
+# false-positive shapes: a param whose NAME merely contains `utm_`
+# (`?xutm_a=1&page=`) and a param whose VALUE contains a literal `utm_x=y`
+# sequence (`?q=utm_x=y&page=`) — both must pass through untouched.
 # Canonical collisions are guaranteed (path = doc_id % 50 within a source, and
 # the kept-param residue is itself periodic), so the URL dedup decides real
 # groups at every SF.
@@ -629,6 +634,12 @@ DOCUMENTS_WITH_URLS_SQL = """
                || (CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END)
                || (CASE WHEN doc_id % 8 = 4
                         THEN '?utm_x2_id=AB-12_x%2Fy&page=' || CAST(doc_id % 3 AS VARCHAR)
+                        WHEN doc_id % 8 = 1
+                        THEN '?xutm_a=1&page=' || CAST(doc_id % 3 AS VARCHAR)
+                        WHEN doc_id % 8 = 5
+                        THEN '?q=utm_x=y&page=' || CAST(doc_id % 3 AS VARCHAR)
+                        WHEN doc_id % 8 = 3
+                        THEN '?utm_a=1&utm_b=2&page=' || CAST(doc_id % 3 AS VARCHAR)
                         WHEN doc_id % 4 = 0
                         THEN '?utm_source=feed&page=' || CAST(doc_id % 3 AS VARCHAR)
                         WHEN doc_id % 4 = 2
@@ -653,6 +664,18 @@ def documents_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             d % 8 == 4,
             F.concat(F.lit("?utm_x2_id=AB-12_x%2Fy&page="), (d % 3).cast("string")),
+        )
+        .when(
+            d % 8 == 1,
+            F.concat(F.lit("?xutm_a=1&page="), (d % 3).cast("string")),
+        )
+        .when(
+            d % 8 == 5,
+            F.concat(F.lit("?q=utm_x=y&page="), (d % 3).cast("string")),
+        )
+        .when(
+            d % 8 == 3,
+            F.concat(F.lit("?utm_a=1&utm_b=2&page="), (d % 3).cast("string")),
         )
         .when(
             d % 4 == 0,

@@ -695,7 +695,14 @@ def text_gopher_rules(spark, sf_dir):
         "doc_id",
         big(F.size(w)).alias("n_words"),
         big(
-            F.aggregate(F.transform(w, F.length), F.lit(0), lambda a, x: a + x)
+            # seed the fold with a LONG so the JVM accumulates in 64-bit —
+            # an IntegerType seed would overflow for documents with >= 2^31
+            # total characters (r13 ADVICE; oracle computes BIGINT)
+            F.aggregate(
+                F.transform(w, F.length),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
         ).alias("sum_word_len"),
         big(F.size(F.filter(w, lambda x: x.rlike(_GOPHER_ALPHA_RE)))).alias(
             "n_has_alpha"

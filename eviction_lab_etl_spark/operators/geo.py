@@ -41,6 +41,16 @@ from eviction_lab_etl_spark.sources.loader import load
 _CELL = 20
 
 
+def _gcell(col: Column) -> Column:
+    """Grid-cell id for a bigint coordinate: integer division, NOT
+    ``(col / _CELL).cast('long')`` (r13 ADVICE). The float intermediate was
+    exact only because fixture coordinates are small and non-negative; JVM
+    ``div`` truncates toward zero exactly like DuckDB's integer ``//``
+    (verified: -5//2 = -2 in BOTH engines), so negative coordinates bucket
+    identically with no float precision cliff past 2^53."""
+    return F.call_function("div", col, F.lit(_CELL))
+
+
 def _ring_coords(df: DataFrame, wkt_col: str = "wkt") -> DataFrame:
     """Parse 'POLYGON ((x y, ..., x y))' into bigint coordinate arrays
     ``xs``/``ys`` (closing vertex included). Pure map stage."""
@@ -407,10 +417,10 @@ def geo_point_in_polygon(spark, sf_dir):
         "n_nationkey",
         "xs",
         "ys",
-        (F.array_min(F.slice("xs", 1, n_open)) / _CELL).cast("long").alias("gx0"),
-        (F.array_max(F.slice("xs", 1, n_open)) / _CELL).cast("long").alias("gx1"),
-        (F.array_min(F.slice("ys", 1, n_open)) / _CELL).cast("long").alias("gy0"),
-        (F.array_max(F.slice("ys", 1, n_open)) / _CELL).cast("long").alias("gy1"),
+        _gcell(F.array_min(F.slice("xs", 1, n_open))).alias("gx0"),
+        _gcell(F.array_max(F.slice("xs", 1, n_open))).alias("gx1"),
+        _gcell(F.array_min(F.slice("ys", 1, n_open))).alias("gy0"),
+        _gcell(F.array_max(F.slice("ys", 1, n_open))).alias("gy1"),
     )
     cells = bbox.select(
         "n_nationkey",
@@ -497,7 +507,10 @@ def geo_simplify_sweep(spark, sf_dir):
     tolerance, and re-emits the simplified ring as closed WKT plus the kept
     count. The Spark side never explodes vertices — the score/filter/
     reassemble chain runs as JVM higher-order array functions inside the
-    scan projection."""
+    scan projection. Rings that keep ZERO vertices are dropped (r13 ADVICE:
+    the oracle's GROUP BY over kept vertices omits such nations implicitly,
+    so the Spark side must agree by construction — not by fixture luck —
+    should `_SIMPLIFY_T` or the fixture ever change)."""
     ring = _ring_coords(fixtures.nation_polygons_irregular(spark, sf_dir))
     n = F.size("xs") - 1
     openr = ring.select(
@@ -530,7 +543,7 @@ def geo_simplify_sweep(spark, sf_dir):
             lambda s: s["keep"],
         ).alias("ks"),
     )
-    return kept.select(
+    return kept.where(F.size("ks") > 0).select(
         "n_nationkey",
         big(F.size("ks")).alias("n_kept"),
         F.concat(
@@ -749,10 +762,10 @@ def geo_point_in_polygon_holes(spark, sf_dir):
     bbox = rings.select(
         "n_nationkey",
         "rings",
-        (F.array_min(oxs) / _CELL).cast("long").alias("gx0"),
-        (F.array_max(oxs) / _CELL).cast("long").alias("gx1"),
-        (F.array_min(oys) / _CELL).cast("long").alias("gy0"),
-        (F.array_max(oys) / _CELL).cast("long").alias("gy1"),
+        _gcell(F.array_min(oxs)).alias("gx0"),
+        _gcell(F.array_max(oxs)).alias("gx1"),
+        _gcell(F.array_min(oys)).alias("gy0"),
+        _gcell(F.array_max(oys)).alias("gy1"),
     )
     cells = bbox.select(
         "n_nationkey",
@@ -1131,10 +1144,10 @@ def geo_point_in_multipolygon(spark, sf_dir):
     bbox = rings.select(
         "n_nationkey",
         "rings",
-        (F.array_min(all_xs) / _CELL).cast("long").alias("gx0"),
-        (F.array_max(all_xs) / _CELL).cast("long").alias("gx1"),
-        (F.array_min(all_ys) / _CELL).cast("long").alias("gy0"),
-        (F.array_max(all_ys) / _CELL).cast("long").alias("gy1"),
+        _gcell(F.array_min(all_xs)).alias("gx0"),
+        _gcell(F.array_max(all_xs)).alias("gx1"),
+        _gcell(F.array_min(all_ys)).alias("gy0"),
+        _gcell(F.array_max(all_ys)).alias("gy1"),
     )
     cells = bbox.select(
         "n_nationkey",

@@ -36,13 +36,19 @@ from eviction_lab_etl_spark.registry import query
 #      the authority component),
 #   2. strip the scheme, 3. strip a leading `www.`,
 #   4. strip the fragment,
-#   5. strip tracking params: any `utm_<name>=<value>` followed by `&`
-#      (global — handles the leading/middle position, keeps what follows);
-#      names are `[a-z0-9_]+` and values `[^&#]*` (r12 ADVICE: real-world
-#      params like `utm_id=ABC-123`, percent-encoded or underscore-bearing
-#      values, must not survive — the value class is "anything up to the
-#      next separator", not a fixture alphabet; the URL is lowercased at
-#      step 1, so `[a-z0-9_]` covers names),
+#   5. strip tracking params: a RUN of one or more `utm_<name>=<value>&`
+#      immediately after a `?` or `&` separator, keeping the separator
+#      (replacement `$1` in Spark/Java, `\1` in DuckDB/RE2 — the PATTERN is
+#      the shared constant; the backreference spelling is the one per-engine
+#      dialect difference). Anchoring to the separator (r13 ADVICE) means a
+#      param whose NAME merely contains `utm_` (`?xutm_a=1`) or whose VALUE
+#      contains a literal `utm_x=y&` sequence is no longer corrupted; the
+#      `(...)+` run form is required because a single-pass global replace
+#      does not rescan replaced text, so consecutive `utm_a=1&utm_b=2&`
+#      params would otherwise survive. Names are `[a-z0-9_]+` and values
+#      `[^&#]*` (r12 ADVICE: real-world params like `utm_id=ABC-123`,
+#      percent-encoded or underscore-bearing values, must not survive; the
+#      URL is lowercased at step 1, so `[a-z0-9_]` covers names),
 #   6. then a trailing `[?&]utm_...` (handles the final position),
 #   7. collapse the path-final slash left dangling before a kept query
 #      (`/?page=2` → `?page=2` — literal replace, not regex),
@@ -50,7 +56,7 @@ from eviction_lab_etl_spark.registry import query
 _SCHEME_RE = "^https?://"
 _WWW_RE = "^www\\."
 _FRAG_RE = "#.*$"
-_UTM_MID_RE = "utm_[a-z0-9_]+=[^&#]*&"
+_UTM_MID_RE = "([?&])(utm_[a-z0-9_]+=[^&#]*&)+"
 _UTM_END_RE = "[?&]utm_[a-z0-9_]+=[^&#]*$"
 _TAIL_RE = "[/?]$"
 _HOST_RE = "^[^/?#]+"
@@ -59,7 +65,7 @@ _HOST_RE = "^[^/?#]+"
 CANON_URL_SQL = (
     "regexp_replace(replace(regexp_replace(regexp_replace(regexp_replace("
     f"regexp_replace(regexp_replace(lower({{col}}), '{_SCHEME_RE}', ''),"
-    f" '{_WWW_RE}', ''), '{_FRAG_RE}', ''), '{_UTM_MID_RE}', '', 'g'),"
+    f" '{_WWW_RE}', ''), '{_FRAG_RE}', ''), '{_UTM_MID_RE}', '\\1', 'g'),"
     f" '{_UTM_END_RE}', ''), '/?', '?'), '{_TAIL_RE}', '')"
 )
 
@@ -71,7 +77,7 @@ def canonical_url(col: F.Column) -> F.Column:
     x = F.regexp_replace(x, _SCHEME_RE, "")
     x = F.regexp_replace(x, _WWW_RE, "")
     x = F.regexp_replace(x, _FRAG_RE, "")
-    x = F.regexp_replace(x, _UTM_MID_RE, "")
+    x = F.regexp_replace(x, _UTM_MID_RE, "$1")
     x = F.regexp_replace(x, _UTM_END_RE, "")
     x = F.replace(x, F.lit("/?"), F.lit("?"))
     return F.regexp_replace(x, _TAIL_RE, "")

@@ -162,7 +162,19 @@ def run_daily_upsert(stream: DataFrame, out_path: str) -> None:
     """The stream_foreachbatch_upsert core over an ARBITRARY event stream:
     per micro-batch, dynamic-partition-overwrite the day partitions present
     in that batch. Factored out so the replay-determinism test drives the
-    SAME upsert through a controlled multi-batch file source."""
+    SAME upsert through a controlled multi-batch file source.
+
+    CONTRACT (r13 ADVICE, stated explicitly): overwrite is LAST-WRITER-WINS
+    per day partition. If one day's events span multiple micro-batches, the
+    final partition holds only the LAST batch's partial count — correct for
+    the stated 'rebuild the stale targets present in this batch' semantics
+    (and pinned exactly by tests/test_stream_replay.py), but an undercount
+    whenever a day straddles a batch boundary. Callers that expect
+    day-spanning input must either (a) route whole days into single batches
+    (the availableNow-over-daily-files layout the registered query uses), or
+    (b) use a merge strategy instead: read-modify-write of the target
+    partition inside ``upsert``, or a watermarked stateful aggregation
+    upstream of foreachBatch so each day is emitted once, complete."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         daily = batch_df.groupBy(F.to_date("ts").alias("od")).agg(

@@ -53,6 +53,21 @@ URL_CASES = [
     # now-trailing utm folds
     ("https://h.example.com/p?page=4&utm_term=a+b%3D#sec",
      "h.example.com/p?page=4"),
+    # r13 ADVICE false positives: a param NAME merely containing 'utm_' is
+    # NOT a tracking param — the strip rule is anchored to a [?&] separator
+    ("https://h.example.com/p?xutm_a=1&page=2",
+     "h.example.com/p?xutm_a=1&page=2"),
+    # ... and a param VALUE containing a literal 'utm_x=y' sequence survives
+    ("https://h.example.com/p?q=utm_x=y&page=2",
+     "h.example.com/p?q=utm_x=y&page=2"),
+    # value containing 'utm_b=1' followed by a REAL utm param: only the real
+    # one (separator-anchored) strips
+    ("https://h.example.com/p?a=utm_b=1&utm_c=2&page=3",
+     "h.example.com/p?a=utm_b=1&page=3"),
+    # consecutive mid-position utm run — the (...)+ form must consume the
+    # whole run in one match (global replace does not rescan replaced text)
+    ("https://h.example.com/p?utm_a=1&utm_b=2&utm_c=3&page=4",
+     "h.example.com/p?page=4"),
 ]
 
 
