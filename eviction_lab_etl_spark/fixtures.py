@@ -111,6 +111,52 @@ def documents_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Wide-grammar PII corpus for text_pii_scrub (the CCNet/Dolma/RefinedWeb
+# scrub stage): one planted case PER CLASS per document —
+#   - email in the REAL grammar (dots, '+tag', dashed domain, 2-char TLD),
+#   - an IPv4 address (distinct octet shapes across docs),
+#   - a phone in one of three shapes cycling by doc_id%3:
+#     '(NNN) NNN-NNNN' / '+1 NNN-NNN-NNNN' / 'NNN.NNN.NNNN',
+#   - plus a FALSE-POSITIVE guard: a 3-octet version literal 'v1.2.K' that a
+#     correct IPv4 rule (exactly four octets, word-bounded) must NOT touch.
+DOCUMENTS_WITH_PII_WIDE_SQL = """
+        SELECT doc_id,
+               text || ' reach first.last+tag' || CAST(doc_id AS VARCHAR)
+                    || '@ex-ample.co from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                    || '.0.' || CAST(doc_id % 100 AS VARCHAR)
+                    || (CASE CAST(doc_id % 3 AS INTEGER)
+                            WHEN 0 THEN ' call (555) 010-'
+                            WHEN 1 THEN ' call +1 555-010-'
+                            ELSE ' call 555.010.' END)
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' build v1.2.' || CAST(doc_id % 9 AS VARCHAR) AS raw
+        FROM documents
+"""
+
+
+def documents_with_pii_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach first.last+tag"),
+            d.cast("string"),
+            F.lit("@ex-ample.co from 10."),
+            (d % 200).cast("string"),
+            F.lit(".0."),
+            (d % 100).cast("string"),
+            F.when(d % 3 == 0, F.lit(" call (555) 010-"))
+            .when(d % 3 == 1, F.lit(" call +1 555-010-"))
+            .otherwise(F.lit(" call 555.010.")),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" build v1.2."),
+            (d % 9).cast("string"),
+        ).alias("raw"),
+    )
+
+
 # Unicode-mess corpus: the byte-level noise (case, diacritics, compatibility
 # forms, punctuation, whitespace) that CCNet-style normalization exists to
 # fold away — one planted case per fold CLASS of cleaning.py's table:

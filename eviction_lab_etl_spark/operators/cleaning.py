@@ -89,6 +89,81 @@ def text_pii_mask(spark, sf_dir):
     return mask_pii(fixtures.documents_with_pii(spark, sf_dir))
 
 
+# --- wide-grammar PII scrub (the CCNet/Dolma/RefinedWeb compliance stage) ----
+#
+# Three regex classes, shared pattern constants (the web.py _NORM_SQL rule:
+# the PATTERN strings below are the single source of truth for BOTH the
+# Spark chain and the DuckDB oracle template, so the two engines cannot
+# drift). The subset used — char classes, bounded quantifiers, alternation,
+# optional groups, ASCII \b — behaves identically in Java regex and RE2
+# (pinned over crafted probes in tests/test_library.py). Masking order is
+# email -> ipv4 -> phone; each class counts its matches against the text as
+# masked by the PREVIOUS classes, so a character is attributed to exactly
+# one class and counts always agree with what the mask actually replaced.
+_SCRUB_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_SCRUB_IPV4_RE = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
+_SCRUB_PHONE_RE = (
+    "(\\+1[- ])?(\\([0-9]{3}\\) ?|[0-9]{3}[- .])?[0-9]{3}[- .][0-9]{4}"
+)
+
+
+def scrub_pii(df: DataFrame, col: str = "raw") -> DataFrame:
+    """Pure operator: wide-grammar PII scrub — real-shaped emails
+    (dots/plus-tags/dashed domains), IPv4 addresses (exactly four octets,
+    word-bounded: version literals like 'v1.2.3' survive), and phone-shaped
+    digit runs in parenthesized / +1-prefixed / dot-separated forms — each
+    replaced by a typed mask token, with per-class redaction counts as the
+    audit surface. Map-only JVM regex: at 100 TB this runs at scan speed
+    with no shuffle and no Python."""
+    e1 = F.regexp_replace(F.col(col), _SCRUB_EMAIL_RE, "<EMAIL>")
+    e2 = F.regexp_replace(e1, _SCRUB_IPV4_RE, "<IPV4>")
+    e3 = F.regexp_replace(e2, _SCRUB_PHONE_RE, "<PHONE>")
+    return df.select(
+        "doc_id",
+        e3.alias("masked"),
+        big(
+            F.size(F.regexp_extract_all(col, F.lit(_SCRUB_EMAIL_RE), F.lit(0)))
+        ).alias("n_emails"),
+        big(F.size(F.regexp_extract_all(e1, F.lit(_SCRUB_IPV4_RE), F.lit(0)))).alias(
+            "n_ipv4"
+        ),
+        big(
+            F.size(F.regexp_extract_all(e2, F.lit(_SCRUB_PHONE_RE), F.lit(0)))
+        ).alias("n_phones"),
+    )
+
+
+@query(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH raw AS ({fixtures.DOCUMENTS_WITH_PII_WIDE_SQL}),
+    m AS (
+        SELECT doc_id, raw,
+               regexp_replace(raw, '{_SCRUB_EMAIL_RE}', '<EMAIL>', 'g') AS e1
+        FROM raw
+    ),
+    m2 AS (
+        SELECT doc_id, raw, e1,
+               regexp_replace(e1, '{_SCRUB_IPV4_RE}', '<IPV4>', 'g') AS e2
+        FROM m
+    )
+    SELECT doc_id,
+           regexp_replace(e2, '{_SCRUB_PHONE_RE}', '<PHONE>', 'g') AS masked,
+           len(regexp_extract_all(raw, '{_SCRUB_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(e1, '{_SCRUB_IPV4_RE}')) AS n_ipv4,
+           len(regexp_extract_all(e2, '{_SCRUB_PHONE_RE}')) AS n_phones
+    FROM m2
+    """,
+)
+def text_pii_scrub(spark, sf_dir):
+    """Correctness binding for ``scrub_pii`` over the wide-grammar PII
+    corpus: every doc plants one case per class (plus the 'v1.2.K'
+    three-octet false-positive guard), and the phone shape cycles through
+    all three grammars by doc_id%3, so the driver hash pins every class and
+    every phone form — including that the guard text survives untouched."""
+    return scrub_pii(fixtures.documents_with_pii_wide(spark, sf_dir))
+
+
 # --- Unicode/text normalization (the step AHEAD of dedup/contamination) ------
 #
 # CCNet-style normalization: case fold, diacritic/compatibility fold,

@@ -1897,3 +1897,64 @@ def test_point_in_multipolygon_island_hits_exist(spark, sf_dir):
                 island_pairs.add((p.c_custkey, k))
     assert island_pairs  # fixture actually lands points inside islands
     assert island_pairs <= got  # every island-interior point is emitted
+
+
+def test_pii_scrub_grammar_cross_engine(spark):
+    """Pin the three scrub classes engine-vs-engine on crafted shapes the
+    fixture generator never emits (multi-PII lines, false-positive guards,
+    bare phone runs): Spark (scrub_pii) and DuckDB (the same shared pattern
+    constants) must both produce the hand-computed expectation — the
+    coverage pin for the grammar itself, beyond the fixture's planted
+    cases."""
+    import duckdb
+
+    from eviction_lab_etl_spark.operators import cleaning as C
+
+    # (raw, masked, n_emails, n_ipv4, n_phones)
+    cases = [
+        ("mail first.last+tag5@ex-ample.co end", "mail <EMAIL> end", 1, 0, 0),
+        ("ip 10.37.0.55 here", "ip <IPV4> here", 0, 1, 0),
+        ("call (555) 010-1234 now", "call <PHONE> now", 0, 0, 1),
+        ("call +1 555-010-1234 now", "call <PHONE> now", 0, 0, 1),
+        ("call 555.010.1234 now", "call <PHONE> now", 0, 0, 1),
+        # false positives: a 3-octet version literal is NOT an IPv4; a word
+        # glued to digits is not a phone
+        ("version v1.2.3 stays", "version v1.2.3 stays", 0, 0, 0),
+        ("bare 010-1234 run", "bare <PHONE> run", 0, 0, 1),
+        ("no pii at all", "no pii at all", 0, 0, 0),
+        (
+            "combo a.b@c.io 192.168.1.1 555-123-4567",
+            "combo <EMAIL> <IPV4> <PHONE>",
+            1,
+            1,
+            1,
+        ),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, *_) in enumerate(cases)], "doc_id long, raw string"
+    )
+    got = {
+        r.doc_id: (r.masked, r.n_emails, r.n_ipv4, r.n_phones)
+        for r in C.scrub_pii(df).collect()
+    }
+    con = duckdb.connect()
+    for i, (raw, masked, ne, ni, np_) in enumerate(cases):
+        assert got[i] == (masked, ne, ni, np_), (raw, got[i])
+        duck = con.execute(
+            """
+            WITH m AS (SELECT regexp_replace($raw, $e, '<EMAIL>', 'g') AS e1),
+            m2 AS (SELECT e1, regexp_replace(e1, $i, '<IPV4>', 'g') AS e2 FROM m)
+            SELECT regexp_replace(e2, $p, '<PHONE>', 'g'),
+                   len(regexp_extract_all($raw, $e)),
+                   len(regexp_extract_all(e1, $i)),
+                   len(regexp_extract_all(e2, $p))
+            FROM m2
+            """,
+            {
+                "raw": raw,
+                "e": C._SCRUB_EMAIL_RE,
+                "i": C._SCRUB_IPV4_RE,
+                "p": C._SCRUB_PHONE_RE,
+            },
+        ).fetchone()
+        assert tuple(duck) == (masked, ne, ni, np_), (raw, duck)

@@ -1287,3 +1287,12 @@ def test_geo_point_in_polygon_holes_zero_shuffles(spark, sf_dir):
     bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
     assert bcast >= 1
     assert info["python_rows"] == 0 and info["arrow_python"] == 0
+
+
+def test_pii_scrub_plan_shape(spark, sf_dir):
+    # Wide-grammar PII scrub: a pure scan-projection rider like
+    # text_gopher_rules — zero shuffles, zero Python; all three regex
+    # classes fold JVM-side inside the scan projection.
+    info = plan_of(spark, sf_dir, "text_pii_scrub")
+    assert info["shuffles"] == 0, f"pii_scrub: {info['shuffles']} shuffles"
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0
