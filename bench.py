@@ -286,7 +286,15 @@ BASELINE_SEC = {
     # sessions, and the r3 value equals today's MINIMUM single run. 1.03 s
     # is the measured median under bench confs; extra reps below tighten it.
     "dedup_simhash_pairs": 1.03,
-    "pipeline_corpus_manifest": 0.3488,
+    # pipeline_corpus_manifest RE-PINNED r14 (was 0.3488): the r3 seed was a
+    # fast-tail draw of the same overhead-bound class as dedup_simhash_pairs
+    # — its first-ever interleaved A/B (tools/tpch_ab.py, 11 reps, companion
+    # agg_sum_groupby running BELOW its base at 0.86x, i.e. a genuinely fast
+    # host) measured a stable 0.55-0.70 s band, median 0.60 s, with the code
+    # unchanged since r12 (BASELINE.md "r14 small-pin A/B"). 0.60 s is the
+    # measured median under bench confs; the small-pin extra-reps rule below
+    # tightens its future medians.
+    "pipeline_corpus_manifest": 0.60,
     "contam_ngram_overlap": 1.5371,
     "pipeline_training_set": 1.3102,
     # BENCH_r05.json (r05 medians — R5_HEADLINE regression base, seeded the
@@ -295,7 +303,16 @@ BASELINE_SEC = {
     "complex_important_stock": 0.6136,
     "events_type_transitions": 0.3199,
     "embed_norm_hist": 0.2227,
-    "incr_snapshot_time_travel": 0.9247,
+    # incr_snapshot_time_travel RE-PINNED r14 (was 0.9247): two independent
+    # interleaved A/Bs (r11: 1.47x on a fast host; r14: 11 reps, stable
+    # 1.16-1.84 s band, median 1.32 s while the compute companion ran at
+    # 0.59x its base) agree the honest warm median is ~1.3 s — the r5 seed
+    # was a fast-tail draw, and the query's wall is parquet commit/read
+    # DISK I/O (3 ACID commits + 3 versioned reads), which does not speed
+    # up on an idle CPU the way the compute fleet does, so every fleet
+    # normalization inflates it on fast hosts (BASELINE.md "r14 small-pin
+    # A/B").
+    "incr_snapshot_time_travel": 1.32,
 }
 
 
@@ -317,7 +334,18 @@ def main() -> None:
     # simhash runs span 0.79-2.08 s on an idle host — BASELINE.md r8), so
     # their 3-pass median is itself noisy; such queries get EXTRA shuffled
     # mini-passes (7 samples total) after the global passes.
+    #
+    # r14 small-pin rule (BASELINE.md "r14 small-pin A/B"): EVERY pinned
+    # query whose pin is under 0.5 s is in that class by construction — its
+    # wall is dominated by fixed per-run overhead (planning/AQE/scheduling)
+    # whose variance is a large fraction of the pin, so a 3-sample median
+    # flags on sampling error alone (the pipeline_corpus_manifest /
+    # dedup_simhash_pairs failure mode). All of them get the 7-rep
+    # treatment automatically, so new small pins can't re-introduce it.
     extra_reps = {"dedup_simhash_pairs": 7}
+    extra_reps.update(
+        {n: 7 for n, pin in BASELINE_SEC.items() if pin < 0.5}
+    )
     n_passes = 3
 
     tpch_names = sorted(n for n in registry.QUERIES if n.startswith("complex_"))

@@ -793,6 +793,46 @@ def dedup_minhash_pairs(spark, sf_dir):
     )
 
 
+@query("dedup_minhash_pairs_xx")  # rows-only: xxhash64 exists only in Spark
+def dedup_minhash_pairs_xx(spark, sf_dir):
+    """dedup_minhash_pairs at PRODUCTION wire width: the identical
+    MinHash-LSH flow with the signature family swapped from md5-prefix to
+    seeded ``xxhash64`` — the contam_neardup_xx move applied to the
+    symmetric MinHash path, so the hash family a 100 TB run would actually
+    use is itself a driver-visible registration (the md5 family pays a
+    128-bit hash + 15-hex ``conv`` parse at every hash site purely for
+    DuckDB oracle reproducibility; tools/hashfamily_ab.py measures the
+    delta on BOTH paths — see SCALE.md). DuckDB cannot evaluate xxhash64,
+    so this row is rows-only by design; semantics are pinned instead by
+    tests/test_library.py::test_dedup_minhash_xx_family_agreement: (1)
+    every emitted pair's (inter, uni) is the EXACT verification values
+    (family-independent), agreeing with the md5 registration on all shared
+    pairs, and (2) both bandings recall the fixture corpus's qualified
+    pairs at the same measured floor (only the banding false-negative SET
+    may differ between families)."""
+    from eviction_lab_etl_spark.functions.minhash import (
+        minhash_near_dup_pairs,
+        xxhash_family,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
+    )
+    return minhash_near_dup_pairs(
+        tok,
+        "doc_id",
+        "w",
+        threshold=(_MH_NUM, _MH_DEN),
+        bands=_MH_BANDS,
+        rows_per_band=_MH_ROWS,
+        hash_fn=xxhash_family,
+    ).select(
+        F.col("a"), F.col("b"), big(F.col("inter")).alias("inter"),
+        big(F.col("uni")).alias("uni"),
+    )
+
+
 @query(
     "dedup_minhash_recall",
     oracle=_MH_ORACLE_CTES

@@ -1958,3 +1958,35 @@ def test_pii_scrub_grammar_cross_engine(spark):
             },
         ).fetchone()
         assert tuple(duck) == (masked, ne, ni, np_), (raw, duck)
+
+
+def test_dedup_minhash_xx_family_agreement(spark, sf_dir):
+    """The xxhash64 (production wire-width) registration of the symmetric
+    MinHash path: (1) family independence of the VERIFICATION — for every
+    pair both bandings emit, (inter, uni) agree exactly (exact Jaccard does
+    not depend on the signature family); (2) both bandings' outputs are
+    subsets of the exact >=0.6 pair set (each emitted pair passes the
+    cross-multiplied threshold by construction); (3) the xx banding's
+    recall on the fixture corpus is within one pair of the md5 banding's
+    (b=16, r=3 gives P[candidate | s=0.6] ~ 0.979 for EITHER family — only
+    the miss SET may differ)."""
+    from eviction_lab_etl_spark.operators.extensions import _MH_DEN, _MH_NUM
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    xx = {
+        (r.a, r.b): (r.inter, r.uni)
+        for r in QUERIES["dedup_minhash_pairs_xx"](spark, sf_dir).collect()
+    }
+    md5 = {
+        (r.a, r.b): (r.inter, r.uni)
+        for r in QUERIES["dedup_minhash_pairs"](spark, sf_dir).collect()
+    }
+    assert xx and md5
+    both = set(xx) & set(md5)
+    assert both
+    for pair in both:
+        assert xx[pair] == md5[pair], pair
+    for pairs in (xx, md5):
+        for (a, b), (inter, uni) in pairs.items():
+            assert a < b and _MH_DEN * inter >= _MH_NUM * uni, (a, b)
+    assert abs(len(xx) - len(md5)) <= 1, (len(xx), len(md5))

@@ -89,12 +89,23 @@ def main() -> None:
         "e2e_xx_s": _median_time(
             lambda: registry.QUERIES["contam_neardup_xx"](spark, sf_dir)
         ),
+        # r14: the symmetric MinHash path (dedup_minhash_pairs vs its
+        # xxhash64 companion) — same families, word-token shingles.
+        "e2e_dedup_md5_s": _median_time(
+            lambda: registry.QUERIES["dedup_minhash_pairs"](spark, sf_dir)
+        ),
+        "e2e_dedup_xx_s": _median_time(
+            lambda: registry.QUERIES["dedup_minhash_pairs_xx"](spark, sf_dir)
+        ),
     }
     result["sig_speedup"] = round(
         result["sig_build_md5_s"] / max(result["sig_build_xx_s"], 1e-9), 2
     )
     result["e2e_speedup"] = round(
         result["e2e_md5_s"] / max(result["e2e_xx_s"], 1e-9), 2
+    )
+    result["e2e_dedup_speedup"] = round(
+        result["e2e_dedup_md5_s"] / max(result["e2e_dedup_xx_s"], 1e-9), 2
     )
     print(json.dumps(result), flush=True)
 

@@ -55,7 +55,11 @@ R6_BASE = {  # bench.py TPCH_BASE_SEC (suspects + non-flagged controls)
     "complex_parts_supplier_cnt": 0.52,
     # non-tpch suspects (BASELINE_SEC pins) the A/B protocol also serves:
     "events_type_transitions": 0.3199,
-    "incr_snapshot_time_travel": 0.9247,
+    # r14 re-pins (BASELINE.md "r14 small-pin A/B"): both rows' original
+    # seeds were fast-tail draws; these are the measured medians from this
+    # tool's own 11-rep interleaved runs.
+    "incr_snapshot_time_travel": 1.32,
+    "pipeline_corpus_manifest": 0.60,
 }
 
 
