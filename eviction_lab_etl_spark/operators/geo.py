@@ -411,6 +411,23 @@ def geo_point_in_polygon(spark, sf_dir):
     concave ring means points inside the bbox and inside the grid cell are
     routinely OUTSIDE the polygon, so the driver hash pins the crossing
     test itself, not the pruning."""
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (20 + (F.col("c_custkey") * 7919) % 100).alias("px"),
+        (20 + (F.col("c_custkey") * 104729) % 100).alias("py"),
+    )
+    return _pip_pairs(spark, sf_dir, pts).select(
+        "c_custkey", "px", "py", "n_nationkey"
+    )
+
+
+def _pip_pairs(spark, sf_dir, pts: DataFrame) -> DataFrame:
+    """geo_point_in_polygon's construction over an arbitrary point frame
+    (must carry ``px``/``py`` bigint columns; extra columns pass through):
+    broadcast grid-cell index from the irregular rings, map-side even-odd
+    ray cast, one output row per (point row, containing polygon). Shared by
+    the registered containment query and the geo_search_index capstone —
+    one construction, one plan shape (zero shuffles on the point side)."""
     ring = _ring_coords(fixtures.nation_polygons_irregular(spark, sf_dir))
     n_open = F.size("xs") - 1  # drop the closing vertex for the bbox
     bbox = ring.select(
@@ -433,11 +450,6 @@ def geo_point_in_polygon(spark, sf_dir):
         "n_nationkey", "xs", "ys", "gx",
         F.explode(F.sequence("gy0", "gy1")).alias("gy"),
     )
-    pts = load(spark, sf_dir, "customer").select(
-        "c_custkey",
-        (20 + (F.col("c_custkey") * 7919) % 100).alias("px"),
-        (20 + (F.col("c_custkey") * 104729) % 100).alias("py"),
-    )
     cand = pts.join(
         F.broadcast(cells),
         (F.expr(f"px div {_CELL}") == F.col("gx"))
@@ -446,7 +458,7 @@ def geo_point_in_polygon(spark, sf_dir):
     return (
         cand.withColumn("hits", _ray_cast_hits(F.col("px"), F.col("py")))
         .filter(F.col("hits") % 2 == 1)
-        .select("c_custkey", "px", "py", "n_nationkey")
+        .drop("xs", "ys", "gx", "gy", "gy0", "gy1", "hits")
     )
 
 
@@ -1175,4 +1187,161 @@ def geo_point_in_multipolygon(spark, sf_dir):
         )
         .filter(F.col("hits") % 2 == 1)
         .select("c_custkey", "px", "py", "n_nationkey")
+    )
+
+
+# --- search-index capstone: geometry feeding the reference's R9 surface -------
+#
+# The reference's search-index build derives each place's LABEL POINT from
+# its (simplified) polygon and its parent label from the geography that
+# CONTAINS it — i.e. the geometry slice above exists to feed this exact
+# record shape. This capstone composes the three driver-verified pieces:
+# pipeline_search_index's autocomplete columns, geo_point_in_polygon's
+# containment assignment, and the exact rational centroid (the label
+# point), into one hash-checked query — closing the loop from "geometry ops
+# exist" to "the search-index shape uses them" (r13 VERDICT item 5).
+
+
+@query(
+    "geo_search_index",
+    oracle=f"""
+    WITH {_ORACLE_RING_IRREGULAR},
+    bbox AS (
+        SELECT n_nationkey, xs, ys,
+               list_aggregate(xs[:len(xs)-1], 'min') // {_CELL} AS gx0,
+               list_aggregate(xs[:len(xs)-1], 'max') // {_CELL} AS gx1,
+               list_aggregate(ys[:len(ys)-1], 'min') // {_CELL} AS gy0,
+               list_aggregate(ys[:len(ys)-1], 'max') // {_CELL} AS gy1
+        FROM ring
+    ),
+    cellsx AS (SELECT *, unnest(range(gx0, gx1 + 1)) AS gx FROM bbox),
+    cells AS (SELECT *, unnest(range(gy0, gy1 + 1)) AS gy FROM cellsx),
+    pts AS (
+        SELECT c_custkey, c_name,
+               20 + (c_custkey * 7919) % 100 AS px,
+               20 + (c_custkey * 104729) % 100 AS py
+        FROM customer
+    ),
+    cand AS (
+        SELECT p.c_custkey, p.c_name, p.px, p.py, c.n_nationkey, c.xs, c.ys
+        FROM pts p JOIN cells c
+          ON p.px // {_CELL} = c.gx AND p.py // {_CELL} = c.gy
+    ),
+    pip AS (
+        SELECT c_custkey, c_name, px, py, n_nationkey
+        FROM (SELECT c_custkey, c_name, px, py, n_nationkey,
+                     {_RAY_CAST_SQL} AS hits
+              FROM cand)
+        WHERE hits % 2 = 1
+    ),
+    cent AS (
+        SELECT n_nationkey,
+               CASE WHEN a2 < 0 THEN -cx ELSE cx END AS lx_num,
+               CASE WHEN a2 < 0 THEN -cy ELSE cy END AS ly_num,
+               3 * abs(a2) AS den
+        FROM (
+            SELECT n_nationkey,
+                   list_sum(list_transform(range(1, len(xs)), i ->
+                       xs[i] * ys[i+1] - xs[i+1] * ys[i])) AS a2,
+                   list_sum(list_transform(range(1, len(xs)), i ->
+                       (xs[i] + xs[i+1])
+                       * (xs[i] * ys[i+1] - xs[i+1] * ys[i]))) AS cx,
+                   list_sum(list_transform(range(1, len(xs)), i ->
+                       (ys[i] + ys[i+1])
+                       * (xs[i] * ys[i+1] - xs[i+1] * ys[i]))) AS cy
+            FROM ring
+        )
+    ),
+    lab AS (
+        SELECT n_nationkey, n_name, r_name
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT lpad(CAST(p.c_custkey AS VARCHAR), 9, '0') AS geoid,
+           p.c_name AS name,
+           concat_ws(', ', l.n_name, l.r_name) AS parent,
+           p.n_nationkey,
+           p.px, p.py,
+           CAST(c.lx_num AS BIGINT) AS lx_num,
+           CAST(c.ly_num AS BIGINT) AS ly_num,
+           CAST(c.den AS BIGINT) AS den,
+           count(o.o_orderkey) AS activity
+    FROM pip p
+    JOIN lab l USING (n_nationkey)
+    JOIN cent c USING (n_nationkey)
+    LEFT JOIN orders o ON o.o_custkey = p.c_custkey
+    GROUP BY p.c_custkey, p.c_name, l.n_name, l.r_name, p.n_nationkey,
+             p.px, p.py, c.lx_num, c.ly_num, c.den
+    """,
+)
+def geo_search_index(spark, sf_dir):
+    """Search-index records with geometry: one autocomplete row per
+    (place, CONTAINING polygon) — zero-padded GEOID, display name, the
+    containing geography's 'parent, grandparent' label, the place's point,
+    the containing polygon's exact rational label point (shoelace centroid,
+    orientation-normalized integer numerators over den = 3·|2A|), and an
+    activity weight (order count). A place inside two overlapping stars
+    legitimately yields two records — containment, not c_nationkey,
+    assigns the parent.
+
+    Scale shape: geometry adds ZERO exchanges to pipeline_search_index's
+    own — the cell index, ring centroids, and name labels are all
+    nation-sized broadcasts probed map-side from the customer scan; the
+    only shuffles are the orders join + final aggregation the activity
+    column inherently costs. Plan pinned by tests/test_plans.py."""
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        (20 + (F.col("c_custkey") * 7919) % 100).alias("px"),
+        (20 + (F.col("c_custkey") * 104729) % 100).alias("py"),
+    )
+    pip = _pip_pairs(spark, sf_dir, pts)
+
+    ring = _ring_coords(fixtures.nation_polygons_irregular(spark, sf_dir))
+    x = lambda i: F.element_at("xs", i)  # noqa: E731
+    y = lambda i: F.element_at("ys", i)  # noqa: E731
+    cross = lambda i: x(i) * y(i + 1) - x(i + 1) * y(i)  # noqa: E731
+
+    def fold(term):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.size("xs") - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + term(i),
+        )
+
+    a2 = fold(cross)
+    cx = fold(lambda i: (x(i) + x(i + 1)) * cross(i))
+    cy = fold(lambda i: (y(i) + y(i + 1)) * cross(i))
+    sgn = F.when(a2 < 0, F.lit(-1)).otherwise(F.lit(1))
+    cent = ring.select(
+        F.col("n_nationkey").alias("cn"),
+        big(cx * sgn).alias("lx_num"),
+        big(cy * sgn).alias("ly_num"),
+        big(3 * F.abs(a2)).alias("den"),
+    )
+
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    lab = nation.join(
+        region, nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name", "r_name")
+
+    orders = load(spark, sf_dir, "orders")
+    enriched = pip.join(
+        F.broadcast(lab.withColumnRenamed("n_nationkey", "ln")),
+        F.col("n_nationkey") == F.col("ln"),
+    ).join(F.broadcast(cent), F.col("n_nationkey") == F.col("cn"))
+    return (
+        enriched.join(orders, orders.o_custkey == enriched.c_custkey, "left")
+        .groupBy(
+            F.lpad(F.col("c_custkey").cast("string"), 9, "0").alias("geoid"),
+            F.col("c_name").alias("name"),
+            F.concat_ws(", ", "n_name", "r_name").alias("parent"),
+            "n_nationkey",
+            "px",
+            "py",
+            "lx_num",
+            "ly_num",
+            "den",
+        )
+        .agg(big(F.count("o_orderkey")).alias("activity"))
     )

@@ -1966,10 +1966,11 @@ def test_dedup_minhash_xx_family_agreement(spark, sf_dir):
     pair both bandings emit, (inter, uni) agree exactly (exact Jaccard does
     not depend on the signature family); (2) both bandings' outputs are
     subsets of the exact >=0.6 pair set (each emitted pair passes the
-    cross-multiplied threshold by construction); (3) the xx banding's
-    recall on the fixture corpus is within one pair of the md5 banding's
-    (b=16, r=3 gives P[candidate | s=0.6] ~ 0.979 for EITHER family — only
-    the miss SET may differ)."""
+    cross-multiplied threshold by construction); (3) the two bandings'
+    pair counts agree within 1% (b=16, r=3 gives P[candidate | s=0.6]
+    ~ 0.979 for EITHER family; the ~2% expected miss mass lands on
+    different pairs per family — measured 57 of ~73k pairs apart on the
+    sf0.001 fixture — but the RATE is family-independent)."""
     from eviction_lab_etl_spark.operators.extensions import _MH_DEN, _MH_NUM
     from eviction_lab_etl_spark.registry import QUERIES
 
@@ -1989,4 +1990,7 @@ def test_dedup_minhash_xx_family_agreement(spark, sf_dir):
     for pairs in (xx, md5):
         for (a, b), (inter, uni) in pairs.items():
             assert a < b and _MH_DEN * inter >= _MH_NUM * uni, (a, b)
-    assert abs(len(xx) - len(md5)) <= 1, (len(xx), len(md5))
+    assert abs(len(xx) - len(md5)) <= 0.01 * max(len(xx), len(md5)), (
+        len(xx),
+        len(md5),
+    )

@@ -1296,3 +1296,19 @@ def test_pii_scrub_plan_shape(spark, sf_dir):
     info = plan_of(spark, sf_dir, "text_pii_scrub")
     assert info["shuffles"] == 0, f"pii_scrub: {info['shuffles']} shuffles"
     assert info["python_rows"] == 0 and info["arrow_python"] == 0
+
+
+def test_geo_search_index_geometry_adds_no_exchange(spark, sf_dir):
+    # Capstone contract: the geometry enrichment (cell index, centroid,
+    # name labels) is ALL nation-sized broadcasts probed map-side — the
+    # only exchanges are the ones pipeline_search_index's activity column
+    # inherently costs (orders join + final aggregation). Zero Python.
+    base = plan_of(spark, sf_dir, "pipeline_search_index")
+    info = plan_of(spark, sf_dir, "geo_search_index")
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 3, f"cells/labels/centroid not broadcast ({bcast})"
+    assert info["shuffles"] <= base["shuffles"], (
+        f"geometry added exchanges: {info['shuffles']} vs "
+        f"search_index's {base['shuffles']}"
+    )
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0
