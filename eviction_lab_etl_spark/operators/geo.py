@@ -1345,3 +1345,206 @@ def geo_search_index(spark, sf_dir):
         )
         .agg(big(F.count("o_orderkey")).alias("activity"))
     )
+
+
+# --- bbox-overlap spatial join: the shape-vs-shape axis ------------------------
+#
+# Everything above assigns POINTS to shapes; a tile/crosswalk build also
+# needs shape-vs-shape overlap (which 2000 geography intersects which 2010
+# geography). The distributed-textbook plan (PBSM / partition-based spatial
+# merge, public): bucket each bbox to every grid cell it covers, generate
+# candidate pairs within each cell, and avoid the global DISTINCT a
+# multi-cell pair would otherwise need with the REFERENCE-POINT rule — a
+# pair is reported only by the single cell containing the overlap region's
+# min corner. At 100 TB that turns dedup into a per-row predicate (zero
+# extra exchange); here the cell index is nation-sized so the whole join is
+# one broadcast probe.
+
+
+@query(
+    "geo_bbox_overlap_pairs",
+    oracle=f"""
+    WITH {_ORACLE_RING_IRREGULAR},
+    box AS (
+        SELECT n_nationkey,
+               list_aggregate(xs[:len(xs)-1], 'min') AS minx,
+               list_aggregate(xs[:len(xs)-1], 'max') AS maxx,
+               list_aggregate(ys[:len(ys)-1], 'min') AS miny,
+               list_aggregate(ys[:len(ys)-1], 'max') AS maxy
+        FROM ring
+    )
+    SELECT a, b, ox0, oy0, ox1, oy1,
+           CAST((ox1 - ox0) * (oy1 - oy0) AS BIGINT) AS overlap_area
+    FROM (
+        SELECT a.n_nationkey AS a, b.n_nationkey AS b,
+               CAST(greatest(a.minx, b.minx) AS BIGINT) AS ox0,
+               CAST(greatest(a.miny, b.miny) AS BIGINT) AS oy0,
+               CAST(least(a.maxx, b.maxx) AS BIGINT) AS ox1,
+               CAST(least(a.maxy, b.maxy) AS BIGINT) AS oy1
+        FROM box a JOIN box b
+          ON a.n_nationkey < b.n_nationkey
+         AND a.minx <= b.maxx AND b.minx <= a.maxx
+         AND a.miny <= b.maxy AND b.miny <= a.maxy
+    )
+    """,
+)
+def geo_bbox_overlap_pairs(spark, sf_dir):
+    """Bbox-overlap self-join over the irregular fixture (adjacent stars
+    overlap by construction: max radius ~13.4 vs 20-unit center spacing):
+    every (a < b) pair whose boxes intersect, with the exact overlap box
+    and its area (0 for edge-touching). The ORACLE is the direct O(n²)
+    pairwise join — trivially right at 25 shapes; the SPARK side runs the
+    PBSM plan (grid-cell bucketing, per-cell candidates, reference-point
+    dedup, exact post-filter) so the driver hash pins that the scalable
+    plan reproduces the naive semantics EXACTLY — duplicate-free via the
+    predicate, not via a distinct."""
+    ring = _ring_coords(fixtures.nation_polygons_irregular(spark, sf_dir))
+    n_open = F.size("xs") - 1
+    box = ring.select(
+        "n_nationkey",
+        big(F.array_min(F.slice("xs", 1, n_open))).alias("minx"),
+        big(F.array_max(F.slice("xs", 1, n_open))).alias("maxx"),
+        big(F.array_min(F.slice("ys", 1, n_open))).alias("miny"),
+        big(F.array_max(F.slice("ys", 1, n_open))).alias("maxy"),
+    )
+
+    def cells(side: str) -> DataFrame:
+        renamed = box.select(
+            F.col("n_nationkey").alias(f"{side}k"),
+            F.col("minx").alias(f"{side}minx"),
+            F.col("maxx").alias(f"{side}maxx"),
+            F.col("miny").alias(f"{side}miny"),
+            F.col("maxy").alias(f"{side}maxy"),
+        )
+        return renamed.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    _gcell(F.col(f"{side}minx")), _gcell(F.col(f"{side}maxx"))
+                )
+            ).alias(f"{side}gx"),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(
+                    _gcell(F.col(f"{side}miny")), _gcell(F.col(f"{side}maxy"))
+                )
+            ).alias(f"{side}gy"),
+        )
+
+    a, b = cells("a"), cells("b")
+    ox0 = F.greatest("aminx", "bminx")
+    oy0 = F.greatest("aminy", "bminy")
+    ox1 = F.least("amaxx", "bmaxx")
+    oy1 = F.least("amaxy", "bmaxy")
+    return (
+        a.join(
+            F.broadcast(b),
+            (F.col("agx") == F.col("bgx"))
+            & (F.col("agy") == F.col("bgy"))
+            & (F.col("ak") < F.col("bk")),
+        )
+        # exact bbox intersection (the cell match is only a candidate gate)
+        .filter((ox0 <= ox1) & (oy0 <= oy1))
+        # reference-point rule: report the pair ONLY in the cell holding the
+        # overlap box's min corner — exactly-once without a distinct
+        .filter((_gcell(ox0) == F.col("agx")) & (_gcell(oy0) == F.col("agy")))
+        .select(
+            F.col("ak").alias("a"),
+            F.col("bk").alias("b"),
+            ox0.alias("ox0"),
+            oy0.alias("oy0"),
+            ox1.alias("ox1"),
+            oy1.alias("oy1"),
+            big((ox1 - ox0) * (oy1 - oy0)).alias("overlap_area"),
+        )
+    )
+
+
+# --- tile cover: the reference's tiling stage as arithmetic --------------------
+
+# The reference's terminal sink is vector TILES (tippecanoe/tile-join over
+# z/x/y pyramids). The data-side computation underneath is "which tiles does
+# this shape land in per zoom level" — pure integer arithmetic on the bbox
+# once the world is a power-of-two square. World here: [0, 128)² (the
+# fixture lattice spans [18, 123]); tile size at zoom z is 128 >> z.
+
+_TILE_WORLD = 128
+_TILE_ZOOMS = 3  # z = 0, 1, 2 -> tile sizes 128, 64, 32
+
+
+@query(
+    "geo_tile_cover",
+    oracle=f"""
+    WITH {_ORACLE_RING_IRREGULAR},
+    box AS (
+        SELECT n_nationkey,
+               list_aggregate(xs[:len(xs)-1], 'min') AS minx,
+               list_aggregate(xs[:len(xs)-1], 'max') AS maxx,
+               list_aggregate(ys[:len(ys)-1], 'min') AS miny,
+               list_aggregate(ys[:len(ys)-1], 'max') AS maxy
+        FROM ring
+    ),
+    zoomed AS (
+        SELECT n_nationkey, minx, maxx, miny, maxy,
+               unnest(range(0, {_TILE_ZOOMS})) AS zoom
+        FROM box
+    ),
+    sized AS (
+        SELECT *, {_TILE_WORLD} // (1 << zoom) AS t FROM zoomed
+    ),
+    tx AS (
+        SELECT n_nationkey, zoom, t, miny, maxy,
+               unnest(range(minx // t, maxx // t + 1)) AS tile_x
+        FROM sized
+    )
+    SELECT n_nationkey, CAST(zoom AS BIGINT) AS zoom,
+           CAST(tile_x AS BIGINT) AS tile_x,
+           CAST(unnest(range(miny // t, maxy // t + 1)) AS BIGINT) AS tile_y
+    FROM tx
+    """,
+)
+def geo_tile_cover(spark, sf_dir):
+    """Tile-pyramid cover per shape: for each zoom level (tile size =
+    world >> z), every (tile_x, tile_y) the shape's bbox touches — the
+    data half of the reference's tile build (tippecanoe assigns features
+    to z/x/y exactly this way before encoding). Map-only: the bbox comes
+    from the ring fold inside the scan projection and the per-zoom tile
+    ranges explode from pure integer arithmetic; at 100 TB of shapes this
+    is a scan rider whose output is the shuffle KEY for the per-tile
+    encode that follows (group by (zoom, tile_x, tile_y))."""
+    ring = _ring_coords(fixtures.nation_polygons_irregular(spark, sf_dir))
+    n_open = F.size("xs") - 1
+    box = ring.select(
+        "n_nationkey",
+        F.array_min(F.slice("xs", 1, n_open)).alias("minx"),
+        F.array_max(F.slice("xs", 1, n_open)).alias("maxx"),
+        F.array_min(F.slice("ys", 1, n_open)).alias("miny"),
+        F.array_max(F.slice("ys", 1, n_open)).alias("maxy"),
+    )
+    tdiv = lambda c, t: F.call_function("div", c, t)  # noqa: E731
+    zoomed = box.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_TILE_ZOOMS - 1))).alias("zoom")
+    ).withColumn("t", F.expr(f"shiftright({_TILE_WORLD}, zoom)").cast("long"))
+    t = F.col("t")
+    return (
+        zoomed.select(
+            "n_nationkey",
+            "zoom",
+            "t",
+            "miny",
+            "maxy",
+            F.explode(
+                F.sequence(tdiv(F.col("minx"), t), tdiv(F.col("maxx"), t))
+            ).alias("tile_x"),
+        )
+        .select(
+            "n_nationkey",
+            big(F.col("zoom")).alias("zoom"),
+            big(F.col("tile_x")).alias("tile_x"),
+            F.explode(
+                F.sequence(tdiv(F.col("miny"), t), tdiv(F.col("maxy"), t))
+            ).alias("tile_y"),
+        )
+        .select("n_nationkey", "zoom", "tile_x", big(F.col("tile_y")).alias("tile_y"))
+    )

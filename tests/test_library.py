@@ -1994,3 +1994,66 @@ def test_dedup_minhash_xx_family_agreement(spark, sf_dir):
         len(xx),
         len(md5),
     )
+
+
+def test_bbox_overlap_reference_point_exactly_once(spark, sf_dir):
+    """The PBSM reference-point rule must reproduce the naive pairwise join
+    EXACTLY: (1) no (a, b) key appears twice (multi-cell pairs are emitted
+    by exactly one cell), (2) the pair set equals a python nested-loop over
+    the same bboxes, and (3) the dedup predicate is load-bearing — at least
+    one overlapping pair's overlap box spans across a grid-cell boundary in
+    the candidate lattice (so without the rule it WOULD duplicate)."""
+    from eviction_lab_etl_spark.operators.geo import _CELL, _ring_coords
+    from eviction_lab_etl_spark import fixtures
+    from eviction_lab_etl_spark.registry import QUERIES
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["geo_bbox_overlap_pairs"](spark, sf_dir).collect()
+    keys = [(r.a, r.b) for r in rows]
+    assert len(keys) == len(set(keys)), "reference-point rule duplicated a pair"
+
+    ring = _ring_coords(fixtures.nation_polygons_irregular(spark, sf_dir))
+    n_open = F.size("xs") - 1
+    boxes = {
+        r.k: (r.minx, r.maxx, r.miny, r.maxy)
+        for r in ring.select(
+            F.col("n_nationkey").alias("k"),
+            F.array_min(F.slice("xs", 1, n_open)).alias("minx"),
+            F.array_max(F.slice("xs", 1, n_open)).alias("maxx"),
+            F.array_min(F.slice("ys", 1, n_open)).alias("miny"),
+            F.array_max(F.slice("ys", 1, n_open)).alias("maxy"),
+        ).collect()
+    }
+    naive = set()
+    for a, (ax0, ax1, ay0, ay1) in boxes.items():
+        for b, (bx0, bx1, by0, by1) in boxes.items():
+            if a < b and ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1:
+                naive.add((a, b))
+    assert set(keys) == naive
+    multi_cell = [
+        r for r in rows
+        if r.ox0 // _CELL != r.ox1 // _CELL or r.oy0 // _CELL != r.oy1 // _CELL
+    ]
+    assert multi_cell, "fixture has no cell-spanning overlap; dedup rule untested"
+
+
+def test_tile_cover_pyramid_structure(spark, sf_dir):
+    """Tile cover invariants: every shape appears at every zoom; zoom-0 is
+    a single world tile per shape; each zoom-z tile's parent (tx//2, ty//2)
+    is covered at zoom z-1 (bbox cover is closed under coarsening)."""
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    rows = QUERIES["geo_tile_cover"](spark, sf_dir).collect()
+    by_shape_zoom = {}
+    for r in rows:
+        by_shape_zoom.setdefault((r.n_nationkey, r.zoom), set()).add(
+            (r.tile_x, r.tile_y)
+        )
+    shapes = {k for k, _ in by_shape_zoom}
+    for k in shapes:
+        for z in (0, 1, 2):
+            assert (k, z) in by_shape_zoom, (k, z)
+        assert by_shape_zoom[(k, 0)] == {(0, 0)}
+        for z in (1, 2):
+            parents = {(tx // 2, ty // 2) for tx, ty in by_shape_zoom[(k, z)]}
+            assert parents <= by_shape_zoom[(k, z - 1)], (k, z)

@@ -1312,3 +1312,18 @@ def test_geo_search_index_geometry_adds_no_exchange(spark, sf_dir):
         f"search_index's {base['shuffles']}"
     )
     assert info["python_rows"] == 0 and info["arrow_python"] == 0
+
+
+def test_bbox_overlap_and_tile_cover_plan_shapes(spark, sf_dir):
+    # PBSM bbox join: the cell-bucketed side broadcasts; the reference-point
+    # dedup is a predicate, NOT a distinct — zero shuffle exchanges total.
+    info = plan_of(spark, sf_dir, "geo_bbox_overlap_pairs")
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 1, f"cell side not broadcast ({bcast})"
+    assert info["shuffles"] == 0, f"bbox join: {info['shuffles']} shuffles"
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0
+    # Tile cover: pure scan rider — bbox fold + integer explode, no join,
+    # no shuffle, no Python.
+    info = plan_of(spark, sf_dir, "geo_tile_cover")
+    assert info["shuffles"] == 0, f"tile cover: {info['shuffles']} shuffles"
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0
