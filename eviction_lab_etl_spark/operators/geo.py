@@ -1548,3 +1548,143 @@ def geo_tile_cover(spark, sf_dir):
         )
         .select("n_nationkey", "zoom", "tile_x", big(F.col("tile_y")).alias("tile_y"))
     )
+
+
+# --- crosswalk apportionment: the reference's vintage-change weight table ------
+#
+# The reference's crosswalk apportions 2000-vintage geography values onto
+# 2010 geographies by overlap weight. The two WKT fixtures model exactly
+# that misalignment: the octagon vintage is planted at lattice +10 and the
+# star vintage at +30, so every star straddles up to four octagons. The
+# weight table is the bbox-overlap join between the vintages (the PBSM
+# cells + reference-point plan again — cross-frame this time), the weights
+# are exact integer overlap areas, and the apportionment is emitted as the
+# exact rational alloc_num/den (§2.0 rule 1: no float crosses the engine).
+
+
+@query(
+    "geo_crosswalk_alloc",
+    oracle=f"""
+    WITH {_ORACLE_RING_IRREGULAR},
+    abox AS (
+        SELECT n_nationkey AS a,
+               list_aggregate(xs[:len(xs)-1], 'min') AS minx,
+               list_aggregate(xs[:len(xs)-1], 'max') AS maxx,
+               list_aggregate(ys[:len(ys)-1], 'min') AS miny,
+               list_aggregate(ys[:len(ys)-1], 'max') AS maxy
+        FROM ring
+    ),
+    bpoly AS ({fixtures.NATION_POLYGONS_SQL}),
+    bring AS (
+        SELECT n_nationkey,
+               list_transform(
+                   string_split(replace(replace(wkt, 'POLYGON ((', ''), '))', ''), ', '),
+                   p -> CAST(string_split(p, ' ')[1] AS BIGINT)) AS xs,
+               list_transform(
+                   string_split(replace(replace(wkt, 'POLYGON ((', ''), '))', ''), ', '),
+                   p -> CAST(string_split(p, ' ')[2] AS BIGINT)) AS ys
+        FROM bpoly
+    ),
+    bbox2 AS (
+        SELECT n_nationkey AS b,
+               list_aggregate(xs[:len(xs)-1], 'min') AS minx,
+               list_aggregate(xs[:len(xs)-1], 'max') AS maxx,
+               list_aggregate(ys[:len(ys)-1], 'min') AS miny,
+               list_aggregate(ys[:len(ys)-1], 'max') AS maxy
+        FROM bring
+    ),
+    w AS (
+        SELECT a, b,
+               (least(x.maxx, y.maxx) - greatest(x.minx, y.minx))
+               * (least(x.maxy, y.maxy) - greatest(x.miny, y.miny)) AS w
+        FROM abox x JOIN bbox2 y
+          ON least(x.maxx, y.maxx) > greatest(x.minx, y.minx)
+         AND least(x.maxy, y.maxy) > greatest(x.miny, y.miny)
+    ),
+    src AS (
+        SELECT c_nationkey AS a, count(*) AS src_value
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT w.a, w.b,
+           CAST(w.w AS BIGINT) AS w,
+           CAST(sum(w.w) OVER (PARTITION BY w.a) AS BIGINT) AS den,
+           CAST(coalesce(src.src_value, 0) AS BIGINT) AS src_value,
+           CAST(coalesce(src.src_value, 0) * w.w AS BIGINT) AS alloc_num
+    FROM w LEFT JOIN src ON src.a = w.a
+    """,
+)
+def geo_crosswalk_alloc(spark, sf_dir):
+    """Vintage-crosswalk weight table + apportionment: for every (source
+    star geography a, target octagon geography b) with strictly positive
+    bbox overlap, the integer overlap-area weight ``w``, the source's total
+    outgoing weight ``den``, the source measure (customer count keyed by
+    c_nationkey), and the exact rational allocation numerator
+    ``alloc_num = src_value · w`` (consumer divides by ``den`` at the
+    edge; Σ_b alloc_num/den = src_value exactly). The overlap join runs
+    the PBSM cells + reference-point plan cross-frame — at 100 TB of
+    shapes, candidates shuffle on cell and dedup stays a predicate; here
+    both vintages are nation-sized broadcasts, and the only exchange is
+    the source-measure aggregation."""
+    ring_a = _ring_coords(fixtures.nation_polygons_irregular(spark, sf_dir))
+    ring_b = _ring_coords(fixtures.nation_polygons(spark, sf_dir))
+
+    def boxed(ring: DataFrame, key: str) -> DataFrame:
+        n_open = F.size("xs") - 1
+        return ring.select(
+            F.col("n_nationkey").alias(key),
+            big(F.array_min(F.slice("xs", 1, n_open))).alias(f"{key}minx"),
+            big(F.array_max(F.slice("xs", 1, n_open))).alias(f"{key}maxx"),
+            big(F.array_min(F.slice("ys", 1, n_open))).alias(f"{key}miny"),
+            big(F.array_max(F.slice("ys", 1, n_open))).alias(f"{key}maxy"),
+        )
+
+    def with_cells(box: DataFrame, key: str) -> DataFrame:
+        return box.select(
+            "*",
+            F.explode(
+                F.sequence(_gcell(F.col(f"{key}minx")), _gcell(F.col(f"{key}maxx")))
+            ).alias(f"{key}gx"),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(_gcell(F.col(f"{key}miny")), _gcell(F.col(f"{key}maxy")))
+            ).alias(f"{key}gy"),
+        )
+
+    a = with_cells(boxed(ring_a, "a"), "a")
+    b = with_cells(boxed(ring_b, "b"), "b")
+    ox0 = F.greatest("aminx", "bminx")
+    oy0 = F.greatest("aminy", "bminy")
+    ox1 = F.least("amaxx", "bmaxx")
+    oy1 = F.least("amaxy", "bmaxy")
+    w = (
+        a.join(
+            F.broadcast(b),
+            (F.col("agx") == F.col("bgx")) & (F.col("agy") == F.col("bgy")),
+        )
+        .filter((ox0 < ox1) & (oy0 < oy1))  # strictly positive overlap
+        .filter((_gcell(ox0) == F.col("agx")) & (_gcell(oy0) == F.col("agy")))
+        .select(
+            "a", "b", big((ox1 - ox0) * (oy1 - oy0)).alias("w")
+        )
+    )
+    from pyspark.sql import Window
+
+    den = F.sum("w").over(Window.partitionBy("a"))
+    src = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("sa"))
+        .agg(F.count(F.lit(1)).alias("src_value"))
+    )
+    return (
+        w.withColumn("den", big(den))
+        .join(F.broadcast(src), F.col("a") == F.col("sa"), "left")
+        .select(
+            "a",
+            "b",
+            "w",
+            "den",
+            big(F.coalesce("src_value", F.lit(0))).alias("src_value"),
+            big(F.coalesce("src_value", F.lit(0)) * F.col("w")).alias("alloc_num"),
+        )
+    )

@@ -2057,3 +2057,29 @@ def test_tile_cover_pyramid_structure(spark, sf_dir):
         for z in (1, 2):
             parents = {(tx // 2, ty // 2) for tx, ty in by_shape_zoom[(k, z)]}
             assert parents <= by_shape_zoom[(k, z - 1)], (k, z)
+
+
+def test_crosswalk_alloc_conserves_mass_and_splits(spark, sf_dir):
+    """Crosswalk invariants: (1) per source geography, den = Σ_b w (the
+    window and the weights agree); (2) apportionment conserves mass
+    EXACTLY in integer arithmetic — Σ_b alloc_num = src_value · den, i.e.
+    Σ_b alloc_num/den = src_value with no rounding; (3) the vintage
+    misalignment is load-bearing: at least one source straddles >= 2
+    targets (a crosswalk over aligned vintages would be the identity)."""
+    from collections import defaultdict
+
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    rows = QUERIES["geo_crosswalk_alloc"](spark, sf_dir).collect()
+    assert rows
+    by_a = defaultdict(list)
+    for r in rows:
+        by_a[r.a].append(r)
+    assert any(len(v) >= 2 for v in by_a.values()), "no source splits"
+    for a, group in by_a.items():
+        den = group[0].den
+        src = group[0].src_value
+        assert all(r.den == den and r.src_value == src for r in group)
+        assert sum(r.w for r in group) == den, a
+        assert sum(r.alloc_num for r in group) == src * den, a
+        assert all(r.w > 0 for r in group), a

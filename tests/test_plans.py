@@ -1327,3 +1327,14 @@ def test_bbox_overlap_and_tile_cover_plan_shapes(spark, sf_dir):
     info = plan_of(spark, sf_dir, "geo_tile_cover")
     assert info["shuffles"] == 0, f"tile cover: {info['shuffles']} shuffles"
     assert info["python_rows"] == 0 and info["arrow_python"] == 0
+
+
+def test_crosswalk_alloc_plan_shape(spark, sf_dir):
+    # Cross-vintage PBSM join: target-vintage cells AND the source-measure
+    # aggregate both broadcast; the only exchanges are the source-measure
+    # aggregation and the per-source window for den.
+    info = plan_of(spark, sf_dir, "geo_crosswalk_alloc")
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 2, f"target cells / src measure not broadcast ({bcast})"
+    assert info["shuffles"] <= 3, f"crosswalk: {info['shuffles']} shuffles"
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0
