@@ -134,6 +134,10 @@ EXTENSIONS = {
     "stream_static_enrich", "udtf_dynamic_schema", "join_scd2_point_in_time",
     "sample_weighted_priority", "sim_cross_lang_pairs",
     "events_pareto_concentration", "udf_cogrouped_map", "agg_percentiles_by_lang",
+    # Round-14: PII scrub, production-width MinHash companion, and the
+    # geometry capstone/spatial-join/tiling/crosswalk batch.
+    "text_pii_scrub", "dedup_minhash_pairs_xx", "geo_search_index",
+    "geo_bbox_overlap_pairs", "geo_tile_cover", "geo_crosswalk_alloc",
 }
 
 
