@@ -324,6 +324,20 @@ STRESS = [
     "geo_point_in_polygon",
     "text_gopher_rules",
     "text_boilerplate_strip",
+    # Round 14: PII scrub (pure scan projection over documents — the
+    # gopher-rules class, three regex classes per row) and the search-index
+    # capstone (customer AND orders scale under KEYS; the geometry side —
+    # cell index, centroids, labels — stays a 25-row broadcast constant, so
+    # the slope measures the orders join + aggregation the activity column
+    # inherently costs). geo_bbox_overlap_pairs / geo_tile_cover /
+    # geo_crosswalk_alloc are deliberately ABSENT: nation-only inputs (the
+    # geo_simplify_sweep rule — timing a 25-row constant).
+    # dedup_minhash_pairs_xx is ABSENT for the verbatim-copy rule
+    # (text_dup_span_coverage precedent): every multiplied doc gains mult-1
+    # exact copies, all J=1 banding matches, so the sweep would time the
+    # output artifact (quadratic true-pair mass), not the banding.
+    "text_pii_scrub",
+    "geo_search_index",
 ]
 
 
