@@ -554,3 +554,74 @@ def events_dau_wau(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH t AS (
+        SELECT user_id, ts, event_id, event_type
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    p AS (
+        SELECT user_id, ts, event_id
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           t.event_id AS touch_id,
+           t.event_type AS touch_type,
+           CAST(count(*) OVER (PARTITION BY p.event_id) AS BIGINT)
+               AS n_touches
+    FROM p JOIN t
+      ON t.user_id = p.user_id
+     AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+    """,
+)
+def events_attribution_linear(spark, sf_dir):
+    """LINEAR (multi-touch) attribution — the credit TABLE last-touch
+    cannot express: one row per (purchase, preceding marketing touch of
+    the same user), carrying ``n_touches`` so each touch's credit is the
+    exact rational 1/n_touches (§2.0 rule 1: the fraction never
+    materializes; Σ credit = 1 per attributed purchase by construction).
+    "Preceding" uses the same (ts, event_id) total order as the last-touch
+    binding, so the two attribution models agree on what a touch is.
+    Zero-touch purchases are absent here (organic conversions — the
+    last-touch query surfaces them as NULL rows).
+
+    Scale shape: ONE user-keyed exchange — the touch×purchase pairing
+    joins on user_id (per-user quadratic, bounded by per-user activity:
+    the join_interval_overlap cost model), and the per-purchase count
+    window needs only (user_id, purchase_id) clustering, which the join's
+    user_id partitioning already satisfies (Spark inserts a sort, not a
+    second exchange). Output is touch-pair-proportional."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("tu"),
+        F.col("ts").alias("tts"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    pairs = p.join(
+        t,
+        (F.col("tu") == F.col("user_id"))
+        & (
+            (F.col("tts") < F.col("ts"))
+            | ((F.col("tts") == F.col("ts")) & (F.col("touch_id") < F.col("purchase_id")))
+        ),
+    )
+    w = Window.partitionBy("user_id", "purchase_id")
+    return pairs.select(
+        "user_id",
+        "purchase_id",
+        "touch_id",
+        "touch_type",
+        big(F.count(F.lit(1)).over(w)).alias("n_touches"),
+    )

