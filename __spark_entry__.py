@@ -64,7 +64,11 @@ _RECHECK_QUEUE: tuple[str, ...] = (
     "scalar_url_parts",
     "pipeline_web_ingest",
     "geo_point_in_polygon",
-    "geo_point_in_polygon_holes",
+    # geo_point_in_polygon_holes deliberately NOT queued: its only change is
+    # the same one-line _gcell integer-div swap its two siblings carry (both
+    # queued — the single-ring and multipolygon end-members bracket it), all
+    # three are locally oracle-verified at sf0.01, and the driver budget is
+    # exactly 50 = 9 changed + 33 stale + 8 never-verified r14 additions.
     "geo_point_in_multipolygon",
     "geo_simplify_sweep",
     "text_gopher_rules",
