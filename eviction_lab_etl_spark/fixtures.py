@@ -114,6 +114,9 @@ def documents_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Wide-grammar PII corpus for text_pii_scrub (the CCNet/Dolma/RefinedWeb
 # scrub stage): one planted case PER CLASS per document —
 #   - email in the REAL grammar (dots, '+tag', dashed domain, 2-char TLD),
+#     planted MIXED-CASE ('First.Last+Tag…@Ex-Ample.Co') so the driver hash
+#     pins case-insensitive matching (r14 ADVICE: a lowercase-only fixture
+#     left a lowercase-only grammar invisible),
 #   - an IPv4 address (distinct octet shapes across docs),
 #   - a phone in one of three shapes cycling by doc_id%3:
 #     '(NNN) NNN-NNNN' / '+1 NNN-NNN-NNNN' / 'NNN.NNN.NNNN',
@@ -121,8 +124,8 @@ def documents_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     correct IPv4 rule (exactly four octets, word-bounded) must NOT touch.
 DOCUMENTS_WITH_PII_WIDE_SQL = """
         SELECT doc_id,
-               text || ' reach first.last+tag' || CAST(doc_id AS VARCHAR)
-                    || '@ex-ample.co from 10.' || CAST(doc_id % 200 AS VARCHAR)
+               text || ' reach First.Last+Tag' || CAST(doc_id AS VARCHAR)
+                    || '@Ex-Ample.Co from 10.' || CAST(doc_id % 200 AS VARCHAR)
                     || '.0.' || CAST(doc_id % 100 AS VARCHAR)
                     || (CASE CAST(doc_id % 3 AS INTEGER)
                             WHEN 0 THEN ' call (555) 010-'
@@ -141,9 +144,9 @@ def documents_with_pii_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(
             F.col("text"),
-            F.lit(" reach first.last+tag"),
+            F.lit(" reach First.Last+Tag"),
             d.cast("string"),
-            F.lit("@ex-ample.co from 10."),
+            F.lit("@Ex-Ample.Co from 10."),
             (d % 200).cast("string"),
             F.lit(".0."),
             (d % 100).cast("string"),

@@ -100,17 +100,39 @@ def text_pii_mask(spark, sf_dir):
 # email -> ipv4 -> phone; each class counts its matches against the text as
 # masked by the PREVIOUS classes, so a character is attributed to exactly
 # one class and counts always agree with what the mask actually replaced.
-_SCRUB_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+#
+# Case handling (r14 ADVICE): the email class uses EXPLICIT mixed-case
+# ASCII classes, not an (?i) flag — Java's inline (?i) folds ASCII-only by
+# default while RE2's folds full Unicode (K U+212A -> k), so the flag is
+# the one spelling that can diverge cross-engine; [a-zA-Z] cannot.
+#
+# Phone precision (r14 ADVICE, documented tradeoff): both digit runs are
+# \b-anchored, so a phone embedded in a longer CONTIGUOUS digit run no
+# longer matches ('9123-45678', '123.45678' stay intact — the adjacent
+# digit kills the word boundary). Two residuals, deliberate and pinned in
+# tests/test_library.py:
+#   1. A word-bounded bare 'NNN[-. ]NNNN' tail ('010-1234') still masks:
+#      7-digit local numbers are real PII and a compliance scrub takes
+#      recall over precision on that shape.
+#   2. Inside a DOT/DASH-separated run ('1234.567.8901') a window can
+#      still match — '.'/'-' are non-word chars so boundaries exist at
+#      every separator, and RE2 has no lookbehind (the shared-constant
+#      contract forbids Java-only (?<!...) spellings), so the grammar
+#      cannot require "not preceded by digit-dot". Such windows count
+#      into n_phones; on numeric-heavy text treat n_phones as an upper
+#      bound.
+_SCRUB_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
 _SCRUB_IPV4_RE = "\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b"
 _SCRUB_PHONE_RE = (
-    "(\\+1[- ])?(\\([0-9]{3}\\) ?|[0-9]{3}[- .])?[0-9]{3}[- .][0-9]{4}"
+    "(\\+1[- ])?(\\([0-9]{3}\\) ?|\\b[0-9]{3}[- .])?\\b[0-9]{3}[- .][0-9]{4}\\b"
 )
 
 
 def scrub_pii(df: DataFrame, col: str = "raw") -> DataFrame:
     """Pure operator: wide-grammar PII scrub — real-shaped emails
-    (dots/plus-tags/dashed domains), IPv4 addresses (exactly four octets,
-    word-bounded: version literals like 'v1.2.3' survive), and phone-shaped
+    (dots/plus-tags/dashed domains, case-insensitive via explicit mixed-case
+    classes), IPv4 addresses (exactly four octets, word-bounded: version
+    literals like 'v1.2.3' survive), and word-bounded phone-shaped
     digit runs in parenthesized / +1-prefixed / dot-separated forms — each
     replaced by a typed mask token, with per-class redaction counts as the
     audit surface. Map-only JVM regex: at 100 TB this runs at scan speed
@@ -157,10 +179,11 @@ def scrub_pii(df: DataFrame, col: str = "raw") -> DataFrame:
 )
 def text_pii_scrub(spark, sf_dir):
     """Correctness binding for ``scrub_pii`` over the wide-grammar PII
-    corpus: every doc plants one case per class (plus the 'v1.2.K'
-    three-octet false-positive guard), and the phone shape cycles through
-    all three grammars by doc_id%3, so the driver hash pins every class and
-    every phone form — including that the guard text survives untouched."""
+    corpus: every doc plants one case per class (the email MIXED-CASE, plus
+    the 'v1.2.K' three-octet false-positive guard), and the phone shape
+    cycles through all three grammars by doc_id%3, so the driver hash pins
+    every class, every phone form, and case-insensitive email matching —
+    including that the guard text survives untouched."""
     return scrub_pii(fixtures.documents_with_pii_wide(spark, sf_dir))
 
 

@@ -589,6 +589,14 @@ def events_attribution_linear(spark, sf_dir):
     Zero-touch purchases are absent here (organic conversions — the
     last-touch query surfaces them as NULL rows).
 
+    LOAD-BEARING oracle-equivalence assumption (r14 ADVICE): event_id is
+    globally unique across users (the events fixture's primary key), so the
+    Spark window PARTITION BY (user_id, purchase_id) and the oracle's
+    PARTITION BY p.event_id alone name the same groups. On data where
+    event ids were only per-user unique the oracle would merge purchases
+    from different users into one count — partition the oracle window by
+    (user_id, event_id) before reusing it on such data.
+
     Scale shape: ONE user-keyed exchange — the touch×purchase pairing
     joins on user_id (per-user quadratic, bounded by per-user activity:
     the join_interval_overlap cost model), and the per-purchase count

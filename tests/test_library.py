@@ -1913,6 +1913,9 @@ def test_pii_scrub_grammar_cross_engine(spark):
     # (raw, masked, n_emails, n_ipv4, n_phones)
     cases = [
         ("mail first.last+tag5@ex-ample.co end", "mail <EMAIL> end", 1, 0, 0),
+        # mixed-case email (r14 ADVICE: the grammar is case-insensitive via
+        # explicit classes — 'First.Last@Example.COM' must not survive)
+        ("mail First.Last+Tag9@Example.COM end", "mail <EMAIL> end", 1, 0, 0),
         ("ip 10.37.0.55 here", "ip <IPV4> here", 0, 1, 0),
         ("call (555) 010-1234 now", "call <PHONE> now", 0, 0, 1),
         ("call +1 555-010-1234 now", "call <PHONE> now", 0, 0, 1),
@@ -1921,6 +1924,17 @@ def test_pii_scrub_grammar_cross_engine(spark):
         # glued to digits is not a phone
         ("version v1.2.3 stays", "version v1.2.3 stays", 0, 0, 0),
         ("bare 010-1234 run", "bare <PHONE> run", 0, 0, 1),
+        # \b anchors (r14 ADVICE): a phone-shaped window inside a longer
+        # CONTIGUOUS digit run is not a phone — the adjacent digit blocks
+        # the word boundary on that side
+        ("id 9123-45678 intact", "id 9123-45678 intact", 0, 0, 0),
+        ("tail 123.45678 intact", "tail 123.45678 intact", 0, 0, 0),
+        # documented residual (cleaning.py pattern comment): '.'/'-' are
+        # non-word chars, so a separator-delimited window inside a DOTTED
+        # run still sits on word boundaries and masks — RE2 has no
+        # lookbehind, so the shared-constant grammar cannot see past the
+        # separator; pinned so the tradeoff stays visible
+        ("run 1234.567.8901 part", "run 1234.<PHONE> part", 0, 0, 1),
         ("no pii at all", "no pii at all", 0, 0, 0),
         (
             "combo a.b@c.io 192.168.1.1 555-123-4567",
@@ -2117,12 +2131,14 @@ def test_attribution_linear_agrees_with_last_touch(spark, sf_dir):
 
 def test_pii_scrub_fixed_seed_fuzz_lockstep(spark):
     """Fixed-seed fuzz of the shared-constant contract itself: 800 random
-    strings over the PII-ish alphabet (letters, digits, '@./-_+ ()#&?=%')
-    must scrub to the IDENTICAL (masked, counts) in Spark and DuckDB.
-    Deterministic by construction (fixed seed, engine-vs-engine equality —
-    the r13 @given discipline: no stochastic bound over searched inputs);
-    a 4,000-case sweep with this generator measured zero divergences
-    before the pin."""
+    strings over the PII-ish alphabet (MIXED-case letters, digits,
+    '@./-_+ ()#&?=%') must scrub to the IDENTICAL (masked, counts) in
+    Spark and DuckDB. Deterministic by construction (fixed seed,
+    engine-vs-engine equality — the r13 @given discipline: no stochastic
+    bound over searched inputs); a 4,000-case sweep with this generator
+    measured zero divergences before the pin (re-swept r15 after the
+    mixed-case-email + \\b-anchored-phone grammar change and the uppercase
+    alphabet extension)."""
     import random
 
     import duckdb
@@ -2130,7 +2146,11 @@ def test_pii_scrub_fixed_seed_fuzz_lockstep(spark):
     from eviction_lab_etl_spark.operators import cleaning as C
 
     rng = random.Random(20260816)
-    alpha = "abcdefghijklmnopqrstuvwxyz0123456789@./-_+ ()#&?=%"
+    alpha = (
+        "abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789@./-_+ ()#&?=%"
+    )
     cases = [
         "".join(rng.choice(alpha) for _ in range(rng.randint(0, 60)))
         for _ in range(800)
