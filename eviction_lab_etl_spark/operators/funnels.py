@@ -191,6 +191,64 @@ def events_type_transitions(spark, sf_dir):
 
 
 @query(
+    "events_session_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, ts, event_type AS cur_type,
+               lag(event_type) OVER w AS prev_type,
+               lag(ts) OVER w AS prev_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev_type, cur_type,
+           CAST(ts <= prev_ts + INTERVAL 30 MINUTE AS BIGINT)
+               AS within_session,
+           count(*) AS cnt
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, cur_type, within_session
+    """,
+)
+def events_session_transitions(spark, sf_dir):
+    """Sessions + transitions off ONE user-keyed exchange (r14 VERDICT item
+    6 — the shared-exchange claim in events_type_transitions' docstring,
+    turned into a pinned artifact): the transition matrix split by whether
+    the pair stays inside a 30-minute session or crosses a boundary — the
+    within/across split is what separates in-flow behavior (click→purchase
+    in one sitting) from return behavior (view…next-day purchase), and the
+    session rule is exactly stream_session's closed-interval semantics
+    (same session iff ts <= prev_ts + gap; a pair landing at exactly the
+    gap stays within — the `> gap` break rule).
+
+    Plan contract (pinned, tests/test_plans.py): both lag windows share ONE
+    window spec over (user_id / ts, event_id), so the whole computation —
+    sessionization boundary AND transition pairing — costs exactly one
+    user_id exchange plus the ≤|types|²·2-row matrix aggregation. This is
+    the multi-query-pipeline shape: any sessionizer already pays this
+    exchange; the transition matrix rides it for free. Timestamp
+    comparison is integer microseconds in both engines — no float."""
+    from pyspark.sql import Window
+
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("cur_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.col("ts"),
+    )
+    within = (
+        F.col("ts") <= F.col("prev_ts") + F.expr("INTERVAL 30 MINUTE")
+    ).cast("long")
+    return (
+        seq.filter(F.col("prev_type").isNotNull())
+        .select("prev_type", "cur_type", within.alias("within_session"))
+        .groupBy("prev_type", "cur_type", "within_session")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
     "events_rfm_segments",
     oracle="""
     WITH base AS (

@@ -1688,3 +1688,332 @@ def geo_crosswalk_alloc(spark, sf_dir):
             big(F.coalesce("src_value", F.lit(0)) * F.col("w")).alias("alloc_num"),
         )
     )
+
+
+# --- tile-join capstone: pyramid assignment × wide attribute build -------------
+#
+# The reference's terminal tile build is `tile-join`: per-geography wide
+# attribute records (the R6 CSV) merged onto the z/x/y features tippecanoe
+# emitted. This is that flow as ONE plan: geo_tile_cover's pyramid
+# assignment (which tiles does each geography touch, per zoom) joined to
+# the wide per-geography attribute table at nation grain. Mirrors what
+# geo_search_index does for the R9 flow: geometry rides the attribute
+# build's existing exchanges, adding none of its own.
+
+_TILE_YEARS = [1995, 1996, 1997, 1998]
+_TILE_WIDE_ORACLE_COLS = ",\n           ".join(
+    f"CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,6))) "
+    f"FILTER (WHERE year(o_orderdate) = {y}), 0) AS DOUBLE) AS e_{y - 1900}, "
+    f"count(*) FILTER (WHERE year(o_orderdate) = {y}) AS n_{y - 1900}"
+    for y in _TILE_YEARS
+)
+
+
+@query(
+    "geo_tile_join",
+    oracle=f"""
+    WITH {_ORACLE_RING_IRREGULAR},
+    box AS (
+        SELECT n_nationkey,
+               list_aggregate(xs[:len(xs)-1], 'min') AS minx,
+               list_aggregate(xs[:len(xs)-1], 'max') AS maxx,
+               list_aggregate(ys[:len(ys)-1], 'min') AS miny,
+               list_aggregate(ys[:len(ys)-1], 'max') AS maxy
+        FROM ring
+    ),
+    zoomed AS (
+        SELECT n_nationkey, minx, maxx, miny, maxy,
+               unnest(range(0, {_TILE_ZOOMS})) AS zoom
+        FROM box
+    ),
+    sized AS (
+        SELECT *, {_TILE_WORLD} // (1 << zoom) AS t FROM zoomed
+    ),
+    tx AS (
+        SELECT n_nationkey, zoom, t, miny, maxy,
+               unnest(range(minx // t, maxx // t + 1)) AS tile_x
+        FROM sized
+    ),
+    tiles AS (
+        SELECT n_nationkey, zoom, tile_x,
+               unnest(range(miny // t, maxy // t + 1)) AS tile_y
+        FROM tx
+    ),
+    wide AS (
+        SELECT c_nationkey AS geoid,
+               {_TILE_WIDE_ORACLE_COLS}
+        FROM customer
+        LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_nationkey
+    )
+    SELECT CAST(t.zoom AS BIGINT) AS zoom,
+           CAST(t.tile_x AS BIGINT) AS tile_x,
+           CAST(t.tile_y AS BIGINT) AS tile_y,
+           CAST(t.n_nationkey AS BIGINT) AS geoid,
+           w.e_95, w.n_95, w.e_96, w.n_96, w.e_97, w.n_97, w.e_98, w.n_98
+    FROM tiles t JOIN wide w ON w.geoid = t.n_nationkey
+    """,
+)
+def geo_tile_join(spark, sf_dir):
+    """Tile-join capstone (the reference's terminal `tile-join` data shape,
+    r14 VERDICT item 4): one record per (zoom, tile_x, tile_y, geography)
+    carrying the full wide attribute payload (`e_95`…`n_98`, the
+    pipeline_tile_wide shape at nation grain) — exactly what a tile encoder
+    consumes to emit attribute-rich vector tiles per pyramid level.
+
+    Scale shape: the wide build pays the attribute pipeline's inherent
+    exchanges (customer⋈orders, then the per-geography aggregate); the tile
+    pyramid assignment is geo_tile_cover's scan-rider arithmetic over the
+    shape table (25 rows × 3 zooms here; tile-count-proportional at scale)
+    and attaches by BROADCAST — geometry adds ZERO exchanges over the
+    attribute build (pinned, tests/test_plans.py), the same contract
+    geo_search_index pins for the R9 flow. Exact: money stays DECIMAL
+    until one terminal DOUBLE cast per cell (the pipeline_tile_wide rule);
+    tile indices are integer `div` arithmetic."""
+    from eviction_lab_etl_spark.functions.determinism import dec, to_dbl
+
+    # pyramid assignment (geo_tile_cover's arithmetic, n_nationkey-keyed)
+    ring = _ring_coords(fixtures.nation_polygons_irregular(spark, sf_dir))
+    n_open = F.size("xs") - 1
+    box = ring.select(
+        "n_nationkey",
+        F.array_min(F.slice("xs", 1, n_open)).alias("minx"),
+        F.array_max(F.slice("xs", 1, n_open)).alias("maxx"),
+        F.array_min(F.slice("ys", 1, n_open)).alias("miny"),
+        F.array_max(F.slice("ys", 1, n_open)).alias("maxy"),
+    )
+    tdiv = lambda c, t: F.call_function("div", c, t)  # noqa: E731
+    zoomed = box.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_TILE_ZOOMS - 1))).alias("zoom")
+    ).withColumn("t", F.expr(f"shiftright({_TILE_WORLD}, zoom)").cast("long"))
+    t = F.col("t")
+    tiles = (
+        zoomed.select(
+            "n_nationkey",
+            "zoom",
+            "t",
+            "miny",
+            "maxy",
+            F.explode(
+                F.sequence(tdiv(F.col("minx"), t), tdiv(F.col("maxx"), t))
+            ).alias("tile_x"),
+        )
+        .select(
+            "n_nationkey",
+            "zoom",
+            "tile_x",
+            F.explode(
+                F.sequence(tdiv(F.col("miny"), t), tdiv(F.col("maxy"), t))
+            ).alias("tile_y"),
+        )
+    )
+    # wide attribute build at nation grain (pipeline_tile_wide's aggregate)
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    joined = customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+    aggs = []
+    for y in _TILE_YEARS:
+        in_year = F.col("yr") == y
+        aggs.append(
+            to_dbl(
+                F.coalesce(
+                    F.sum(F.when(in_year, dec("o_totalprice"))),
+                    F.lit(0).cast("decimal(18,6)"),
+                )
+            ).alias(f"e_{y - 1900}")
+        )
+        aggs.append(F.count_if(in_year).alias(f"n_{y - 1900}"))
+    wide = joined.groupBy(F.col("c_nationkey").alias("geoid")).agg(*aggs)
+    return wide.join(
+        F.broadcast(tiles), wide.geoid == tiles.n_nationkey
+    ).select(
+        big(F.col("zoom")).alias("zoom"),
+        big(F.col("tile_x")).alias("tile_x"),
+        big(F.col("tile_y")).alias("tile_y"),
+        big(F.col("geoid")).alias("geoid"),
+        "e_95", "n_95", "e_96", "n_96", "e_97", "n_97", "e_98", "n_98",
+    )
+
+
+# --- crosswalk apportionment, integer end-to-end (largest remainder) -----------
+#
+# geo_crosswalk_alloc emits the exact rational alloc_num/den; this is the
+# consumer's other half made first-class: an INTEGER apportionment whose
+# per-source total is exactly src_value (counts are people/filings — they
+# must land whole). Largest-remainder (Hamilton) method, the standard for
+# census-style crosswalks: floor allocation per target, then one extra unit
+# to the r = src − Σfloor targets with the largest remainders (rem DESC,
+# target-key ASC tiebreak — §2.0 rule 3: boundary assignment must be
+# deterministic). Fully integer in both engines, so the driver hash pins
+# the complete 2000→2010-style apportionment from geometry to final table.
+
+
+@query(
+    "geo_crosswalk_apportion",
+    oracle=f"""
+    WITH {_ORACLE_RING_IRREGULAR},
+    abox AS (
+        SELECT n_nationkey AS a,
+               list_aggregate(xs[:len(xs)-1], 'min') AS minx,
+               list_aggregate(xs[:len(xs)-1], 'max') AS maxx,
+               list_aggregate(ys[:len(ys)-1], 'min') AS miny,
+               list_aggregate(ys[:len(ys)-1], 'max') AS maxy
+        FROM ring
+    ),
+    bpoly AS ({fixtures.NATION_POLYGONS_SQL}),
+    bring AS (
+        SELECT n_nationkey,
+               list_transform(
+                   string_split(replace(replace(wkt, 'POLYGON ((', ''), '))', ''), ', '),
+                   p -> CAST(string_split(p, ' ')[1] AS BIGINT)) AS xs,
+               list_transform(
+                   string_split(replace(replace(wkt, 'POLYGON ((', ''), '))', ''), ', '),
+                   p -> CAST(string_split(p, ' ')[2] AS BIGINT)) AS ys
+        FROM bpoly
+    ),
+    bbox2 AS (
+        SELECT n_nationkey AS b,
+               list_aggregate(xs[:len(xs)-1], 'min') AS minx,
+               list_aggregate(xs[:len(xs)-1], 'max') AS maxx,
+               list_aggregate(ys[:len(ys)-1], 'min') AS miny,
+               list_aggregate(ys[:len(ys)-1], 'max') AS maxy
+        FROM bring
+    ),
+    wt AS (
+        SELECT a, b,
+               (least(x.maxx, y.maxx) - greatest(x.minx, y.minx))
+               * (least(x.maxy, y.maxy) - greatest(x.miny, y.miny)) AS w
+        FROM abox x JOIN bbox2 y
+          ON least(x.maxx, y.maxx) > greatest(x.minx, y.minx)
+         AND least(x.maxy, y.maxy) > greatest(x.miny, y.miny)
+    ),
+    src AS (
+        SELECT c_nationkey AS a, count(*) AS src_value
+        FROM customer GROUP BY c_nationkey
+    ),
+    j AS (
+        SELECT wt.a, wt.b,
+               CAST(wt.w AS BIGINT) AS w,
+               CAST(sum(wt.w) OVER (PARTITION BY wt.a) AS BIGINT) AS den,
+               CAST(coalesce(src.src_value, 0) AS BIGINT) AS src_value
+        FROM wt LEFT JOIN src ON src.a = wt.a
+    ),
+    k AS (
+        SELECT *,
+               (src_value * w) // den AS base,
+               (src_value * w) % den AS rem,
+               row_number() OVER (
+                   PARTITION BY a ORDER BY (src_value * w) % den DESC, b
+               ) AS rk,
+               sum((src_value * w) // den) OVER (PARTITION BY a) AS sum_base
+        FROM j
+    ),
+    al AS (
+        SELECT a, b, w, den, src_value,
+               CAST(base + CASE WHEN rk <= src_value - sum_base
+                                THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM k
+    )
+    SELECT a, b, w, den, src_value, alloc,
+           CAST(sum(alloc) OVER (PARTITION BY b) AS BIGINT) AS b_total
+    FROM al
+    """,
+)
+def geo_crosswalk_apportion(spark, sf_dir):
+    """Crosswalk end-to-end (r14 VERDICT item 5): the full geometry→weights→
+    integer-apportionment pipeline in one plan. Weights are the cross-vintage
+    bbox-overlap areas (the geo_crosswalk_alloc PBSM join); the source
+    measure (customer count per source geography) is apportioned onto
+    targets by the largest-remainder method — per target: floor
+    (src·w / den), then +1 for the r = src − Σfloor targets with the
+    largest remainders (rem DESC, b ASC tiebreak) — so Σ_b alloc ==
+    src_value EXACTLY per source (pinned, tests/test_library.py) and every
+    value in the result is a bigint: no rational ever leaves the plan.
+    ``b_total`` is the rolled-up target-vintage table (Σ over sources) —
+    the "2010 column" a consumer reads off directly.
+
+    Scale shape: both vintage shape tables are dimension-sized and
+    BROADCAST (at 100 TB of shapes the same PBSM join shuffles candidates
+    on cell — geo_bbox_overlap_pairs' form); the apportionment windows
+    partition the WEIGHT TABLE (pair-count rows, ≤ |a|·4 here) by source
+    then by target — never the fact; the only fact-side exchange is the
+    source-measure aggregation. All integer `div`/`%` arithmetic, truncation
+    identical cross-engine on the non-negative domain (the _gcell rule)."""
+    ring_a = _ring_coords(fixtures.nation_polygons_irregular(spark, sf_dir))
+    ring_b = _ring_coords(fixtures.nation_polygons(spark, sf_dir))
+
+    def boxed(ring: DataFrame, key: str) -> DataFrame:
+        n_open = F.size("xs") - 1
+        return ring.select(
+            F.col("n_nationkey").alias(key),
+            big(F.array_min(F.slice("xs", 1, n_open))).alias(f"{key}minx"),
+            big(F.array_max(F.slice("xs", 1, n_open))).alias(f"{key}maxx"),
+            big(F.array_min(F.slice("ys", 1, n_open))).alias(f"{key}miny"),
+            big(F.array_max(F.slice("ys", 1, n_open))).alias(f"{key}maxy"),
+        )
+
+    def with_cells(box: DataFrame, key: str) -> DataFrame:
+        return box.select(
+            "*",
+            F.explode(
+                F.sequence(_gcell(F.col(f"{key}minx")), _gcell(F.col(f"{key}maxx")))
+            ).alias(f"{key}gx"),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(_gcell(F.col(f"{key}miny")), _gcell(F.col(f"{key}maxy")))
+            ).alias(f"{key}gy"),
+        )
+
+    a = with_cells(boxed(ring_a, "a"), "a")
+    b = with_cells(boxed(ring_b, "b"), "b")
+    ox0 = F.greatest("aminx", "bminx")
+    oy0 = F.greatest("aminy", "bminy")
+    ox1 = F.least("amaxx", "bmaxx")
+    oy1 = F.least("amaxy", "bmaxy")
+    w = (
+        a.join(
+            F.broadcast(b),
+            (F.col("agx") == F.col("bgx")) & (F.col("agy") == F.col("bgy")),
+        )
+        .filter((ox0 < ox1) & (oy0 < oy1))
+        .filter((_gcell(ox0) == F.col("agx")) & (_gcell(oy0) == F.col("agy")))
+        .select("a", "b", big((ox1 - ox0) * (oy1 - oy0)).alias("w"))
+    )
+    from pyspark.sql import Window
+
+    src = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("sa"))
+        .agg(F.count(F.lit(1)).alias("sv"))
+    )
+    j = (
+        w.withColumn("den", big(F.sum("w").over(Window.partitionBy("a"))))
+        .join(F.broadcast(src), F.col("a") == F.col("sa"), "left")
+        .select(
+            "a", "b", "w", "den",
+            big(F.coalesce("sv", F.lit(0))).alias("src_value"),
+        )
+    )
+    by_a = Window.partitionBy("a")
+    k = (
+        j.withColumn("base", F.expr("(src_value * w) div den"))
+        .withColumn("rem", F.expr("(src_value * w) % den"))
+        .withColumn(
+            "rk",
+            F.row_number().over(by_a.orderBy(F.col("rem").desc(), F.col("b"))),
+        )
+        .withColumn("sum_base", F.sum("base").over(by_a))
+    )
+    al = k.select(
+        "a", "b", "w", "den", "src_value",
+        big(
+            F.col("base")
+            + F.when(
+                F.col("rk") <= F.col("src_value") - F.col("sum_base"), 1
+            ).otherwise(0)
+        ).alias("alloc"),
+    )
+    return al.withColumn(
+        "b_total", big(F.sum("alloc").over(Window.partitionBy("b")))
+    )

