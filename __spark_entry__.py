@@ -42,75 +42,72 @@ _FLAGSHIP = "agg_sum_groupby"
 # stale queue can never burn a later round's budget re-checking green rows.
 # Bump _QUEUE_AS_OF to the highest CORRECTNESS_r*.json round present whenever
 # the queue is edited.
-_QUEUE_AS_OF = 13
+_QUEUE_AS_OF = 14
 _RECHECK_QUEUE: tuple[str, ...] = (
-    # --- Round-14 changed queries (r13 ADVICE fixes; both sides changed in
-    # lockstep, so these must re-verify):
-    #   * web_* / scalar_url_parts / pipeline_web_ingest: the UTM-strip mid
-    #     rule is now separator-anchored as a run match
-    #     (`([?&])(utm_...=...&)+` -> `$1`/`\1`) and the URL fixture plants
-    #     three new false-positive/run cases (?xutm_a=, ?q=utm_x=y, a
-    #     consecutive utm_a&utm_b run) — fixture SQL and Spark frame changed
-    #     together.
-    #   * geo_point_in_polygon / _holes / _multipolygon: bbox grid-cell ids
-    #     now integer `div` (was float-div + cast) — values identical on the
-    #     fixture, plan changed.
-    #   * geo_simplify_sweep: zero-kept-vertex rings now filtered Spark-side
-    #     (oracle's GROUP BY already omitted them).
-    #   * text_gopher_rules: sum_word_len fold seeded LONG (was 32-bit).
-    "web_url_canonicalize",
-    "dedup_url_keep_first",
-    "web_domain_cap",
-    "scalar_url_parts",
-    "pipeline_web_ingest",
-    "geo_point_in_polygon",
-    # geo_point_in_polygon_holes deliberately NOT queued: its only change is
-    # the same one-line _gcell integer-div swap its two siblings carry (both
-    # queued — the single-ring and multipolygon end-members bracket it), all
-    # three are locally oracle-verified at sf0.01, and the driver budget is
-    # exactly 50 = 9 changed + 33 stale + 8 never-verified r14 additions.
-    "geo_point_in_multipolygon",
-    "geo_simplify_sweep",
-    "text_gopher_rules",
-    # --- Round-14 staleness rotation (r13 VERDICT item 2): every record whose
-    # latest driver verification is round 7 — seven rounds stale at r14 —
-    # re-checked explicitly so nothing drifts past ~6 rounds unverified. Code
-    # unchanged; this is rotation, not suspicion. (New r14 operators need no
-    # queue entry: never-verified names sort into the `fresh` tier right
-    # after this queue.)
-    "embed_kmeans_iter",
-    "events_streak_islands",
-    "incr_compact_roundtrip",
-    "incr_scd2_build",
-    "incr_view_maintain",
-    "io_bucketed_join",
-    "io_json_lines",
-    "io_orc_roundtrip",
-    "io_partitioned_write",
-    "io_schema_evolution",
-    "io_stats_manifest",
-    "join_fuzzy_blocked",
-    "join_skew_salted",
-    "pipeline_entity_resolution",
-    "scalar_variant_shred",
-    "search_bm25_topk",
-    "search_hybrid_rrf",
-    "sort_nulls",
-    "stream_tumbling",
-    "text_tfidf_topterms",
-    "ts_changepoint_shift",
-    "udf_grouped_map",
-    "udf_pandas_agg",
-    "udf_pandas_scalar",
-    "udf_py_scalar",
-    "udtf_explode_pos",
-    "window_cume",
-    "window_lag_delta",
-    "window_ntile",
-    "window_percentile",
-    "window_rank_dense",
-    "window_rank_topk",
-    "window_skyline_2d",
+    # --- Round-15 changed query (r14 ADVICE fixes; pattern constants and
+    # fixture changed in LOCKSTEP on both engines, so the hash must
+    # re-verify): text_pii_scrub's email class is now case-insensitive via
+    # explicit mixed-case ASCII classes (not (?i) — Java folds ASCII-only,
+    # RE2 full Unicode), its phone class gained \b anchors on both digit
+    # runs, and the wide fixture now plants a MIXED-CASE email. Re-swept
+    # 4,000 fuzz cases cross-engine (zero divergences) before the pin.
+    # text_pii_mask is NOT queued for this change (it uses the narrow
+    # _EMAIL_RE/_PHONE_RE constants, untouched) but IS in the stale tranche
+    # below.
+    "text_pii_scrub",
+    # --- Round-15 staleness rotation (r14 VERDICT item 2): every record
+    # whose latest driver verification is round 8 — seven rounds stale at
+    # r15 — re-checked explicitly so nothing drifts past ~6 rounds
+    # unverified. Code unchanged; this is rotation, not suspicion. (The 3
+    # new r15 operators need no queue entry: never-verified names sort into
+    # the `fresh` tier right after this queue. Budget: 47 queue + 3 fresh
+    # = exactly the 50-query driver budget.)
+    "agg_approx_distinct",
+    "agg_approx_quantile",
+    "agg_conditional",
+    "agg_cube",
+    "agg_grouping_sets",
+    "agg_multi_distinct",
+    "agg_rollup",
+    "agg_stats",
+    "agg_sum_groupby",
+    "agg_weighted_mean",
+    "complex_region_revenue",
+    "complex_returned_revenue",
+    "complex_shipping_priority",
+    "dedup_exact",
+    "dedup_keep_first",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "geo_centroid_bbox",
+    "geo_point_in_region",
+    "io_csv_roundtrip",
+    "join_bloom_pruned",
+    "multimodal_audio_decode",
+    "multimodal_audio_features",
+    "pipeline_corpus_clean",
+    "search_mmr_diverse",
+    "sim_ann_lsh",
+    "sim_ann_lsh_recall",
+    "sim_cosine_neardup",
+    "sim_jaccard_pairs",
+    "sim_knn_cosine",
+    "sim_ngram_jaccard",
+    "sketch_hll_partitioned",
+    "stream_dedup_watermark",
+    "stream_foreachbatch_upsert",
+    "stream_sliding",
+    "stream_stateful_counter",
+    "stream_watermark_late",
+    "text_clean_html",
+    "text_lang_stats",
+    "text_langid",
+    "text_length_hist",
+    "text_pii_mask",
+    "text_quality",
+    "text_token_count",
+    "text_tokenize_topn",
+    "ts_ewma_smooth",
 )
 
 

@@ -228,6 +228,12 @@ R13_HEADLINE = [
     "contam_neardup_xx",          # r13: decontamination at xxhash64 wire width
 ]
 
+R15_HEADLINE = [
+    "geo_tile_join",              # r15: tile pyramid × wide attribute build
+    "geo_crosswalk_apportion",    # r15: geometry→largest-remainder apportion
+    "events_session_transitions", # r15: sessions+transitions, one exchange
+]
+
 # Per-topology regression base for the TPC-H power family: the round-6
 # per-query warm medians (SCALE.md "TPC-H power" table, sf0.1, local[32]).
 # The 21-query total alone can hide one topology regressing 3x behind noise
@@ -367,7 +373,7 @@ def main() -> None:
         dict.fromkeys(
             HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE + R7_HEADLINE
             + R9_HEADLINE + R10_HEADLINE + R11_HEADLINE + R12_HEADLINE
-            + R13_HEADLINE + tpch_names
+            + R13_HEADLINE + R15_HEADLINE + tpch_names
         )
     )
 
