@@ -54,7 +54,10 @@ R6_BASE = {  # bench.py TPCH_BASE_SEC (suspects + non-flagged controls)
     "complex_min_cost_supplier": 1.03,
     "complex_parts_supplier_cnt": 0.52,
     # non-tpch suspects (BASELINE_SEC pins) the A/B protocol also serves:
-    "events_type_transitions": 0.3199,
+    # r15 re-pin (BASELINE.md "r15 A/B"): stable 0.92x paired ratio vs the
+    # companion across three host conditions; the r5 seed was a fast-tail
+    # draw.
+    "events_type_transitions": 0.72,
     # r14 re-pins (BASELINE.md "r14 small-pin A/B"): both rows' original
     # seeds were fast-tail draws; these are the measured medians from this
     # tool's own 11-rep interleaved runs.
