@@ -139,6 +139,9 @@ EXTENSIONS = {
     "text_pii_scrub", "dedup_minhash_pairs_xx", "geo_search_index",
     "geo_bbox_overlap_pairs", "geo_tile_cover", "geo_crosswalk_alloc",
     "events_attribution_linear", "profile_column_stats",
+    # Round-15: the tile-join capstone, crosswalk end-to-end, and the
+    # shared-exchange sessionization demonstration (r14 verdict items 4-6).
+    "geo_tile_join", "geo_crosswalk_apportion", "events_session_transitions",
 }
 
 
