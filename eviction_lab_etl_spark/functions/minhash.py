@@ -74,21 +74,55 @@ def minhash_signatures(
     token_col: str = "w",
     n_hashes: int = 96,
     hash_fn: HashFamily = xxhash_family,
+    hash_distinct_tokens: bool = False,
 ) -> DataFrame:
     """One row per document: ``(id, sig array<bigint>)`` of n_hashes minhash
-    values, computed as a single grouped aggregation (no per-hash shuffle)."""
-    aggs = [
-        F.min(hash_fn(i, F.col(token_col))).alias(f"__h{i}")
-        for i in range(n_hashes)
-    ]
-    wide = tokens.groupBy(F.col(id_col).alias("id")).agg(*aggs)
+    values, computed as a single grouped aggregation (no per-hash shuffle).
+
+    ``hash_distinct_tokens=True`` evaluates the n_hashes family members once
+    per DISTINCT token string and joins the hash vectors back to the
+    (id, token) rows instead of hashing inline per row — identical values
+    (the family depends only on (seed, token)), but the hash work scales
+    with |vocabulary| instead of Σ|doc tokens|. Worth it exactly when tokens
+    repeat across documents (the symmetric word-level dedup path: the
+    fixture's 31-word vocabulary cuts md5 work ~3700×, and AQE broadcasts
+    the tiny vector table); at ~1.0 duplication (contam_neardup's 5-gram
+    shingles, measured 1.06×) the join-back costs more than it saves, so
+    the asymmetric batch path keeps inline hashing."""
+    if hash_distinct_tokens:
+        hv = tokens.select(F.col(token_col).alias("__w")).distinct().select(
+            "__w",
+            F.array(
+                *[hash_fn(i, F.col("__w")) for i in range(n_hashes)]
+            ).alias("__hv"),
+        )
+        wide = (
+            tokens.select(F.col(id_col).alias("id"), F.col(token_col).alias("__w"))
+            .join(hv, "__w")
+            .groupBy("id")
+            .agg(
+                *[
+                    F.min(F.element_at("__hv", i + 1)).alias(f"__h{i}")
+                    for i in range(n_hashes)
+                ]
+            )
+        )
+    else:
+        aggs = [
+            F.min(hash_fn(i, F.col(token_col))).alias(f"__h{i}")
+            for i in range(n_hashes)
+        ]
+        wide = tokens.groupBy(F.col(id_col).alias("id")).agg(*aggs)
     return wide.select(
         "id", F.array(*[f"__h{i}" for i in range(n_hashes)]).alias("sig")
     )
 
 
 def band_buckets(
-    signatures: DataFrame, bands: int = 32, rows_per_band: int = 3
+    signatures: DataFrame,
+    bands: int = 32,
+    rows_per_band: int = 3,
+    with_sig: bool = False,
 ) -> DataFrame:
     """(id, band, key): each signature exploded into its ``bands`` band
     buckets, the key being the STRUCT of the slice's values (rows_per_band
@@ -97,7 +131,9 @@ def band_buckets(
     which is what makes a banded join reproducible in a value-level SQL
     oracle. (At extreme scale the key can be hashed back to 8 bytes — the
     2⁻⁶⁴ false candidates it admits are removed by the exact verification
-    join anyway.)"""
+    join anyway.) ``with_sig=True`` carries the full signature array along
+    (bands × rows_per_band longs per bucket row) for the first-collision
+    dedup predicate in ``lsh_candidate_pairs``."""
     band_entries = F.array(
         *[
             F.struct(
@@ -112,8 +148,9 @@ def band_buckets(
             for b in range(bands)
         ]
     )
-    return signatures.select("id", F.explode(band_entries).alias("e")).select(
-        "id", F.col("e.band").alias("band"), F.col("e.key").alias("key")
+    cols = ["id", "sig"] if with_sig else ["id"]
+    return signatures.select(*cols, F.explode(band_entries).alias("e")).select(
+        *cols, F.col("e.band").alias("band"), F.col("e.key").alias("key")
     )
 
 
@@ -125,7 +162,15 @@ def lsh_candidate_pairs(
     Each signature splits into ``bands`` slices of ``rows_per_band`` values;
     docs collide iff some slice matches exactly — the probability
     amplification that makes LSH work (see ``band_buckets`` for the
-    bucket-key exactness contract)."""
+    bucket-key exactness contract).
+
+    Cross-band dedup stays the ``.distinct()``: its map-side partial
+    aggregation already collapses most of the (pairs × colliding-bands)
+    stream before the exchange. (A first-collision-band predicate — the
+    spatial join's reference-point move — was prototyped in r15 and
+    measured ≥5× SLOWER: it must carry both full signature arrays through
+    the bucket join, materializing ~2 × bands × rows_per_band longs per
+    joined row, which dwarfs the distinct it saves.)"""
     buckets = band_buckets(signatures, bands, rows_per_band)
     b1 = buckets.alias("b1")
     b2 = buckets.alias("b2")
@@ -153,30 +198,65 @@ def minhash_near_dup_pairs(
     """LSH-accelerated near-dup join: band candidates, then exact-verify each
     candidate's true Jaccard with integer cross-multiplication. Output
     ``(a, b, inter, uni)`` — a subset of the exact join's pairs missing only
-    banding false-negatives (≈0.04% at the default b, r and s=0.6)."""
-    num, den = threshold
+    banding false-negatives (≈0.04% at the default b, r and s=0.6).
+
+    ``tokens`` must carry one row per (document, DISTINCT token) — the same
+    contract Jaccard itself imposes. Two r15 physical rewrites, both
+    output-identical:
+
+    1. SIGNATURE-GROUP banding: banding candidacy is a function of the
+       signature alone, so docs with equal signatures (identical token
+       sets, plus any md5-coincident ones) collapse to one representative
+       before the quadratic bucket join and expand back afterwards —
+       every intra-group pair is a candidate by construction (all bands
+       equal), every cross-group member pair inherits its group pair's
+       candidacy. On the duplicate-dense fixture this cuts the bucket
+       join's pre-distinct pair stream 3× (60.0M → 19.9M at sf0.1); on a
+       duplicate-free corpus it degenerates to singleton groups at the
+       cost of one doc-count-sized aggregation. (Grouping by the token
+       set itself and verifying at group level was A/B'd and REJECTED:
+       the set-key grouping lineage re-shuffles the raw tokens once per
+       plan branch — 27.1 s vs 14.8 s paired medians at sf0.1.)
+    2. BITSET verification (similarity.token_bitsets): each expanded
+       candidate pair attaches two ~|vocab|/64-long masks and counts the
+       intersection map-side with popcount, instead of the
+       token-explosion count-join that shuffled every (pair, token) match
+       row — identical (inter, uni) values, exact per DOCUMENT, so the
+       sig-grouping needs no set-equality assumption. (The r14-rejected
+       array_intersect variant shipped full token STRING arrays per pair;
+       this ships fixed-width longs.)"""
+    from eviction_lab_etl_spark.functions.similarity import (
+        token_bitsets,
+        verify_pairs_bitset,
+    )
+
     tok = tokens.select(F.col(id_col).alias("id"), F.col(token_col).alias("w"))
-    sig = minhash_signatures(tok, "id", "w", bands * rows_per_band, hash_fn)
-    cand = lsh_candidate_pairs(sig, bands, rows_per_band)
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        cand.join(tok.alias("t1"), F.col("a") == F.col("t1.id"))
-        .join(
-            tok.alias("t2"),
-            (F.col("b") == F.col("t2.id")) & (F.col("t1.w") == F.col("t2.w")),
+    sig = minhash_signatures(
+        tok, "id", "w", bands * rows_per_band, hash_fn, hash_distinct_tokens=True
+    )
+    groups = sig.groupBy("sig").agg(
+        F.min("id").alias("id"), F.collect_list("id").alias("ms")
+    )
+    gcand = lsh_candidate_pairs(groups.select("id", "sig"), bands, rows_per_band)
+    mem = groups.select(F.col("id").alias("gid"), "ms")
+    inter_group = (
+        gcand.join(
+            mem.select(F.col("gid").alias("a"), F.col("ms").alias("_msa")), "a"
         )
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(mem.select(F.col("gid").alias("b"), F.col("ms").alias("_msb")), "b")
+        .select(F.explode("_msa").alias("x"), F.col("_msb"))
+        .select("x", F.explode("_msb").alias("y"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("a") == F.col("sa.id"))
-        .join(sb, F.col("b") == F.col("sb.id"))
-        .withColumn("uni", F.col("sa.n") + F.col("sb.n") - F.col("inter"))
-        .filter(den * F.col("inter") >= num * F.col("uni"))
-        .select("a", "b", "inter", "uni")
+    intra_group = (
+        mem.filter(F.size("ms") >= 2)
+        .select(F.explode("ms").alias("x"), F.col("ms"))
+        .select("x", F.explode("ms").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .select(F.col("x").alias("a"), F.col("y").alias("b"))
     )
+    cand = inter_group.unionByName(intra_group)
+    return verify_pairs_bitset(cand, token_bitsets(tok), threshold)
 
 
 def corpus_minhash_index(

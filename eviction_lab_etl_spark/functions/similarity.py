@@ -26,6 +26,153 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def token_bitsets(tok: DataFrame) -> DataFrame:
+    """Per-document sparse bitset over a dictionary-encoded vocabulary:
+    ``(id, mask map<int,bigint>, n bigint)`` from a distinct ``(id, w)``
+    token frame. ``mask[c]`` holds bit ``vid % 64`` for every token whose
+    dictionary id ``vid`` has ``vid div 64 == c``; ``n`` is the exact token
+    count (= popcount of the whole mask).
+
+    This is the verification-payload compression for pair-verification
+    joins (guide §2.3 "shuffle keys and metadata instead of payloads"): a
+    candidate pair's exact intersection becomes a map-side popcount over
+    ~|vocab|/64 longs instead of a token-explosion join that shuffles every
+    (pair, token) match row. Exact — the dictionary is built from the real
+    token strings (one vocabulary-sized single-partition window, the
+    standard dictionary build; at 100 TB swap in a distributed id
+    assignment), so there are no hash-collision false counts.
+    """
+    vocab = (
+        tok.select("w")
+        .distinct()
+        .withColumn("vid", F.row_number().over(Window.orderBy("w")) - 1)
+    )
+    chunked = (
+        tok.join(vocab, "w")
+        .groupBy("id", F.expr("vid div 64").cast("int").alias("ck"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(cast(1 as bigint), cast(vid % 64 as int)))"
+            ).alias("bits")
+        )
+    )
+    return chunked.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("ck"), F.col("bits")))
+        ).alias("mask"),
+        F.sum(F.bit_count("bits")).alias("n"),
+    )
+
+
+def verify_pairs_bitset(
+    cand: DataFrame,
+    masks: DataFrame,
+    threshold: tuple[int, int],
+    left: str = "a",
+    right: str = "b",
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs against per-doc token
+    bitsets (``token_bitsets``): attaches both masks, computes
+    ``inter = popcount(mask_a AND mask_b)`` map-side, and keeps pairs with
+    Jaccard ≥ num/den by integer cross-multiplication. Output columns:
+    ``(left, right, inter, uni)`` — identical values to the token-explosion
+    count-join it replaces, with the (pair × token) match stream never
+    materialized."""
+    num, den = threshold
+    ma = masks.select(
+        F.col("id").alias(left), F.col("mask").alias("_ma"), F.col("n").alias("_na")
+    )
+    mb = masks.select(
+        F.col("id").alias(right), F.col("mask").alias("_mb"), F.col("n").alias("_nb")
+    )
+    return (
+        cand.join(ma, left)
+        .join(mb, right)
+        .withColumn("inter", bitset_intersection_count())
+        .withColumn("uni", F.col("_na") + F.col("_nb") - F.col("inter"))
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("uni"))
+        .select(left, right, "inter", "uni")
+    )
+
+
+def bitset_intersection_count(a: str = "_ma", b: str = "_mb"):
+    """popcount(mask_a AND mask_b) over two sparse bitset maps — the exact
+    intersection size of the two token sets they encode."""
+    return F.expr(
+        f"aggregate(map_entries({a}), cast(0 as bigint), (acc, e) -> "
+        f"acc + bit_count(e.value & coalesce(try_element_at({b}, e.key), "
+        "cast(0 as bigint))))"
+    )
+
+
+def grouped_token_masks(tok: DataFrame) -> DataFrame:
+    """Documents grouped by their exact DISTINCT-token set, keyed by the
+    set's BITSET encoding (``token_bitsets`` over the global dictionary —
+    an exact, collision-free set fingerprint that is itself the
+    verification payload): ``(gid, mk, n, ms)`` — representative id (the
+    group's min), the mask as sorted entries (the group key), the set
+    size, and every member id.
+
+    The duplicate-density pre-grouping for symmetric pair joins
+    (set-similarity, MinHash banding): candidacy, ``inter`` and ``uni``
+    are all functions of the token SET alone, so the quadratic stages
+    (prefix/bucket self-join, distinct, verification) run over one
+    representative per set and ``expand_group_pairs`` restores the member
+    pairs afterwards — exact, and on duplicate-dense corpora it shrinks
+    the pair space by the squared duplication factor (sf0.1 fixture:
+    5,000 docs → 3,935 sets). Grouping on the mask instead of the sorted
+    token array keeps the group key fixed-width AND hands the verifier
+    its mask for free (an A/B'd 1.8× over array-key grouping: the
+    ``sort_array(collect_list(w))`` lineage re-shuffled the raw tokens per
+    plan branch)."""
+    masks = token_bitsets(tok)
+    return (
+        masks.groupBy(F.sort_array(F.map_entries("mask")).alias("mk"))
+        .agg(
+            F.min("id").alias("gid"),
+            F.first("n").alias("n"),
+            F.collect_list("id").alias("ms"),
+        )
+    )
+
+
+def expand_group_pairs(rep_pairs: DataFrame, groups: DataFrame) -> DataFrame:
+    """Expand verified representative pairs ``(a, b, inter, uni)`` over
+    token-set groups ``(gid, n, ms)`` back to member-level pairs: every
+    cross-group member pair inherits its group pair's exact values; every
+    intra-group pair (identical sets) has ``inter = uni = n`` and Jaccard
+    1, qualified at any threshold ≤ 1. Emits each unordered member pair
+    exactly once, ``a < b``."""
+    mem = groups.select("gid", "ms")
+    inter_group = (
+        rep_pairs.join(
+            mem.select(F.col("gid").alias("a"), F.col("ms").alias("_msa")), "a"
+        )
+        .join(mem.select(F.col("gid").alias("b"), F.col("ms").alias("_msb")), "b")
+        .select(F.explode("_msa").alias("x"), F.col("_msb"), "inter", "uni")
+        .select("x", F.explode("_msb").alias("y"), "inter", "uni")
+        .select(
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            "inter",
+            "uni",
+        )
+    )
+    intra_group = (
+        groups.filter(F.size("ms") >= 2)
+        .select(F.explode("ms").alias("x"), F.col("ms"), F.col("n").alias("_n"))
+        .select("x", F.explode("ms").alias("y"), "_n")
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            F.col("x").alias("a"),
+            F.col("y").alias("b"),
+            F.col("_n").cast("bigint").alias("inter"),
+            F.col("_n").cast("bigint").alias("uni"),
+        )
+    )
+    return inter_group.unionByName(intra_group)
+
+
 def prefix_candidate_pairs(
     tokens: DataFrame,
     id_col: str = "doc_id",
@@ -77,34 +224,33 @@ def jaccard_pairs_prefix(
 
     ``tokens``: one row per (document, DISTINCT token). Output columns:
     ``a, b, inter, uni`` (ints; the ratio is left to the consumer).
-    Identical result set to the naive all-token index join.
+    Identical result set to the naive all-token index join. Two r15
+    physical rewrites, both output-identical:
+
+    1. TOKEN-SET grouping (``grouped_token_masks``): Jaccard and the
+       prefix filter are functions of the token SET alone, so documents
+       with identical sets collapse to one representative before the
+       quadratic prefix join and expand back after verification —
+       intra-group pairs have J = 1 (qualified at any threshold ≤ 1) with
+       inter = uni = |set|; cross-group pairs inherit the verified group
+       values. The prefix filter stays complete over representatives: its
+       theorem holds for ANY consistent total token order, including
+       rarity ranked on representative frequencies.
+    2. BITSET verification (``token_bitsets`` — map-side popcount per
+       candidate pair) instead of the token-explosion count-join; the
+       verifier reads the masks straight off the group keys.
     """
-    num, den = threshold
     tok = tokens.select(F.col(id_col).alias("id"), F.col(token_col).alias("w"))
-
-    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-
-    cand = prefix_candidate_pairs(tokens, id_col, token_col, threshold)
-
-    inter = (
-        cand.join(tok.alias("t1"), F.col("a") == F.col("t1.id"))
-        .join(
-            tok.alias("t2"),
-            (F.col("b") == F.col("t2.id")) & (F.col("t1.w") == F.col("t2.w")),
-        )
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    groups = grouped_token_masks(tok)
+    rep_tok = tok.join(
+        groups.select(F.col("gid").alias("id")), "id", "left_semi"
     )
-
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("a") == F.col("sa.id"))
-        .join(sb, F.col("b") == F.col("sb.id"))
-        .withColumn("uni", F.col("sa.n") + F.col("sb.n") - F.col("inter"))
-        .filter(den * F.col("inter") >= num * F.col("uni"))
-        .select("a", "b", "inter", "uni")
+    cand = prefix_candidate_pairs(rep_tok, "id", "w", threshold)
+    gmasks = groups.select(
+        F.col("gid").alias("id"), F.map_from_entries("mk").alias("mask"), "n"
     )
+    rep_pairs = verify_pairs_bitset(cand, gmasks, threshold)
+    return expand_group_pairs(rep_pairs, groups)
 
 
 def fuzzy_blocked_pairs(names: DataFrame, col: str, max_dist: int = 2) -> DataFrame:
@@ -207,24 +353,22 @@ def containment_pairs_prefix(
         .distinct()
     )
 
-    # The verification join's probe side only ever carries probe docs
-    # (src comes from the filtered prefix), so the same predicate prunes
-    # its SCAN — pushed to parquet, it cuts a full-corpus tokenization
-    # down to the probe set's (measured ~20% of the query at sf0.1).
-    probe_tok = tok if probe_filter is None else tok.filter(probe_filter)
-    inter = (
-        cand.join(probe_tok.alias("t1"), F.col("src") == F.col("t1.id"))
-        .join(
-            tok.alias("t2"),
-            (F.col("dst") == F.col("t2.id")) & (F.col("t1.w") == F.col("t2.w")),
-        )
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # Verification against per-doc token bitsets (token_bitsets): attach
+    # both masks, count the intersection map-side with popcount, keep
+    # containment ≥ num/den by integer cross-multiplication — identical
+    # values to the former token-explosion count-join (r15 bitset rewrite).
+    # The probe-side masks inherit the probe predicate so the broadcast
+    # stays probe-sized.
+    masks = token_bitsets(tok)
+    probe_masks = masks if probe_filter is None else masks.filter(probe_filter)
+    ma = probe_masks.select(
+        F.col("id").alias("src"), F.col("mask").alias("_ma"), F.col("n").alias("_na")
     )
-
-    sa = sizes.alias("sa")
+    mb = masks.select(F.col("id").alias("dst"), F.col("mask").alias("_mb"))
     return (
-        inter.join(sa, F.col("src") == F.col("sa.id"))
-        .filter(den * F.col("inter") >= num * F.col("sa.n"))
-        .select("src", "dst", "inter", F.col("sa.n").alias("n_src"))
+        cand.join(ma, "src")
+        .join(mb, "dst")
+        .withColumn("inter", bitset_intersection_count())
+        .filter(den * F.col("inter") >= num * F.col("_na"))
+        .select("src", "dst", "inter", F.col("_na").alias("n_src"))
     )

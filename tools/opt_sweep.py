@@ -9,6 +9,11 @@ codegen ids) is what gets counted. Output: one JSON file
 
 Usage:
   python tools/opt_sweep.py out.json [sf_dir] [reps] [name ...]
+
+Set SPARK_GRAFT_SINK=noop to time ``df.write.format("noop")`` instead of
+``collect()`` (guide §1.4: computes every column of every row without paying
+driver deserialization — the right sink for wide/large outputs where collect
+would time the driver, not the computation).
 """
 
 from __future__ import annotations
@@ -44,6 +49,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    noop = os.environ.get("SPARK_GRAFT_SINK") == "noop"
+
+    def sink(df) -> None:
+        if noop:
+            df.write.format("noop").mode("overwrite").save()
+        else:
+            df.collect()
+
     report: dict[str, dict] = {}
     t_sweep = time.perf_counter()
     for i, name in enumerate(names):
@@ -52,7 +65,7 @@ def main() -> None:
         try:
             df = fn(spark, sf_dir)
             t0 = time.perf_counter()
-            df.collect()  # warm-up; also finalizes the AQE plan for the audit
+            sink(df)  # warm-up; also finalizes the AQE plan for the audit
             warm = time.perf_counter() - t0
             info = audit_plan(df)
             info.pop("plan", None)
@@ -60,7 +73,7 @@ def main() -> None:
             runs = []
             for _ in range(reps):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).collect()  # fresh DataFrame per rep
+                sink(fn(spark, sf_dir))  # fresh DataFrame per rep
                 runs.append(time.perf_counter() - t0)
             info["first_sec"] = round(warm, 4)
             info["median_sec"] = round(statistics.median(runs), 4)
