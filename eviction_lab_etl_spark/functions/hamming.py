@@ -55,10 +55,67 @@ def hamming_near_pairs(
     alongside (band, key): Catalyst extracts all three equalities as
     equi-join keys, so the candidate shuffle stays one equi-join with the
     group in the shuffle key (no post-filter). When set, the output
-    carries the group column first: (group, a, b, hd)."""
-    return _candidate_pairs(
-        hashes, id_col, hi_col, lo_col, max_hd, bands, group_col
-    ).filter(F.col("hd") <= max_hd).distinct()
+    carries the group column first: (group, a, b, hd).
+
+    r15 physical rewrite, output-identical: rows with EQUAL hashes (same
+    group) collapse to one representative before the banded self-join —
+    candidacy and hd are functions of the two hashes alone, so every
+    intra-group pair is a qualifying hd = 0 pair by construction and every
+    cross-group member pair inherits its representative pair's hd. On
+    fingerprint corpora hash equality is exactly the duplicate mass the
+    banding otherwise pays quadratically per bucket (the minhash
+    signature-group move applied to Hamming banding; video_neardup's
+    banded join dropped ~3× at sf0.1)."""
+    grp = [F.col(group_col).alias("grp")] if group_col else []
+    gsel = ["grp"] if group_col else []
+    src = hashes.select(
+        *grp,
+        F.col(id_col).alias("id"),
+        F.col(hi_col).alias("hi"),
+        F.col(lo_col).alias("lo"),
+    )
+    groups = src.groupBy(*gsel, "hi", "lo").agg(
+        F.min("id").alias("id"), F.collect_list("id").alias("ms")
+    )
+    reps = groups.select(*gsel, "id", "hi", "lo")
+    rep_pairs = (
+        _candidate_pairs(
+            reps, "id", "hi", "lo", max_hd, bands, "grp" if group_col else None
+        )
+        .filter(F.col("hd") <= max_hd)
+        .distinct()
+    )
+    mem = groups.select(*gsel, F.col("id").alias("gid"), "ms")
+    ma = mem.select(*gsel, F.col("gid").alias("a"), F.col("ms").alias("_msa"))
+    mb = mem.select(*gsel, F.col("gid").alias("b"), F.col("ms").alias("_msb"))
+    cross = (
+        rep_pairs.join(ma, gsel + ["a"])
+        .join(mb, gsel + ["b"])
+        .select(*gsel, F.explode("_msa").alias("x"), F.col("_msb"), "hd")
+        .select(*gsel, "x", F.explode("_msb").alias("y"), "hd")
+        .select(
+            *gsel,
+            F.least("x", "y").alias("a"),
+            F.greatest("x", "y").alias("b"),
+            "hd",
+        )
+    )
+    intra = (
+        groups.filter(F.size("ms") >= 2)
+        .select(*gsel, F.explode("ms").alias("x"), F.col("ms"))
+        .select(*gsel, "x", F.explode("ms").alias("y"))
+        .filter(F.col("x") < F.col("y"))
+        .select(
+            *gsel,
+            F.col("x").alias("a"),
+            F.col("y").alias("b"),
+            F.lit(0).cast("long").alias("hd"),
+        )
+    )
+    out = cross.unionByName(intra)
+    if group_col:
+        out = out.withColumnRenamed("grp", group_col)
+    return out
 
 
 def _candidate_pairs(

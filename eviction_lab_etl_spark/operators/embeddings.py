@@ -1018,24 +1018,32 @@ def search_ivfpq_recall(spark, sf_dir):
     tests pin the measured floor (n_hits >= 9 on the clustered fixture —
     the probe's cluster co-locates in its coarse cell, which is the
     entire premise of IVF on structured data)."""
-    full10 = (
-        _ivfpq_scored(spark, sf_dir)
-        .orderBy("adc_q", "vec_id")
-        .limit(_PQ_TOPK)
-        .select("vec_id", "in_probe")
+    return _scoped_recall(_ivfpq_scored(spark, sf_dir), "adc_q", _PQ_TOPK)
+
+
+def _scoped_recall(scored, score_col: str, topk: int):
+    """(n_full, n_hits) of the in_probe-scoped top-k against the unscoped
+    top-k, from ONE pass over the scored frame: a single global-order
+    window yields each row's overall rank (row_number) and its rank among
+    in_probe rows (running count of in_probe in the same order — the
+    subset order is the global order restricted to the subset, so the
+    running count IS the scoped rank). Identical (n_full, n_hits) to the
+    former two-leg limit+join form, with the scored lineage — previously
+    rebuilt per leg — computed once (r15: the recall rows' wall was two
+    full scoring passes, e.g. search_ivfpq_recall 6.7 s → one pass)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy(score_col, "vec_id")
+    ranked = scored.select(
+        "in_probe",
+        F.row_number().over(w).alias("_rf"),
+        F.sum(F.col("in_probe").cast("int")).over(w).alias("_rp"),
     )
-    ivf10 = (
-        _ivfpq_scored(spark, sf_dir)
-        .filter("in_probe")
-        .orderBy("adc_q", "vec_id")
-        .limit(_PQ_TOPK)
-        .select(F.col("vec_id").alias("ivid"))
-    )
-    return full10.join(
-        ivf10, full10["vec_id"] == ivf10["ivid"], "left"
-    ).agg(
-        big(F.count(F.lit(1))).alias("n_full"),
-        big(F.count("ivid")).alias("n_hits"),
+    in_full = F.col("_rf") <= topk
+    in_ivf = F.col("in_probe") & (F.col("_rp") <= topk)
+    return ranked.agg(
+        big(F.sum(in_full.cast("long"))).alias("n_full"),
+        big(F.sum((in_full & in_ivf).cast("long"))).alias("n_hits"),
     )
 
 
@@ -1646,25 +1654,7 @@ def search_ivfsq_recall(spark, sf_dir):
     costs (SQ8's own quantization error cancels: both sides score with
     the same codes; the `search_ivfpq_recall` pattern). Fully hash-checked
     (n_full, n_hits) row; tests pin the measured floor."""
-    full10 = (
-        _ivfsq_scored(spark, sf_dir)
-        .orderBy("d_sq8", "vec_id")
-        .limit(_SQ_TOPK)
-        .select("vec_id", "in_probe")
-    )
-    ivf10 = (
-        _ivfsq_scored(spark, sf_dir)
-        .filter("in_probe")
-        .orderBy("d_sq8", "vec_id")
-        .limit(_SQ_TOPK)
-        .select(F.col("vec_id").alias("ivid"))
-    )
-    return full10.join(
-        ivf10, full10["vec_id"] == ivf10["ivid"], "left"
-    ).agg(
-        big(F.count(F.lit(1))).alias("n_full"),
-        big(F.count("ivid")).alias("n_hits"),
-    )
+    return _scoped_recall(_ivfsq_scored(spark, sf_dir), "d_sq8", _SQ_TOPK)
 
 
 # --- JL random projection: dimensionality reduction as the search scale knob --
