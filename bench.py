@@ -234,6 +234,21 @@ R15_HEADLINE = [
     "events_session_transitions", # r15: sessions+transitions, one exchange
 ]
 
+# Round-15 OPTIMIZATION round additions (first-measurement pins, the standing
+# seeding rule): the three bounded-output members of the query families the
+# r15 optimization rewrote (bitset pair verification + duplicate-group
+# banding — OPTIMIZATION_r15.md), so the rewrites' numbers are tracked by
+# the driver's own bench round-over-round. Their wide-output siblings
+# (dedup_minhash_pairs 7M rows, sim_jaccard_prefix) are deliberately NOT
+# added: collect() of millions of rows times driver deserialization, not the
+# computation (guide §1.4); their evidence lives in the noop-sink sweeps and
+# plans/r15/.
+R15_OPT_HEADLINE = [
+    "dedup_minhash_recall",       # r15 opt: banding + exact PPJoin legs, 1-row out
+    "search_ivfpq_recall",        # r15 opt: single-pass scoped-recall window
+    "search_ivfsq_recall",        # r15 opt: same fold on the SQ8 leg
+]
+
 # Per-topology regression base for the TPC-H power family: the round-6
 # per-query warm medians (SCALE.md "TPC-H power" table, sf0.1, local[32]).
 # The 21-query total alone can hide one topology regressing 3x behind noise
@@ -379,7 +394,7 @@ def main() -> None:
         dict.fromkeys(
             HEADLINE + LLM_HEADLINE + R5_HEADLINE + R6_HEADLINE + R7_HEADLINE
             + R9_HEADLINE + R10_HEADLINE + R11_HEADLINE + R12_HEADLINE
-            + R13_HEADLINE + R15_HEADLINE + tpch_names
+            + R13_HEADLINE + R15_HEADLINE + R15_OPT_HEADLINE + tpch_names
         )
     )
 

@@ -1023,27 +1023,23 @@ def search_ivfpq_recall(spark, sf_dir):
 
 def _scoped_recall(scored, score_col: str, topk: int):
     """(n_full, n_hits) of the in_probe-scoped top-k against the unscoped
-    top-k, from ONE pass over the scored frame: a single global-order
-    window yields each row's overall rank (row_number) and its rank among
-    in_probe rows (running count of in_probe in the same order — the
-    subset order is the global order restricted to the subset, so the
-    running count IS the scoped rank). Identical (n_full, n_hits) to the
-    former two-leg limit+join form, with the scored lineage — previously
-    rebuilt per leg — computed once (r15: the recall rows' wall was two
-    full scoring passes, e.g. search_ivfpq_recall 6.7 s → one pass)."""
-    from pyspark.sql import Window
-
-    w = Window.orderBy(score_col, "vec_id")
-    ranked = scored.select(
-        "in_probe",
-        F.row_number().over(w).alias("_rf"),
-        F.sum(F.col("in_probe").cast("int")).over(w).alias("_rp"),
-    )
-    in_full = F.col("_rf") <= topk
-    in_ivf = F.col("in_probe") & (F.col("_rp") <= topk)
-    return ranked.agg(
-        big(F.sum(in_full.cast("long"))).alias("n_full"),
-        big(F.sum((in_full & in_ivf).cast("long"))).alias("n_hits"),
+    top-k, from ONE top-k pass over the scored frame. The former two-leg
+    form rebuilt the entire scoring lineage per leg; the fold rests on a
+    containment argument: every in_probe row preceding a global-top-k row
+    in the (score, vec_id) order is itself inside the global top-k, so a
+    top-k row's rank among in_probe rows never exceeds its global rank —
+    membership in the scoped top-k reduces to the ``in_probe`` flag for
+    exactly the rows of the global top-k, and
+    ``n_hits = count(in_probe among global top-k)``. Identical
+    (n_full, n_hits) to the limit+join form (r15: search_ivfpq_recall
+    6.7 s → 1.6 s), and the plan keeps the family's zero-exchange pin —
+    one TakeOrderedAndProject, no window, no hashpartitioning."""
+    top = scored.orderBy(score_col, "vec_id").limit(topk)
+    return top.agg(
+        big(F.count(F.lit(1))).alias("n_full"),
+        big(
+            F.coalesce(F.sum(F.col("in_probe").cast("long")), F.lit(0))
+        ).alias("n_hits"),
     )
 
 
