@@ -225,6 +225,7 @@ def minhash_near_dup_pairs(
        sig-grouping needs no set-equality assumption. (The r14-rejected
        array_intersect variant shipped full token STRING arrays per pair;
        this ships fixed-width longs.)"""
+    from eviction_lab_etl_spark.functions.pins import pin_to
     from eviction_lab_etl_spark.functions.similarity import (
         token_bitsets,
         verify_pairs_bitset,
@@ -256,7 +257,18 @@ def minhash_near_dup_pairs(
         .select(F.col("x").alias("a"), F.col("y").alias("b"))
     )
     cand = inter_group.unionByName(intra_group)
-    return verify_pairs_bitset(cand, token_bitsets(tok), threshold)
+    masks = token_bitsets(tok)
+    out = verify_pairs_bitset(cand, masks, threshold)
+    # `groups` feeds 5 plan branches (both bucket-join legs via its band
+    # explode, both member-expansion legs, intra-group pairs) and `masks`
+    # both verifier legs; their collect_list/map aggregations never
+    # canonicalize across branches, so each branch re-derived the whole
+    # doc-sized lineage (exchange count 4 → 24 at r15). Pin both for the
+    # result handle's lifetime (guide §5; functions/pins.py — callers
+    # deriving over the result adopt_pins). Cache-independent values: the
+    # signature family and the bitset dictionary ids are pure functions of
+    # the token strings.
+    return pin_to(out, groups, masks)
 
 
 def corpus_minhash_index(

@@ -157,13 +157,17 @@ def sim_jaccard_prefix(spark, sf_dir):
     prefix-filter completeness guarantee, so the driver's hash pins that
     equivalence on real data. Same integer cross-multiplied ≥0.6 threshold
     (§2.0 rule 1: no floats)."""
+    from eviction_lab_etl_spark.functions.pins import adopt_pins
     from eviction_lab_etl_spark.functions.similarity import jaccard_pairs_prefix
 
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
-    return jaccard_pairs_prefix(tok).select("a", "b", "inter", "uni")
+    pairs = jaccard_pairs_prefix(tok)
+    # adopt_pins: the library pins its group/prefix diamonds to `pairs`;
+    # deriving drops that handle, so the pins move to the returned frame.
+    return adopt_pins(pairs.select("a", "b", "inter", "uni"), pairs)
 
 
 @query(
@@ -262,6 +266,7 @@ def sim_containment_prefix(spark, sf_dir):
     prefix completeness, so the driver's hash pins that equivalence on
     real data, exactly the `sim_jaccard_prefix` discipline. Integer
     cross-multiplied threshold (§2.0 rule 1: no floats)."""
+    from eviction_lab_etl_spark.functions.pins import adopt_pins
     from eviction_lab_etl_spark.functions.similarity import (
         containment_pairs_prefix,
     )
@@ -271,7 +276,7 @@ def sim_containment_prefix(spark, sf_dir):
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
     out = containment_pairs_prefix(tok, threshold=(9, 10), probe_filter=F.col("id") < 50)
-    return out.select("src", "dst", "inter", "n_src")
+    return adopt_pins(out.select("src", "dst", "inter", "n_src"), out)
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -418,9 +423,10 @@ def sim_ann_lsh_recall(spark, sf_dir) -> DataFrame:
     whose HashingTF-hashed Jaccard lands just past the 0.4 distance cut,
     not banding misses. Empty-universe contract: n_exact = 0 passes
     vacuously in both engines (999 ≥ 0)."""
+    from eviction_lab_etl_spark.functions.pins import adopt_pins
     from eviction_lab_etl_spark.functions.similarity import jaccard_pairs_prefix
 
-    exact = jaccard_pairs_prefix(
+    ppjoin = jaccard_pairs_prefix(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 200)
         .select(
@@ -429,9 +435,10 @@ def sim_ann_lsh_recall(spark, sf_dir) -> DataFrame:
         "doc_id",
         "w",
         (6, 10),
-    ).select("a", "b")
+    )
+    exact = ppjoin.select("a", "b")
     hits = _ann_lsh_pairs(spark, sf_dir).join(exact, ["a", "b"], "left_semi")
-    return (
+    out = (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
         .crossJoin(hits.agg(F.count(F.lit(1)).alias("_n_hit")))
         .select(
@@ -441,6 +448,9 @@ def sim_ann_lsh_recall(spark, sf_dir) -> DataFrame:
             ),
         )
     )
+    # `exact` feeds both the count leg and the semi-join leg — keep the
+    # library's group/prefix pins alive for the result's lifetime.
+    return adopt_pins(out, ppjoin)
 
 
 @query(

@@ -774,12 +774,13 @@ def dedup_minhash_pairs(spark, sf_dir):
     pair space never materializes. P[candidate | s=0.6] ≈ 0.979 at b=16,r=3
     (recall is itself driver-measured — `dedup_minhash_recall`)."""
     from eviction_lab_etl_spark.functions.minhash import minhash_near_dup_pairs
+    from eviction_lab_etl_spark.functions.pins import adopt_pins
 
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
-    return minhash_near_dup_pairs(
+    pairs = minhash_near_dup_pairs(
         tok,
         "doc_id",
         "w",
@@ -787,10 +788,14 @@ def dedup_minhash_pairs(spark, sf_dir):
         bands=_MH_BANDS,
         rows_per_band=_MH_ROWS,
         hash_fn=_mh_spark_family,
-    ).select(
+    )
+    out = pairs.select(
         F.col("a"), F.col("b"), big(F.col("inter")).alias("inter"),
         big(F.col("uni")).alias("uni"),
     )
+    # adopt_pins: the library pins its group/mask diamonds to `pairs`;
+    # deriving drops that handle, so the pins move to the returned frame.
+    return adopt_pins(out, pairs)
 
 
 @query("dedup_minhash_pairs_xx")  # rows-only: xxhash64 exists only in Spark
@@ -814,12 +819,13 @@ def dedup_minhash_pairs_xx(spark, sf_dir):
         minhash_near_dup_pairs,
         xxhash_family,
     )
+    from eviction_lab_etl_spark.functions.pins import adopt_pins
 
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w")
     )
-    return minhash_near_dup_pairs(
+    pairs = minhash_near_dup_pairs(
         tok,
         "doc_id",
         "w",
@@ -827,10 +833,12 @@ def dedup_minhash_pairs_xx(spark, sf_dir):
         bands=_MH_BANDS,
         rows_per_band=_MH_ROWS,
         hash_fn=xxhash_family,
-    ).select(
+    )
+    out = pairs.select(
         F.col("a"), F.col("b"), big(F.col("inter")).alias("inter"),
         big(F.col("uni")).alias("uni"),
     )
+    return adopt_pins(out, pairs)
 
 
 @query(
@@ -885,7 +893,7 @@ def dedup_minhash_recall(spark, sf_dir):
         hash_fn=_mh_spark_family,
     )
     exact = jaccard_pairs_prefix(tok, "doc_id", "w", (_MH_NUM, _MH_DEN))
-    return (
+    out = (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
         .crossJoin(lsh.agg(F.count(F.lit(1)).alias("n_lsh")))
         .select(
@@ -896,6 +904,11 @@ def dedup_minhash_recall(spark, sf_dir):
             .alias("recall_pm"),
         )
     )
+    # Both legs carry bounded-lifetime pins (groups/masks on the LSH side,
+    # groups/prefix on the exact side) — move them onto the returned frame.
+    from eviction_lab_etl_spark.functions.pins import adopt_pins
+
+    return adopt_pins(out, lsh, exact)
 
 
 @query(

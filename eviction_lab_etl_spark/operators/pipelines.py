@@ -451,7 +451,11 @@ def pipeline_corpus_clean(spark, sf_dir):
     # reuse silently degrades to a recompute.
     fin = weakref.finalize(result, _unpersist_quietly, survivors)
     fin.atexit = False
-    return result
+    # The minhash library pins its own group/mask diamonds to `near_pairs`
+    # (functions/pins.py) — same bounded lifetime, same owner handle.
+    from eviction_lab_etl_spark.functions.pins import adopt_pins
+
+    return adopt_pins(result, near_pairs)
 
 
 def _unpersist_quietly(df) -> None:

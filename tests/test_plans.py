@@ -251,14 +251,15 @@ def test_corpus_clean_single_scan_and_tokenize(spark, sf_dir):
     assert info["plan"].count("documents.parquet") == 1
     # r15 bitset rewrite: the minhash near-dedup leg now verifies against
     # per-doc token bitsets and groups equal signatures before the bucket
-    # join (functions/minhash.py), which adds ~18 doc-/vocab-sized
-    # dictionary, mask and group aggregations over the PERSISTED diamond —
-    # each exchange is ≤ |docs| rows of fixed-width longs, replacing the
-    # former (pair × token) match-stream shuffle. The round-5 intent (no
-    # quadratic corpus rescans, no token self-join) is held by the
-    # scan == 1 and sortmerge == 0 pins; the shuffle budget tracks the
-    # measured plan (26 at r15) with small headroom.
-    assert info["shuffles"] <= 28  # was 22 pre-r5, 8 pre-r15-bitset
+    # join (functions/minhash.py) — each exchange is ≤ |docs| rows of
+    # fixed-width longs, replacing the former (pair × token) match-stream
+    # shuffle. r16 re-tightened the budget from 28 (r15 measured 26): the
+    # group/mask diamonds are now PINNED for the result's lifetime
+    # (functions/pins.py), so the branch recompute that inflated the r15
+    # plan collapses into InMemoryRelation reuse — measured 13 at r16.
+    # The round-5 intent (no quadratic corpus rescans, no token self-join)
+    # is held by the scan == 1 and sortmerge == 0 pins.
+    assert info["shuffles"] <= 16  # was 22 pre-r5, 8 pre-r15-bitset, 28 r15
     assert info["sortmerge_joins"] == 0
     # the tokenized intermediate is a persisted InMemoryRelation, so the
     # split/array_distinct transform runs once, not once per consumer branch

@@ -70,6 +70,13 @@ def main() -> None:
             info = audit_plan(df)
             info.pop("plan", None)
             info.pop("read_schema", None)
+            # Drop the warm-up frame BEFORE the timed reps: queries with
+            # finalizer-bounded pins (functions/pins.py) keep their caches
+            # alive exactly as long as this handle, and a live warm-up cache
+            # lets a rep's identical plan dedupe onto already-materialized
+            # blocks — flattering rep 1 (bench.py's time_once never holds the
+            # previous frame, so this matches its cache-cold-per-rep reality).
+            del df
             runs = []
             for _ in range(reps):
                 t0 = time.perf_counter()
