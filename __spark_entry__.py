@@ -42,72 +42,34 @@ _FLAGSHIP = "agg_sum_groupby"
 # stale queue can never burn a later round's budget re-checking green rows.
 # Bump _QUEUE_AS_OF to the highest CORRECTNESS_r*.json round present whenever
 # the queue is edited.
-_QUEUE_AS_OF = 14
+_QUEUE_AS_OF = 15
 _RECHECK_QUEUE: tuple[str, ...] = (
-    # --- Round-15 changed query (r14 ADVICE fixes; pattern constants and
-    # fixture changed in LOCKSTEP on both engines, so the hash must
-    # re-verify): text_pii_scrub's email class is now case-insensitive via
-    # explicit mixed-case ASCII classes (not (?i) — Java folds ASCII-only,
-    # RE2 full Unicode), its phone class gained \b anchors on both digit
-    # runs, and the wide fixture now plants a MIXED-CASE email. Re-swept
-    # 4,000 fuzz cases cross-engine (zero divergences) before the pin.
-    # text_pii_mask is NOT queued for this change (it uses the narrow
-    # _EMAIL_RE/_PHONE_RE constants, untouched) but IS in the stale tranche
-    # below.
-    "text_pii_scrub",
-    # --- Round-15 staleness rotation (r14 VERDICT item 2): every record
-    # whose latest driver verification is round 8 — seven rounds stale at
-    # r15 — re-checked explicitly so nothing drifts past ~6 rounds
-    # unverified. Code unchanged; this is rotation, not suspicion. (The 3
-    # new r15 operators need no queue entry: never-verified names sort into
-    # the `fresh` tier right after this queue. Budget: 47 queue + 3 fresh
-    # = exactly the 50-query driver budget.)
-    "agg_approx_distinct",
-    "agg_approx_quantile",
-    "agg_conditional",
-    "agg_cube",
-    "agg_grouping_sets",
-    "agg_multi_distinct",
-    "agg_rollup",
-    "agg_stats",
-    "agg_sum_groupby",
-    "agg_weighted_mean",
-    "complex_region_revenue",
-    "complex_returned_revenue",
-    "complex_shipping_priority",
-    "dedup_exact",
-    "dedup_keep_first",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "geo_centroid_bbox",
-    "geo_point_in_region",
-    "io_csv_roundtrip",
-    "join_bloom_pruned",
-    "multimodal_audio_decode",
-    "multimodal_audio_features",
+    # --- Round-16 changed queries (optimization round 2): the near-dup
+    # family gained bounded-lifetime pins and a distributed dense-rank
+    # dictionary in token_bitsets (values invariant under the id
+    # bijection, but the physical plan changed substantially), and the
+    # banded-Hamming expansion gained the latent-case guards from r15
+    # ADVICE items 1–2. All re-verified locally by full-value oracle diff
+    # at sf0.001 + sf0.01 and a vanilla-session probe; queued so the
+    # driver re-pins the hashes first.
+    "dedup_minhash_pairs",
+    "dedup_minhash_recall",
+    "sim_jaccard_prefix",
+    "sim_containment_prefix",
+    "sim_containment_pairs",
     "pipeline_corpus_clean",
-    "search_mmr_diverse",
-    "sim_ann_lsh",
     "sim_ann_lsh_recall",
-    "sim_cosine_neardup",
-    "sim_jaccard_pairs",
-    "sim_knn_cosine",
-    "sim_ngram_jaccard",
-    "sketch_hll_partitioned",
-    "stream_dedup_watermark",
-    "stream_foreachbatch_upsert",
-    "stream_sliding",
-    "stream_stateful_counter",
-    "stream_watermark_late",
-    "text_clean_html",
-    "text_lang_stats",
-    "text_langid",
-    "text_length_hist",
-    "text_pii_mask",
-    "text_quality",
-    "text_token_count",
-    "text_tokenize_topn",
-    "ts_ewma_smooth",
+    "multimodal_video_neardup",
+    "multimodal_phash_near",
+    "multimodal_audio_neardup",
+    # (dedup_minhash_pairs_xx also changed but is rows-only by design; it
+    # rejoins via the fresh tier if its r15 record goes stale.)
+    #
+    # The r15 rotation tranche (47 names) was hand-removed this round: all
+    # 47 verified green in CORRECTNESS_r15 (checked programmatically), and
+    # with _QUEUE_AS_OF now 15 the self-retire rule (> 15) would not have
+    # released them. Leftover budget after this queue rotates through the
+    # oldest-verified greens automatically (_ordered tier 3).
 )
 
 

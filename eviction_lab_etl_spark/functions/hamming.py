@@ -74,6 +74,13 @@ def hamming_near_pairs(
         F.col(hi_col).alias("hi"),
         F.col(lo_col).alias("lo"),
     )
+    if group_col:
+        # NULL-group rows never matched under the pre-r15 equi-join
+        # (`a.grp == b.grp` is NULL-rejecting); groupBy would treat NULLs
+        # as equal and emit intra-group pairs for them, so drop them
+        # explicitly to preserve the join semantics (r15 ADVICE item 2 —
+        # latent: every current caller's group key is non-null).
+        src = src.filter(F.col("grp").isNotNull())
     groups = src.groupBy(*gsel, "hi", "lo").agg(
         F.min("id").alias("id"), F.collect_list("id").alias("ms")
     )
@@ -93,6 +100,12 @@ def hamming_near_pairs(
         .join(mb, gsel + ["b"])
         .select(*gsel, F.explode("_msa").alias("x"), F.col("_msb"), "hd")
         .select(*gsel, "x", F.explode("_msb").alias("y"), "hd")
+        # An id that appears twice with two DIFFERENT hashes within max_hd
+        # would cross-expand to x == y, which least/greatest would collapse
+        # into a degenerate self-pair the pre-r15 `a.id < b.id` join
+        # structurally excluded (r15 ADVICE item 1 — latent: every current
+        # caller has one hash per (group, id)).
+        .filter(F.col("x") != F.col("y"))
         .select(
             *gsel,
             F.least("x", "y").alias("a"),

@@ -79,6 +79,13 @@ def minhash_signatures(
     """One row per document: ``(id, sig array<bigint>)`` of n_hashes minhash
     values, computed as a single grouped aggregation (no per-hash shuffle).
 
+    Distinct-token CONTRACT: tokens must be NON-NULL (r15 ADVICE item 3).
+    The ``hash_distinct_tokens=True`` join-back drops NULL tokens (inner
+    join on ``__w``), while the inline path would min() over a NULL hash —
+    every registered caller tokenizes via split/explode, which cannot
+    produce NULLs, and ``token_bitsets``' vocabulary join imposes the same
+    contract on the verification side.
+
     ``hash_distinct_tokens=True`` evaluates the n_hashes family members once
     per DISTINCT token string and joins the hash vectors back to the
     (id, token) rows instead of hashing inline per row — identical values

@@ -159,7 +159,9 @@ def grouped_token_masks(tok: DataFrame) -> DataFrame:
     an exact, collision-free set fingerprint that is itself the
     verification payload): ``(gid, mk, n, ms)`` — representative id (the
     group's min), the mask as sorted entries (the group key), the set
-    size, and every member id.
+    size, and every member id. Token contract: NON-NULL tokens (the
+    vocabulary join drops NULLs — see ``minhash_signatures``; all
+    registered callers tokenize via split/explode).
 
     The duplicate-density pre-grouping for symmetric pair joins
     (set-similarity, MinHash banding): candidacy, ``inter`` and ``uni``
@@ -294,6 +296,10 @@ def jaccard_pairs_prefix(
        candidate pair) instead of the token-explosion count-join; the
        verifier reads the masks straight off the group keys.
     """
+    num, den = threshold
+    # expand_group_pairs emits intra-group (J = 1) pairs unconditionally —
+    # sound exactly when the threshold admits J = 1 (r15 ADVICE item 5).
+    assert num <= den, f"threshold {num}/{den} > 1 can never match"
     tok = tokens.select(F.col(id_col).alias("id"), F.col(token_col).alias("w"))
     groups = grouped_token_masks(tok)
     rep_tok = tok.join(
